@@ -45,8 +45,11 @@ object SparkEntry {
   // Registry
   // ---------------------------------------------------------------------
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Group objects under graft.queries contribute their own maps.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mq_source_scores" -> (mqSourceScores _),
 
     // D1/D2-style multi-aggregate hash agg over the big fact table.
@@ -61,7 +64,9 @@ object SparkEntry {
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
-  )
+    )
+    base ++ graft.queries.RelationalQueries.queries
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -84,5 +89,5 @@ object SparkEntry {
          round(avg(l_quantity), 4) AS avg_qty,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-  )
+  ) ++ graft.queries.RelationalQueries.oracles
 }

@@ -1,0 +1,409 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational [EXT] surface (SURVEY.md §2.D/E): the join family, windows,
+  * top-k, rollup/grouping sets, set ops, and distinct aggregates that the
+  * reference's id-keyed pipeline implies but never materializes as DataFrame
+  * ops (its only set op is union — JsonlDump.scala:51).
+  *
+  * Scale notes (100 TB): every query here is written so Catalyst gets the
+  * plan it needs at cluster scale — dimension tables (`region`, `nation`,
+  * `supplier`, small `customer` slices) are explicitly `broadcast()` so fact
+  * scans never shuffle for them; aggregates are partial+final hash aggs
+  * (map-side combined); windows partition by high-cardinality keys so no
+  * single partition collapses; top-k uses `orderBy.limit` which Spark plans
+  * as TakeOrderedAndProject (per-partition heap, O(k) driver transfer).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q5 shape: 5-way join w/ broadcast dims, grouped revenue.
+    "q_join_region_revenue" -> ((s, dir) => {
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q3 shape: top-10 orders by revenue, deterministic tiebreak.
+    // orderBy+limit ⇒ TakeOrderedAndProject (no global sort shuffle).
+    "q_topk_orders" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Left-semi: customers with at least one finished order.
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Left-anti: customers with no pending orders.
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Left-outer + count: order count per customer including zero.
+    "q_outer_join_counts" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // Window rank: top-2 orders per customer by price, deterministic.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+
+    // Window running aggregate over a time frame spec.
+    "q_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 4).as("running_value"))
+    }),
+
+    // Rollup over the D1/D2 group hierarchy (null groups labeled ALL so
+    // Spark and the oracle agree without grouping_id).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+    }),
+
+    // Grouping sets mirroring the reference's provider/(provider,contributor)
+    // two-report pair (MqReports.scala:93-134) as ONE pass over the data.
+    "q_grouping_sets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.createOrReplaceTempView("gs_documents")
+      s.sql("""SELECT source, coalesce(lang, 'ALL') AS lang,
+                      count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+               FROM gs_documents
+               GROUP BY GROUPING SETS ((source), (source, lang))""")
+    }),
+
+    // Set ops: building-segment customers who do have open orders.
+    "q_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey")))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")))
+    }),
+
+    // E1 n-way union (JsonlDump.scala:51 idiom) via unionByName.
+    "q_union_slices" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), lit("urgent").as("slice"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey"), lit("high").as("slice"))
+      val big = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), lit("big").as("slice"))
+      Seq(urgent, high, big).reduce(_.unionByName(_))
+        .groupBy(col("slice")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact distinct aggregate (Spark plans expand + two-phase agg).
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // MQ CASE/LIKE flag family on TPC-H columns (MqReports.scala:25-92 shape).
+    "q_case_flags" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          when(col("o_orderpriority").like("1-%") ||
+            col("o_orderpriority").like("2-%"), 1).otherwise(0).as("high_prio"),
+          when(col("o_totalprice") > 200000, 1).otherwise(0).as("big_order"))
+        .withColumn("urgent_big",
+          when(col("high_prio") === 1 && col("big_order") === 1, 1).otherwise(0))
+        .groupBy(col("o_orderstatus"))
+        .agg(avg(col("high_prio")).as("high_prio"),
+          avg(col("big_order")).as("big_order"),
+          avg(col("urgent_big")).as("urgent_big"),
+          count(lit(1)).as("n"))
+    }),
+
+    // G1/G2/G4: uri build → id extract → 4-level thumbnail key fan-out,
+    // all in-plan (reference does G4 in Scala on the driver —
+    // ThumbnailPurge.scala:31-33).
+    "q_id_fanout" -> ((s, dir) => {
+      val id0 = lpad(col("doc_id").cast("string"), 4, "0")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://dp.la/api/items/"), id0).as("uri"))
+        .withColumn("item_id",
+          substring_index(col("uri"), "http://dp.la/api/items/", -1))
+        .withColumn("thumb_key",
+          concat_ws("/",
+            substring(col("item_id"), 1, 1), substring(col("item_id"), 2, 1),
+            substring(col("item_id"), 3, 1), substring(col("item_id"), 4, 1),
+            concat(col("item_id"), lit(".jpg"))))
+        .select(col("doc_id"), col("item_id"), col("thumb_key"))
+    }),
+
+    // E2 in-plan latest-snapshot: max_by per key (vs driver-side
+    // sorted.lastOption in S3FileHelper.scala:27).
+    "q_max_by" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("last_event_id"),
+          max(col("ts")).as("last_ts"))
+    }),
+
+    // Date functions over the order timeline (G9 in-plan equivalents).
+    "q_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 4).as("total"))
+    }),
+
+    // JSON scalar extraction from the events props column.
+    "q_json_get" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Tumbling time window (Structured-Streaming-compatible shape, run in
+    // batch; SURVEY §2.I) — daily event rollup.
+    "q_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").getField("start").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    }),
+
+    // Range join: lineitems shipped within 60 days of their order date.
+    // Equi key + range predicate ⇒ sort-merge join with post-filter, no
+    // cartesian; at 100 TB the equi key keeps this a plain shuffle join.
+    "q_range_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_fast_items"))
+    }),
+
+    // As-of join: each purchase event picks the user's latest signup event
+    // at-or-before it (union+window plan — see AsOfJoin scaladoc).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_event_id"))
+      graft.operators.AsOfJoin.asOf(
+        purchases, signups,
+        key = "user_id", leftTs = "ts", rightTs = "signup_ts",
+        rightCols = Seq("signup_event_id"))
+        .select(col("event_id"), col("user_id"), col("signup_event_id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_region_revenue" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey
+         LIMIT 10""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
+
+    "q_outer_join_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 2""",
+
+    "q_window_running_sum" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+         FROM events""",
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_grouping_sets" ->
+      """SELECT source, coalesce(lang, 'ALL') AS lang,
+           count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((source), (source, lang))""",
+
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'""",
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'""",
+
+    "q_union_slices" ->
+      """SELECT slice, count(*) AS n FROM (
+           SELECT o_orderkey, 'urgent' AS slice FROM orders
+             WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT o_orderkey, 'high' AS slice FROM orders
+             WHERE o_orderpriority = '2-HIGH'
+           UNION ALL
+           SELECT o_orderkey, 'big' AS slice FROM orders
+             WHERE o_totalprice > 400000)
+         GROUP BY slice""",
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_case_flags" ->
+      """SELECT o_orderstatus,
+           avg(CASE WHEN o_orderpriority LIKE '1-%'
+                      OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END) AS high_prio,
+           avg(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big_order,
+           avg(CASE WHEN (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+                     AND o_totalprice > 200000 THEN 1 ELSE 0 END) AS urgent_big,
+           count(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q_id_fanout" ->
+      """SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 4, '0') AS item_id,
+           concat_ws('/',
+             substr(lpad(CAST(doc_id AS VARCHAR), 4, '0'), 1, 1),
+             substr(lpad(CAST(doc_id AS VARCHAR), 4, '0'), 2, 1),
+             substr(lpad(CAST(doc_id AS VARCHAR), 4, '0'), 3, 1),
+             substr(lpad(CAST(doc_id AS VARCHAR), 4, '0'), 4, 1),
+             lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.jpg') AS thumb_key
+         FROM documents""",
+
+    "q_max_by" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts FROM (
+           SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+
+    "q_date_parts" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+         FROM orders GROUP BY 1, 2""",
+
+    "q_json_get" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS n
+         FROM events GROUP BY 1""",
+
+    "q_time_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+         FROM events GROUP BY 1, 2""",
+
+    "q_range_join" ->
+      """SELECT o_orderstatus, count(*) AS n_fast_items
+         FROM orders JOIN lineitem
+           ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+         GROUP BY o_orderstatus""",
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts""",
+  )
+}

@@ -15,7 +15,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one fixture table from a scale-factor directory. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"${dir.stripSuffix("/")}/$name.parquet")
+  /** Load one fixture table from a scale-factor directory.
+    *
+    * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark 4's
+    * vectorized reader rejects outright. We read it as a long (legacy flag)
+    * and integer-divide down to microseconds — `ts div 1000`, NOT `/ 1000`:
+    * epoch-nanos (~1.7e18) exceed a double's 2^53 integer range, so float
+    * division would corrupt timestamps. DuckDB (the oracle) truncates
+    * NANOS→micros the same way.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"${dir.stripSuffix("/")}/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path)
+  }
 }
