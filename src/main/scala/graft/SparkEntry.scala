@@ -65,7 +65,8 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
     )
-    base ++ graft.queries.RelationalQueries.queries
+    base ++ graft.queries.RelationalQueries.queries ++
+      graft.queries.TextQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +90,6 @@ object SparkEntry {
          round(avg(l_quantity), 4) AS avg_qty,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-  ) ++ graft.queries.RelationalQueries.oracles
+  ) ++ graft.queries.RelationalQueries.oracles ++
+    graft.queries.TextQueries.oracles
 }

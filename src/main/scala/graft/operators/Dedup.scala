@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines ([EXT], SURVEY.md §7.2
+  * step 6): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup shuffles O(#docs) 16-byte digests, not document bodies —
+  *    group keys are md5 fingerprints computed scan-side.
+  *  - MinHash/LSH is the classic two-stage candidate plan: per-doc signatures
+  *    are a narrow map (codegen'd array expressions, no shuffle); only the
+  *    banded bucket ids are exploded and shuffled (b rows/doc, b≈8), and the
+  *    expensive Jaccard verify runs solely on same-bucket candidate pairs —
+  *    never all-pairs. Bucket skew (a degenerate band value holding millions
+  *    of docs) is capped before the self-join.
+  *  - SimHash packs a document to one 64-bit value; near-dup candidates at
+  *    cluster scale come from grouping on rotated prefixes, here we expose the
+  *    signature itself plus a Hamming-distance verifier.
+  * All of it is built from Spark built-ins (xxhash64 / higher-order array
+  * functions), staying inside whole-stage codegen — matching the reference's
+  * expression-first design cue (zero UDFs; SURVEY.md §2.J).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** One row per distinct fingerprint: keeper id (min), duplicate count. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** k-permutation MinHash signature over a shingle array.
+    * Permutation i is xxhash64(shingle, i) — deterministic, seedable, and
+    * evaluated entirely in codegen (no UDF). Empty shingle sets get
+    * Long.MaxValue mins so they never spuriously collide.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i =>
+        coalesce(
+          array_min(transform(shingleCol, s => xxhash64(s, i))),
+          lit(Long.MaxValue)))
+
+  /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
+    * each band hashed to one long. Docs sharing any band key are candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b))
+
+  /** Per-doc signature + band keys (the shuffle-free stage). */
+  def minhashed(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(
+      col(idCol),
+      minhashSignature(TextAnalysis.shingles(toks), k).as("minhash_sig"))
+      .withColumn("band_keys", lshBandKeys(col("minhash_sig"), bands, k / bands))
+  }
+
+  /** Same-bucket candidate pairs (id_a < id_b), deduped across bands.
+    * `maxBucketSize` drops degenerate buckets before the pair explosion —
+    * the standard guard that keeps worst-case skew from going quadratic.
+    */
+  def lshCandidatePairs(
+      minhashedDf: DataFrame,
+      idCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = minhashedDf
+      .select(col(idCol), posexplode(col("band_keys")).as(Seq("band", "key")))
+    val bounded = buckets
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    bounded
+      .select(explode(expr(
+        // all ordered pairs within the bucket
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> " +
+          "struct(least(x, y) as id_a, greatest(x, y) as id_b))))"))
+        .as("pair"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"))
+      .distinct()
+  }
+
+  /** Jaccard similarity of two token/shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Verified near-dup pairs: LSH candidates with true n-gram Jaccard ≥ t.
+    * Joins candidate ids back to shingle sets (two hash joins on id — at
+    * scale these join against the doc table's fingerprint projection, not
+    * the bodies).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val shingled = df.select(
+      col(idCol),
+      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val pairs = lshCandidatePairs(minhashed(df, textCol, idCol, k, bands), idCol)
+    pairs
+      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash of a token array: per-token xxhash64, ±1 vote per bit,
+    * sign of each bit-total becomes the output bit. Pure array expressions
+    * (the 64-counter fold is a per-row `aggregate`, no shuffle); a custom
+    * codegen Expression is the upgrade path if profiles demand.
+    */
+  def simhash(toks: Column): Column = {
+    // call_function: the Scala shiftleft/shiftright wrappers only take Int
+    // shift amounts; the SQL functions take expressions.
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(63)),
+            i => when(call_function("shiftright", xxhash64(t), i)
+              .bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))),
+          (a, v) => a + v))
+    // `votes` is referenced exactly once (zip_with), so the expensive token
+    // fold is not duplicated per bit.
+    aggregate(
+      zip_with(
+        votes,
+        sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

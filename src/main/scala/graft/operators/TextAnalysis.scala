@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column combinators for large-scale training-data pipelines
+  * ([EXT], SURVEY.md §2.G note): normalization, tokenization, shingling,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a pure `Column => Column` builder over Spark built-ins
+  * (higher-order array functions + regexes), mirroring the reference's own
+  * expression-first stance (zero UDFs in 903 lines —
+  * /root/reference/.../ParquetDump.scala:54-113 is all Column combinators).
+  * Built-ins stay inside whole-stage codegen, so at 100 TB these are narrow,
+  * scan-fused map stages with no shuffle and no JVM⇄interpreter boundary.
+  *
+  * The `canonicalize` chain reproduces the reference's Elasticsearch
+  * `canonicalsort` normalizer (lowercase → strip leading articles and
+  * non-alphanumerics — index-settings-and-mappings-necropolis.json:5-23);
+  * `shingles` mirrors its `shingle` filter (min 2 / max 4 —
+  * ...json:26-31).
+  */
+object TextAnalysis {
+
+  /** English stopword sample used for quality ratios / language scoring. */
+  val StopwordsEn: Seq[String] = Seq("the", "of", "and", "a", "an", "in", "to")
+
+  /** Word tokens: maximal [a-z0-9]+ runs of the lowercased text. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish subword tokens: letter runs, digit runs, single symbols. */
+  def tokensBpeish(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Whitespace-collapsed, trimmed, lowercased text. */
+  def normalize(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** ES canonicalsort-style key: lowercase, drop articles + non-alnum. */
+  def canonicalize(c: Column): Column =
+    regexp_replace(lower(c), "\\b(the|of|and|a|an)\\b|[^a-z0-9]+", "")
+
+  /** Deterministic document fingerprint (md5 of normalized text). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** n-word shingles over a token array (default n=3). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+
+  /** Fraction of tokens that are known stopwords (0 when no tokens). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(stops, t)))
+        .cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters (0 when no tokens). */
+  def avgTokenLen(c: Column): Column = {
+    val alnum = length(regexp_replace(lower(c), "[^a-z0-9]", ""))
+    val n = size(tokens(c))
+    when(n === 0, 0.0).otherwise(alnum.cast("double") / n)
+  }
+
+  /** Heuristic language ID from script + stopword evidence.
+    * Order matters: script tests (CJK) before stopword tests.
+    */
+  def langIdHeuristic(c: Column): Column = {
+    def hasAny(words: Seq[String]): Column = {
+      val toks = tokens(c)
+      words.map(w => array_contains(toks, w)).reduce(_ || _)
+    }
+    when(c.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(hasAny(Seq("the", "and", "with", "this")), "en")
+      .when(hasAny(Seq("el", "los", "una", "por")), "es")
+      .when(hasAny(Seq("le", "les", "une", "avec")), "fr")
+      .when(hasAny(Seq("der", "die", "und", "mit")), "de")
+      .otherwise("und")
+  }
+
+  /** Rolling polynomial hash over the token stream (base-31 over xxhash64 of
+    * each token, mod 1e9+7) — order-sensitive unlike the md5 fingerprint, so
+    * documents that permute the same tokens fingerprint differently.
+    * Left-to-right `aggregate` keeps it deterministic on any cluster size
+    * (the fold is per-row, not across partitions); the modulus keeps every
+    * intermediate below 2^35 so ANSI mode (Spark 4 default) never sees a
+    * long overflow.
+    */
+  def rollingHash(toks: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+  }
+}

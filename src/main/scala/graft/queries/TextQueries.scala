@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.sources.Tables
+
+/** Text-analysis + dedup queries over the `documents` fixture ([EXT]).
+  *
+  * Oracle notes: DuckDB's `len`/`year`/`row_number` return BIGINT, so every
+  * Spark-side `size()`/count-ish output is cast to long to keep schemas
+  * aligned. Regex patterns are written twice (Java regex for Spark, RE2 for
+  * DuckDB) with identical semantics.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  private val toks = TA.tokens(col("text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Quality scoring: token counts, uniqueness, avg token length,
+    // stopword ratio — one narrow codegen'd projection.
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        round(TA.avgTokenLen(col("text")), 4).as("avg_len"),
+        round(TA.stopwordRatio(toks), 4).as("stop_ratio"))
+    }),
+
+    // Language ID heuristic vs the labeled lang column.
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TA.langIdHeuristic(col("text")).as("pred_lang"))
+        .withColumn("hit",
+          when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+    }),
+
+    // Deterministic fingerprints: md5 of normalized text + ES
+    // canonicalsort-style key (necropolis.json:5-23 chain).
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"),
+        substring(TA.canonicalize(col("text")), 1, 40).as("canon40"))
+    }),
+
+    // Exact dedup: group by fingerprint, keep min id (SURVEY §7.2 step 6).
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
+
+    // 3-word shingles (ES shingle filter analogue, necropolis.json:26-31).
+    "q_shingle_stats" -> ((s, dir) => {
+      val sh = TA.shingles(toks)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(sh).cast("long").as("n_shingles"),
+        size(array_distinct(sh)).cast("long").as("n_uniq_shingles"))
+    }),
+
+    // BPE-ish subword tokenization.
+    "q_token_bpeish" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TA.tokensBpeish(col("text"))).cast("long").as("n_subtokens"))
+    }),
+
+    // Rows-only (no SQL oracle): MinHash signatures + LSH band keys, the
+    // shuffle-free stage of near-dup detection.
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashed(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"),
+          element_at(col("minhash_sig"), 1).as("sig0"),
+          element_at(col("band_keys"), 1).as("band0"),
+          size(col("minhash_sig")).cast("long").as("k"))),
+
+    // Rows-only: order-sensitive signatures (SimHash + rolling hash).
+    "q_text_signatures" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Dedup.simhash(toks).as("simhash"),
+        TA.rollingHash(toks).as("rolling_hash"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_quality" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq,
+           round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0
+             ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                  / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END, 4) AS avg_len,
+           round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0
+             ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    tk -> list_contains(['the','of','and','a','an','in','to'], tk))) AS DOUBLE)
+                  / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END, 4) AS stop_ratio
+         FROM documents""",
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+           CASE
+             WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['the','and','with','this'])) > 0 THEN 'en'
+             WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['el','los','una','por'])) > 0 THEN 'es'
+             WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['le','les','une','avec'])) > 0 THEN 'fr'
+             WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['der','die','und','mit'])) > 0 THEN 'de'
+             ELSE 'und' END AS pred_lang,
+           CASE WHEN lang = (CASE
+             WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['the','and','with','this'])) > 0 THEN 'en'
+             WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['el','los','una','por'])) > 0 THEN 'es'
+             WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['le','les','une','avec'])) > 0 THEN 'fr'
+             WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    ['der','die','und','mit'])) > 0 THEN 'de'
+             ELSE 'und' END) THEN 1 ELSE 0 END AS hit
+         FROM documents""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           substr(regexp_replace(lower(text),
+             '\b(the|of|and|a|an)\b|[^a-z0-9]+', '', 'g'), 1, 40) AS canon40
+         FROM documents""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "q_shingle_stats" ->
+      """SELECT doc_id,
+           len(sh) AS n_shingles, len(list_distinct(sh)) AS n_uniq_shingles
+         FROM (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+           FROM documents)""",
+
+    "q_token_bpeish" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
+         FROM documents""",
+  )
+}
