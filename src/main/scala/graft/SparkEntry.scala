@@ -66,7 +66,8 @@ object SparkEntry {
     }),
     )
     base ++ graft.queries.RelationalQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +92,6 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
   ) ++ graft.queries.RelationalQueries.oracles ++
-    graft.queries.TextQueries.oracles
+    graft.queries.TextQueries.oracles ++
+    graft.queries.VectorQueries.oracles
 }

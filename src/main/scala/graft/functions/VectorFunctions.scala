@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns ([EXT], SURVEY.md §1.3
+  * note on the `embeddings` fixture), expressed with higher-order array
+  * built-ins (`zip_with` + `aggregate`) so the hot path stays in whole-stage
+  * codegen — no UDF boundary, no boxing per element.
+  *
+  * All math is done in DOUBLE: inputs are float32, and a float32 dot product
+  * accumulates ~1e-6 relative error over 64 dims — enough to flip a rounded
+  * 4-decimal similarity. Casting the arrays up front makes Spark's
+  * left-to-right fold bit-compatible with the DuckDB oracle's DOUBLE[] math.
+  */
+object VectorFunctions {
+
+  /** Cast any numeric array to array<double>. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product (left-to-right fold, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean (L2) norm. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Squared Euclidean distance (monotone in true distance — use for argmin
+    * ranking without the sqrt).
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Unit-normalize a vector (null-safe passthrough of zero vectors). */
+  def normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n === 0, asDouble(v)).otherwise(transform(asDouble(v), x => x / n))
+  }
+
+  /** Deterministic pseudo-random hyperplane signs: bit j of the LSH sketch is
+    * sign(Σ_d v[d] · h(j,d)) with h(j,d) = (xxhash64(j,d) mod 2001 − 1000) /
+    * 1000 — a reproducible surrogate for a Gaussian random projection, fully
+    * evaluated in codegen (no stored projection matrix, no broadcast needed).
+    */
+  def lshBucket(v: Column, nBits: Int): Column = {
+    val dv = asDouble(v)
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(
+          dv,
+          sequence(lit(0), size(dv) - 1),
+          (x, d) => x * ((pmod(xxhash64(lit(j), d), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns ([EXT], SURVEY.md §7.2 step 6;
+  * two-stage top-k layout per the distributed similarity-search literature in
+  * PAPERS.md).
+  *
+  * Two paths:
+  *  - `knnBruteForce` — exact: broadcast the candidate side, score all pairs,
+  *    keep top-k per query via a rank window. Correctness baseline; O(Q×N).
+  *    At 100 TB this is only sane when one side is broadcastable (the usual
+  *    "small query batch vs huge corpus" shape — the corpus side streams
+  *    through the scan, nothing shuffles but the per-query top-k rows).
+  *  - `annLsh` — approximate scale path: hyperplane-sign sketches put
+  *    near-parallel vectors in the same bucket; scoring happens only within
+  *    buckets (equi-join on bucket id ⇒ plain shuffle hash join, no
+  *    cartesian). Recall is tunable via nBits/band count; candidates
+  *    per bucket are capped so a degenerate bucket cannot go quadratic.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for every vector in `queries` against
+    * `corpus` (self-join when they're the same frame). Ranks on the
+    * 4-decimal-rounded similarity with id tiebreak, so results are
+    * deterministic and stable across engines and partitionings.
+    */
+  def knnBruteForce(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = q.crossJoin(broadcast(c))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("sim4"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim4").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Per-vector LSH sketch assignment (narrow, shuffle-free). */
+  def sketched(df: DataFrame, idCol: String, vecCol: String, nBits: Int = 8): DataFrame =
+    df.withColumn("bucket", lshBucket(col(vecCol), nBits))
+
+  /** Approximate top-k: score only same-bucket pairs. */
+  def annLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val s = sketched(df, idCol, vecCol, nBits)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    val bounded = s.withColumn("bsize",
+      count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsize") <= maxBucketSize)
+    val a = bounded.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col("bucket"))
+    val b = bounded.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim4").desc, col("n_id"))
+    a.join(b, "bucket")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("sim4"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Embedding similarity queries over the `embeddings` fixture ([EXT]).
+  * Oracles use DuckDB's list_cosine_similarity on CAST(... AS DOUBLE[]) —
+  * both engines then fold float32 values in double, left to right, so the
+  * 4-decimal rounded similarities agree exactly.
+  */
+object VectorQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact brute-force top-3 cosine neighbors, deterministic rank.
+    "q_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(e, e, "vec_id", "embedding", k = 3)
+        .select(col("q_id").as("vec_id"), col("n_id").as("nbr_id"),
+          col("sim4"), col("rn"))
+    }),
+
+    // Per-vector similarity profile vs a broadcast probe set.
+    "q_cosine_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("p_id"), col("embedding").as("p_vec")))
+      e.crossJoin(probes)
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("p_vec")), 4).as("sim4"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sim4")).as("max_sim"),
+          // count(non-null) not sum(CASE): DuckDB sums ints into HUGEINT,
+          // which pandas renders as float and the hash compare rejects.
+          count(when(col("sim4") >= 0.2, 1)).as("n_close"))
+    }),
+
+    // Centroid similarity by label cluster: average vector per label, then
+    // each vector's cosine to its own label centroid (two-stage agg; the
+    // centroid table is tiny and broadcast back).
+    "q_label_centroid_sim" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val byLabel = e
+        .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("label"), transform(col("dm"), p => p.getField("m")).as("centroid"))
+      e.join(broadcast(byLabel), "label")
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("v"), col("centroid")), 4).as("centroid_sim"))
+    }),
+
+    // Rows-only: LSH sketch buckets (the ANN scale path's partition key).
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annLsh(e, "vec_id", "embedding", k = 3)
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_candidates"), max(col("sim4")).as("best_sim"))
+    }),
+
+    // Rows-only: per-vector bucket assignment histogram.
+    "q_lsh_buckets" -> ((s, dir) => {
+      Similarity.sketched(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_brute" ->
+      """SELECT vec_id, nbr_id, sim4, rn FROM (
+           SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS sim4,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                        b.vec_id) AS rn
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id <> b.vec_id)
+         WHERE rn <= 3""",
+
+    "q_cosine_stats" ->
+      """SELECT a.vec_id,
+           max(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)) AS max_sim,
+           count(CASE WHEN round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 4) >= 0.2
+               THEN 1 END) AS n_close
+         FROM embeddings a, embeddings b
+         WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
+         GROUP BY a.vec_id""",
+
+    "q_label_centroid_sim" ->
+      """WITH centroids AS (
+           SELECT label, d, avg(x) AS m
+           FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                        generate_subscripts(embedding, 1) AS d
+                 FROM embeddings)
+           GROUP BY label, d),
+         cvec AS (
+           SELECT label, list(m ORDER BY d) AS centroid FROM centroids GROUP BY label)
+         SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 4)
+             AS centroid_sim
+         FROM embeddings e JOIN cvec c ON e.label = c.label""",
+  )
+}
