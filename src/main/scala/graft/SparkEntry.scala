@@ -67,7 +67,8 @@ object SparkEntry {
     )
     base ++ graft.queries.RelationalQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.SchemaQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +94,6 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
   ) ++ graft.queries.RelationalQueries.oracles ++
     graft.queries.TextQueries.oracles ++
-    graft.queries.VectorQueries.oracles
+    graft.queries.VectorQueries.oracles ++
+    graft.queries.SchemaQueries.oracles
 }

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsOfJoin, Dedup, Flatten, Similarity, TextAnalysis => TA}
+import graft.schema.{DplaMap, SchemaAlign}
+
+/** Golden tests for operators whose semantics the DuckDB oracle can't
+  * express directly (SURVEY.md §5.2): entity flattening, near-dup detection
+  * on constructed duplicates, as-of joins, KNN on known geometry.
+  */
+class OperatorSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+
+  // ---------------- Flatten ----------------
+
+  test("flattenAgent unwraps uri/scheme and match lists") {
+    val agent = Row(Row("u"), "n", "pl", "note", Row("sch"),
+      Seq(Row("e1"), Row("e2")), null)
+    val d = df(
+      StructType(Seq(StructField("provider", DplaMap.edmAgent))),
+      Row(agent))
+    val flat = d.select(Flatten.flattenAgent(col("provider")).as("p"))
+      .select("p.uri", "p.name", "p.scheme", "p.exactMatch")
+    val r = flat.head()
+    assert(r.getString(0) === "u")
+    assert(r.getString(1) === "n")
+    assert(r.getString(2) === "sch")
+    assert(r.getSeq[String](3) === Seq("e1", "e2"))
+  }
+
+  test("flattenAgent keeps null agents null") {
+    val d = df(
+      StructType(Seq(StructField("provider", DplaMap.edmAgent))),
+      Row(null))
+    assert(d.select(Flatten.flattenAgent(col("provider"))).head().get(0) === null)
+  }
+
+  test("itemId extracts the dp.la id (ParquetDump.scala:12-13 semantics)") {
+    val d = df(
+      StructType(Seq(StructField("dplaUri", DplaMap.valueWrapper))),
+      Row(Row("http://dp.la/api/items/abcd1234")))
+    assert(d.select(Flatten.itemId(col("dplaUri"))).head().getString(0)
+      === "abcd1234")
+  }
+
+  // ---------------- Dedup on constructed duplicates ----------------
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  test("exactGroups finds exact duplicates modulo whitespace/case") {
+    val d = df(docsSchema,
+      Row(1L, "Alpha beta gamma"),
+      Row(2L, "  alpha   BETA gamma "),
+      Row(3L, "something else entirely"))
+    val groups = Dedup.exactGroups(d, "text", "doc_id")
+    assert(groups.count() === 2)
+    val dupGroup = groups.filter(col("n_dups") === 2).head()
+    assert(dupGroup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("minhash signatures are identical for identical token streams") {
+    val d = df(docsSchema,
+      Row(1L, "one two three four five six seven eight"),
+      Row(2L, "one two three four five six seven eight"),
+      Row(3L, "totally different words in this document here now"))
+    val sigs = Dedup.minhashed(d, "text", "doc_id")
+      .select(col("doc_id"), col("minhash_sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("nearDupPairs finds a constructed near-duplicate, skips distinct docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val d = df(docsSchema, Row(1L, base), Row(2L, nearDup), Row(3L, other))
+    val pairs = Dedup.nearDupPairs(d, "text", "doc_id", threshold = 0.8)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: near-identical docs are close in Hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val d = df(docsSchema, Row(1L, base), Row(2L, nearDup), Row(3L, other))
+    val sh = d.select(col("doc_id"), Dedup.simhash(TA.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(ham(sh(1L), sh(2L)) <= 8)
+  }
+
+  // ---------------- As-of join ----------------
+
+  test("asOf picks latest right row at-or-before each left row") {
+    val left = df(
+      StructType(Seq(StructField("k", LongType), StructField("t", LongType),
+        StructField("payload", StringType))),
+      Row(1L, 10L, "a"), Row(1L, 20L, "b"), Row(2L, 5L, "c"))
+    val right = df(
+      StructType(Seq(StructField("k", LongType), StructField("rt", LongType),
+        StructField("rv", StringType))),
+      Row(1L, 10L, "r10"), Row(1L, 15L, "r15"), Row(2L, 7L, "r7"))
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("rv"))
+      .orderBy("k", "t").collect()
+    // t=10 sees the rt=10 row (>= semantics); t=20 sees rt=15; t=5 has none
+    assert(out.map(_.getAs[String]("rv")).toSeq === Seq("r10", "r15", null))
+  }
+
+  // ---------------- KNN on known geometry ----------------
+
+  test("knnBruteForce ranks by cosine with id tiebreak") {
+    val vecs = df(
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      Row(1L, Seq(1.0f, 0.0f)),
+      Row(2L, Seq(0.9f, 0.1f)),
+      Row(3L, Seq(0.0f, 1.0f)),
+      Row(4L, Seq(-1.0f, 0.0f)))
+    val knn = Similarity.knnBruteForce(vecs, vecs, "vec_id", "embedding", 2)
+      .filter(col("q_id") === 1L).orderBy("rn").collect()
+    assert(knn.map(_.getAs[Long]("n_id")).toSeq === Seq(2L, 3L))
+  }
+
+  test("LSH buckets put identical vectors together") {
+    val vecs = df(
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      Row(1L, Seq(1.0f, 2.0f, 3.0f)),
+      Row(2L, Seq(1.0f, 2.0f, 3.0f)),
+      Row(3L, Seq(-5.0f, 1.0f, -2.0f)))
+    val b = Similarity.sketched(vecs, "vec_id", "embedding")
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) === b(2L))
+  }
+}
