@@ -1,0 +1,103 @@
+package graft.processes
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Completeness, Flatten}
+import graft.schema.{DplaMap, SchemaAlign}
+import graft.sinks._
+import graft.sources.Catalog
+
+/** The reference's seven driver programs re-expressed as composable
+  * plan-builder + sink pairs (SURVEY.md §0 table; §7.1 "every pipeline =
+  * pure plan-builder function + thin side-effecting sink").
+  *
+  * Each function takes already-loaded frames, so tests and the correctness
+  * harness can drive the plan without object-store I/O. Path discovery is
+  * `Catalog`; receipts are `Manifest`.
+  */
+object Processes {
+
+  /** ParquetDump (ParquetDump.scala:115-126): canonical master dataset →
+    * flattened export. The nested rewrite is one collapsed Project — a
+    * narrow, shuffle-free stage at any scale.
+    */
+  def parquetDump(records: DataFrame, outPath: String): Long = {
+    val flattened = flattenRecord(records)
+    flattened.write.mode(SaveMode.Overwrite).parquet(outPath)
+    flattened.count()
+  }
+
+  /** The ParquetDump.modifyColumns rewrite (ParquetDump.scala:10-52) built
+    * from the Flatten combinators: unwrap dplaUri, derive id, flatten
+    * entity columns, drop the export-excluded payload columns.
+    */
+  def flattenRecord(records: DataFrame): DataFrame = {
+    val cols = Seq(
+      SchemaAlign.unwrapValue(col("dplaUri")).as("uri"),
+      Flatten.itemId(col("dplaUri")).as("id"),
+      Flatten.flattenAgent(col("dataProvider")).as("dataProvider"),
+      Flatten.flattenAgent(col("intermediateProvider")).as("intermediateProvider"),
+      Flatten.flattenAgent(col("provider")).as("provider"),
+      Flatten.flattenWebResource(col("isShownAt")).as("isShownAt"),
+      Flatten.flattenWebResource(col("object")).as("object"),
+      Flatten.flattenWebResource(col("preview")).as("preview"),
+      transform(col("hasView"), Flatten.flattenWebResource(_)).as("hasView"),
+      transform(col("mediaMaster"), Flatten.flattenWebResource(_)).as("mediaMaster"),
+      SchemaAlign.unwrapValue(col("iiifManifest")).as("iiifManifest"),
+      SchemaAlign.unwrapValue(col("edmRights")).as("rights"),
+      col("sourceResource"))
+    records.select(cols: _*)
+  }
+
+  /** MqReports (MqReports.scala:12-158): completeness flags once, persisted,
+    * then BOTH reports aggregate from the same flagged frame — the reference
+    * recomputes the scan+CASE projection 4× (SURVEY.md §3.2); persisting is
+    * the cost fix with identical results.
+    */
+  def mqReports(
+      flagged: DataFrame,
+      flagNames: Seq[String],
+      outProviderDir: String,
+      outContributorDir: String,
+      timestamp: String): (Long, Long) = {
+    val cached = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val provider = Completeness.scores(cached, Seq("provider"), flagNames)
+      val contributor =
+        Completeness.scores(cached, Seq("dataProvider", "provider"), flagNames)
+      val np = CsvReport.write(provider, outProviderDir,
+        Map("Report" -> "provider"), timestamp)
+      val nc = CsvReport.write(contributor, outContributorDir,
+        Map("Report" -> "contributor"), timestamp)
+      (np, nc)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** SchemaRepair (SchemaRepair.scala:26-138): align to canonical. */
+  def schemaRepair(records: DataFrame): DataFrame =
+    SchemaAlign.alignToSchema(records, DplaMap.record)
+
+  /** SchemaTest (SchemaTest.scala:16-28): per-provider DDL dump + drift. */
+  def schemaTest(
+      spark: SparkSession,
+      frames: Map[String, DataFrame],
+      outRoot: String): Seq[String] =
+    SchemaDdl.divergent(SchemaDdl.dump(spark, frames, outRoot))
+
+  /** ThumbnailPurge (ThumbnailPurge.scala:9-28): id → key fan-out in-plan,
+    * executor-side batched deletes.
+    */
+  def thumbnailPurge(ids: Dataset[String], thumbRoot: String): Long = {
+    import ids.sparkSession.implicits._
+    val keys = ids
+      .select(concat_ws("/",
+        substring(col("value"), 1, 1), substring(col("value"), 2, 1),
+        substring(col("value"), 3, 1), substring(col("value"), 4, 1),
+        concat(col("value"), lit(".jpg"))).as("key"))
+      .where(length(col("value")) >= 4)
+      .as[String]
+    KeyPurge.purge(keys, thumbRoot)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Per-provider JSONL dumps + combined all-provider dump, gzipped
+  * (reference JsonlDump.scala:16-87).
+  *
+  * Reference semantics kept:
+  *  - records are opaque text lines, never parsed (JsonlDump.scala:24-28);
+  *  - each provider's lines are persisted DISK_ONLY and counted once, since
+  *    the data is consumed twice — own dump + all-dump (JsonlDump.scala:29-32);
+  *  - the all-dump is the n-way union (JsonlDump.scala:51);
+  *  - a manifest records per-provider counts and the invariant
+  *    Σ provider counts = all count (JsonlDump.scala:44-67).
+  *
+  * Spark-first deltas: `Dataset[String]` instead of RDD[String] (same
+  * physical text scan, but unions stay in the optimized plan), Spark's
+  * native gzip text writer with SaveMode.Overwrite instead of hand-rolled
+  * S3 delete-then-write (H7). Writes are narrow — no shuffle anywhere; at
+  * 100 TB each provider dump streams scan→codec→files in one stage.
+  */
+object JsonlDump {
+
+  final case class Result(outRoot: String, providerCounts: Map[String, Long],
+      totalCount: Long)
+
+  def dump(
+      spark: SparkSession,
+      providerPaths: Map[String, String],
+      outRoot: String,
+      timestamp: String): Result = {
+    import spark.implicits._
+
+    val perProvider: Map[String, Dataset[String]] = providerPaths.map {
+      case (provider, path) =>
+        provider -> spark.read.textFile(path).persist(StorageLevel.DISK_ONLY)
+    }
+
+    val counts = perProvider.map { case (provider, ds) =>
+      ds.write.mode(SaveMode.Overwrite)
+        .option("compression", "gzip")
+        .text(s"${outRoot.stripSuffix("/")}/$provider.jsonl")
+      provider -> ds.count()
+    }
+
+    val all = perProvider.values.reduce(_.union(_))
+    all.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .text(s"${outRoot.stripSuffix("/")}/all.jsonl")
+
+    val total = counts.values.sum
+    Manifest.write(
+      spark.sparkContext.hadoopConfiguration, outRoot,
+      counts.map { case (p, n) => s"Count.$p" -> n.toString } ++
+        Map("Count.all" -> total.toString,
+          "Providers" -> providerPaths.keys.toSeq.sorted.mkString(",")),
+      timestamp)
+
+    perProvider.values.foreach(_.unpersist())
+    Result(outRoot, counts, total)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Dataset
+import org.apache.spark.util.SerializableConfiguration
+
+/** Batched object deletion keyed off record ids (reference
+  * ThumbnailPurge.scala:9-38 + S3FileHelper.scala:46-55).
+  *
+  * The reference `collect()`s EVERY id to the driver and deletes from there
+  * (ThumbnailPurge.scala:20 — unbounded driver memory at 40M+ records). The
+  * engine replaces that with `foreachPartition` deletes running on the
+  * executors (SURVEY.md §2.F5 fix): driver traffic drops to one count, and
+  * deletion parallelism scales with the cluster. The 1000-key batch idiom is
+  * kept (S3 DeleteObjects API limit; harmless batching elsewhere).
+  */
+object KeyPurge {
+
+  /** id → `c0/c1/c2/c3/id.jpg` thumbnail key (ThumbnailPurge.scala:31-33);
+    * ids shorter than 4 chars yield None (reference would throw).
+    */
+  def thumbnailKey(id: String): Option[String] =
+    if (id == null || id.length < 4) None
+    else Some(s"${id(0)}/${id(1)}/${id(2)}/${id(3)}/$id.jpg")
+
+  /** Delete `rootDir/<key>` for every key; returns deleted count. */
+  def purge(keys: Dataset[String], rootDir: String, batchSize: Int = 1000): Long = {
+    val spark = keys.sparkSession
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val deleted = spark.sparkContext.longAccumulator("purged")
+    val root = rootDir.stripSuffix("/")
+    keys.foreachPartition { (iter: Iterator[String]) =>
+      val fs = new Path(root).getFileSystem(hconf.value)
+      iter.grouped(batchSize).foreach { batch =>
+        batch.foreach { key =>
+          if (fs.delete(new Path(s"$root/$key"), false)) deleted.add(1L)
+        }
+      }
+    }
+    deleted.value
+  }
+}

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sinks._
+import graft.sources.Catalog
+
+/** Sinks + catalog: sitemap partition math (reference-bug boundary cases),
+  * XML rendering, manifest format, jsonl dump invariants, schema DDL drift,
+  * key purge, latest-snapshot discovery (SURVEY.md §5.2).
+  */
+class SinkSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("sitemap partitionCount fixes the reference's integer-division bug") {
+    // reference: ceil(idCount / maxRows) on Longs ⇒ floor; 0 below 50k (crash)
+    assert(Sitemap.partitionCount(0) === 1)
+    assert(Sitemap.partitionCount(1) === 1)
+    assert(Sitemap.partitionCount(49999) === 1)
+    assert(Sitemap.partitionCount(50000) === 1)
+    assert(Sitemap.partitionCount(50001) === 2)
+    assert(Sitemap.partitionCount(150000) === 3)
+    assert(Sitemap.partitionCount(150001) === 4)
+  }
+
+  test("sitemap subfile + index render valid XML with escaped content") {
+    val body = Sitemap.buildSubfile("https://dp.la/item/",
+      Iterator("abc", "x&y"), "2026-08-12")
+    assert(body.startsWith("""<?xml version="1.0" encoding="UTF-8"?>"""))
+    assert(body.contains("<loc>https://dp.la/item/abc</loc>"))
+    assert(body.contains("x&amp;y")) // escaping
+    assert(body.endsWith("</urlset>"))
+    val idx = Sitemap.buildIndex(Seq("https://dp.la/sitemap00000.xml.gz"), "2026-08-12")
+    assert(idx.contains("<sitemap><loc>https://dp.la/sitemap00000.xml.gz</loc>"))
+    assert(idx.endsWith("</sitemapindex>"))
+  }
+
+  test("sitemap end-to-end writes gzipped subfiles + index + manifest") {
+    import spark.implicits._
+    val out = tmpDir()
+    val ids = (1 to 100).map(i => s"id$i%04d").toDS()
+    val subfiles = Sitemap.write(spark, ids, out, "https://dp.la/item/",
+      "https://dp.la/", "2026-08-12")
+    assert(subfiles.nonEmpty)
+    val files = new java.io.File(out).list().toSeq
+    assert(files.contains("sitemapindex.xml.gz"))
+    assert(subfiles.forall(files.contains))
+    assert(Manifest.read(spark.sparkContext.hadoopConfiguration, out)
+      .contains("Count: 100"))
+  }
+
+  test("manifest renders sorted keys then timestamp") {
+    val m = Manifest.render(Map("b" -> "2", "a" -> "1"), "2026-08-12T00:00:00Z")
+    assert(m === "a: 1\nb: 2\nGenerated: 2026-08-12T00:00:00Z")
+  }
+
+  test("jsonl dump: per-provider + all dump with count invariant") {
+    import spark.implicits._
+    val src = tmpDir()
+    Seq("""{"a":1}""", """{"a":2}""").toDS().write.text(s"$src/p1")
+    Seq("""{"b":1}""").toDS().write.text(s"$src/p2")
+    val out = tmpDir()
+    val res = JsonlDump.dump(spark,
+      Map("p1" -> s"$src/p1", "p2" -> s"$src/p2"), out, "2026-08-12")
+    assert(res.providerCounts === Map("p1" -> 2L, "p2" -> 1L))
+    assert(res.totalCount === 3L)
+    val all = spark.read.text(s"$out/all.jsonl").count()
+    assert(all === 3L)
+    assert(Manifest.read(spark.sparkContext.hadoopConfiguration, out)
+      .contains("Count.all: 3"))
+  }
+
+  test("csv report writes one file with header and refuses huge frames") {
+    import spark.implicits._
+    val out = tmpDir()
+    val df = Seq(("p1", 0.5), ("p2", 0.7)).toDF("provider", "score")
+    val n = CsvReport.write(df, out, Map("Report" -> "test"), "2026-08-12")
+    assert(n === 2)
+    val csvs = new java.io.File(out).list().filter(_.endsWith(".csv"))
+    assert(csvs.length === 1)
+    val lines = spark.read.option("header", "true").csv(out).collect()
+    assert(lines.length === 2)
+    intercept[IllegalArgumentException] {
+      CsvReport.write(df, out, Map.empty, "2026-08-12", maxRows = 1)
+    }
+  }
+
+  test("schema ddl dump detects the divergent provider") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq((1, "x")).toDF("id", "v")
+    val c = Seq((1L, "x")).toDF("id", "v") // id is LONG here
+    val out = tmpDir()
+    val divergent = graft.processes.Processes.schemaTest(
+      spark, Map("pa" -> a, "pb" -> b, "pc" -> c), out)
+    assert(divergent === Seq("pc"))
+    assert(new java.io.File(s"$out/pa/schema.sql").exists())
+  }
+
+  test("thumbnail key fan-out + purge deletes existing keys in batches") {
+    import spark.implicits._
+    val root = tmpDir()
+    val ids = Seq("abcd1", "efgh2", "xy") // "xy" too short → skipped
+    ids.filter(_.length >= 4).foreach { id =>
+      val f = new java.io.File(
+        s"$root/${id(0)}/${id(1)}/${id(2)}/${id(3)}/$id.jpg")
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    }
+    val deleted = graft.processes.Processes.thumbnailPurge(
+      ids.toDS().withColumnRenamed("value", "value").as[String], root)
+    assert(deleted === 2L)
+    assert(KeyPurge.thumbnailKey("abcd1") === Some("a/b/c/d/abcd1.jpg"))
+    assert(KeyPurge.thumbnailKey("xy") === None)
+  }
+
+  test("catalog picks the lexicographically latest snapshot per provider") {
+    val root = tmpDir()
+    Seq("p1/enrichment/20260101_000000", "p1/enrichment/20260201_000000",
+      "p2/enrichment/20251212_101010", "p3/other/20260101_000000")
+      .foreach(d => new java.io.File(s"$root/$d").mkdirs())
+    val snaps = Catalog.latestSnapshots(
+      spark.sparkContext.hadoopConfiguration, root, "enrichment")
+    assert(snaps === Map(
+      "p1" -> s"$root/p1/enrichment/20260201_000000",
+      "p2" -> s"$root/p2/enrichment/20251212_101010"))
+    assert(Catalog.datePath("out", 2026, 8, "all.parquet")
+      === "out/2026/08/all.parquet")
+  }
+
+  test("parquetDump flatten + write round trip on a canonical record") {
+    import graft.schema.{DplaMap, SchemaAlign}
+    val rec = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("http://dp.la/api/items/zzz9"))),
+      StructType(Seq(StructField("dplaUri", StringType))))
+    val canonical = SchemaAlign.alignToSchema(rec, DplaMap.record)
+    val out = tmpDir() + "/dump.parquet"
+    val n = graft.processes.Processes.parquetDump(canonical, out)
+    assert(n === 1)
+    val back = spark.read.parquet(out)
+    assert(back.select("id").head().getString(0) === "zzz9")
+    assert(back.select("uri").head().getString(0) === "http://dp.la/api/items/zzz9")
+    assert(back.columns.contains("sourceResource"))
+  }
+
+  test("mqReports writes both reports from one persisted flag frame") {
+    import graft.operators.Completeness
+    import graft.operators.Completeness.Flag
+    import spark.implicits._
+    val docs = Seq(
+      ("hubA", "contrib1", "title here"),
+      ("hubA", "contrib2", ""),
+      ("hubB", "contrib3", "another title")).toDF("provider", "dataProvider", "title")
+    val flagged = Completeness.flagged(docs,
+      Seq(col("provider"), col("dataProvider")),
+      Seq(Flag("has_title", when(length(col("title")) > 0, 1).otherwise(0))))
+    val (outP, outC) = (tmpDir(), tmpDir())
+    val (np, nc) = graft.processes.Processes.mqReports(
+      flagged, Seq("has_title"), outP, outC, "2026-08-12")
+    assert(np === 2) // hubA, hubB
+    assert(nc === 3)
+    val prov = spark.read.option("header", "true").csv(outP)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(prov("hubA") === "0.5")
+  }
+}
