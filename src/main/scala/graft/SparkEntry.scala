@@ -68,7 +68,8 @@ object SparkEntry {
     base ++ graft.queries.RelationalQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.SchemaQueries.queries
+      graft.queries.SchemaQueries.queries ++
+      graft.queries.MediaQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +96,6 @@ object SparkEntry {
   ) ++ graft.queries.RelationalQueries.oracles ++
     graft.queries.TextQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
-    graft.queries.SchemaQueries.oracles
+    graft.queries.SchemaQueries.oracles ++
+    graft.queries.MediaQueries.oracles
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingScores
+
+/** Structured-Streaming golden tests (no oracle — SURVEY.md §7.2 step 7):
+  * windowed counts through a MemoryStream match the equivalent batch
+  * aggregation, and late data beyond the watermark is the stream's only
+  * divergence risk (not exercised here; state-bounding is config).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed counts over a MemoryStream match batch results") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val query = StreamingScores.windowedCounts(events, "ts", "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        (ts(1), "view", 1.0), (ts(2), "view", 2.0), (ts(3), "click", 3.0),
+        (ts(11), "view", 4.0))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start, event_type, n, total FROM win_counts")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got === Set(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "view", 2L, 3.0),
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "click", 1L, 3.0),
+        (Timestamp.valueOf("2026-01-01 10:10:00"), "view", 1L, 4.0)))
+
+      // batch parity: same plan builder over a batch frame
+      val batch = Seq(
+        (ts(1), "view", 1.0), (ts(2), "view", 2.0), (ts(3), "click", 3.0),
+        (ts(11), "view", 4.0)).toDF("ts", "event_type", "value")
+      val batchGot = StreamingScores.windowedCounts(batch, "ts", "10 minutes")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(batchGot === got)
+    } finally query.stop()
+  }
+
+  test("session windows close on gap and aggregate per user") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+
+    val query = StreamingScores.sessionStats(events, "ts", "5 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 7: burst at 10:01-10:03, then a separate burst at 10:30
+      mem.addData((ts(1), 7L, 1.0), (ts(3), 7L, 1.0), (ts(30), 7L, 5.0))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, n_events, session_value FROM sessions ORDER BY session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === Seq((7L, 2L, 2.0), (7L, 1L, 5.0)))
+    } finally query.stop()
+  }
+}
