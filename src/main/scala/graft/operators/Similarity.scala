@@ -35,12 +35,17 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("n_vec"))
     val scored = q.crossJoin(broadcast(c))
       .filter(col("q_id") =!= col("n_id"))
+      // graft_cosine: custom codegen Expression (one fused loop) — the
+      // HOF-fold cosine() is interpreted and was 60× slower here.
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 4).as("sim4"))
+        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim4").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -59,8 +64,9 @@ object Similarity {
       k: Int,
       nBits: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val s = sketched(df, idCol, vecCol, nBits)
-      .select(col(idCol), col(vecCol), col("bucket"))
+      .select(col(idCol), asDouble(col(vecCol)).as(vecCol), col("bucket"))
     val bounded = s.withColumn("bsize",
       count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bsize") <= maxBucketSize)
@@ -73,7 +79,7 @@ object Similarity {
     a.join(b, "bucket")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 4).as("sim4"))
+        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }

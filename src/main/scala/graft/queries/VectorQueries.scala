@@ -29,13 +29,15 @@ object VectorQueries {
 
     // Per-vector similarity profile vs a broadcast probe set.
     "q_cosine_stats" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
       val probes = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("p_id"), col("embedding").as("p_vec")))
       e.crossJoin(probes)
         .filter(col("vec_id") =!= col("p_id"))
         .select(col("vec_id"),
-          round(cosine(col("embedding"), col("p_vec")), 4).as("sim4"))
+          round(expr("graft_cosine(cast(embedding as array<double>), " +
+            "cast(p_vec as array<double>))"), 4).as("sim4"))
         .groupBy(col("vec_id"))
         .agg(max(col("sim4")).as("max_sim"),
           // count(non-null) not sum(CASE): DuckDB sums ints into HUGEINT,
@@ -43,22 +45,20 @@ object VectorQueries {
           count(when(col("sim4") >= 0.2, 1)).as("n_close"))
     }),
 
-    // Centroid similarity by label cluster: average vector per label, then
-    // each vector's cosine to its own label centroid (two-stage agg; the
-    // centroid table is tiny and broadcast back).
+    // Centroid similarity by label cluster: element-wise mean vector per
+    // label via the VectorAvg TypedImperativeAggregate (map-side combined —
+    // the posexplode/groupBy(label,dim) alternative shuffles N×D rows),
+    // then each vector's cosine to its own label centroid; the centroid
+    // table is tiny and broadcast back.
     "q_label_centroid_sim" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      val byLabel = e
-        .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("label"), col("d"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("label"), transform(col("dm"), p => p.getField("m")).as("centroid"))
+      val byLabel = e.groupBy(col("label"))
+        .agg(expr("graft_vector_avg(v)").as("centroid"))
       e.join(broadcast(byLabel), "label")
         .select(col("vec_id"), col("label"),
-          round(cosine(col("v"), col("centroid")), 4).as("centroid_sim"))
+          round(expr("graft_cosine(v, centroid)"), 4).as("centroid_sim"))
     }),
 
     // Rows-only: LSH sketch buckets (the ANN scale path's partition key).
