@@ -41,14 +41,29 @@ object TextAnalysis {
   def canonicalize(c: Column): Column =
     regexp_replace(lower(c), "\\b(the|of|and|a|an)\\b|[^a-z0-9]+", "")
 
+  /** ASCII folding for Latin-1/Latin-Extended accents via a translate table
+    * (the ES `asciifolding` filter in the reference's analysis chain,
+    * necropolis.json:10,21 — SURVEY.md §2.G note suggests exactly
+    * `F.translate` for this). One codegen'd char-map pass, no UDF. Chars
+    * outside the table (CJK etc.) pass through, matching asciifolding.
+    */
+  def asciiFold(c: Column): Column = translate(c,
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ",
+    "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY")
+
   /** Deterministic document fingerprint (md5 of normalized text). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
-  /** n-word shingles over a token array (default n=3). */
+  /** n-word shingles over a token array (default n=3). Docs with fewer than
+    * n tokens yield an empty array — the guard matters because Spark's
+    * `sequence(1, 0)` is DESCENDING (1,0), not empty, which would index
+    * element 0 of a 1-based array.
+    */
   def shingles(toks: Column, n: Int = 3): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
 
   /** Fraction of tokens that are known stopwords (0 when no tokens). */
   def stopwordRatio(toks: Column, stopwords: Seq[String] = StopwordsEn): Column = {

@@ -151,6 +151,17 @@ object RelationalQueries {
         .groupBy(col("slice")).agg(count(lit(1)).as("n"))
     }),
 
+    // Approximate distinct (HLL++): deterministic (register merges are
+    // order-independent) but engine-specific, so rows-only — the exact
+    // variant below is the oracle-checked counterpart. At 100 TB this is
+    // the one that matters: O(1) state per group vs the exact expand.
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+    }),
+
     // Exact distinct aggregate (Spark plans expand + two-phase agg).
     "q_distinct_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")

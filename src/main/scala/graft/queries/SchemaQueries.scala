@@ -62,9 +62,23 @@ object SchemaQueries {
         StructField("lang", StringType)))
       SchemaAlign.alignToSchema(wrapped, target)
     }),
+
+    // In-place struct surgery via Column.withField (Catalyst UpdateFields —
+    // the reference's `place.withField("exactMatch", …)` idiom,
+    // SchemaRepair.scala:85 / SURVEY §2.B6).
+    "q_with_field" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("text").as("value")).as("rec"))
+        .withColumn("rec",
+          col("rec").withField("up", upper(col("rec").getField("value"))))
+        .select(col("doc_id"), col("rec").getField("up").as("up"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_with_field" ->
+      "SELECT doc_id, upper(text) AS up FROM documents",
     "q_wrap_roundtrip" ->
       "SELECT doc_id, text, source FROM documents",
     "q_align_missing" ->

@@ -71,6 +71,16 @@ object TextQueries {
         size(TA.tokensBpeish(col("text"))).cast("long").as("n_subtokens"))
     }),
 
+    // ES analysis-chain normalizer: asciifold + canonicalsort key.
+    // (Fixture text is pure ASCII, so fold is identity here; accented
+    // inputs are covered by the TextAnalysisSpec golden tests.)
+    "q_asciifold" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(TA.asciiFold(col("text")), 1, 30).as("folded30"),
+        length(TA.asciiFold(col("text"))).cast("long").as("n_chars_folded"))
+    }),
+
     // Rows-only (no SQL oracle): MinHash signatures + LSH band keys, the
     // shuffle-free stage of near-dup detection.
     "q_minhash_lsh" -> ((s, dir) =>
@@ -90,6 +100,10 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asciifold" ->
+      """SELECT doc_id, substr(strip_accents(text), 1, 30) AS folded30,
+           length(strip_accents(text)) AS n_chars_folded
+         FROM documents""",
     "q_text_quality" ->
       """SELECT doc_id,
            len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,

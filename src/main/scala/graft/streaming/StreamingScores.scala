@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming surface ([EXT], SURVEY.md §2.I): the reference is
   * batch-only (monthly EMR cadence), so these expose its MQ-score
@@ -42,4 +45,47 @@ object StreamingScores {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  /** Input/output rows for the custom-state operator. */
+  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState (SURVEY.md §2.I): running
+    * per-user totals that survive across micro-batches — the stateful shape
+    * session_window/windowed aggs can't express (no window boundary; state
+    * lives until the optional processing-time timeout evicts idle users,
+    * bounding memory at cluster scale).
+    *
+    * `idleTimeout = None` disables eviction (and the timer-driven empty
+    * micro-batches it causes — with a timeout set, Spark re-triggers batches
+    * continuously to fire timers, which makes `processAllAvailable` in tests
+    * chase a moving target). Production streams over unbounded key spaces
+    * should pass a timeout.
+    */
+  def runningUserTotals(events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserTotals] = {
+    implicit val outEnc = Encoders.product[UserTotals]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeoutConf = idleTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), timeoutConf) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+            val batch = rows.toSeq
+            val next = UserTotals(userId,
+              prev.n_events + batch.size,
+              prev.total_value + batch.map(_.value).sum)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+      }
+  }
 }

@@ -120,6 +120,20 @@ class SinkSpec extends SparkSpec {
     assert(KeyPurge.thumbnailKey("xy") === None)
   }
 
+  test("date-partitioned layout (H9): partitionBy write + partition pruning read") {
+    import spark.implicits._
+    val out = tmpDir() + "/dated"
+    Seq((2026, 7, "a"), (2026, 8, "b"), (2026, 8, "c"))
+      .toDF("y", "m", "v")
+      .write.partitionBy("y", "m").parquet(out)
+    assert(new java.io.File(s"$out/y=2026/m=8").isDirectory)
+    val pruned = spark.read.parquet(out).filter(col("m") === 8)
+    assert(pruned.count() === 2)
+    // pruning: only the m=8 partition's files are read
+    assert(pruned.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("m=8")))
+  }
+
   test("catalog picks the lexicographically latest snapshot per provider") {
     val root = tmpDir()
     Seq("p1/enrichment/20260101_000000", "p1/enrichment/20260201_000000",

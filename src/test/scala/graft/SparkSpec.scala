@@ -23,5 +23,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Spark 4.1's checksummed checkpoint writer stalls concurrent state
+    // commits in local mode (flatMapGroupsWithState tasks park forever in
+    // ChecksumCancellableFSDataOutputStream.close); checksums add nothing
+    // on a local FS, so disable for tests.
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .getOrCreate()
 }

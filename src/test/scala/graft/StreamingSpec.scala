@@ -56,6 +56,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState carries running totals across micro-batches") {
+    import graft.streaming.StreamingScores.{UserEvent, UserTotals}
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[UserEvent]
+    val query = StreamingScores.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(UserEvent(1L, ts(0), 2.0), UserEvent(1L, ts(1), 3.0))
+      query.processAllAvailable()
+      mem.addData(UserEvent(1L, ts(2), 5.0), UserEvent(2L, ts(2), 1.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM user_totals")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // state carried: user 1's second update includes the first batch
+      assert(rows.contains((1L, 2L, 5.0)))  // after batch 1
+      assert(rows.contains((1L, 3L, 10.0))) // after batch 2 (2+1 events)
+      assert(rows.contains((2L, 1L, 1.0)))
+    } finally query.stop()
+  }
+
   test("session windows close on gap and aggregate per user") {
     val sq = spark
     import sq.implicits._
