@@ -46,10 +46,15 @@ object Similarity {
       // HOF-fold cosine() is interpreted and was 60× slower here.
       .select(col("q_id"), col("n_id"),
         round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim4").desc, col("n_id"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    // graft_topk: bounded partial-aggregable top-k, so the exchange after
+    // scoring carries O(queries × k) rows — a row_number window here would
+    // shuffle and sort the entire Q×N pair stream.
+    scored
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(n_id, sim4, $k)").as("topk"))
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("sim4"),
+        (col("pos") + 1).cast("long").as("rn"))
   }
 
   /** Per-vector LSH sketch assignment (narrow, shuffle-free). */

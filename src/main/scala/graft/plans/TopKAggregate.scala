@@ -1,0 +1,119 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Bounded top-k-by-score aggregate: keeps the k best (score desc, id asc)
+  * pairs per group in a fixed-size heap.
+  *
+  * Why (SURVEY.md §2.E top-k at scale): ranking grouped candidates with a
+  * `row_number()` window shuffles and sorts EVERY scored row — for
+  * brute-force KNN that is the full Q×N pair stream. As a partial-aggregable
+  * TypedImperativeAggregate, each map task forwards at most k entries per
+  * group, so the exchange carries O(groups × k) instead of O(pairs): the
+  * difference between a terabyte shuffle and a megabyte one at corpus scale.
+  *
+  * Output: array<struct<id:bigint, score:double>> sorted best-first; explode
+  * with posexplode to recover (rank, id, score) rows.
+  */
+case class TopKByScore(
+    idExpr: Expression,
+    scoreExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  private lazy val k: Int = kExpr match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_topk k must be an integer literal, got $other")
+  }
+
+  // dequeue order = worst first: smallest score, then largest id
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.by(t => (-t._1, t._2))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (idExpr.dataType, scoreExpr.dataType) match {
+      case (LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (i, s) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk requires (bigint id, double score), got " +
+          s"(${i.simpleString}, ${s.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("score", DoubleType))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(idExpr, scoreExpr, kExpr)
+  override def prettyName: String = "graft_topk"
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val idV = idExpr.eval(input)
+    val scoreV = scoreExpr.eval(input)
+    if (idV != null && scoreV != null) {
+      add(buf, scoreV.asInstanceOf[Double], idV.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(
+      b1: mutable.PriorityQueue[(Double, Long)],
+      b2: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    b2.foreach { case (s, i) => add(b1, s, i) }
+    b1
+  }
+
+  private def add(buf: mutable.PriorityQueue[(Double, Long)],
+      score: Double, id: Long): Unit = {
+    if (buf.size < k) buf.enqueue((score, id))
+    else if (worstFirst.compare((score, id), buf.head) < 0) {
+      // strictly better than the current worst
+      buf.dequeue(); buf.enqueue((score, id))
+    }
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sortBy(t => (-t._1, t._2))
+    new GenericArrayData(sorted.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](i, s))
+    })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.enqueue((bb.getDouble, bb.getLong)))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(idExpr = newChildren(0), scoreExpr = newChildren(1),
+      kExpr = newChildren(2))
+}

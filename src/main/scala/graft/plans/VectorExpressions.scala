@@ -144,5 +144,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_vector_avg",
       exprs => VectorAvg(exprs.head).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
   }
 }
