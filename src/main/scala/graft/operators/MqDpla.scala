@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Completeness.Flag
+
+/** The reference's exact MQ flag set over the flattened DPLA export
+  * (MqReports.scala:22-134), reproduced flag-for-flag so score CSVs match
+  * byte-for-byte given the same records.
+  *
+  * Faithfully-preserved quirks (SURVEY.md §2.C note — required for oracle
+  * parity, do NOT "fix"):
+  *  - `preview` tests the `object` column, not `preview`
+  *    (MqReports.scala:72-75);
+  *  - `mediaAccess` is 1 when NEITHER iiifManifest NOR mediaMaster exists
+  *    (MqReports.scala:84-87) — the name reads inverted — and still feeds
+  *    `wikimediaReady` (:92);
+  *  - a NULL array yields flag 1, not 0: `size(null)` is null post-Spark-3
+  *    defaults, so `CASE WHEN size(x)==0 THEN 0 ELSE 1` falls through to
+  *    the ELSE branch (same behavior on the reference's Spark 3.5.5);
+  *  - the reference's `drop("dataProviders")` (MqReports.scala:91) is a
+  *    no-op on a misspelled column and is omitted here.
+  */
+object MqDpla {
+
+  import Completeness.{likeAnyFlag, notNullFlag, sizeFlag}
+
+  /** MqReports.scala:25-87, in CSV column order. */
+  val flags: Seq[Flag] = Seq(
+    Flag("title", sizeFlag(col("sourceResource.title"))),
+    Flag("description", sizeFlag(col("sourceResource.description"))),
+    Flag("creator", sizeFlag(col("sourceResource.creator"))),
+    Flag("type", sizeFlag(col("sourceResource.type"))),
+    Flag("language", sizeFlag(col("sourceResource.language.providedLabel"))),
+    Flag("spatial", sizeFlag(col("sourceResource.place.name"))),
+    Flag("subject", sizeFlag(col("sourceResource.subject.providedLabel"))),
+    Flag("collection", sizeFlag(col("sourceResource.collection.title"))),
+    Flag("date", sizeFlag(col("sourceResource.date.originalSourceDate"))),
+    Flag("standardizedRights", notNullFlag(col("rights"))),
+    Flag("openRights", likeAnyFlag(col("rights"), Seq(
+      "%/NoC-US/%", "%/publicdomain/%", "%/by/%", "%/by-sa/%"))),
+    Flag("preview", notNullFlag(col("object"))), // quirk: tests `object`
+    Flag("iiifManifest", notNullFlag(col("iiifManifest"))),
+    Flag("mediaMaster", sizeFlag(col("mediaMaster"))),
+    Flag("mediaAccess", // quirk: 1 = NO media access
+      when(col("iiifManifest").isNull && size(col("mediaMaster")) === 0, 1)
+        .otherwise(0)))
+
+  /** The itemdata projection (MqReports.scala:22-88): id, group names,
+    * flags — one narrow codegen'd Project over the parquet scan.
+    */
+  def itemdata(items: DataFrame): DataFrame =
+    Completeness.flagged(items,
+      Seq(col("id"), col("provider.name").as("provider"),
+        col("dataProvider.name").as("dataProvider")),
+      flags)
+
+  private def withDerived(d: DataFrame): DataFrame =
+    d.withColumn("wikimediaReady",
+      Completeness.allOf(col("mediaAccess"), col("openRights")))
+
+  private val scoreCols = flags.map(_.name) :+ "wikimediaReady"
+
+  /** providerScores (MqReports.scala:90-111). */
+  def providerScores(itemdata: DataFrame): DataFrame =
+    Completeness.scores(withDerived(itemdata), Seq("provider"), scoreCols)
+
+  /** contributorScores (MqReports.scala:113-134). */
+  def contributorScores(itemdata: DataFrame): DataFrame =
+    Completeness.scores(withDerived(itemdata),
+      Seq("dataProvider", "provider"), scoreCols)
+}
