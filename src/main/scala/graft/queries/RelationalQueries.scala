@@ -253,6 +253,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_fast_items"))
     }),
 
+    // Gap-based sessionization in BATCH via session_window (the same plan
+    // builder streams with a watermark — SURVEY §2.I). The oracle rebuilds
+    // sessions relationally (lag → new-session flag → running sum), proving
+    // the gap semantics match: a ts exactly `gap` after its predecessor
+    // starts a NEW session (session_window spans are half-open).
+    "q_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n_events"), col("total"))
+    }),
+
     // As-of join: each purchase event picks the user's latest signup event
     // at-or-before it (union+window plan — see AsOfJoin scaladoc).
     "q_asof_join" -> ((s, dir) => {
@@ -410,6 +424,22 @@ object RelationalQueries {
           AND l_shipdate >= o_orderdate
           AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
          GROUP BY o_orderstatus""",
+
+    "q_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 4) AS total
+         FROM sess GROUP BY user_id, sid""",
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, s.event_id AS signup_event_id

@@ -71,6 +71,19 @@ object TextQueries {
         size(TA.tokensBpeish(col("text"))).cast("long").as("n_subtokens"))
     }),
 
+    // True n-gram Jaccard on a bounded deterministic pair set (adjacent
+    // doc ids) — the verify stage of near-dup dedup, oracle-checked.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val sh = TA.shingles(toks)
+      val docs = t(s, dir, "documents").select(col("doc_id"), sh.as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    }),
+
     // ES analysis-chain normalizer: asciifold + canonicalsort key.
     // (Fixture text is pure ASCII, so fold is identity here; accented
     // inputs are covered by the TextAnalysisSpec golden tests.)
@@ -100,6 +113,22 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
+             ELSE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) END, 4) AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+
     "q_asciifold" ->
       """SELECT doc_id, substr(strip_accents(text), 1, 30) AS folded30,
            length(strip_accents(text)) AS n_chars_folded
