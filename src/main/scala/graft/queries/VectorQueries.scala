@@ -61,6 +61,22 @@ object VectorQueries {
           round(expr("graft_cosine(v, centroid)"), 4).as("centroid_sim"))
     }),
 
+    // Embedding-cosine near-dup pairs (the dedup flavor over vectors):
+    // exact threshold join here; at corpus scale the LSH sketch (q_ann_lsh)
+    // prefilters candidates so this scoring never goes all-pairs.
+    "q_embed_neardup" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(expr("graft_cosine(va, vb)"), 4).as("sim4"))
+        .filter(col("sim4") >= 0.4)
+    }),
+
     // Rows-only: LSH sketch buckets (the ANN scale path's partition key).
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -101,6 +117,15 @@ object VectorQueries {
          FROM embeddings a, embeddings b
          WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
          GROUP BY a.vec_id""",
+
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim4
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) >= 0.4""",
 
     "q_label_centroid_sim" ->
       """WITH centroids AS (
