@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * space it sets up (record-id / time chains; SURVEY.md §2.E [EXT]).
   *
   * Semantics: for every left row, attach the single right row with the same
-  * key and the greatest right timestamp <= the left timestamp (ties on the
-  * right timestamp resolved by the last column in `rightCols` order after the
-  * caller's own tiebreak column, since `last` over the sorted frame wins).
+  * key and the greatest right timestamp <= the left timestamp. Ties between
+  * right rows sharing (key, ts) are resolved deterministically: the row with
+  * the greatest value of the LAST `rightCols` column wins (it sorts last in
+  * the window frame, and `last` over the frame takes it) — pass an id column
+  * last to pin run-to-run stability.
   *
   * Implementation is the scale-friendly union+window form, NOT a join:
   * both sides are tagged and unioned, then one window pass per key ordered by
@@ -46,7 +48,11 @@ object AsOfJoin {
       lit(null).cast(structType(left, leftNames)).as("__l"),
       struct(rightCols.map(col): _*).as("__r"))
 
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    // third sort key = last rightCols column (null on left rows, which are
+    // already separated by __side) → deterministic winner among right rows
+    // tied on (key, ts)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__r").getField(rightCols.last))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))

@@ -40,8 +40,10 @@ object Dedup {
 
   /** k-permutation MinHash signature over a shingle array.
     * Permutation i is xxhash64(shingle, i) — deterministic, seedable, and
-    * evaluated entirely in codegen (no UDF). Empty shingle sets get
-    * Long.MaxValue mins so they never spuriously collide.
+    * evaluated entirely in codegen (no UDF). Empty shingle sets fall back to
+    * an all-Long.MaxValue signature; `minhashed` nulls their band keys so
+    * short docs never enter LSH buckets (they would otherwise all share one
+    * degenerate bucket and explode O(m²) false candidates).
     */
   def minhashSignature(shingleCol: Column, k: Int = 32): Column =
     transform(
@@ -68,10 +70,18 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val toks = TextAnalysis.tokens(col(textCol))
+    val sh = TextAnalysis.shingles(toks)
     df.select(
       col(idCol),
-      minhashSignature(TextAnalysis.shingles(toks), k).as("minhash_sig"))
-      .withColumn("band_keys", lshBandKeys(col("minhash_sig"), bands, k / bands))
+      size(sh).as("__n_shingles"),
+      minhashSignature(sh, k).as("minhash_sig"))
+      .withColumn("band_keys",
+        // shingle-less docs get NULL band keys: posexplode drops them, so
+        // they can never congregate in one spurious bucket
+        when(col("__n_shingles") === 0,
+          lit(null).cast("array<bigint>"))
+          .otherwise(lshBandKeys(col("minhash_sig"), bands, k / bands)))
+      .drop("__n_shingles")
   }
 
   /** Same-bucket candidate pairs (id_a < id_b), deduped across bands.

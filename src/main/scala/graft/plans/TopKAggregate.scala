@@ -38,17 +38,24 @@ case class TopKByScore(
       s"graft_topk k must be an integer literal, got $other")
   }
 
+  private def kCheck: Option[String] = kExpr match {
+    case Literal(v: Int, IntegerType) =>
+      if (v > 0) None else Some(s"graft_topk k must be > 0, got $v")
+    case other => Some(s"graft_topk k must be an integer literal, got $other")
+  }
+
   // dequeue order = worst first: smallest score, then largest id
   private val worstFirst: Ordering[(Double, Long)] =
     Ordering.by(t => (-t._1, t._2))
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (idExpr.dataType, scoreExpr.dataType) match {
-      case (LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
-      case (i, s) => TypeCheckResult.TypeCheckFailure(
-        s"graft_topk requires (bigint id, double score), got " +
-          s"(${i.simpleString}, ${s.simpleString})")
-    }
+    kCheck.map(TypeCheckResult.TypeCheckFailure).getOrElse(
+      (idExpr.dataType, scoreExpr.dataType) match {
+        case (LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+        case (i, s) => TypeCheckResult.TypeCheckFailure(
+          s"graft_topk requires (bigint id, double score), got " +
+            s"(${i.simpleString}, ${s.simpleString})")
+      })
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType), StructField("score", DoubleType))))

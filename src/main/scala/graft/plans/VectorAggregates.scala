@@ -19,9 +19,10 @@ import org.apache.spark.sql.types._
   * shuffle carries one (D+1)-double buffer per group per map task: classic
   * map-side combine, O(#groups × D), independent of N.
   *
-  * Buffer layout: [sum_0 … sum_{D-1}, count]; D is fixed by the first
-  * non-null row (ragged inputs follow the min-length convention of the
-  * vector expressions).
+  * Buffer layout: [count, sum_0 … sum_{D-1}] — count FIRST, so merging
+  * partial buffers whose dimensions differ (ragged inputs, or one partition
+  * that only saw empty arrays) aligns the count slots and the shared sum
+  * prefix instead of adding one buffer's count into the other's sums.
   */
 case class VectorAvg(
     child: Expression,
@@ -46,29 +47,34 @@ case class VectorAvg(
     val v = child.eval(input).asInstanceOf[ArrayData]
     if (v == null) return buffer
     val d = v.numElements()
-    val b = if (buffer.isEmpty) new Array[Double](d + 1) else buffer
-    val n = math.min(d, b.length - 1)
+    val b =
+      if (buffer.length < d + 1) {
+        // grow to fit the widest row seen; count stays at slot 0
+        val g = new Array[Double](d + 1)
+        System.arraycopy(buffer, 0, g, 0, buffer.length)
+        g
+      } else buffer
     var i = 0
-    while (i < n) { b(i) += v.getDouble(i); i += 1 }
-    b(b.length - 1) += 1.0
+    while (i < d) { b(i + 1) += v.getDouble(i); i += 1 }
+    b(0) += 1.0
     b
   }
 
   override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
     if (b1.isEmpty) return b2
     if (b2.isEmpty) return b1
-    val n = math.min(b1.length, b2.length)
+    val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
     var i = 0
-    while (i < n) { b1(i) += b2(i); i += 1 }
-    b1
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
   }
 
   override def eval(buffer: Array[Double]): Any = {
-    if (buffer.isEmpty || buffer(buffer.length - 1) == 0.0) return null
-    val count = buffer(buffer.length - 1)
+    if (buffer.isEmpty || buffer(0) == 0.0) return null
+    val count = buffer(0)
     val out = new Array[Double](buffer.length - 1)
     var i = 0
-    while (i < out.length) { out(i) = buffer(i) / count; i += 1 }
+    while (i < out.length) { out(i) = buffer(i + 1) / count; i += 1 }
     new GenericArrayData(out)
   }
 

@@ -16,15 +16,21 @@ object CsvReport {
       manifestOpts: Map[String, String],
       timestamp: String,
       maxRows: Long = 1000000L): Long = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"CsvReport is a single-file sink; got $n rows > $maxRows. " +
-        "Use df.write.csv directly for large outputs.")
-    df.coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("header", "true").csv(outDir)
-    Manifest.write(
-      df.sparkSession.sparkContext.hadoopConfiguration, outDir,
-      manifestOpts + ("Count" -> n.toString), timestamp)
-    n
+    // persist: the count gate and the write would otherwise each run the
+    // full upstream aggregation (the same double-compute the reference's
+    // MqReports pays 4× over — SURVEY.md §3.2)
+    val cached = df.persist()
+    try {
+      val n = cached.count()
+      require(n <= maxRows,
+        s"CsvReport is a single-file sink; got $n rows > $maxRows. " +
+          "Use df.write.csv directly for large outputs.")
+      cached.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(outDir)
+      Manifest.write(
+        df.sparkSession.sparkContext.hadoopConfiguration, outDir,
+        manifestOpts + ("Count" -> n.toString), timestamp)
+      n
+    } finally { cached.unpersist(); () }
   }
 }

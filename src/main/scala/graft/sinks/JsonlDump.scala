@@ -32,6 +32,14 @@ object JsonlDump {
       timestamp: String): Result = {
     import spark.implicits._
 
+    if (providerPaths.isEmpty) {
+      // a fresh/empty source root discovers zero providers — still a valid
+      // (empty) dump with an auditable manifest, not a reduce() crash
+      Manifest.write(spark.sparkContext.hadoopConfiguration, outRoot,
+        Map("Count.all" -> "0", "Providers" -> ""), timestamp)
+      return Result(outRoot, Map.empty, 0L)
+    }
+
     val perProvider: Map[String, Dataset[String]] = providerPaths.map {
       case (provider, path) =>
         provider -> spark.read.textFile(path).persist(StorageLevel.DISK_ONLY)

@@ -100,8 +100,13 @@ object Sitemap {
       spark.sparkContext.hadoopConfiguration)
     val out = outDir.stripSuffix("/")
 
+    // Round-robin repartition (no partition expression): partition sizes are
+    // exactly even ±1, so the ≤50k bound holds per subfile. The reference
+    // hash-partitions on id (Sitemap.scala:27), which only bounds the
+    // AVERAGE — binomial skew can push a subfile past the sitemap-protocol
+    // limit; documented deviation alongside the ceil fix above.
     val subfiles = ids
-      .repartition(parts, ids.col("value"))
+      .repartition(parts)
       .rdd
       .mapPartitionsWithIndex { (idx, iter) =>
         if (iter.isEmpty && idx > 0) Iterator.empty

@@ -101,6 +101,17 @@ class OperatorSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) <= 8)
   }
 
+  test("minhashed gives short docs null band keys (no degenerate bucket)") {
+    val d = df(docsSchema,
+      Row(1L, "ab"), Row(2L, "cd"), Row(3L, "xy"), // < 3 tokens each
+      Row(4L, "one two three four"))
+    val m = Dedup.minhashed(d, "text", "doc_id")
+    val nullKeys = m.filter(col("band_keys").isNull).count()
+    assert(nullKeys === 3)
+    // and therefore no spurious candidate pairs among the short docs
+    assert(Dedup.lshCandidatePairs(m, "doc_id").count() === 0)
+  }
+
   // ---------------- As-of join ----------------
 
   test("asOf picks latest right row at-or-before each left row") {
@@ -118,6 +129,20 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("rv")).toSeq === Seq("r10", "r15", null))
   }
 
+  test("asOf ties on (key, ts): greatest last-rightCols value wins, deterministically") {
+    val left = df(
+      StructType(Seq(StructField("k", LongType), StructField("t", LongType))),
+      Row(1L, 10L))
+    val right = df(
+      StructType(Seq(StructField("k", LongType), StructField("rt", LongType),
+        StructField("rid", LongType))),
+      Row(1L, 10L, 7L), Row(1L, 10L, 9L), Row(1L, 10L, 8L))
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("rid")).collect()
+      assert(out.map(_.getAs[Long]("rid")).toSeq === Seq(9L))
+    }
+  }
+
   // ---------------- KNN on known geometry ----------------
 
   test("knnBruteForce ranks by cosine with id tiebreak") {
@@ -131,6 +156,33 @@ class OperatorSpec extends SparkSpec {
     val knn = Similarity.knnBruteForce(vecs, vecs, "vec_id", "embedding", 2)
       .filter(col("q_id") === 1L).orderBy("rn").collect()
     assert(knn.map(_.getAs[Long]("n_id")).toSeq === Seq(2L, 3L))
+  }
+
+  test("VectorAvg merges ragged partial buffers without corrupting counts") {
+    graft.plans.GraftFunctions.register(spark)
+    val rows = Seq(
+      Row(1L, Seq.empty[Double]),   // empty array → count-only buffer
+      Row(2L, Seq(2.0, 4.0)),
+      Row(3L, Seq(4.0, 8.0)))
+    val d = df(
+      StructType(Seq(StructField("id", LongType),
+        StructField("v", ArrayType(DoubleType)))),
+      rows: _*).repartition(3) // force one partial buffer per row
+    val avg = d.agg(expr("graft_vector_avg(v)")).head().getSeq[Double](0)
+    // 3 rows counted; empty array contributes no dims
+    assert(avg === Seq(2.0, 4.0))
+  }
+
+  test("graft_topk rejects non-positive or non-literal k at analysis time") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val d = Seq((1L, 0.5)).toDF("id", "score")
+    intercept[Exception] {
+      d.agg(expr("graft_topk(id, score, 0)")).collect()
+    }
+    intercept[Exception] {
+      d.agg(expr("graft_topk(id, score, id)")).collect()
+    }
   }
 
   test("LSH buckets put identical vectors together") {

@@ -76,6 +76,14 @@ class SinkSpec extends SparkSpec {
       .contains("Count.all: 3"))
   }
 
+  test("jsonl dump of zero providers yields an empty result, not a crash") {
+    val out = tmpDir()
+    val res = JsonlDump.dump(spark, Map.empty, out, "2026-08-12")
+    assert(res.totalCount === 0L)
+    assert(Manifest.read(spark.sparkContext.hadoopConfiguration, out)
+      .contains("Count.all: 0"))
+  }
+
   test("csv report writes one file with header and refuses huge frames") {
     import spark.implicits._
     val out = tmpDir()
