@@ -57,6 +57,47 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** IVF coarse quantizer: deterministic seeding (hash of id → cell) + one
+    * Lloyd iteration with the VectorAvg partial aggregate, then nearest-
+    * centroid assignment by cosine (argmax via max_by over a broadcast
+    * centroid table). At 100 TB: training touches each vector twice
+    * (seed-agg + assign), both map-side-combined; no iteration loop, no
+    * collect of vectors.
+    */
+  def ivfCells(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__seed_cell", pmod(xxhash64(col(idCol)), lit(nCells.toLong)))
+    val centroids = v.groupBy(col("__seed_cell").as("cell"))
+      .agg(expr("graft_vector_avg(__v)").as("centroid"))
+    v.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("__v"),
+        col("cell"), expr("graft_cosine(__v, centroid)").as("__sim"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"), struct(col("__sim"), -col("cell"))).as("cell"),
+        first(col("__v")).as("__v"))
+  }
+
+  /** IVF-probed approximate top-k: score only same-cell pairs. */
+  def annIvf(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16): DataFrame = {
+    val cells = ivfCells(df, idCol, vecCol, nCells)
+    val a = cells.select(col(idCol).as("q_id"), col("__v").as("q_vec"),
+      col("cell"))
+    val b = cells.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
+      col("cell"))
+    a.join(b, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(n_id, sim4, $k)").as("topk"))
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("sim4"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Per-vector LSH sketch assignment (narrow, shuffle-free). */
   def sketched(df: DataFrame, idCol: String, vecCol: String, nBits: Int = 8): DataFrame =
     df.withColumn("bucket", lshBucket(col(vecCol), nBits))

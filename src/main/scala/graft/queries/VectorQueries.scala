@@ -85,6 +85,15 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_candidates"), max(col("sim4")).as("best_sim"))
     }),
 
+    // Rows-only: IVF-bucketed approximate top-k (the second ANN scale
+    // path: trained coarse quantizer vs q_ann_lsh's data-independent
+    // hyperplanes).
+    "q_ann_ivf" -> ((s, dir) => {
+      Similarity.annIvf(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_candidates"), max(col("sim4")).as("best_sim"))
+    }),
+
     // Rows-only: per-vector bucket assignment histogram.
     "q_lsh_buckets" -> ((s, dir) => {
       Similarity.sketched(t(s, dir, "embeddings"), "vec_id", "embedding")

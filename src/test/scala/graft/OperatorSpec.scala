@@ -185,6 +185,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("IVF cells: identical vectors share a cell; probe finds the twin") {
+    val vecs = df(
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      Row(1L, Seq(1.0f, 0.1f, 0.0f)),
+      Row(2L, Seq(1.0f, 0.1f, 0.0f)),
+      Row(3L, Seq(-1.0f, 0.2f, 0.5f)),
+      Row(4L, Seq(0.0f, 1.0f, -0.3f)))
+    val cells = Similarity.ivfCells(vecs, "vec_id", "embedding", nCells = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(1L) === cells(2L))
+    val ann = Similarity.annIvf(vecs, "vec_id", "embedding", k = 1, nCells = 2)
+      .filter(col("q_id") === 1L).collect()
+    assert(ann.map(_.getAs[Long]("n_id")).toSeq === Seq(2L))
+  }
+
   test("LSH buckets put identical vectors together") {
     val vecs = df(
       StructType(Seq(StructField("vec_id", LongType),
