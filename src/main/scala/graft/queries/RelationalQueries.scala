@@ -100,6 +100,19 @@ object RelationalQueries {
           round(sum(col("value")).over(w), 4).as("running_value"))
     }),
 
+    // Range-frame running aggregate: per-user value sum over the trailing
+    // hour (rangeBetween on epoch-millis — both engines frame peers by
+    // value distance, not row position).
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, 0L)
+      t(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 4).as("hour_value"))
+    }),
+
     // Rollup over the D1/D2 group hierarchy (null groups labeled ALL so
     // Spark and the oracle agree without grouping_id).
     "q_rollup" -> ((s, dir) => {
@@ -333,6 +346,13 @@ object RelationalQueries {
       """SELECT event_id, user_id,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING), 4) AS running_value
+         FROM events""",
+
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+                 4) AS hour_value
          FROM events""",
 
     "q_rollup" ->
