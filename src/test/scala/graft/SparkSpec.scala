@@ -28,5 +28,8 @@ object SparkSpec {
     // ChecksumCancellableFSDataOutputStream.close); checksums add nothing
     // on a local FS, so disable for tests.
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // static conf: saveAsTable targets (bucketing tests) land in a temp dir
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .getOrCreate()
 }
