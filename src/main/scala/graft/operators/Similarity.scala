@@ -36,16 +36,18 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(queries.sparkSession)
+    // Pre-normalize each side ONCE (O(N) HOF cost), so the O(Q×N) pair loop
+    // is a bare dot product — graft_dot, a custom codegen Expression (the
+    // HOF-fold cosine was interpreted and 60× slower; graft_cosine's fused
+    // norm recomputation was another 3× of avoidable FLOPs per pair).
     val q = queries.select(col(idCol).as("q_id"),
-      asDouble(col(vecCol)).as("q_vec"))
+      normalize(col(vecCol)).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"),
-      asDouble(col(vecCol)).as("n_vec"))
+      normalize(col(vecCol)).as("n_vec"))
     val scored = q.crossJoin(broadcast(c))
       .filter(col("q_id") =!= col("n_id"))
-      // graft_cosine: custom codegen Expression (one fused loop) — the
-      // HOF-fold cosine() is interpreted and was 60× slower here.
       .select(col("q_id"), col("n_id"),
-        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
+        round(expr("graft_dot(q_vec, n_vec)"), 4).as("sim4"))
     // graft_topk: bounded partial-aggregable top-k, so the exchange after
     // scoring carries O(queries × k) rows — a row_number window here would
     // shuffle and sort the entire Q×N pair stream.
