@@ -85,6 +85,7 @@ object Similarity {
   def annIvf(df: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16): DataFrame = {
     val cells = ivfCells(df, idCol, vecCol, nCells)
+      .withColumn("__v", normalize(col("__v")))
     val a = cells.select(col(idCol).as("q_id"), col("__v").as("q_vec"),
       col("cell"))
     val b = cells.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
@@ -92,7 +93,7 @@ object Similarity {
     a.join(b, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
+        round(expr("graft_dot(q_vec, n_vec)"), 4).as("sim4"))
       .groupBy(col("q_id"))
       .agg(expr(s"graft_topk(n_id, sim4, $k)").as("topk"))
       .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "t")))
@@ -114,7 +115,7 @@ object Similarity {
       maxBucketSize: Int = 10000): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val s = sketched(df, idCol, vecCol, nBits)
-      .select(col(idCol), asDouble(col(vecCol)).as(vecCol), col("bucket"))
+      .select(col(idCol), normalize(col(vecCol)).as(vecCol), col("bucket"))
     val bounded = s.withColumn("bsize",
       count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bsize") <= maxBucketSize)
@@ -127,7 +128,7 @@ object Similarity {
     a.join(b, "bucket")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
+        round(expr("graft_dot(q_vec, n_vec)"), 4).as("sim4"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
