@@ -42,6 +42,19 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q6 shape: pure scan+filter+sum — the predicate-pushdown probe
+    // (all four predicates reach the parquet reader as PushedFilters).
+    "q_filter_sum" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'") &&
+          col("l_discount").between(0.03, 0.05) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // TPC-H Q3 shape: top-10 orders by revenue, deterministic tiebreak.
     // orderBy+limit ⇒ TakeOrderedAndProject (no global sort shuffle).
     "q_topk_orders" -> ((s, dir) => {
@@ -309,6 +322,15 @@ object RelationalQueries {
            JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name""",
+
+    "q_filter_sum" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.05
+           AND l_quantity < 24""",
 
     "q_topk_orders" ->
       """SELECT o_orderkey,
