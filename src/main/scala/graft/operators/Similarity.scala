@@ -36,28 +36,35 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(queries.sparkSession)
-    // Pre-normalize each side ONCE (O(N) HOF cost), so the O(Q×N) pair loop
-    // is a bare dot product — graft_dot, a custom codegen Expression (the
-    // HOF-fold cosine was interpreted and 60× slower; graft_cosine's fused
-    // norm recomputation was another 3× of avoidable FLOPs per pair).
+    // graft_cosine (one fused codegen loop) and NOT normalize-once+dot:
+    // this path is hash-compared against DuckDB's list_cosine_similarity,
+    // which divides the raw dot by the norms — same operation sequence ⇒
+    // same rounded value. Normalizing first changes the per-element
+    // rounding (~1e-14), enough to flip a 4-decimal boundary on rare pairs
+    // and fail the gate non-deterministically. The rows-only ANN paths
+    // keep the cheaper normalize+dot scoring.
     val q = queries.select(col(idCol).as("q_id"),
-      normalize(col(vecCol)).as("q_vec"))
+      asDouble(col(vecCol)).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"),
-      normalize(col(vecCol)).as("n_vec"))
+      asDouble(col(vecCol)).as("n_vec"))
     val scored = q.crossJoin(broadcast(c))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(expr("graft_dot(q_vec, n_vec)"), 4).as("sim4"))
-    // graft_topk: bounded partial-aggregable top-k, so the exchange after
-    // scoring carries O(queries × k) rows — a row_number window here would
-    // shuffle and sort the entire Q×N pair stream.
+        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Bounded partial-aggregable top-k: the exchange after scoring carries
+    * O(queries × k) rows — a row_number window would shuffle and sort the
+    * entire scored pair stream. Expects (q_id, n_id, sim4).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("q_id"))
       .agg(expr(s"graft_topk(n_id, sim4, $k)").as("topk"))
       .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "t")))
       .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("sim4"),
         (col("pos") + 1).cast("long").as("rn"))
-  }
 
   /** IVF coarse quantizer: deterministic seeding (hash of id → cell) + one
     * Lloyd iteration with the VectorAvg partial aggregate, then nearest-
@@ -81,24 +88,27 @@ object Similarity {
         first(col("__v")).as("__v"))
   }
 
-  /** IVF-probed approximate top-k: score only same-cell pairs. */
+  /** IVF-probed approximate top-k: score only same-cell pairs. Cells larger
+    * than `maxCellSize` are dropped (same degeneracy guard as annLsh): a
+    * dense cell under a 16-value join key would otherwise collapse
+    * parallelism to one task and go quadratic on it.
+    */
   def annIvf(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16): DataFrame = {
+      k: Int, nCells: Int = 16, maxCellSize: Int = 100000): DataFrame = {
     val cells = ivfCells(df, idCol, vecCol, nCells)
       .withColumn("__v", normalize(col("__v")))
+      .withColumn("__csize",
+        count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("__csize") <= maxCellSize)
     val a = cells.select(col(idCol).as("q_id"), col("__v").as("q_vec"),
       col("cell"))
     val b = cells.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
       col("cell"))
-    a.join(b, "cell")
+    val scored = a.join(b, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(expr("graft_dot(q_vec, n_vec)"), 4).as("sim4"))
-      .groupBy(col("q_id"))
-      .agg(expr(s"graft_topk(n_id, sim4, $k)").as("topk"))
-      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "t")))
-      .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("sim4"),
-        (col("pos") + 1).cast("long").as("rn"))
+    topKPerQuery(scored, k)
   }
 
   /** Per-vector LSH sketch assignment (narrow, shuffle-free). */

@@ -28,6 +28,12 @@ object SkewJoin {
       buckets: Int,
       saltCols: Seq[Column]): DataFrame = {
     require(buckets > 0)
+    require(saltCols.nonEmpty,
+      "saltCols must be non-empty: an empty hash is a constant, so every " +
+        "row lands in salt bucket 0 and the join pays replication for " +
+        "no skew mitigation")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "inputs already carry a __salt column; rename it before salting again")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(saltCols: _*), lit(buckets.toLong)))
     val replicated = right.withColumn("__salt",

@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * per-element lambda dispatch ×3 folds ×4M pairs. `CosineSimilarity` fuses
   * dot product and both norms into ONE codegen'd loop over the raw
   * ArrayData, keeping the whole pair-scoring stage inside WholeStageCodegen.
-  * Same left-to-right double accumulation as the fold version, so results
-  * are bit-identical and still match the DuckDB oracle.
+  * Same left-to-right double accumulation and the same dot/(|a|·|b|)
+  * operation sequence as DuckDB's list_cosine_similarity on DOUBLE[], so
+  * oracled queries round identically (do NOT swap oracled paths to
+  * normalize-then-dot: it perturbs per-element rounding by ~1e-14, enough
+  * to flip a 4-decimal boundary on rare pairs).
   *
   * Arrays are treated as dense (null elements read as 0-bits), matching the
   * embeddings fixture and typical vector columns.

@@ -66,14 +66,16 @@ object VectorQueries {
     // prefilters candidates so this scoring never goes all-pairs.
     "q_embed_neardup" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
+      // graft_cosine, not normalize+dot: oracled query — see knnBruteForce
+      // scaladoc for the rounding-boundary rationale.
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), normalize(col("embedding")).as("v"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
       a.crossJoin(broadcast(b))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(expr("graft_dot(va, vb)"), 4).as("sim4"))
+          round(expr("graft_cosine(va, vb)"), 4).as("sim4"))
         .filter(col("sim4") >= 0.4)
     }),
 

@@ -28,8 +28,9 @@ object SparkSpec {
     // ChecksumCancellableFSDataOutputStream.close); checksums add nothing
     // on a local FS, so disable for tests.
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-    // static conf: saveAsTable targets (bucketing tests) land in a temp dir
+    // static conf: saveAsTable targets (bucketing tests) land under target/
+    // so repeated runs overwrite instead of accreting /tmp dirs
     .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      new java.io.File("target/test-warehouse").getAbsolutePath)
     .getOrCreate()
 }
