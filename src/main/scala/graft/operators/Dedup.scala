@@ -77,8 +77,11 @@ object Dedup {
       minhashSignature(sh, k).as("minhash_sig"))
       .withColumn("band_keys",
         // shingle-less docs get NULL band keys: posexplode drops them, so
-        // they can never congregate in one spurious bucket
-        when(col("__n_shingles") === 0,
+        // they can never congregate in one spurious bucket. coalesce: null
+        // text ⇒ size(null) = null, which would slip past `=== 0` and give
+        // every null doc the same all-MaxValue signature (one degenerate
+        // bucket per band).
+        when(coalesce(col("__n_shingles"), lit(0)) === 0,
           lit(null).cast("array<bigint>"))
           .otherwise(lshBandKeys(col("minhash_sig"), bands, k / bands)))
       .drop("__n_shingles")

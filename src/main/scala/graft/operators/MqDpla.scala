@@ -60,7 +60,14 @@ object MqDpla {
     d.withColumn("wikimediaReady",
       Completeness.allOf(col("mediaAccess"), col("openRights")))
 
-  private val scoreCols = flags.map(_.name) :+ "wikimediaReady"
+  /** Score-CSV column order follows the reference's AGG list
+    * (MqReports.scala:95-111), not the itemdata projection order: there
+    * `openRights` lands after `mediaAccess`, immediately before
+    * `wikimediaReady` — required for the byte-for-byte CSV claim above.
+    */
+  private val scoreCols =
+    flags.map(_.name).filterNot(_ == "openRights") :+
+      "openRights" :+ "wikimediaReady"
 
   /** providerScores (MqReports.scala:90-111). */
   def providerScores(itemdata: DataFrame): DataFrame =

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -10,17 +9,21 @@ import graft.functions.VectorFunctions._
   * two-stage top-k layout per the distributed similarity-search literature in
   * PAPERS.md).
   *
-  * Two paths:
+  * Three paths:
   *  - `knnBruteForce` — exact: broadcast the candidate side, score all pairs,
-  *    keep top-k per query via a rank window. Correctness baseline; O(Q×N).
-  *    At 100 TB this is only sane when one side is broadcastable (the usual
-  *    "small query batch vs huge corpus" shape — the corpus side streams
-  *    through the scan, nothing shuffles but the per-query top-k rows).
-  *  - `annLsh` — approximate scale path: hyperplane-sign sketches put
+  *    keep top-k per query via the bounded graft_topk partial aggregate.
+  *    Correctness baseline; O(Q×N). At 100 TB this is only sane when one side
+  *    is broadcastable (the usual "small query batch vs huge corpus" shape —
+  *    the corpus side streams through the scan, nothing shuffles but the
+  *    per-query top-k rows).
+  *  - `annLsh` — approximate, data-independent: hyperplane-sign sketches put
   *    near-parallel vectors in the same bucket; scoring happens only within
   *    buckets (equi-join on bucket id ⇒ plain shuffle hash join, no
-  *    cartesian). Recall is tunable via nBits/band count; candidates
-  *    per bucket are capped so a degenerate bucket cannot go quadratic.
+  *    cartesian). Recall is tunable via nBits; candidates per bucket are
+  *    capped so a degenerate bucket cannot go quadratic.
+  *  - `annIvf` — approximate, trained: one Lloyd step builds a coarse
+  *    quantizer; the tiny centroid table is collected and inlined so cell
+  *    assignment is a narrow codegen'd map (no join, no vector shuffle).
   */
 object Similarity {
 
@@ -35,7 +38,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val spark = queries.sparkSession
+    graft.plans.GraftFunctions.register(spark)
     // graft_cosine (one fused codegen loop) and NOT normalize-once+dot:
     // this path is hash-compared against DuckDB's list_cosine_similarity,
     // which divides the raw dot by the norms — same operation sequence ⇒
@@ -43,8 +47,15 @@ object Similarity {
     // rounding (~1e-14), enough to flip a 4-decimal boundary on rare pairs
     // and fail the gate non-deterministically. The rows-only ANN paths
     // keep the cheaper normalize+dot scoring.
+    //
+    // repartition(defaultParallelism): the streamed (query) side keeps its
+    // scan partitioning through a broadcast join — a query batch read from
+    // one small file would score every Q×N pair in ONE task. Spreading the
+    // cheap side is a narrow win at any scale; on a cluster the corpus
+    // side never moves.
     val q = queries.select(col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("q_vec"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val c = corpus.select(col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("n_vec"))
     val scored = q.crossJoin(broadcast(c))
@@ -67,42 +78,65 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rn"))
 
   /** IVF coarse quantizer: deterministic seeding (hash of id → cell) + one
-    * Lloyd iteration with the VectorAvg partial aggregate, then nearest-
-    * centroid assignment by cosine (argmax via max_by over a broadcast
-    * centroid table). At 100 TB: training touches each vector twice
-    * (seed-agg + assign), both map-side-combined; no iteration loop, no
-    * collect of vectors.
+    * Lloyd iteration with the VectorAvg partial aggregate. The resulting
+    * centroid table (nCells × dim doubles — KBs even at tens of thousands
+    * of cells) is collected and inlined as a literal array, so
+    * nearest-centroid assignment is a narrow per-row argmax — zero joins,
+    * zero vector-carrying shuffles. At 100 TB: training touches each vector
+    * twice (seed-agg, map-side combined; then the assignment scan); the
+    * only exchange moves nCells partial sums.
     */
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__seed_cell", pmod(xxhash64(col(idCol)), lit(nCells.toLong)))
-    val centroids = v.groupBy(col("__seed_cell").as("cell"))
+    val centroids: Array[Row] = v.groupBy(col("__seed_cell").as("cell"))
       .agg(expr("graft_vector_avg(__v)").as("centroid"))
-    v.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("__v"),
-        col("cell"), expr("graft_cosine(__v, centroid)").as("__sim"))
-      .groupBy(col(idCol))
-      .agg(max_by(col("cell"), struct(col("__sim"), -col("cell"))).as("cell"),
-        first(col("__v")).as("__v"))
+      .collect()
+    if (centroids.isEmpty) {
+      // empty input: keep the schema contract (id, cell, __v)
+      return v.select(col(idCol), lit(null).cast("bigint").as("cell"),
+        col("__v"))
+    }
+    val centArr = array(centroids.map { r =>
+      struct(
+        typedLit(r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
+          .as("centroid"),
+        lit(r.getAs[Long]("cell")).as("cell"))
+    }.toIndexedSeq: _*)
+    // per-row argmax via lexicographic array_max on (sim, -cell): highest
+    // similarity wins, ties break to the lowest cell id — the same order
+    // max_by(cell, struct(sim, -cell)) produced when this was a join.
+    val scoredCells = transform(centArr, c =>
+      struct(
+        call_function("graft_cosine", col("__v"), c.getField("centroid"))
+          .as("sim"),
+        (-c.getField("cell")).as("negcell")))
+    v.select(col(idCol),
+      (-array_max(scoredCells).getField("negcell")).as("cell"),
+      col("__v"))
   }
 
   /** IVF-probed approximate top-k: score only same-cell pairs. Cells larger
     * than `maxCellSize` are dropped (same degeneracy guard as annLsh): a
     * dense cell under a 16-value join key would otherwise collapse
-    * parallelism to one task and go quadratic on it.
+    * parallelism to one task and go quadratic on it. The cap uses a
+    * broadcast of the tiny per-cell count table — a count(*) window over
+    * the rows would shuffle every vector once more.
     */
   def annIvf(df: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16, maxCellSize: Int = 100000): DataFrame = {
     val cells = ivfCells(df, idCol, vecCol, nCells)
       .withColumn("__v", normalize(col("__v")))
-      .withColumn("__csize",
-        count(lit(1)).over(Window.partitionBy(col("cell"))))
+    val keptCells = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__csize"))
       .filter(col("__csize") <= maxCellSize)
-    val a = cells.select(col(idCol).as("q_id"), col("__v").as("q_vec"),
+      .select(col("cell"))
+    val bounded = cells.join(broadcast(keptCells), "cell")
+    val a = bounded.select(col(idCol).as("q_id"), col("__v").as("q_vec"),
       col("cell"))
-    val b = cells.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
+    val b = bounded.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
       col("cell"))
     val scored = a.join(b, "cell")
       .filter(col("q_id") =!= col("n_id"))
@@ -111,11 +145,21 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Per-vector LSH sketch assignment (narrow, shuffle-free). */
-  def sketched(df: DataFrame, idCol: String, vecCol: String, nBits: Int = 8): DataFrame =
-    df.withColumn("bucket", lshBucket(col(vecCol), nBits))
+  /** Per-vector LSH sketch assignment (narrow, shuffle-free; fused codegen
+    * loop — see HyperplaneSketch).
+    */
+  def sketched(df: DataFrame, idCol: String, vecCol: String, nBits: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("bucket",
+      call_function("graft_lsh_bucket", asDouble(col(vecCol)), lit(nBits)))
+  }
 
-  /** Approximate top-k: score only same-bucket pairs. */
+  /** Approximate top-k: score only same-bucket pairs. Degenerate buckets
+    * are dropped via a broadcast count-table join (not a per-row window —
+    * that would shuffle every vector), and per-query ranking uses the
+    * bounded graft_topk aggregate so the post-scoring exchange carries
+    * O(queries × k) rows.
+    */
   def annLsh(
       df: DataFrame,
       idCol: String,
@@ -126,20 +170,19 @@ object Similarity {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val s = sketched(df, idCol, vecCol, nBits)
       .select(col(idCol), normalize(col(vecCol)).as(vecCol), col("bucket"))
-    val bounded = s.withColumn("bsize",
-      count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bsize") <= maxBucketSize)
+    val keptBuckets = s.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") <= maxBucketSize)
+      .select(col("bucket"))
+    val bounded = s.join(broadcast(keptBuckets), "bucket")
     val a = bounded.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       col("bucket"))
     val b = bounded.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       col("bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim4").desc, col("n_id"))
-    a.join(b, "bucket")
+    val scored = a.join(b, "bucket")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(expr("graft_dot(q_vec, n_vec)"), 4).as("sim4"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k)
   }
 }

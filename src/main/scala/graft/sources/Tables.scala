@@ -24,10 +24,19 @@ object Tables {
     * division would corrupt timestamps. DuckDB (the oracle) truncates
     * NANOS→micros the same way.
     */
+  /** Conf every session reading `events` must carry (set by the graft
+    * session builders — Bench/Verify/Explain and the test harness — at
+    * construction; `table` deliberately does NOT set it, so reading one
+    * table can't silently change parquet semantics session-wide).
+    */
+  val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"${dir.stripSuffix("/")}/$name.parquet"
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(spark.conf.getOption(nanosAsLongKey).contains("true"),
+        s"reading `events` needs $nanosAsLongKey=true at session build " +
+          "(its ts column is parquet TIMESTAMP(NANOS))")
       spark.read.parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))

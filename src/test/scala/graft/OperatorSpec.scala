@@ -213,4 +213,17 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b(1L) === b(2L))
   }
+
+  test("codegen HyperplaneSketch matches the HOF lshBucket reference bit-for-bit") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = Similarity.sketched(e, "vec_id", "embedding", nBits = 8)
+      .withColumn("ref_bucket",
+        graft.functions.VectorFunctions.lshBucket(col("embedding"), 8))
+    assert(both.filter(col("bucket") =!= col("ref_bucket")).count() === 0L)
+    // and at a different width, covering the bit-packing path
+    val both17 = Similarity.sketched(e, "vec_id", "embedding", nBits = 17)
+      .withColumn("ref_bucket",
+        graft.functions.VectorFunctions.lshBucket(col("embedding"), 17))
+    assert(both17.filter(col("bucket") =!= col("ref_bucket")).count() === 0L)
+  }
 }

@@ -22,6 +22,7 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.sources.Tables.nanosAsLongKey, "true")
     .config("spark.ui.enabled", "false")
     // Spark 4.1's checksummed checkpoint writer stalls concurrent state
     // commits in local mode (flatMapGroupsWithState tasks park forever in
