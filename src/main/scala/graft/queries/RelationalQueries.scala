@@ -308,9 +308,126 @@ object RelationalQueries {
         rightCols = Seq("signup_event_id"))
         .select(col("event_id"), col("user_id"), col("signup_event_id"))
     }),
+
+    // Exact interpolated percentiles per group (sort-based aggregate; at
+    // scale swap to approx_percentile for one-pass sketching — the exact
+    // form is the oracle-checkable baseline).
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4)
+            .as("p90_price"))
+    }),
+
+    // Second-moment aggregates (Welford-style partial+final merge, one
+    // pass, map-side combined).
+    "q_stats_moments" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Bivariate aggregates: correlation + sample covariance.
+    "q_corr_covar" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(corr(col("value"), col("user_id").cast("double")), 4).as("c"),
+          round(covar_samp(col("value"), col("user_id").cast("double")), 4)
+            .as("cv"))
+    }),
+
+    // lag/ntile/first_value over one per-user ordered window: event-to-event
+    // value delta, activity quartile, first event id. One exchange on
+    // user_id serves all three frames.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") - lag(col("value"), 1, 0.0).over(w), 4).as("dv"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("event_id")).over(w).as("first_ev"))
+    }),
+
+    // Pivot: long→wide on a bounded value list (explicit values keep the
+    // plan a single pass — value discovery would add a distinct scan).
+    // count() yields null for absent cells; coalesce to 0 to match the
+    // oracle's FILTER counts.
+    "q_pivot_langs" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+      p.select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).cast("long").as(l)): _*)
+    }),
+
+    // Unpivot (melt): wide per-source means back to (metric, value) rows.
+    "q_unpivot_scores" -> ((s, dir) => {
+      val wide = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(length(col("text"))), 4).as("avg_len"))
+      wide.unpivot(Array(col("source")),
+        Array(col("avg_chars"), col("avg_len")), "metric", "value")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_stats_moments" ->
+      """SELECT o_orderpriority,
+           round(stddev_samp(o_totalprice), 4) AS sd_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q_corr_covar" ->
+      """SELECT event_type,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS c,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cv
+         FROM events GROUP BY event_type""",
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+           round(value - lag(value, 1, 0.0) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id), 4) AS dv,
+           CAST(ntile(4) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS quartile,
+           first_value(event_id) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS first_ev
+         FROM events""",
+
+    "q_pivot_langs" ->
+      """SELECT source,
+           count(*) FILTER (WHERE lang = 'de') AS de,
+           count(*) FILTER (WHERE lang = 'en') AS en,
+           count(*) FILTER (WHERE lang = 'es') AS es,
+           count(*) FILTER (WHERE lang = 'fr') AS fr,
+           count(*) FILTER (WHERE lang = 'zh') AS zh
+         FROM documents GROUP BY source""",
+
+    "q_unpivot_scores" ->
+      """WITH wide AS (
+           SELECT source, round(avg(n_chars), 4) AS avg_chars,
+             round(avg(length(text)), 4) AS avg_len
+           FROM documents GROUP BY source)
+         SELECT source, 'avg_chars' AS metric, avg_chars AS value FROM wide
+         UNION ALL
+         SELECT source, 'avg_len' AS metric, avg_len AS value FROM wide""",
+
     "q_join_region_revenue" ->
       """SELECT n_name,
            round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

@@ -110,6 +110,54 @@ object TextQueries {
         Dedup.simhash(toks).as("simhash"),
         TA.rollingHash(toks).as("rolling_hash"))
     }),
+
+    // All-match extraction: digit runs and vowel runs per doc (the
+    // pattern-mining flavor of quality scoring).
+    "q_regexp_extract_all" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_nums"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("n_vowel_runs"))
+    }),
+
+    // Edit distance over a bounded deterministic pair set (fuzzy-dedup
+    // verify stage; systematic doc_id % 20 sample keeps it O((n/20)²) and
+    // broadcastable — at corpus scale candidates come from LSH, never
+    // all-pairs).
+    "q_levenshtein" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("head30"))
+      val a = docs.select(col("doc_id").as("id_a"), col("head30").as("t_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("head30").as("t_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
+    }),
+
+    // collect_set + deterministic ordering: per-source language inventory
+    // (sorted before join so the set's arrival order can't leak into the
+    // result).
+    "q_collect_sorted" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(concat_ws(",", array_sort(collect_set(col("lang"))))
+          .as("langs"))
+    }),
+
+    // posexplode with ordinality: token stream with positions (the
+    // generator/fan-out shape — SURVEY §2.J table-generating note).
+    "q_tokens_ordinal" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), col("tok"),
+          (col("pos0") + 1).cast("long").as("pos"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,5 +249,31 @@ object TextQueries {
       """SELECT doc_id,
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
          FROM documents""",
+
+    "q_regexp_extract_all" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+             AS n_vowel_runs
+         FROM documents""",
+
+    "q_levenshtein" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30))
+             AS BIGINT) AS dist
+         FROM documents a, documents b
+         WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 = 0
+           AND a.doc_id < b.doc_id""",
+
+    "q_collect_sorted" ->
+      """SELECT source,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+         FROM documents GROUP BY source""",
+
+    "q_tokens_ordinal" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+             AS pos
+         FROM documents WHERE doc_id < 100""",
   )
 }

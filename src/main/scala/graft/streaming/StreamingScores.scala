@@ -46,6 +46,24 @@ object StreamingScores {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup ([EXT]: the ingestion-time flavor of
+    * Dedup.exactGroups): drop rows whose key was already seen within the
+    * watermark horizon. State holds one entry per distinct key and is
+    * evicted as the watermark passes — bounded memory on an unbounded
+    * stream, the property a plain dropDuplicates (infinite state) lacks at
+    * corpus scale. Dedup keys are typically content fingerprints
+    * (TextAnalysis.fingerprint), computed scan-side so state stores a
+    * 32-char digest, not document bodies.
+    */
+  def dedupedStream(
+      rows: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    rows
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Input/output rows for the custom-state operator. */
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

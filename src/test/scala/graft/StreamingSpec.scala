@@ -81,6 +81,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupedStream drops re-sent keys across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val docs = mem.toDF().toDF("ts", "fp", "value")
+
+    val query = StreamingScores.dedupedStream(docs, "ts", Seq("fp"), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: fp "a" twice (in-batch dup), fp "b" once
+      mem.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(3), "b", 3.0))
+      query.processAllAvailable()
+      // batch 2: fp "a" again (cross-batch dup, still inside the watermark),
+      // fp "c" new
+      mem.addData((ts(4), "a", 4.0), (ts(5), "c", 5.0))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT fp FROM deduped")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got === Seq("a", "b", "c"))
+    } finally query.stop()
+  }
+
   test("session windows close on gap and aggregate per user") {
     val sq = spark
     import sq.implicits._
