@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -230,24 +231,45 @@ private[plans] object VectorExprChecks {
 }
 
 /** Session registration for the custom expressions (temp functions, usable
-  * from `expr(...)` / SQL). Idempotent.
+  * from `expr(...)` / SQL). Idempotent. `all` is the single source of truth,
+  * shared with [[GraftExtensions]] so per-session registration and
+  * cluster-wide extension installation can't drift.
   */
 object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" ->
+      ((exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    "graft_dot" ->
+      ((exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    "graft_vector_avg" ->
+      ((exprs: Seq[Expression]) => VectorAvg(exprs.head).toAggregateExpression()),
+    "graft_topk" ->
+      ((exprs: Seq[Expression]) =>
+        TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()),
+    "graft_lsh_bucket" ->
+      ((exprs: Seq[Expression]) => HyperplaneSketch(exprs(0), exprs(1))))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_vector_avg",
-      exprs => VectorAvg(exprs.head).toAggregateExpression(), "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_topk",
-      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "graft_lsh_bucket", exprs => HyperplaneSketch(exprs(0), exprs(1)),
-      "built-in")
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
+}
+
+/** Spark-native deployment path for the custom expressions: install with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions`) and every session on the cluster gets the
+  * graft_* functions at build time — no per-session register() call, which
+  * is the difference between a library a 1000-executor deployment can adopt
+  * via one conf line and one that needs code changes at every call site.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(this.getClass.getName, name),
+        builder))
+    }
 }

@@ -158,6 +158,42 @@ object TextQueries {
         .select(col("doc_id"), col("tok"),
           (col("pos0") + 1).cast("long").as("pos"))
     }),
+
+    // Vocabulary build: corpus-wide token frequencies, top 50 with
+    // deterministic tiebreak. explode → partial+final hash agg →
+    // TakeOrderedAndProject (per-partition heap, O(k) to the driver) — the
+    // tokenizer-vocab shape at any corpus size.
+    "q_vocab_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)
+    }),
+
+    // TF-IDF: each doc's highest-scoring term. Three aggregations over the
+    // exploded token stream (tf per doc-term, df per term, corpus N), one
+    // broadcast of the single-row N, rank on the ROUNDED score so the
+    // engine-side tiebreak (score desc, tok asc) is decimal-stable.
+    "q_tfidf_top_term" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"), explode(toks).as("tok"))
+      val tf = pairs.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_tok"), col("tfidf"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -275,5 +311,32 @@ object TextQueries {
            CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
              AS pos
          FROM documents WHERE doc_id < 100""",
+
+    "q_vocab_topk" ->
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS tok FROM documents)
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
+
+    "q_tfidf_top_term" ->
+      """WITH pairs AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf FROM pairs GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln((CAST(n.n_docs AS DOUBLE) + 1) /
+               CAST(dfreq.df + 1 AS DOUBLE)), 4) AS tfidf
+           FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n)
+         SELECT doc_id, tok AS top_tok, tfidf FROM (
+           SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, tok) AS rn
+           FROM scored)
+         WHERE rn = 1""",
   )
 }

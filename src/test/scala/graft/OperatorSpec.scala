@@ -173,6 +173,28 @@ class OperatorSpec extends SparkSpec {
     assert(avg === Seq(2.0, 4.0))
   }
 
+  test("GraftExtensions injects every registered function with a working builder") {
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.plans._
+    // the extension installer and per-session register() share one list
+    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+    val builders = GraftFunctions.all.toMap
+    assert(builders.keySet === Set("graft_cosine", "graft_dot",
+      "graft_vector_avg", "graft_topk", "graft_lsh_bucket"))
+    val arr = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
+    assert(builders("graft_cosine")(Seq(arr, arr)).isInstanceOf[CosineSimilarity])
+    assert(builders("graft_dot")(Seq(arr, arr)).isInstanceOf[DotProduct])
+    assert(builders("graft_lsh_bucket")(Seq(arr, Literal(8)))
+      .isInstanceOf[HyperplaneSketch])
+    // aggregates come back wrapped as AggregateExpression over the typed impl
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    assert(builders("graft_vector_avg")(Seq(arr))
+      .asInstanceOf[AggregateExpression].aggregateFunction.isInstanceOf[VectorAvg])
+    assert(builders("graft_topk")(Seq(Literal(1L), Literal(0.5), Literal(3)))
+      .asInstanceOf[AggregateExpression].aggregateFunction.isInstanceOf[TopKByScore])
+  }
+
   test("graft_topk rejects non-positive or non-literal k at analysis time") {
     graft.plans.GraftFunctions.register(spark)
     import spark.implicits._
