@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines ([EXT]).
+  *
+  * Everything here is hash-based, not RNG-based: `sample()`'s Bernoulli
+  * draw depends on partitioning and seed plumbing, so the same logical
+  * dataset can yield different samples across runs/layouts — unacceptable
+  * when the sample defines a train/test split that must be reproducible at
+  * 100 TB and auditable row-by-row. xxhash64(id) is stable across runs,
+  * partitionings, and cluster sizes, and evaluates in codegen (narrow scan,
+  * no shuffle, pushdown-friendly).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform hash bucket in [0, 1) for a key column. */
+  private def unitHash(key: Column): Column =
+    pmod(xxhash64(key), lit(Buckets)).cast("double") / Buckets.toDouble
+
+  /** Keep ~`fraction` of rows, chosen by key hash (deterministic, exact
+    * same rows on every run and any partitioning).
+    */
+  def uniform(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction=$fraction out of [0,1]")
+    df.filter(unitHash(col(keyCol)) < fraction)
+  }
+
+  /** Per-stratum sampling rates (e.g. downsample dominant languages,
+    * keep all of rare ones). Strata absent from `fractions` default to 0.
+    */
+  def stratified(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions out of [0,1]: $fractions")
+    val rate = fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, f).otherwise(acc)
+    }
+    df.filter(unitHash(col(keyCol)) < rate)
+  }
+
+  /** Disjoint, exhaustive train/test split by key hash. Rows with the same
+    * key always land on the same side — the property that prevents
+    * train/test leakage when keys repeat (same document re-crawled, same
+    * user across events).
+    */
+  def trainTestSplit(df: DataFrame, keyCol: String,
+      testFraction: Double): (DataFrame, DataFrame) = {
+    require(testFraction > 0 && testFraction < 1,
+      s"testFraction=$testFraction out of (0,1)")
+    val h = unitHash(col(keyCol))
+    (df.filter(h >= testFraction), df.filter(h < testFraction))
+  }
+}

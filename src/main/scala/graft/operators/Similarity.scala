@@ -124,9 +124,19 @@ object Similarity {
     * parallelism to one task and go quadratic on it. The cap uses a
     * broadcast of the tiny per-cell count table — a count(*) window over
     * the rows would shuffle every vector once more.
+    *
+    * `saltFactor` spreads the self-join: with nCells≈16 the join key has 16
+    * values, so on a 1000-core cluster 984 cores would idle through the
+    * scoring stage. Salting joins on (cell, salt) — query side hashed to
+    * one salt, candidate side replicated to all of them — multiplying
+    * usable parallelism by saltFactor for saltFactor× candidate-side
+    * shuffle volume. The candidate pair set is provably unchanged: each
+    * (q, n) same-cell pair meets in exactly the q's salt slot.
     */
   def annIvf(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, maxCellSize: Int = 100000): DataFrame = {
+      k: Int, nCells: Int = 16, maxCellSize: Int = 100000,
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val cells = ivfCells(df, idCol, vecCol, nCells)
       .withColumn("__v", normalize(col("__v")))
     val keptCells = cells.groupBy(col("cell"))
@@ -136,9 +146,13 @@ object Similarity {
     val bounded = cells.join(broadcast(keptCells), "cell")
     val a = bounded.select(col(idCol).as("q_id"), col("__v").as("q_vec"),
       col("cell"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("q_id")), lit(saltFactor.toLong)))
     val b = bounded.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
       col("cell"))
-    val scored = a.join(b, "cell")
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    val scored = a.join(b, Seq("cell", "__salt"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(expr("graft_dot(q_vec, n_vec)"), 4).as("sim4"))

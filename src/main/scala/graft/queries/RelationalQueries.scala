@@ -369,6 +369,25 @@ object RelationalQueries {
         langs.map(l => coalesce(col(l), lit(0L)).cast("long").as(l)): _*)
     }),
 
+    // Fixed-width histogram binning (floor math — deterministic, unlike
+    // width_bucket edge handling across engines).
+    "q_value_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 25).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+    }),
+
+    // Systematic deterministic sample (id mod K): the oracle-checkable
+    // cousin of Sampling.uniform — same every run, any partitioning.
+    "q_sample_systematic" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("total"))
+    }),
+
     // Unpivot (melt): wide per-source means back to (metric, value) rows.
     "q_unpivot_scores" -> ((s, dir) => {
       val wide = t(s, dir, "documents")
@@ -418,6 +437,15 @@ object RelationalQueries {
            count(*) FILTER (WHERE lang = 'fr') AS fr,
            count(*) FILTER (WHERE lang = 'zh') AS zh
          FROM documents GROUP BY source""",
+
+    "q_value_histogram" ->
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+           count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+         FROM events GROUP BY 1""",
+
+    "q_sample_systematic" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 4) AS total
+         FROM lineitem WHERE l_orderkey % 97 = 0""",
 
     "q_unpivot_scores" ->
       """WITH wide AS (

@@ -223,6 +223,44 @@ class OperatorSpec extends SparkSpec {
     assert(ann.map(_.getAs[Long]("n_id")).toSeq === Seq(2L))
   }
 
+  test("deterministic sampling: reproducible, disjoint split, stratified rates") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+
+    // reproducible: the exact same rows on a second evaluation
+    val s1 = Sampling.uniform(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.uniform(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    assert(s1.size > 100 && s1.size < 200) // ~150 of 500 (hash-uniform)
+
+    // split: disjoint and exhaustive
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 0.2)
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val testIds = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.intersect(testIds).isEmpty)
+    assert(trainIds.size + testIds.size === docs.count())
+
+    // stratified: absent strata drop to zero, present ones keep ~rate
+    val strat = Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.0))
+    val langs = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enTotal = docs.filter(col("lang") === "en").count()
+    assert(langs.getOrElse("en", 0L) === enTotal)
+    assert(!langs.contains("de") && !langs.contains("fr"))
+  }
+
+  test("salting the IVF self-join leaves the result set unchanged") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val unsalted = Similarity.annIvf(e, "vec_id", "embedding", k = 3,
+      saltFactor = 1).collect().map(_.toSeq).toSet
+    val salted = Similarity.annIvf(e, "vec_id", "embedding", k = 3,
+      saltFactor = 4).collect().map(_.toSeq).toSet
+    assert(salted === unsalted)
+  }
+
   test("LSH buckets put identical vectors together") {
     val vecs = df(
       StructType(Seq(StructField("vec_id", LongType),
