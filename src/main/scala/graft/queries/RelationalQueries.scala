@@ -369,6 +369,19 @@ object RelationalQueries {
         langs.map(l => coalesce(col(l), lit(0L)).cast("long").as(l)): _*)
     }),
 
+    // Typed JSON parse: from_json with an explicit schema (vs q_json_get's
+    // per-path string extraction) — one parse per row feeding any number of
+    // fields, the right shape when several keys are read at scale.
+    "q_from_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("k_sum"))
+    }),
+
     // Fixed-width histogram binning (floor math — deterministic, unlike
     // width_bucket edge handling across engines).
     "q_value_histogram" -> ((s, dir) => {
@@ -437,6 +450,12 @@ object RelationalQueries {
            count(*) FILTER (WHERE lang = 'fr') AS fr,
            count(*) FILTER (WHERE lang = 'zh') AS zh
          FROM documents GROUP BY source""",
+
+    "q_from_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+         FROM events GROUP BY 1""",
 
     "q_value_histogram" ->
       """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,

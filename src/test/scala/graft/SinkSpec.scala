@@ -171,6 +171,48 @@ class SinkSpec extends SparkSpec {
     assert(back.columns.contains("sourceResource"))
   }
 
+  test("monthly batch chain: parquet dump feeds mq + sitemap (the EMR step dataflow)") {
+    // the reference chains parquet → mq → sitemap as EMR steps, with steps
+    // 3-4 reading step 1's parquet OUTPUT (monthly_batch_emr.sh:41-111);
+    // this drives that dataflow end-to-end on canonical records.
+    import graft.operators.MqDpla
+    import graft.processes.Processes
+    import spark.implicits._
+    val raw = Seq(
+      ("http://dp.la/api/items/aaa1", "hubA", Seq("title one")),
+      ("http://dp.la/api/items/aaa2", "hubA", Seq.empty[String]),
+      ("http://dp.la/api/items/bbb1", "hubB", Seq("title two")))
+      .toDF("dplaUri", "pname", "titles")
+      .select(col("dplaUri"),
+        struct(col("pname").as("name")).as("provider"),
+        struct(col("titles").as("title")).as("sourceResource"))
+    val canonical = Processes.schemaRepair(raw)
+
+    // step 1: parquet dump
+    val root = tmpDir()
+    val dumpDir = Catalog.datePath(root, 2026, 8, "all.parquet")
+    assert(Processes.parquetDump(canonical, dumpDir) === 3)
+
+    // step 3 (mq): flags + provider scores over the dump
+    val items = spark.read.parquet(dumpDir)
+    val scores = MqDpla.providerScores(MqDpla.itemdata(items))
+    val outP = tmpDir()
+    assert(CsvReport.write(scores, outP,
+      Map("Report" -> "provider"), "2026-08-12") === 2) // hubA, hubB
+    val byProvider = spark.read.option("header", "true").csv(outP)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("title")).toMap
+    assert(byProvider("hubA") === "0.5") // one of hubA's two docs has a title
+    assert(byProvider("hubB") === "1.0")
+
+    // step 4 (sitemap): ids from the same dump
+    val smDir = tmpDir()
+    val subfiles = Sitemap.write(spark, items.select("id").as[String], smDir,
+      "https://dp.la/item/", "https://dp.la/", "2026-08-12")
+    assert(subfiles.size === 1) // 3 ids, well under the 50k bound
+    assert(Manifest.read(spark.sparkContext.hadoopConfiguration, smDir)
+      .contains("Count: 3"))
+  }
+
   test("mqReports writes both reports from one persisted flag frame") {
     import graft.operators.Completeness
     import graft.operators.Completeness.Flag
