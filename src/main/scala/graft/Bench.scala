@@ -37,8 +37,10 @@ object Bench {
         // a failed query must not masquerade as a fast one
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val runs = Seq(once(), once()).filter(_ >= 0)
-      name -> (if (runs.isEmpty) -1.0 else runs.min)
+      // ANY failed run reports -1: a query that fails intermittently must
+      // not pass the bench gate on its lucky rerun
+      val runs = Seq(once(), once())
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

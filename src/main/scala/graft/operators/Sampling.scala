@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * 100 TB and auditable row-by-row. xxhash64(id) is stable across runs,
   * partitionings, and cluster sizes, and evaluates in codegen (narrow scan,
   * no shuffle, pushdown-friendly).
+  *
+  * Key-column contract: keys should be NON-NULL. Null keys all hash to the
+  * same bucket (xxhash64 leaves its seed untouched on null input), so the
+  * entire null population moves in or out of a sample — and lands
+  * wholesale on one side of a split — as a single block. Filter or
+  * synthesize keys for null rows before sampling.
   */
 object Sampling {
 

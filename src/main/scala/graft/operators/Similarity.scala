@@ -48,14 +48,16 @@ object Similarity {
     // and fail the gate non-deterministically. The rows-only ANN paths
     // keep the cheaper normalize+dot scoring.
     //
-    // repartition(defaultParallelism): the streamed (query) side keeps its
-    // scan partitioning through a broadcast join — a query batch read from
-    // one small file would score every Q×N pair in ONE task. Spreading the
-    // cheap side is a narrow win at any scale; on a cluster the corpus
-    // side never moves.
-    val q = queries.select(col(idCol).as("q_id"),
+    // Spread the streamed (query) side only when it is under-partitioned:
+    // it keeps its scan partitioning through a broadcast join, so a query
+    // batch read from one small file would score every Q×N pair in ONE
+    // task. When the scan is already parallel (the cluster case) no
+    // repartition happens and nothing shuffles but the per-query top-k.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val q0 = queries.select(col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("q_vec"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val q = if (q0.rdd.getNumPartitions < parallelism)
+      q0.repartition(parallelism) else q0
     val c = corpus.select(col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("n_vec"))
     val scored = q.crossJoin(broadcast(c))
@@ -85,6 +87,13 @@ object Similarity {
     * zero vector-carrying shuffles. At 100 TB: training touches each vector
     * twice (seed-agg, map-side combined; then the assignment scan); the
     * only exchange moves nCells partial sums.
+    *
+    * NOTE: like an ML `fit`, CONSTRUCTING this frame runs the training job
+    * (the centroid collect) eagerly — callers that only want to inspect a
+    * plan still pay one aggregation over `df`. Ids are assumed unique (the
+    * usual vector-index contract); duplicate ids yield duplicate rows here
+    * and duplicate candidates downstream, where the pre-literal join-based
+    * implementation deduplicated.
     */
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16): DataFrame = {
@@ -94,6 +103,10 @@ object Similarity {
     val centroids: Array[Row] = v.groupBy(col("__seed_cell").as("cell"))
       .agg(expr("graft_vector_avg(__v)").as("centroid"))
       .collect()
+      // a seed cell of only-null vectors averages to a null centroid —
+      // unusable as an assignment target, so it is dropped (its rows
+      // re-assign to the nearest surviving centroid)
+      .filter(r => !r.isNullAt(r.fieldIndex("centroid")))
     if (centroids.isEmpty) {
       // empty input: keep the schema contract (id, cell, __v)
       return v.select(col(idCol), lit(null).cast("bigint").as("cell"),

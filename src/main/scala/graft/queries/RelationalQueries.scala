@@ -378,7 +378,8 @@ object RelationalQueries {
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").as("k"))
-        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        // % (not pmod) — matches the oracle's % on negative values too
+        .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("k_sum"))
     }),
 

@@ -34,7 +34,8 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"${dir.stripSuffix("/")}/$name.parquet"
     if (name == "events") {
-      require(spark.conf.getOption(nanosAsLongKey).contains("true"),
+      require(spark.conf.getOption(nanosAsLongKey)
+          .exists(_.equalsIgnoreCase("true")),
         s"reading `events` needs $nanosAsLongKey=true at session build " +
           "(its ts column is parquet TIMESTAMP(NANOS))")
       spark.read.parquet(path)
