@@ -369,6 +369,27 @@ object RelationalQueries {
         langs.map(l => coalesce(col(l), lit(0L)).cast("long").as(l)): _*)
     }),
 
+    // Full cube over the (source, lang) hierarchy — completes the
+    // rollup/grouping-sets family (SURVEY §2.D note).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Schema-drift union: unionByName(allowMissingColumns) aligns slices
+    // with different column subsets, typed-null-filling the gaps — the
+    // in-plan version of the reference's cross-provider drift handling
+    // (SURVEY §2.E1; SchemaRepair's concern as a set op).
+    "q_union_by_name" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("lang"))
+      val b = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
     // Typed JSON parse: from_json with an explicit schema (vs q_json_get's
     // per-path string extraction) — one parse per row feeding any number of
     // fields, the right shape when several keys are read at scale.
@@ -451,6 +472,17 @@ object RelationalQueries {
            count(*) FILTER (WHERE lang = 'fr') AS fr,
            count(*) FILTER (WHERE lang = 'zh') AS zh
          FROM documents GROUP BY source""",
+
+    "q_cube" ->
+      """SELECT source, lang, count(*) AS n
+         FROM documents GROUP BY CUBE (source, lang)""",
+
+    "q_union_by_name" ->
+      """SELECT doc_id, lang, NULL AS source, NULL AS n_chars
+         FROM documents WHERE doc_id < 250
+         UNION ALL
+         SELECT doc_id, NULL AS lang, source, n_chars
+         FROM documents WHERE doc_id >= 250""",
 
     "q_from_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,

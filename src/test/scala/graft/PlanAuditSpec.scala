@@ -1,0 +1,71 @@
+package graft
+
+/** Plan-shape regression tests: the scale-critical physical-plan properties
+  * (broadcasts placed, filters pushed, columns pruned, no accidental
+  * cartesian/sort-merge joins, bounded exchange counts) asserted against
+  * the actual optimized plans, so a refactor that silently degrades a plan
+  * fails CI rather than only showing up in a benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q_join_region_revenue: all four dims broadcast, fact never shuffles pre-agg") {
+    val p = plan("q_join_region_revenue")
+    assert(countOf(p, "BroadcastHashJoin") === 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // exactly one shuffle: the final groupBy(n_name) exchange
+    assert(countOf(p, "Exchange hashpartitioning") === 1)
+  }
+
+  test("q_filter_sum: predicates reach the parquet scan, columns pruned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q_filter_sum")(spark, sf)
+    // read the scan's untruncated metadata (the plan string elides long
+    // PushedFilters lists with "..."); sparkPlan, not executedPlan — AQE
+    // wraps the latter and hides the scan from collectLeaves
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_quantity"))
+    // projection needs only 4 columns; the scan must not read more
+    val read = scan.metadata("ReadSchema")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(read.contains))
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"))
+  }
+
+  test("q_knn_brute: corpus broadcast, one exchange total (the bounded top-k agg)") {
+    val p = plan("q_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin")) // the intended cross join
+    assert(countOf(p, "Exchange hashpartitioning") === 1)
+    assert(p.contains("ObjectHashAggregate")) // graft_topk partial+final
+  }
+
+  test("mq_source_scores: single exchange between partial and final agg") {
+    val p = plan("mq_source_scores")
+    assert(countOf(p, "Exchange hashpartitioning") === 1)
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q_dedup_exact: digests shuffle, not document bodies") {
+    val p = plan("q_dedup_exact")
+    // the exchange sits above a projection that already computed md5(fp):
+    // text must not appear in the shuffle's input schema
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0)
+    assert(p.substring(exIdx, math.min(p.length, exIdx + 400))
+      .contains("fp"))
+  }
+}
