@@ -247,7 +247,18 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) =>
         TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()),
     "graft_lsh_bucket" ->
-      ((exprs: Seq[Expression]) => HyperplaneSketch(exprs(0), exprs(1))))
+      ((exprs: Seq[Expression]) => HyperplaneSketch(exprs(0), exprs(1))),
+    // Spark's own runtime-filter expressions, surfaced for explicit use
+    // (InjectRuntimeFilter builds them internally; they have no SQL name)
+    "graft_bloom_agg" ->
+      ((exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+          .toAggregateExpression()),
+    "graft_might_contain" ->
+      ((exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -369,6 +369,23 @@ object RelationalQueries {
         langs.map(l => coalesce(col(l), lit(0L)).cast("long").as(l)): _*)
     }),
 
+    // Bloom prefilter under an exact semi join: the prefilter is a
+    // superset pass, so the final result is EXACTLY the plain semi join —
+    // which is what the oracle checks, proving no-false-negatives inside
+    // the correctness gate itself.
+    "q_bloom_semi" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val pre = graft.operators.BloomPrefilter.semiFilter(
+        t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 100000L, numBits = 800000L)
+      pre.join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("qty"))
+    }),
+
     // Full cube over the (source, lang) hierarchy — completes the
     // rollup/grouping-sets family (SURVEY §2.D note).
     "q_cube" -> ((s, dir) => {
@@ -472,6 +489,12 @@ object RelationalQueries {
            count(*) FILTER (WHERE lang = 'fr') AS fr,
            count(*) FILTER (WHERE lang = 'zh') AS zh
          FROM documents GROUP BY source""",
+
+    "q_bloom_semi" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 4) AS qty
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
 
     "q_cube" ->
       """SELECT source, lang, count(*) AS n

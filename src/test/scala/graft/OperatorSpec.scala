@@ -181,7 +181,8 @@ class OperatorSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
     val builders = GraftFunctions.all.toMap
     assert(builders.keySet === Set("graft_cosine", "graft_dot",
-      "graft_vector_avg", "graft_topk", "graft_lsh_bucket"))
+      "graft_vector_avg", "graft_topk", "graft_lsh_bucket",
+      "graft_bloom_agg", "graft_might_contain"))
     val arr = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
     assert(builders("graft_cosine")(Seq(arr, arr)).isInstanceOf[CosineSimilarity])
     assert(builders("graft_dot")(Seq(arr, arr)).isInstanceOf[DotProduct])
@@ -221,6 +222,21 @@ class OperatorSpec extends SparkSpec {
     val ann = Similarity.annIvf(vecs, "vec_id", "embedding", k = 1, nCells = 2)
       .filter(col("q_id") === 1L).collect()
     assert(ann.map(_.getAs[Long]("n_id")).toSeq === Seq(2L))
+  }
+
+  test("bloom prefilter: superset of the exact semi join, never loses a match") {
+    import graft.operators.BloomPrefilter
+    val li = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val urgent = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val pre = BloomPrefilter.semiFilter(li, "l_orderkey", urgent, "o_orderkey",
+      expectedItems = 10000L, numBits = 80000L)
+    val exact = li.join(urgent, col("l_orderkey") === col("o_orderkey"),
+      "left_semi")
+    val preKeys = pre.select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val exactKeys = exact.select("l_orderkey").collect().map(_.getLong(0)).toSet
+    assert(exactKeys.subsetOf(preKeys))        // no false negatives
+    assert(preKeys.size < li.count())          // and it actually prunes
   }
 
   test("deterministic sampling: reproducible, disjoint split, stratified rates") {
