@@ -321,6 +321,17 @@ object RelationalQueries {
             .as("p90_price"))
     }),
 
+    // Rows-only: one-pass percentile sketch (the scale path for
+    // q_percentiles' exact sort-based form; merge order varies with
+    // partitioning so no cross-engine hash oracle — proximity to the exact
+    // values is asserted in OperatorSpec instead).
+    "q_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("approx_p"))
+    }),
+
     // Second-moment aggregates (Welford-style partial+final merge, one
     // pass, map-side combined).
     "q_stats_moments" -> ((s, dir) => {

@@ -224,6 +224,15 @@ class OperatorSpec extends SparkSpec {
     assert(ann.map(_.getAs[Long]("n_id")).toSeq === Seq(2L))
   }
 
+  test("percentile sketch lands within tolerance of the exact percentile") {
+    val li = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+    val exact = li.agg(percentile(col("l_extendedprice"), lit(0.9)))
+      .head().getDouble(0)
+    val approx = li.agg(percentile_approx(col("l_extendedprice"),
+      lit(0.9), lit(10000))).head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.01) // within 1%
+  }
+
   test("bloom prefilter: superset of the exact semi join, never loses a match") {
     import graft.operators.BloomPrefilter
     val li = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "lineitem")

@@ -59,6 +59,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("nested-schema pruning: reading provider.name scans only that subfield") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    // write a nested export (the flattenRecord shape), then project one
+    // nested field — the parquet scan must request the pruned struct, not
+    // whole sourceResource/provider trees (Catalyst nestedSchemaPruning)
+    val rec = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("http://dp.la/api/items/abc1"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dplaUri",
+          org.apache.spark.sql.types.StringType))))
+    val canonical = graft.schema.SchemaAlign.alignToSchema(
+      rec, graft.schema.DplaMap.record)
+    val out = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.processes.Processes.parquetDump(canonical, out)
+    val q = spark.read.parquet(out).select(col("id"), col("provider.name"))
+    val scan = q.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    val read = scan.metadata("ReadSchema")
+    assert(read.contains("provider:struct<name:string>"))
+    assert(!read.contains("sourceResource"))
+    assert(!read.contains("exactMatch")) // provider's sibling fields pruned
+  }
+
   test("q_dedup_exact: digests shuffle, not document bodies") {
     val p = plan("q_dedup_exact")
     // the exchange sits above a projection that already computed md5(fp):
