@@ -103,6 +103,21 @@ object TextQueries {
           element_at(col("band_keys"), 1).as("band0"),
           size(col("minhash_sig")).cast("long").as("k"))),
 
+    // ORACLED MinHash: md5-based permutations (md5 is bit-identical across
+    // engines, so the signature itself hash-compares — the xxhash64
+    // variant in q_minhash_lsh stays the fast path; this one proves the
+    // min-over-permuted-shingles semantics end to end).
+    "q_minhash_md5" -> ((s, dir) => {
+      val sh = TA.shingles(toks)
+      val sig = (i: Int) =>
+        array_min(transform(col("s"), x => md5(concat(lit(s"$i "), x))))
+          .as(s"sig$i")
+      t(s, dir, "documents")
+        .select(col("doc_id"), sh.as("s"))
+        .filter(size(col("s")) > 0)
+        .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
+    }),
+
     // Rows-only: order-sensitive signatures (SimHash + rolling hash).
     "q_text_signatures" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -285,6 +300,23 @@ object TextQueries {
       """SELECT doc_id,
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
          FROM documents""",
+
+    "q_minhash_md5" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM documents)
+         SELECT doc_id,
+           list_min(list_transform(s, x -> md5(concat('0 ', x)))) AS sig0,
+           list_min(list_transform(s, x -> md5(concat('1 ', x)))) AS sig1,
+           list_min(list_transform(s, x -> md5(concat('2 ', x)))) AS sig2,
+           list_min(list_transform(s, x -> md5(concat('3 ', x)))) AS sig3
+         FROM sh WHERE len(s) > 0""",
 
     "q_regexp_extract_all" ->
       """SELECT doc_id,
