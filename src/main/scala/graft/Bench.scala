@@ -44,7 +44,10 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // a failed query poisons the TOTAL too: silently dropping its seconds
+    // would make a crashing query look like a speedup against the baseline
+    val total =
+      if (results.values.exists(_ < 0)) -1.0 else results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Explicit Bloom-filter semi-join pushdown ([EXT]): build a Bloom filter
   * over the small side's join keys, broadcast the single serialized sketch,
@@ -42,14 +43,30 @@ object BloomPrefilter {
       expectedItems: Long = 1000000L,
       numBits: Long = 8L * 1000000L): DataFrame = {
     graft.plans.GraftFunctions.register(big.sparkSession)
+    // xxhash64 hashes by PHYSICAL type (hashInt vs hashLong), so equal
+    // values of different widths hash differently and every true match
+    // would be dropped. Normalize integrals to long; anything else must
+    // already agree.
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def keyed(df: DataFrame, key: String): Column =
+      if (integral(df.schema(key).dataType)) col(key).cast("long")
+      else col(key)
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require((integral(bigType) && integral(smallType)) || bigType == smallType,
+      s"join keys must hash identically: $bigKey is $bigType, " +
+        s"$smallKey is $smallType — cast them to a common type first")
     val bfBytes: Array[Byte] = small
-      .select(xxhash64(col(smallKey)).as("__h"))
+      .select(xxhash64(keyed(small, smallKey)).as("__h"))
       .agg(expr(s"graft_bloom_agg(__h, ${expectedItems}L, ${numBits}L)")
         .as("__bf"))
       .head().getAs[Array[Byte]]("__bf")
     if (bfBytes == null) big.filter(lit(false)) // empty small side: no matches
     else big.filter(
       call_function("graft_might_contain", lit(bfBytes),
-        xxhash64(col(bigKey))))
+        xxhash64(keyed(big, bigKey))))
   }
 }

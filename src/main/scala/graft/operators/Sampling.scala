@@ -21,17 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val Buckets = 1000000L
+  private val Buckets = 1000000000L
 
-  /** Uniform hash bucket in [0, 1) for a key column. */
+  /** Uniform hash bucket in [0, 1) for a key column, quantized to
+    * `1/Buckets` (1e-9) steps — the granularity floor for every rate here.
+    */
   private def unitHash(key: Column): Column =
     pmod(xxhash64(key), lit(Buckets)).cast("double") / Buckets.toDouble
+
+  private def checkFraction(f: Double): Unit =
+    require(f == 0.0 || (f >= 1.0 / Buckets && f <= 1),
+      s"fraction=$f out of range: must be 0, or in [${1.0 / Buckets}, 1] " +
+        "(rates below the hash granularity would silently oversample)")
 
   /** Keep ~`fraction` of rows, chosen by key hash (deterministic, exact
     * same rows on every run and any partitioning).
     */
   def uniform(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
-    require(fraction >= 0 && fraction <= 1, s"fraction=$fraction out of [0,1]")
+    checkFraction(fraction)
     df.filter(unitHash(col(keyCol)) < fraction)
   }
 
@@ -40,8 +47,7 @@ object Sampling {
     */
   def stratified(df: DataFrame, strataCol: String, keyCol: String,
       fractions: Map[String, Double]): DataFrame = {
-    require(fractions.values.forall(f => f >= 0 && f <= 1),
-      s"fractions out of [0,1]: $fractions")
+    fractions.values.foreach(checkFraction)
     val rate = fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
       when(col(strataCol) === stratum, f).otherwise(acc)
     }
@@ -55,8 +61,8 @@ object Sampling {
     */
   def trainTestSplit(df: DataFrame, keyCol: String,
       testFraction: Double): (DataFrame, DataFrame) = {
-    require(testFraction > 0 && testFraction < 1,
-      s"testFraction=$testFraction out of (0,1)")
+    require(testFraction >= 1.0 / Buckets && testFraction < 1,
+      s"testFraction=$testFraction out of [${1.0 / Buckets}, 1)")
     val h = unitHash(col(keyCol))
     (df.filter(h >= testFraction), df.filter(h < testFraction))
   }

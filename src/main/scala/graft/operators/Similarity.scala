@@ -48,16 +48,8 @@ object Similarity {
     // and fail the gate non-deterministically. The rows-only ANN paths
     // keep the cheaper normalize+dot scoring.
     //
-    // Spread the streamed (query) side only when it is under-partitioned:
-    // it keeps its scan partitioning through a broadcast join, so a query
-    // batch read from one small file would score every Q×N pair in ONE
-    // task. When the scan is already parallel (the cluster case) no
-    // repartition happens and nothing shuffles but the per-query top-k.
-    val parallelism = spark.sparkContext.defaultParallelism
-    val q0 = queries.select(col(idCol).as("q_id"),
-      asDouble(col(vecCol)).as("q_vec"))
-    val q = if (q0.rdd.getNumPartitions < parallelism)
-      q0.repartition(parallelism) else q0
+    val q = spreadIfNarrow(queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("n_vec"))
     val scored = q.crossJoin(broadcast(c))
@@ -65,6 +57,17 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
     topKPerQuery(scored, k)
+  }
+
+  /** Spread a frame to the cluster's parallelism iff it is
+    * under-partitioned: the streamed side of a broadcast join keeps its
+    * scan partitioning, so a batch read from one small file would score
+    * every pair in ONE task. When the scan is already parallel (the
+    * cluster case) this is the identity and nothing extra shuffles.
+    */
+  private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   /** Bounded partial-aggregable top-k: the exchange after scoring carries

@@ -160,6 +160,16 @@ case class HyperplaneSketch(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // reference parity: an empty vector (its fold degenerates to null via
+    // the descending sequence) or any null element (null-propagating
+    // products) zeroes EVERY bit in the HOF form — reproduce that here
+    var degenerate = n == 0
+    var d0 = 0
+    while (!degenerate && d0 < n) {
+      if (v.isNullAt(d0)) degenerate = true
+      d0 += 1
+    }
+    if (degenerate) return 0L
     var bucket = 0L
     var j = 0
     while (j < nBits) {
@@ -189,18 +199,25 @@ case class HyperplaneSketch(left: Expression, right: Expression)
       val h = ctx.freshName("h")
       val m = ctx.freshName("m")
       val bucket = ctx.freshName("bucket")
+      val degenerate = ctx.freshName("degenerate")
       s"""
         final int $n = $v.numElements();
         long $bucket = 0L;
-        for (int $j = 0; $j < $nBits; $j++) {
-          final long $seedJ = $xxh.hashInt($j, 42L);
-          double $proj = 0.0;
-          for (int $d = 0; $d < $n; $d++) {
-            final long $h = $xxh.hashInt($d, $seedJ);
-            final long $m = (($h % 2001L) + 2001L) % 2001L;
-            $proj += $v.getDouble($d) * (((double) ($m - 1000L)) / 1000.0);
+        boolean $degenerate = $n == 0;
+        for (int $d = 0; !$degenerate && $d < $n; $d++) {
+          if ($v.isNullAt($d)) $degenerate = true;
+        }
+        if (!$degenerate) {
+          for (int $j = 0; $j < $nBits; $j++) {
+            final long $seedJ = $xxh.hashInt($j, 42L);
+            double $proj = 0.0;
+            for (int $d = 0; $d < $n; $d++) {
+              final long $h = $xxh.hashInt($d, $seedJ);
+              final long $m = (($h % 2001L) + 2001L) % 2001L;
+              $proj += $v.getDouble($d) * (((double) ($m - 1000L)) / 1000.0);
+            }
+            if ($proj >= 0) $bucket |= 1L << $j;
           }
-          if ($proj >= 0) $bucket |= 1L << $j;
         }
         ${ev.value} = $bucket;
       """

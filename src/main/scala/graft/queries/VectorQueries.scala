@@ -70,12 +70,10 @@ object VectorQueries {
       // scaladoc for the rounding-boundary rationale.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      // spread the streamed side iff under-partitioned: a single-file query
-      // batch would otherwise score all O(n²) pairs in one task (see
-      // knnBruteForce scaladoc)
-      val a0 = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val par = s.sparkContext.defaultParallelism
-      val a = if (a0.rdd.getNumPartitions < par) a0.repartition(par) else a0
+      // spread the streamed side iff under-partitioned (single-file batch
+      // would score all O(n²) pairs in one task)
+      val a = Similarity.spreadIfNarrow(
+        e.select(col("vec_id").as("id_a"), col("v").as("va")))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
       a.crossJoin(broadcast(b))
         .filter(col("id_a") < col("id_b"))

@@ -244,8 +244,8 @@ class OperatorSpec extends SparkSpec {
       "left_semi")
     val preKeys = pre.select("l_orderkey").collect().map(_.getLong(0)).toSet
     val exactKeys = exact.select("l_orderkey").collect().map(_.getLong(0)).toSet
-    assert(exactKeys.subsetOf(preKeys))        // no false negatives
-    assert(preKeys.size < li.count())          // and it actually prunes
+    assert(exactKeys.subsetOf(preKeys))  // no false negatives
+    assert(pre.count() < li.count())     // and it actually prunes ROWS
   }
 
   test("deterministic sampling: reproducible, disjoint split, stratified rates") {
@@ -310,5 +310,21 @@ class OperatorSpec extends SparkSpec {
       .withColumn("ref_bucket",
         graft.functions.VectorFunctions.lshBucket(col("embedding"), 17))
     assert(both17.filter(col("bucket") =!= col("ref_bucket")).count() === 0L)
+    // degenerate inputs: empty vectors and null elements zero every bit in
+    // the HOF form (null-propagating fold) — codegen must match
+    val weird = df(
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType, containsNull = true)))),
+      Row(1L, Seq.empty[java.lang.Double]),
+      Row(2L, Seq[java.lang.Double](1.0, null, 3.0)),
+      Row(3L, Seq[java.lang.Double](1.0, 2.0)))
+    val wb = Similarity.sketched(weird, "vec_id", "embedding")
+      .withColumn("ref_bucket",
+        graft.functions.VectorFunctions.lshBucket(col("embedding"), 8))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("bucket")),
+          r.getLong(r.fieldIndex("ref_bucket")))).toMap
+    assert(wb(1L)._1 === 0L && wb(2L)._1 === 0L)
+    assert(wb.values.forall { case (b, ref) => b === ref })
   }
 }
