@@ -112,9 +112,14 @@ object TextQueries {
       val sig = (i: Int) =>
         array_min(transform(col("s"), x => md5(concat(lit(s"$i "), x))))
           .as(s"sig$i")
-      t(s, dir, "documents")
+      // compute-heavy narrow map (shingling + 4 md5 per shingle): spread
+      // the single-file scan across cores BEFORE any of it runs. No
+      // shingle-count filter: a pre-sig filter gets predicate-pushed below
+      // the exchange and recomputes the whole shingle expression on the
+      // unspread side (observed 30x slower); shingle-less docs simply
+      // yield NULL sigs — array_min(empty) and DuckDB list_min([]) agree.
+      graft.operators.Similarity.spreadIfNarrow(t(s, dir, "documents"))
         .select(col("doc_id"), sh.as("s"))
-        .filter(size(col("s")) > 0)
         .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
     }),
 
@@ -316,7 +321,7 @@ object TextQueries {
            list_min(list_transform(s, x -> md5(concat('1 ', x)))) AS sig1,
            list_min(list_transform(s, x -> md5(concat('2 ', x)))) AS sig2,
            list_min(list_transform(s, x -> md5(concat('3 ', x)))) AS sig3
-         FROM sh WHERE len(s) > 0""",
+         FROM sh""",
 
     "q_regexp_extract_all" ->
       """SELECT doc_id,

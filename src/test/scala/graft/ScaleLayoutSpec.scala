@@ -37,6 +37,36 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("repartitionByRange yields disjoint ordered ranges (sorted-layout writes)") {
+    import spark.implicits._
+    // range partitioning is the layout tool for sorted output files whose
+    // min/max footers enable range-pruned reads downstream
+    val df = (1L to 10000L).map(i => (i * 2654435761L % 100000L, i))
+      .toDF("key", "payload")
+    val ranged = df.repartitionByRange(8, col("key"))
+    val bounds = ranged.mapPartitions { it =>
+      val keys = it.map(_.getLong(0)).toSeq
+      if (keys.isEmpty) Iterator.empty
+      else Iterator((keys.min, keys.max, keys.size))
+    }.collect().sortBy(_._1)
+    assert(bounds.map(_._3).sum === 10000)
+    // partitions cover disjoint, ascending key ranges
+    bounds.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    // and sizes are roughly balanced (range sampling, not hash luck)
+    assert(bounds.map(_._3).max < 3 * (10000 / bounds.length))
+  }
+
+  test("HLL approx distinct lands within 5% of the exact count") {
+    val li = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey")))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   test("salted join equals the plain join result under synthetic skew") {
     import spark.implicits._
     // 90% of fact rows share key 1
