@@ -46,6 +46,34 @@ object StreamingScores {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Watermarked stream-stream interval join ([EXT]): match each left-side
+    * event to right-side events for the same key within
+    * [left.ts − lookback, left.ts]. Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions, which is what
+    * lets Spark evict buffered state as the watermarks advance — without
+    * the time bound a stream-stream join buffers forever. The inner-join
+    * streaming counterpart of AsOfJoin's batch plan.
+    *
+    * Column contract: left has (`key`, `leftTs`, ...), right has (`key`,
+    * `rightTs`, ...); ts columns must be distinct names.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      lookback: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(r(key))
+  }
+
   /** Streaming exact dedup ([EXT]: the ingestion-time flavor of
     * Dedup.exactGroups): drop rows whose key was already seen within the
     * watermark horizon. State holds one entry per distinct key and is

@@ -106,6 +106,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches events within the lookback only") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val signups = MemoryStream[(Long, Timestamp, String)]
+    val p = purchases.toDF().toDF("user_id", "p_ts", "amount")
+    val su = signups.toDF().toDF("user_id", "s_ts", "plan")
+
+    val joined = StreamingScores.intervalJoin(
+      p, su, "user_id", "p_ts", "s_ts", lookback = "10 minutes")
+      .select(col("user_id"), col("amount"), col("plan"))
+    val query = joined.writeStream.format("memory").queryName("pj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 signs up at 10:00, purchases at 10:05 (inside lookback);
+      // user 2 signs up at 10:00, purchases at 10:30 (outside 10-minute
+      // lookback); user 3 purchases with no signup at all
+      signups.addData((1L, ts(0), "pro"), (2L, ts(0), "free"))
+      purchases.addData((1L, ts(5), 9.99), (2L, ts(30), 5.0), (3L, ts(6), 1.0))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT user_id, amount, plan FROM pj")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(got === Set((1L, 9.99, "pro")))
+    } finally query.stop()
+  }
+
   test("session windows close on gap and aggregate per user") {
     val sq = spark
     import sq.implicits._
