@@ -103,6 +103,23 @@ object TextQueries {
           element_at(col("band_keys"), 1).as("band0"),
           size(col("minhash_sig")).cast("long").as("k"))),
 
+    // Curation-pipeline core, oracled end to end: quality gate (token
+    // count + stopword ratio) → language gate → exact dedup (min-id per
+    // fingerprint) → per-source survivor stats. The full pipeline adds
+    // MinHash near-dup removal + the hash split (Curation.curate,
+    // covered by OperatorSpec — LSH candidates aren't SQL-expressible).
+    "q_curation_core" -> ((s, dir) => {
+      import graft.operators.Curation
+      val kept = Curation.dropExactDups(
+        Curation.qualityFilter(t(s, dir, "documents"), "text", "lang",
+          Curation.Config(minTokens = 30, maxStopRatio = 0.6,
+            langs = Seq("en"))),
+        "text", "doc_id")
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(size(toks)), 4).as("avg_tokens"))
+    }),
+
     // ORACLED MinHash: md5-based permutations (md5 is bit-identical across
     // engines, so the signature itself hash-compares — the xxhash64
     // variant in q_minhash_lsh stays the fast path; this one proves the
@@ -305,6 +322,25 @@ object TextQueries {
       """SELECT doc_id,
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
          FROM documents""",
+
+    "q_curation_core" ->
+      """WITH toks AS (
+           SELECT *, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+           FROM documents),
+         q AS (
+           SELECT * FROM toks
+           WHERE lang = 'en' AND len(tk) >= 30 AND
+             (CASE WHEN len(tk) = 0 THEN 0
+               ELSE CAST(len(list_filter(tk, t ->
+                 list_contains(['the','of','and','a','an','in','to'], t)))
+                 AS DOUBLE) / len(tk) END) <= 0.6),
+         d AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM q)
+         SELECT source, count(*) AS n_docs, round(avg(len(tk)), 4) AS avg_tokens
+         FROM d WHERE rn = 1 GROUP BY source""",
 
     "q_minhash_md5" ->
       """WITH sh AS (

@@ -224,6 +224,32 @@ class OperatorSpec extends SparkSpec {
     assert(ann.map(_.getAs[Long]("n_id")).toSeq === Seq(2L))
   }
 
+  test("curation pipeline: filters, dedups, and splits exactly as specified") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and runs far away " * 4
+    val docs = Seq(
+      (1L, base + "alpha beta gamma delta epsilon zeta", "en", "s1"),
+      (2L, base + "alpha beta gamma delta epsilon zeta", "en", "s1"), // exact dup of 1
+      (3L, base + "alpha beta gamma delta epsilon zeta extra", "en", "s1"), // near dup of 1
+      (4L, base + "totally different closing words here now then", "en", "s2"),
+      (5L, base + "quality but wrong language entirely okay fine", "de", "s2"), // lang gate
+      (6L, "too short", "en", "s2")) // quality gate
+      .toDF("doc_id", "text", "lang", "source")
+    val cfg = Curation.Config(minTokens = 30, maxStopRatio = 0.9,
+      langs = Seq("en"), nearDupThreshold = 0.8, testFraction = 0.25)
+    val (train, test) = Curation.curate(docs, "doc_id", "text", "lang", cfg)
+    val survivors = (train.select("doc_id").collect() ++
+      test.select("doc_id").collect()).map(_.getLong(0)).toSet
+    // 2 (exact dup) and 3 (near dup) lose to 1; 5 and 6 gated out
+    assert(survivors === Set(1L, 4L))
+    // split is disjoint and exhaustive over survivors
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val testIds = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.intersect(testIds).isEmpty)
+    assert(trainIds.union(testIds) === survivors)
+  }
+
   test("percentile sketch lands within tolerance of the exact percentile") {
     val li = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.agg(percentile(col("l_extendedprice"), lit(0.9)))
