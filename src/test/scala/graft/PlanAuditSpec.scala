@@ -85,6 +85,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("exactMatch")) // provider's sibling fields pruned
   }
 
+  test("curation core: the cheap lang gate reaches the scan, regex gate stays codegen'd") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q_curation_core")(spark, sf)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    // equality predicates push to parquet; the tokenizer regex cannot and
+    // must not block the pushable part of the conjunction
+    assert(scan.metadata("PushedFilters").contains("EqualTo(lang,en)"))
+  }
+
   test("q_dedup_exact: digests shuffle, not document bodies") {
     val p = plan("q_dedup_exact")
     // the exchange sits above a projection that already computed md5(fp):
