@@ -210,9 +210,13 @@ object TextQueries {
     }),
 
     // TF-IDF: each doc's highest-scoring term. Three aggregations over the
-    // exploded token stream (tf per doc-term, df per term, corpus N), one
-    // broadcast of the single-row N, rank on the ROUNDED score so the
-    // engine-side tiebreak (score desc, tok asc) is decimal-stable.
+    // exploded token stream (tf per doc-term, df per term, corpus N); the
+    // df table is a broadcast (vocabulary-sized — fits as long as the
+    // vocab does, the standard assumption), and the per-doc argmax is a
+    // min_by/max aggregate over the ROUNDED score, so the exchange after
+    // scoring carries ONE row per doc — a row_number window here would
+    // shuffle and sort the entire doc-term stream. Tiebreak (score desc,
+    // tok asc) via min_by on (-tfidf, tok).
     "q_tfidf_top_term" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = docs.select(col("doc_id"), explode(toks).as("tok"))
@@ -220,16 +224,15 @@ object TextQueries {
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log((col("n_docs") + 1).cast("double") /
             (col("df") + 1).cast("double")), 4))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("tok"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("tok").as("top_tok"), col("tfidf"))
+      scored.groupBy(col("doc_id"))
+        .agg(min_by(col("tok"), struct(-col("tfidf"), col("tok")))
+          .as("top_tok"),
+          max(col("tfidf")).as("tfidf"))
+        .select(col("doc_id"), col("top_tok"), col("tfidf"))
     }),
   )
 
