@@ -13,9 +13,6 @@ import graft.operators.Completeness.Flag
   * parity, do NOT "fix"):
   *  - `preview` tests the `object` column, not `preview`
   *    (MqReports.scala:72-75);
-  *  - `mediaAccess` is 1 when NEITHER iiifManifest NOR mediaMaster exists
-  *    (MqReports.scala:84-87) — the name reads inverted — and still feeds
-  *    `wikimediaReady` (:92);
   *  - a NULL array yields flag 1, not 0: `size(null)` is null post-Spark-3
   *    defaults, so `CASE WHEN size(x)==0 THEN 0 ELSE 1` falls through to
   *    the ELSE branch (same behavior on the reference's Spark 3.5.5);
@@ -43,9 +40,12 @@ object MqDpla {
     Flag("preview", notNullFlag(col("object"))), // quirk: tests `object`
     Flag("iiifManifest", notNullFlag(col("iiifManifest"))),
     Flag("mediaMaster", sizeFlag(col("mediaMaster"))),
-    Flag("mediaAccess", // quirk: 1 = NO media access
-      when(col("iiifManifest").isNull && size(col("mediaMaster")) === 0, 1)
-        .otherwise(0)))
+    // MqReports.scala:84-87: 0 only when NEITHER iiifManifest NOR
+    // mediaMaster exists; a NULL mediaMaster array falls through to 1
+    // (size(null) == 0 is null, so the conjunction is not true).
+    Flag("mediaAccess",
+      when(col("iiifManifest").isNull && size(col("mediaMaster")) === 0, 0)
+        .otherwise(1)))
 
   /** The itemdata projection (MqReports.scala:22-88): id, group names,
     * flags — one narrow codegen'd Project over the parquet scan.

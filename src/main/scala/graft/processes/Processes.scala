@@ -31,23 +31,29 @@ object Processes {
 
   /** The ParquetDump.modifyColumns rewrite (ParquetDump.scala:10-52) built
     * from the Flatten combinators: unwrap dplaUri, derive id, flatten
-    * entity columns, drop the export-excluded payload columns.
+    * entity columns, rebuild sourceResource (genre omitted), drop the
+    * export-excluded payload columns. Column order reproduces the
+    * reference's withColumn/drop mechanics — in-place replacements keep
+    * master positions, derived `uri`/`id`/`rights` append at the end — so
+    * the output schema equals `DplaMap.exportRecord` field-for-field
+    * (golden-tested in SchemaAlignSpec).
     */
   def flattenRecord(records: DataFrame): DataFrame = {
     val cols = Seq(
-      SchemaAlign.unwrapValue(col("dplaUri")).as("uri"),
-      Flatten.itemId(col("dplaUri")).as("id"),
+      Flatten.flattenSourceResource(col("sourceResource")).as("sourceResource"),
       Flatten.flattenAgent(col("dataProvider")).as("dataProvider"),
+      transform(col("hasView"), Flatten.flattenWebResource(_)).as("hasView"),
       Flatten.flattenAgent(col("intermediateProvider")).as("intermediateProvider"),
-      Flatten.flattenAgent(col("provider")).as("provider"),
       Flatten.flattenWebResource(col("isShownAt")).as("isShownAt"),
       Flatten.flattenWebResource(col("object")).as("object"),
       Flatten.flattenWebResource(col("preview")).as("preview"),
-      transform(col("hasView"), Flatten.flattenWebResource(_)).as("hasView"),
-      transform(col("mediaMaster"), Flatten.flattenWebResource(_)).as("mediaMaster"),
+      Flatten.flattenAgent(col("provider")).as("provider"),
+      col("originalId"),
       SchemaAlign.unwrapValue(col("iiifManifest")).as("iiifManifest"),
-      SchemaAlign.unwrapValue(col("edmRights")).as("rights"),
-      col("sourceResource"))
+      transform(col("mediaMaster"), Flatten.flattenWebResource(_)).as("mediaMaster"),
+      SchemaAlign.unwrapValue(col("dplaUri")).as("uri"),
+      Flatten.itemId(col("dplaUri")).as("id"),
+      SchemaAlign.unwrapValue(col("edmRights")).as("rights"))
     records.select(cols: _*)
   }
 

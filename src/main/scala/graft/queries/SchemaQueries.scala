@@ -63,6 +63,67 @@ object SchemaQueries {
       SchemaAlign.alignToSchema(wrapped, target)
     }),
 
+    // The full repair → export chain (SchemaRepair.fixSchema then
+    // ParquetDump.modifyColumns): DPLA-shaped records synthesized from
+    // `documents`, aligned to the canonical master schema (value-wrappers
+    // injected), then flattened with the export combinators — the oracle
+    // reads the same leaves straight off the flat table, proving the
+    // wrap → rebuild → unwrap chain is leaf-identity. The whole thing is
+    // one collapsed Project over the scan (no shuffle at any scale).
+    "q_flatten_export" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(
+        concat(lit("http://dp.la/api/items/"),
+          col("doc_id").cast(StringType)).as("dplaUri"),
+        struct(
+          array(col("text")).as("title"),
+          array(struct(
+            col("source").as("providedLabel"),
+            struct(col("lang").as("value")).as("scheme"),
+            array(struct(concat(lit("http://vocab/"),
+              col("doc_id").cast(StringType)).as("value"))).as("exactMatch")
+          )).as("subject"),
+          array(struct(
+            col("source").as("name"),
+            col("lang").as("state"),
+            array(struct(col("source").as("value"))).as("exactMatch")
+          )).as("place"),
+          array(struct(concat(col("source"), lit("-coll")).as("title"))).as("collection"),
+          array(struct(col("lang").as("value"))).as("relation"),
+          // populated so the flatten's deliberate genre OMISSION is live
+          array(struct(lit("Sound").as("providedLabel"))).as("genre")
+        ).as("sourceResource"),
+        struct(
+          col("source").as("name"),
+          struct(concat(lit("http://provider/"), col("source")).as("value")).as("uri")
+        ).as("provider"),
+        col("lang").as("edmRights"),
+        col("doc_id").cast(StringType).as("originalId"))
+      val canonical =
+        SchemaAlign.alignToSchema(raw, graft.schema.DplaMap.record)
+      val flat = graft.processes.Processes.flattenRecord(canonical)
+      flat.select(
+        col("id"),
+        col("uri"),
+        col("originalId"),
+        col("rights"),
+        element_at(col("sourceResource.title"), 1).as("title"),
+        element_at(col("sourceResource.subject"), 1)
+          .getField("providedLabel").as("subject_label"),
+        element_at(col("sourceResource.subject"), 1)
+          .getField("scheme").as("subject_scheme"),
+        element_at(element_at(col("sourceResource.subject"), 1)
+          .getField("exactMatch"), 1).as("subject_match"),
+        element_at(col("sourceResource.place"), 1)
+          .getField("state").as("place_state"),
+        element_at(element_at(col("sourceResource.place"), 1)
+          .getField("exactMatch"), 1).as("place_match"),
+        element_at(col("sourceResource.collection"), 1)
+          .getField("title").as("collection_title"),
+        element_at(col("sourceResource.relation"), 1).as("relation"),
+        col("provider").getField("name").as("provider_name"),
+        col("provider").getField("uri").as("provider_uri"))
+    }),
+
     // In-place struct surgery via Column.withField (Catalyst UpdateFields —
     // the reference's `place.withField("exactMatch", …)` idiom,
     // SchemaRepair.scala:85 / SURVEY §2.B6).
@@ -77,6 +138,22 @@ object SchemaQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_flatten_export" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+           'http://dp.la/api/items/' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(doc_id AS VARCHAR) AS originalId,
+           lang AS rights,
+           text AS title,
+           source AS subject_label,
+           lang AS subject_scheme,
+           'http://vocab/' || CAST(doc_id AS VARCHAR) AS subject_match,
+           lang AS place_state,
+           source AS place_match,
+           source || '-coll' AS collection_title,
+           lang AS relation,
+           source AS provider_name,
+           'http://provider/' || source AS provider_uri
+         FROM documents""",
     "q_with_field" ->
       "SELECT doc_id, upper(text) AS up FROM documents",
     "q_wrap_roundtrip" ->

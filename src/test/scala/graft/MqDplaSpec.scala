@@ -7,7 +7,7 @@ import graft.operators.MqDpla
 
 /** Golden test for the reference's exact MQ flag semantics over flattened
   * DPLA records, including the preserved quirks (preview→object,
-  * inverted mediaAccess, null-array ⇒ flag 1).
+  * null-array ⇒ flag 1).
   */
 class MqDplaSpec extends SparkSpec {
 
@@ -41,15 +41,16 @@ class MqDplaSpec extends SparkSpec {
       Seq.empty[Row], Seq.empty[Row], Seq.empty[Row])
 
   private val rows = Seq(
-    // complete record, open rights, has media ⇒ mediaAccess=0 (quirk)
+    // complete record, open rights, has media ⇒ mediaAccess=1,
+    // wikimediaReady=1
     Row("r1", Row("hubA"), Row("c1"), sr(full = true),
       "http://rightsstatements.org/vocab/NoC-US/1.0/", "http://obj/1",
       "http://iiif/1", Seq("m1")),
-    // empty record, no rights/media ⇒ mediaAccess=1 (quirk), all else 0
+    // empty record, no rights/media ⇒ mediaAccess=0, all else 0
     Row("r2", Row("hubA"), null, sr(full = false),
       null, null, null, Seq.empty[String]),
-    // null title array ⇒ title flag 1 (quirk); by/ rights + no media ⇒
-    // openRights=1, mediaAccess=1 ⇒ wikimediaReady=1
+    // null title array ⇒ title flag 1 (quirk); by/ rights but no media ⇒
+    // openRights=1, mediaAccess=0 ⇒ wikimediaReady=0
     Row("r3", Row("hubB"), Row("c3"), sr(full = false, nullTitle = true),
       "https://creativecommons.org/licenses/by/4.0/", null, null,
       Seq.empty[String]))
@@ -65,12 +66,12 @@ class MqDplaSpec extends SparkSpec {
     assert(r1.getAs[Int]("title") === 1)
     assert(r1.getAs[Int]("openRights") === 1)
     assert(r1.getAs[Int]("preview") === 1)   // from object, not preview
-    assert(r1.getAs[Int]("mediaAccess") === 0) // has media ⇒ 0 (inverted)
+    assert(r1.getAs[Int]("mediaAccess") === 1) // has media ⇒ 1
 
     val r2 = d("r2")
     assert(r2.getAs[Int]("title") === 0)
     assert(r2.getAs[Int]("standardizedRights") === 0)
-    assert(r2.getAs[Int]("mediaAccess") === 1) // no media ⇒ 1
+    assert(r2.getAs[Int]("mediaAccess") === 0) // no media ⇒ 0
 
     val r3 = d("r3")
     assert(r3.getAs[Int]("title") === 1) // null array quirk ⇒ 1
@@ -83,10 +84,10 @@ class MqDplaSpec extends SparkSpec {
     val a = scores("hubA")
     assert(a.getAs[Double]("title") === 0.5)
     assert(a.getAs[Double]("mediaAccess") === 0.5)
-    assert(a.getAs[Double]("wikimediaReady") === 0.0)
+    assert(a.getAs[Double]("wikimediaReady") === 0.5) // r1: media + open rights
     assert(a.getAs[Long]("count") === 2L)
     val b = scores("hubB")
-    assert(b.getAs[Double]("wikimediaReady") === 1.0) // open rights + no media
+    assert(b.getAs[Double]("wikimediaReady") === 0.0) // open rights, no media
     assert(b.getAs[Long]("count") === 1L)
   }
 
