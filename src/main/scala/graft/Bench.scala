@@ -48,7 +48,21 @@ object Bench {
     // would make a crashing query look like a speedup against the baseline
     val total =
       if (results.values.exists(_ < 0)) -1.0 else results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full per-query map is ~3 KB with 70+ queries and the harness's
+    // stdout tail capture truncated it two rounds running (BENCH_r1/r2
+    // parsed:null). So: full detail goes to a sidecar file AND an earlier
+    // stdout line that deliberately avoids the "metric" marker, while the
+    // FINAL line is a compact always-parseable summary carrying the total
+    // plus only the ten slowest queries.
+    val detail = s"""{"detail":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    println(detail)
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries_truncated":true,"queries":$slowest,"sf":"$sfDir","detail_file":"bench_detail.json"}""")
     spark.stop()
   }
 }

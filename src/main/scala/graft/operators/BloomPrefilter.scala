@@ -42,7 +42,11 @@ object BloomPrefilter {
       smallKey: String,
       expectedItems: Long = 1000000L,
       numBits: Long = 8L * 1000000L): DataFrame = {
+    // both frames run jobs here (the build agg on `small`, the filter on
+    // `big`) — register on both sessions so a cross-session pair can't hit
+    // an unresolved-function error halfway through
     graft.plans.GraftFunctions.register(big.sparkSession)
+    graft.plans.GraftFunctions.register(small.sparkSession)
     // xxhash64 hashes by PHYSICAL type (hashInt vs hashLong), so equal
     // values of different widths hash differently and every true match
     // would be dropped. Normalize integrals to long; anything else must

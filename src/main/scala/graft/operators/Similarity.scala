@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions._
 
@@ -37,9 +38,12 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxCorpusRows: Long = 1000000L): DataFrame = {
     val spark = queries.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    requireBroadcastable(corpus, maxCorpusRows,
+      "knnBruteForce corpus", "annLsh/annIvf")
     // graft_cosine (one fused codegen loop) and NOT normalize-once+dot:
     // this path is hash-compared against DuckDB's list_cosine_similarity,
     // which divides the raw dot by the norms — same operation sequence ⇒
@@ -57,6 +61,22 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
     topKPerQuery(scored, k)
+  }
+
+  /** Size-gate for the exact all-pairs baselines: they broadcast one side
+    * entirely, which does not survive a 100× scale-up — past the bound the
+    * driver would OOM building the broadcast long before any executor
+    * failed. The probe is a bounded `limit(max+1).count()`, so gating a
+    * 100 TB table scans at most max+1 rows, not the table. Fails fast with
+    * a pointer at the scale path instead of letting the job die late.
+    */
+  def requireBroadcastable(
+      df: DataFrame, maxRows: Long, what: String, alternative: String): Unit = {
+    val n = df.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= maxRows,
+      s"$what exceeds $maxRows rows — the exact all-pairs baseline " +
+        s"broadcasts this side entirely and will not survive at scale; " +
+        s"use $alternative instead")
   }
 
   /** Spread a frame to the cluster's parallelism iff it is
@@ -83,26 +103,33 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rn"))
 
   /** IVF coarse quantizer: deterministic seeding (hash of id → cell) + one
-    * Lloyd iteration with the VectorAvg partial aggregate. The resulting
-    * centroid table (nCells × dim doubles — KBs even at tens of thousands
-    * of cells) is collected and inlined as a literal array, so
-    * nearest-centroid assignment is a narrow per-row argmax — zero joins,
-    * zero vector-carrying shuffles. At 100 TB: training touches each vector
-    * twice (seed-agg, map-side combined; then the assignment scan); the
-    * only exchange moves nCells partial sums.
+    * Lloyd iteration with the VectorAvg partial aggregate. The centroid
+    * table is nCells × dim doubles — 16 cells × 64 dims is ~8 KB, but 10k
+    * cells × 768 dims is ~60 MB, far too large for a plan literal (codegen
+    * and plan-serialization blowup). So: up to `maxInlineDoubles` the
+    * collected centroids are inlined and assignment is a narrow codegen'd
+    * per-row argmax (zero joins, zero vector shuffles); above it,
+    * assignment falls back to a broadcast join against the centroid table
+    * plus a max_by argmax aggregate (one shuffle of (id, cell, vec) rows).
+    * At 100 TB: training touches each vector twice (seed-agg, map-side
+    * combined; then the assignment scan); the only training exchange moves
+    * nCells partial sums.
     *
     * NOTE: like an ML `fit`, CONSTRUCTING this frame runs the training job
     * (the centroid collect) eagerly — callers that only want to inspect a
     * plan still pay one aggregation over `df`. Ids are assumed unique (the
     * usual vector-index contract); duplicate ids yield duplicate rows here
-    * and duplicate candidates downstream, where the pre-literal join-based
-    * implementation deduplicated.
+    * and duplicate candidates downstream.
     */
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 16, maxInlineDoubles: Long = 1L << 18): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
+    // the (id, vec) projection feeds the eager training aggregate AND the
+    // assignment scan below — persist so the parquet scan + float→double
+    // cast run once (training materializes the cache)
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__seed_cell", pmod(xxhash64(col(idCol)), lit(nCells.toLong)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val centroids: Array[Row] = v.groupBy(col("__seed_cell").as("cell"))
       .agg(expr("graft_vector_avg(__v)").as("centroid"))
       .collect()
@@ -115,23 +142,45 @@ object Similarity {
       return v.select(col(idCol), lit(null).cast("bigint").as("cell"),
         col("__v"))
     }
-    val centArr = array(centroids.map { r =>
-      struct(
-        typedLit(r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
-          .as("centroid"),
-        lit(r.getAs[Long]("cell")).as("cell"))
-    }.toIndexedSeq: _*)
-    // per-row argmax via lexicographic array_max on (sim, -cell): highest
-    // similarity wins, ties break to the lowest cell id — the same order
-    // max_by(cell, struct(sim, -cell)) produced when this was a join.
-    val scoredCells = transform(centArr, c =>
-      struct(
-        call_function("graft_cosine", col("__v"), c.getField("centroid"))
-          .as("sim"),
-        (-c.getField("cell")).as("negcell")))
-    v.select(col(idCol),
-      (-array_max(scoredCells).getField("negcell")).as("cell"),
-      col("__v"))
+    val dim = centroids.head.getAs[scala.collection.Seq[Double]]("centroid").length
+    if (centroids.length.toLong * dim <= maxInlineDoubles) {
+      val centArr = array(centroids.map { r =>
+        struct(
+          typedLit(r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
+            .as("centroid"),
+          lit(r.getAs[Long]("cell")).as("cell"))
+      }.toIndexedSeq: _*)
+      // per-row argmax via lexicographic array_max on (sim, -cell): highest
+      // similarity wins, ties break to the lowest cell id — the same order
+      // max_by(cell, struct(sim, -cell)) produced when this was a join.
+      val scoredCells = transform(centArr, c =>
+        struct(
+          call_function("graft_cosine", col("__v"), c.getField("centroid"))
+            .as("sim"),
+          (-c.getField("cell")).as("negcell")))
+      v.select(col(idCol),
+        (-array_max(scoredCells).getField("negcell")).as("cell"),
+        col("__v"))
+    } else {
+      // large-codebook path: broadcast-join assignment. Same argmax order
+      // (sim desc, cell asc) via max_by over a (sim, -cell) struct key.
+      import df.sparkSession.implicits._
+      val centDf = centroids.toIndexedSeq
+        .map(r => (r.getAs[Long]("cell"),
+          r.getAs[scala.collection.Seq[Double]]("centroid").toSeq))
+        .toDF("__cc", "__centroid")
+      v.crossJoin(broadcast(centDf))
+        .select(col(idCol), col("__v"),
+          struct(
+            call_function("graft_cosine", col("__v"), col("__centroid"))
+              .as("sim"),
+            (-col("__cc")).as("negcell")).as("__key"),
+          col("__cc"))
+        .groupBy(col(idCol))
+        .agg(expr("max_by(__cc, __key)").as("cell"),
+          first(col("__v")).as("__v"))
+        .select(col(idCol), col("cell"), col("__v"))
+    }
   }
 
   /** IVF-probed approximate top-k: score only same-cell pairs. Cells larger
@@ -153,8 +202,14 @@ object Similarity {
       k: Int, nCells: Int = 16, maxCellSize: Int = 100000,
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    // (id, cell, unit vector) is the IVF index itself, read three times
+    // below (cap count + both self-join sides) — persist it so the
+    // assignment argmax scan runs once, not 3x. MEMORY_AND_DISK: at
+    // cluster scale this is exactly the frame an index build would
+    // materialize anyway, and eviction degrades to recompute, not failure.
     val cells = ivfCells(df, idCol, vecCol, nCells)
       .withColumn("__v", normalize(col("__v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keptCells = cells.groupBy(col("cell"))
       .agg(count(lit(1)).as("__csize"))
       .filter(col("__csize") <= maxCellSize)
@@ -198,8 +253,11 @@ object Similarity {
       nBits: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
+    // same persist rationale as annIvf: the sketch+normalize projection
+    // feeds the cap count and both self-join sides — compute it once.
     val s = sketched(df, idCol, vecCol, nBits)
       .select(col(idCol), normalize(col(vecCol)).as(vecCol), col("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keptBuckets = s.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__bsize"))
       .filter(col("__bsize") <= maxBucketSize)

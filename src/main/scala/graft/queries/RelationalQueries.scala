@@ -324,12 +324,16 @@ object RelationalQueries {
     // Rows-only: one-pass percentile sketch (the scale path for
     // q_percentiles' exact sort-based form; merge order varies with
     // partitioning so no cross-engine hash oracle — proximity to the exact
-    // values is asserted in OperatorSpec instead).
+    // values is asserted in OperatorSpec instead). The sketch array is
+    // projected to scalar columns so the rows-only checker can sort rows.
     "q_approx_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.9)), lit(10000)).as("approx_p"))
+        .select(col("l_returnflag"),
+          element_at(col("approx_p"), 1).as("p50"),
+          element_at(col("approx_p"), 2).as("p90"))
     }),
 
     // Second-moment aggregates (Welford-style partial+final merge, one

@@ -162,11 +162,15 @@ object TextQueries {
     // Edit distance over a bounded deterministic pair set (fuzzy-dedup
     // verify stage; systematic doc_id % 20 sample keeps it O((n/20)²) and
     // broadcastable — at corpus scale candidates come from LSH, never
-    // all-pairs).
+    // all-pairs). Size-gated: the sample still grows linearly with the
+    // corpus, so past the broadcast bound this fails fast instead of
+    // OOMing the driver.
     "q_levenshtein" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .filter(col("doc_id") % 20 === 0)
         .select(col("doc_id"), substring(col("text"), 1, 30).as("head30"))
+      graft.operators.Similarity.requireBroadcastable(docs, 1000000L,
+        "q_levenshtein %20 sample", "Dedup.nearDupPairs (LSH candidates)")
       val a = docs.select(col("doc_id").as("id_a"), col("head30").as("t_a"))
       val b = docs.select(col("doc_id").as("id_b"), col("head30").as("t_b"))
       a.crossJoin(broadcast(b))

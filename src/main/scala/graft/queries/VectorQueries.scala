@@ -70,6 +70,10 @@ object VectorQueries {
       // scaladoc for the rounding-boundary rationale.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // exact-oracle baseline: broadcasts the whole corpus, so size-gate it
+      // (the scale path is the LSH/IVF candidate prefilter).
+      Similarity.requireBroadcastable(e, 1000000L,
+        "q_embed_neardup corpus", "annLsh candidates + threshold verify")
       // spread the streamed side iff under-partitioned (single-file batch
       // would score all O(n²) pairs in one task)
       val a = Similarity.spreadIfNarrow(

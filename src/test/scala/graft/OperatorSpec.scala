@@ -345,6 +345,54 @@ class OperatorSpec extends SparkSpec {
     assert(recall(ivf) > 0.12, s"ivf recall ${recall(ivf)}")
   }
 
+  test("all-pairs baselines fail fast past the broadcast size gate") {
+    val vecs = df(
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.9f, 0.1f)),
+      Row(3L, Seq(0.0f, 1.0f)), Row(4L, Seq(-1.0f, 0.0f)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnBruteForce(vecs, vecs, "vec_id", "embedding", 2,
+        maxCorpusRows = 3)
+    }
+    assert(e.getMessage.contains("annLsh"))
+    // and under the bound the gate is silent
+    Similarity.knnBruteForce(vecs, vecs, "vec_id", "embedding", 2,
+      maxCorpusRows = 4).count()
+  }
+
+  test("IVF large-codebook broadcast-join fallback assigns the same cells") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    def cells(maxInline: Long) =
+      Similarity.ivfCells(e, "vec_id", "embedding", nCells = 8,
+        maxInlineDoubles = maxInline)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inline = cells(1L << 18) // literal-centroid argmax path
+    val joined = cells(1L)       // forced broadcast-join fallback
+    assert(joined === inline)
+  }
+
+  test("ANN recall@3 vs exact KNN stays above the pinned floor (sf0.01)") {
+    // pinned params on the sf0.01 fixture (5000 vectors): regressions in
+    // the sketch math or the candidate plumbing show up as recall drops.
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnBruteForce(e, e, "vec_id", "embedding", 3))
+    val lsh = pairs(Similarity.annLsh(e, "vec_id", "embedding", 3, nBits = 4))
+    val ivf = pairs(Similarity.annIvf(e, "vec_id", "embedding", 3, nCells = 16))
+    def recall(ann: Set[(Long, Long)]) =
+      ann.intersect(exact).size.toDouble / exact.size
+    info(f"lsh recall@3 = ${recall(lsh)}%.4f, ivf recall@3 = ${recall(ivf)}%.4f")
+    // measured 0.156 / 0.184 on the pinned fixture+params (random-candidate
+    // baseline ≈ 0.06); floors sit under run-to-run noise but far above
+    // chance, so a broken sketch cannot sneak through
+    assert(recall(lsh) >= 0.12, s"lsh recall ${recall(lsh)}")
+    assert(recall(ivf) >= 0.15, s"ivf recall ${recall(ivf)}")
+  }
+
   test("codegen HyperplaneSketch matches the HOF lshBucket reference bit-for-bit") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val both = Similarity.sketched(e, "vec_id", "embedding", nBits = 8)
