@@ -180,4 +180,46 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** ORACLE-friendly SimHash: per-token bits come from md5 hex digits
+    * (md5 is bit-identical in every engine, so the packed signature
+    * hash-compares against a DuckDB reimplementation — same trick as the
+    * md5 MinHash permutations in q_minhash_md5). 16 bits by default; the
+    * 64-bit xxhash64 `simhash` stays the fast path. Bit i of the
+    * signature reads hex digit i/4, bit 3-(i%4) (MSB-first within the
+    * digit); votes are the standard ±1 fold with a strictly-positive
+    * threshold. Tokens hash ONCE in the outer transform — the 16 bit
+    * lambdas reference the lambda variable, not 16 copies of md5(t).
+    * Null token arrays propagate to a null signature; empty ones pack 0.
+    */
+  def simhashMd5(toks: Column, nBits: Int = 16): Column = {
+    val hashes = transform(toks, t => md5(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), nBits),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(nBits - 1)),
+            i => {
+              val pos = call_function("shiftright", i, lit(2)) + lit(1)
+              val within = lit(3) - i.bitwiseAND(lit(3))
+              val digit =
+                conv(call_function("substring", h, pos, lit(1)), 16, 10)
+                  .cast("long")
+              val bit = call_function("shiftright", digit, within)
+                .bitwiseAND(lit(1L))
+              when(bit === 1L, lit(1L)).otherwise(lit(-1L))
+            }),
+          (a, v) => a + v))
+    aggregate(
+      zip_with(
+        votes,
+        sequence(lit(0), lit(nBits - 1)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc + b)
+  }
 }

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * / frame-sample stages.
   *
   * The Spark-side plumbing — schema, batch shape, partition behavior — is
-  * real and tested; the actual media DECODE is STUBBED (this container ships
-  * no image/audio codecs): `decodeStub` derives a deterministic fake feature
-  * vector from the bytes. Swap `decodeStub`'s body for a real codec
-  * (javacv / a JNI decoder) without touching any call site.
+  * real and tested. The header DECODE is real too: `imageDims` parses
+  * PNG IHDR and JPEG SOF segments for pixel dimensions (no codec library
+  * needed — it is pure byte-walking, oracled end to end in
+  * q_media_features). Only the pixel-level FEATURE extraction is stubbed
+  * (this container ships no image/audio codecs): `decodeStub` derives a
+  * deterministic fake feature vector from the bytes. Swap that part for a
+  * real codec (javacv / a JNI decoder) without touching any call site.
   *
   * Scale notes: per-record work runs in `mapPartitions` over a typed
   * Dataset, so decode amortizes any per-partition init (model load, codec
@@ -29,15 +32,64 @@ object Multimodal {
       content: Array[Byte],
       meta_source: String)
 
-  /** Extracted features (decode output batch shape). */
+  /** Extracted features (decode output batch shape). `img_format`/`width`/
+    * `height` come from the real header parse and are null for payloads
+    * that are not recognizable images.
+    */
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
       n_bytes: Long,
       n_frames: Int,
+      img_format: String,
+      width: Option[Int],
+      height: Option[Int],
       features: Array[Float])
 
   val FeatureDim = 8
+
+  /** Parsed image header. */
+  final case class ImageDims(format: String, width: Int, height: Int)
+
+  /** Real image-header decode, no codec library: PNG dimensions live in the
+    * IHDR chunk (bytes 16-23 big-endian after the 8-byte signature +
+    * 4-byte length + "IHDR"); JPEG requires walking the marker segments to
+    * the first start-of-frame (0xC0-0xCF minus the non-frame C4/C8/CC),
+    * whose payload is precision(1), height(2), width(2) big-endian.
+    * Returns None for anything unrecognizable — truncated headers
+    * included.
+    */
+  def imageDims(bytes: Array[Byte]): Option[ImageDims] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)))
+      Some(ImageDims("png", be32(16), be32(20)))
+    else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xff) return None // lost marker sync
+        val marker = u8(i + 1)
+        if (marker == 0xff) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            return if (i + 8 < bytes.length)
+              Some(ImageDims("jpeg", be16(i + 7), be16(i + 5)))
+            else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
 
   /** Build an opaque-binary media frame from any string column (the test
     * corpus carries no real media; utf-8 bytes stand in for the payload).
@@ -53,11 +105,11 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode + feature extraction: a real implementation would open the
-    * codec once per partition and decode each record; this one derives
-    * deterministic pseudo-features from the byte content so the pipeline
-    * shape (partition-amortized init, typed batch output, feature
-    * dimensionality) is exercised end to end.
+  /** Decode + feature extraction: the image-header parse (`imageDims`) is
+    * real; the pixel-level features are a deterministic STUB (see object
+    * scaladoc). A real implementation would open the codec once per
+    * partition and decode each record — the mapPartitions shape already
+    * amortizes that init.
     */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
@@ -66,6 +118,7 @@ object Multimodal {
       iter.map { m =>
         val bytes = if (m.content == null) Array.empty[Byte] else m.content
         val frames = frameOffsets(bytes.length, frameSize = 64)
+        val dims = imageDims(bytes)
         val feats = Array.tabulate(FeatureDim) { d =>
           // deterministic fake: byte-sum of every FeatureDim-th byte, scaled
           var acc = 0L
@@ -74,7 +127,8 @@ object Multimodal {
           (acc % 1000L) / 1000.0f
         }
         MediaFeatures(m.media_id, m.media_type, bytes.length.toLong,
-          frames.length, feats)
+          frames.length, dims.map(_.format).orNull,
+          dims.map(_.width), dims.map(_.height), feats)
       }
     }
   }

@@ -140,6 +140,15 @@ object TextQueries {
         .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
     }),
 
+    // ORACLED SimHash: md5-hex-digit bits (cross-engine identical) packed
+    // into a 16-bit signature — proves the vote-and-threshold fold end to
+    // end; the 64-bit xxhash64 form in q_text_signatures stays the fast
+    // path. Compute-heavy narrow map ⇒ spread the single-file scan first.
+    "q_simhash_md5" -> ((s, dir) => {
+      graft.operators.Similarity.spreadIfNarrow(t(s, dir, "documents"))
+        .select(col("doc_id"), Dedup.simhashMd5(toks).as("simhash16"))
+    }),
+
     // Rows-only: order-sensitive signatures (SimHash + rolling hash).
     "q_text_signatures" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -365,6 +374,25 @@ object TextQueries {
            list_min(list_transform(s, x -> md5(concat('2 ', x)))) AS sig2,
            list_min(list_transform(s, x -> md5(concat('3 ', x)))) AS sig3
          FROM sh""",
+
+    "q_simhash_md5" ->
+      """WITH hs AS (
+           SELECT doc_id, text,
+             list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> md5(t)) AS h
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             CAST(list_sum(list_transform(generate_series(0, 15), i ->
+               CASE WHEN list_sum(list_transform(h, x ->
+                   CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(x, (i // 4) + 1, 1)) - 1)
+                              >> (3 - (i % 4))) & 1 = 1
+                     THEN 1 ELSE -1 END)) > 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT)
+           END AS simhash16
+         FROM hs""",
 
     "q_regexp_extract_all" ->
       """SELECT doc_id,

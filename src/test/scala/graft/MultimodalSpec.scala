@@ -45,6 +45,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameOffsets(65, 64).toSeq === Seq(0, 64))
   }
 
+  test("imageDims parses PNG and JPEG headers, rejects junk and truncation") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480
+    val png = hx("89504E470D0A1A0A" + "0000000D49484452" +
+      "00000280" + "000001E0" + "0802000000")
+    assert(Multimodal.imageDims(png) ===
+      Some(Multimodal.ImageDims("png", 640, 480)))
+    // JPEG 320x200 behind an APP0 the parser must walk over
+    val jpg = hx("FFD8" + "FFE00010" + "4A46494600010100000100010000" +
+      "FFC00011" + "08" + "00C8" + "0140" + "03011100021101031101")
+    assert(Multimodal.imageDims(jpg) ===
+      Some(Multimodal.ImageDims("jpeg", 320, 200)))
+    // progressive JPEG (SOF2) parses too
+    val jpg2 = hx("FFD8" + "FFC20011" + "08" + "0010" + "0020" +
+      "03011100021101031101")
+    assert(Multimodal.imageDims(jpg2) ===
+      Some(Multimodal.ImageDims("jpeg", 32, 16)))
+    assert(Multimodal.imageDims("not an image".getBytes) === None)
+    assert(Multimodal.imageDims(png.take(20)) === None) // truncated IHDR
+    assert(Multimodal.imageDims(hx("FFD8FFE000")) === None) // truncated APP0
+    assert(Multimodal.imageDims(Array.empty[Byte]) === None)
+  }
+
+  test("decodeStub surfaces parsed dimensions and nulls for non-images") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val png = hx("89504E470D0A1A0A" + "0000000D49484452" +
+      "00000280" + "000001E0" + "0802000000")
+    val docs = Seq(
+      (1L, png, "image", "s"),
+      (2L, "plain text".getBytes, "audio", "s"))
+      .toDF("doc_id", "payload", "mt", "source")
+    val f = Multimodal.decodeStub(
+      Multimodal.asMedia(docs, "doc_id", "payload", "mt", "source"))
+      .collect().sortBy(_.media_id)
+    assert(f(0).img_format === "png")
+    assert(f(0).width === Some(640) && f(0).height === Some(480))
+    assert(f(1).img_format === null)
+    assert(f(1).width === None && f(1).height === None)
+  }
+
   test("resizeStub truncates payloads without dropping rows") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 100, "image", "s")).toDF("doc_id", "text", "mt", "source")
