@@ -239,6 +239,63 @@ object Similarity {
       call_function("graft_lsh_bucket", asDouble(col(vecCol)), lit(nBits)))
   }
 
+  /** Embedding-cosine near-dup pairs at scale — the auto-scale counterpart
+    * of the size-gated exact `q_embed_neardup` baseline. Multi-table LSH:
+    * ONE HyperplaneSketch pass computes `nTables × nBits` bits, table t
+    * reads bit-slice [t·nBits, (t+1)·nBits) — so recall compounds across
+    * tables (a near-parallel pair missed by one table's hyperplanes is
+    * caught by another's) for zero extra vector scans. The per-table keys
+    * feed the SAME banded candidate machinery as MinHash LSH
+    * (`Dedup.lshCandidatePairs`: posexplode → capped buckets → in-bucket
+    * pair expansion → distinct), then candidates join back to the
+    * normalized vectors and only those pairs are scored — never all-pairs,
+    * and only ids + scalars move in the pair shuffle. Table 0's slice
+    * equals the single-table sketch, so results are a deterministic
+    * superset of `annLsh`-style candidates at the same nBits.
+    *
+    * Tuning: a pair at cosine s collides in one b-bit table with
+    * probability (1 − acos(s)/π)^b, and across L tables 1−(1−p)^L — so
+    * match (b, L) to the threshold. The 4×15 default fills the sketch's
+    * 63-bit budget recall-first (≈0.92 for s=0.4, ≈0.999 for s≥0.9); for high
+    * thresholds on huge corpora prefer wider tables (8×4: ≈0.75 at s=0.9)
+    * to cut candidate volume — candidates per table scale with Σpᵢ² of
+    * its bucket distribution, so fewer/wider buckets prune harder.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 4,
+      nTables: Int = 15,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(nBits * nTables <= 63,
+      s"nBits*nTables must fit the 63-bit sketch, got $nBits*$nTables")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val mask = (1L << nBits) - 1
+    // normalized vectors feed the sketch AND both verify-join sides
+    val vecs = df.select(col(idCol), normalize(col(vecCol)).as("__v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = vecs
+      .withColumn("__sketch",
+        call_function("graft_lsh_bucket", col("__v"), lit(nBits * nTables)))
+      .select(col(idCol),
+        // empty/degenerate vectors all sketch to 0 — null their band keys
+        // (posexplode drops nulls) so they can't pile into one spurious
+        // bucket per table, same guard as the MinHash path
+        when(size(col("__v")) === 0, lit(null).cast("array<bigint>"))
+          .otherwise(transform(sequence(lit(0), lit(nTables - 1)), t =>
+            call_function("shiftright", col("__sketch"), t * nBits)
+              .bitwiseAND(lit(mask)))).as("band_keys"))
+    val pairs = Dedup.lshCandidatePairs(banded, idCol, maxBucketSize)
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col("__v").as("va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("__v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(call_function("graft_dot", col("va"), col("vb")), 4).as("sim4"))
+      .filter(col("sim4") >= threshold)
+  }
+
   /** Approximate top-k: score only same-bucket pairs. Degenerate buckets
     * are dropped via a broadcast count-table join (not a per-row window —
     * that would shuffle every vector), and per-query ranking uses the

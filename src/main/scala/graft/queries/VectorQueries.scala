@@ -86,6 +86,16 @@ object VectorQueries {
         .filter(col("sim4") >= 0.4)
     }),
 
+    // Rows-only: the SCALE path for embedding near-dup — multi-table LSH
+    // candidates + exact verify (never all-pairs; OperatorSpec asserts
+    // subset-of-exact + a recall floor vs the brute-force oracle shape).
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .groupBy(col("id_a")).agg(count(lit(1)).as("n_pairs"),
+          max(col("sim4")).as("best_sim"))
+    }),
+
     // Rows-only: LSH sketch buckets (the ANN scale path's partition key).
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

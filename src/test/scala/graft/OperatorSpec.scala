@@ -393,6 +393,39 @@ class OperatorSpec extends SparkSpec {
     assert(recall(ivf) >= 0.15, s"ivf recall ${recall(ivf)}")
   }
 
+  test("embeddingNearDupPairs: subset of exact pairs, recall compounds with tables") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    import graft.functions.VectorFunctions._
+    graft.plans.GraftFunctions.register(spark)
+    // exact threshold pairs, scored the same way as the operator
+    // (normalize + dot, rounded) so the subset assertion has no
+    // rounding-boundary noise
+    val v = e.select(col("vec_id"), normalize(col("embedding")).as("v"))
+    val exact = v.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .crossJoin(broadcast(v.select(col("vec_id").as("id_b"), col("v").as("vb"))))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("graft_dot(va, vb)"), 4).as("sim4"))
+      .filter(col("sim4") >= 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def approx(tables: Int): Set[(Long, Long)] =
+      Similarity.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4,
+        nBits = 4, nTables = tables)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = approx(1)
+    val fifteen = approx(15)
+    // verify step guarantees no false positives...
+    assert(fifteen.subsetOf(exact))
+    // ...tables strictly add candidates (table 0 = the single-table sketch)
+    assert(one.subsetOf(fifteen))
+    // ...and recall compounds: theory gives ≈0.16/table at s=0.4, ≈0.92
+    // for 15 tables; floor at 0.6 to absorb fixture noise
+    info(s"exact=${exact.size} one=${one.size} fifteen=${fifteen.size}")
+    assert(fifteen.size.toDouble / exact.size >= 0.6,
+      s"recall ${fifteen.size.toDouble / exact.size}")
+  }
+
   test("codegen HyperplaneSketch matches the HOF lshBucket reference bit-for-bit") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val both = Similarity.sketched(e, "vec_id", "embedding", nBits = 8)
