@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,59 @@ object Curation {
     val losers = Dedup.nearDupPairs(docs, textCol, idCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Eval-set decontamination: flag train documents sharing any n-gram
+    * shingle with an evaluation set — the standard pre-training hygiene
+    * pass that keeps benchmark text out of the corpus.
+    *
+    * Scale design (train = the 100 TB side, eval = benchmarks, tiny):
+    * neither stage shuffles the train side.
+    *  1. Bloom prefilter: the distinct eval shingle hashes fold into one
+    *     Bloom filter (one small agg job over eval), inlined as a binary
+    *     literal so the train scan applies
+    *     `exists(shingles, s -> might_contain(bf, xxhash64(s)))` as a
+    *     narrow codegen'd predicate — the uncontaminated bulk drops
+    *     scan-side.
+    *  2. Exact verify: only the surviving candidates explode their
+    *     distinct shingles and broadcast-hash-join the eval shingle set
+    *     (small side broadcast), so Bloom false positives cost wasted
+    *     verify work, never a wrong row; the only exchange is the final
+    *     per-doc count over shared-shingle rows.
+    *
+    * Returns (idCol, n_shared) for contaminated train docs only.
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1000000L): DataFrame = {
+    graft.plans.GraftFunctions.register(train.sparkSession)
+    graft.plans.GraftFunctions.register(eval.sparkSession)
+    def sh(c: Column) = TextAnalysis.shingles(TextAnalysis.tokens(c), shingleN)
+    val evalShingles = eval
+      .select(explode(sh(col(textCol))).as("sh")).distinct()
+    val bfBytes: Array[Byte] = evalShingles
+      .select(xxhash64(col("sh")).as("__h"))
+      .agg(expr(s"graft_bloom_agg(__h, ${expectedItems}L, ${numBits}L)")
+        .as("__bf"))
+      .head().getAs[Array[Byte]]("__bf")
+    if (bfBytes == null) {
+      // empty eval set: nothing can be contaminated
+      return train.select(col(idCol), lit(0L).as("n_shared")).limit(0)
+    }
+    val candidates = train
+      .select(col(idCol), array_distinct(sh(col(textCol))).as("__sh"))
+      .filter(exists(col("__sh"), s =>
+        call_function("graft_might_contain", lit(bfBytes), xxhash64(s))))
+    candidates
+      .select(col(idCol), explode(col("__sh")).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** Full pipeline → (train, test). */

@@ -140,6 +140,20 @@ object TextQueries {
         .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
     }),
 
+    // ORACLED decontamination: documents split into train (doc_id%10≠0)
+    // and eval (doc_id%10=0); contaminated train docs = those sharing any
+    // 3-gram shingle with eval. The Bloom prefilter stage is invisible to
+    // the result (exact verify follows), so DuckDB reproduces it with a
+    // plain shingle join.
+    "q_decontaminate" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id")
+    }),
+
     // ORACLED SimHash: md5-hex-digit bits (cross-engine identical) packed
     // into a 16-bit signature — proves the vote-and-threshold fold end to
     // end; the 64-bit xxhash64 form in q_text_signatures stays the fast
@@ -374,6 +388,25 @@ object TextQueries {
            list_min(list_transform(s, x -> md5(concat('2 ', x)))) AS sig2,
            list_min(list_transform(s, x -> md5(concat('3 ', x)))) AS sig3
          FROM sh""",
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM documents),
+         esh AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+         tsh AS (
+           SELECT doc_id, unnest(list_distinct(s)) AS g
+           FROM sh WHERE doc_id % 10 <> 0)
+         SELECT t.doc_id, count(*) AS n_shared
+         FROM tsh t JOIN esh e USING (g)
+         GROUP BY t.doc_id""",
 
     "q_simhash_md5" ->
       """WITH hs AS (

@@ -250,6 +250,30 @@ class OperatorSpec extends SparkSpec {
     assert(trainIds.union(testIds) === survivors)
   }
 
+  test("decontaminate flags exactly the train docs sharing eval shingles") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares "alpha beta gamma"
+      (2L, "totally unrelated training document text"),
+      (3L, "eta theta iota kappa lambda mu nu")) // shares 2 eval shingles
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma entirely different tail"),
+      (101L, "eta theta iota kappa wholly other ending"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares exactly one 3-gram; doc 3 shares "eta theta iota" and
+    // "theta iota kappa"; doc 2 is clean and must be absent
+    assert(out === Map(1L -> 1L, 3L -> 2L))
+    // empty eval set: nothing flagged, schema intact
+    val none = Curation.decontaminate(train,
+      eval.filter(col("doc_id") < 0), "text", "doc_id")
+    assert(none.columns.toSeq === Seq("doc_id", "n_shared"))
+    assert(none.count() === 0)
+  }
+
   test("percentile sketch lands within tolerance of the exact percentile") {
     val li = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.agg(percentile(col("l_extendedprice"), lit(0.9)))

@@ -96,6 +96,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.metadata("PushedFilters").contains("EqualTo(lang,en)"))
   }
 
+  test("q_decontaminate: train side never shuffles before the final count") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+        .queryExecution.executedPlan
+      val p = plan.toString
+      // eval shingles broadcast to the candidates; no sort-merge join
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("SortMergeJoin"))
+      // exactly two shuffles: the eval-shingle distinct (small side) and
+      // the final per-doc count — the train scan itself stays narrow
+      // through bloom-filter, explode, and broadcast join
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.size === 2, p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q_dedup_exact: digests shuffle, not document bodies") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // inspect the exchange NODE, not a plan-string window: the md5(text)
