@@ -140,6 +140,14 @@ object TextQueries {
         .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
     }),
 
+    // ORACLED unigram-LM scoring: corpus-fit top-1000 vocabulary becomes a
+    // literal map, scoring is a narrow per-doc fold (no join/shuffle —
+    // see UnigramLm scaladoc); DuckDB refits the same model relationally.
+    "q_unigram_nll" -> ((s, dir) => {
+      graft.operators.UnigramLm.scores(
+        t(s, dir, "documents"), "text", "doc_id")
+    }),
+
     // ORACLED decontamination: documents split into train (doc_id%10≠0)
     // and eval (doc_id%10=0); contaminated train docs = those sharing any
     // 3-gram shingle with eval. The Bloom prefilter stage is invisible to
@@ -388,6 +396,20 @@ object TextQueries {
            list_min(list_transform(s, x -> md5(concat('2 ', x)))) AS sig2,
            list_min(list_transform(s, x -> md5(concat('3 ', x)))) AS sig3
          FROM sh""",
+
+    "q_unigram_nll" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+           FROM documents),
+         cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 1000),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt)
+         SELECT doc_id,
+           round(avg(-ln(coalesce(v.c, 1) / tot.total)), 4) AS avg_nll,
+           CAST(count(*) AS BIGINT) AS n_tokens
+         FROM tok LEFT JOIN vocab v USING (t), tot
+         GROUP BY doc_id""",
 
     "q_decontaminate" ->
       """WITH sh AS (

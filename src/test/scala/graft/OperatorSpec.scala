@@ -274,6 +274,28 @@ class OperatorSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("unigram LM scores gibberish worse than fluent text") {
+    import graft.operators.UnigramLm
+    import spark.implicits._
+    val fluent = "the cat sat on the mat and the dog ran to the park"
+    val docs = Seq(
+      (1L, fluent),
+      (2L, fluent + " again and again with the same words"),
+      (3L, "zxqv jkwp mfgh qqrtx lpzn wvvbk xjzqm pltr"), // all-OOV gibberish
+      (4L, "")) // token-less: absent from output
+      .toDF("doc_id", "text")
+    val out = UnigramLm.scores(docs, "text", "doc_id", vocabSize = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(3L) > out(1L)) // OOV-only doc is maximally surprising
+    assert(out(3L) > out(2L))
+    // vocabulary fit is deterministic (count desc, token asc)
+    val v1 = UnigramLm.vocabulary(docs, "text", 5).collect().map(_.getString(0))
+    val v2 = UnigramLm.vocabulary(docs, "text", 5).collect().map(_.getString(0))
+    assert(v1.toSeq === v2.toSeq)
+    assert(v1.head === "the") // most frequent token wins slot 0
+  }
+
   test("percentile sketch lands within tolerance of the exact percentile") {
     val li = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.agg(percentile(col("l_extendedprice"), lit(0.9)))
