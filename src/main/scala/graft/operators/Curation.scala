@@ -65,15 +65,19 @@ object Curation {
     * neither stage shuffles the train side.
     *  1. Bloom prefilter: the distinct eval shingle hashes fold into one
     *     Bloom filter (one small agg job over eval), inlined as a binary
-    *     literal so the train scan applies
-    *     `exists(shingles, s -> might_contain(bf, xxhash64(s)))` as a
-    *     narrow codegen'd predicate — the uncontaminated bulk drops
-    *     scan-side.
-    *  2. Exact verify: only the surviving candidates explode their
-    *     distinct shingles and broadcast-hash-join the eval shingle set
-    *     (small side broadcast), so Bloom false positives cost wasted
-    *     verify work, never a wrong row; the only exchange is the final
-    *     per-doc count over shared-shingle rows.
+    *     literal. Train shingles fan out in-task (Generate, no shuffle,
+    *     no materialization) and each one is probed by a TOP-LEVEL
+    *     `might_contain` filter — a codegen'd scalar predicate, the same
+    *     shape Spark's own runtime bloom joins emit. (Probing inside an
+    *     `exists(...)` array lambda instead looks tidier but runs the
+    *     bloom probe in the INTERPRETED higher-order-function path —
+    *     measured ~25µs/probe vs nanoseconds codegen'd, 30× slower
+    *     end-to-end — and the array expression gets re-inlined into both
+    *     Filter and Generate.)
+    *  2. Exact verify: surviving shingle rows broadcast-hash-join the
+    *     eval shingle set, so Bloom false positives cost wasted verify
+    *     work, never a wrong row; the only exchange is the final per-doc
+    *     count over shared-shingle rows.
     *
     * Returns (idCol, n_shared) for contaminated train docs only.
     */
@@ -88,7 +92,7 @@ object Curation {
     graft.plans.GraftFunctions.register(train.sparkSession)
     graft.plans.GraftFunctions.register(eval.sparkSession)
     def sh(c: Column) = TextAnalysis.shingles(TextAnalysis.tokens(c), shingleN)
-    val evalShingles = eval
+    val evalShingles = Similarity.spreadIfNarrow(eval)
       .select(explode(sh(col(textCol))).as("sh")).distinct()
     val bfBytes: Array[Byte] = evalShingles
       .select(xxhash64(col("sh")).as("__h"))
@@ -99,12 +103,14 @@ object Curation {
       // empty eval set: nothing can be contaminated
       return train.select(col(idCol), lit(0L).as("n_shared")).limit(0)
     }
-    val candidates = train
-      .select(col(idCol), array_distinct(sh(col(textCol))).as("__sh"))
-      .filter(exists(col("__sh"), s =>
-        call_function("graft_might_contain", lit(bfBytes), xxhash64(s))))
-    candidates
-      .select(col(idCol), explode(col("__sh")).as("sh"))
+    // spread BEFORE the heavy projection: a single-file batch scan would
+    // otherwise shingle every document in ONE task
+    val trainShingles = Similarity.spreadIfNarrow(train)
+      .select(col(idCol),
+        explode(array_distinct(sh(col(textCol)))).as("sh"))
+    trainShingles
+      .filter(call_function("graft_might_contain", lit(bfBytes),
+        xxhash64(col("sh"))))
       .join(broadcast(evalShingles), "sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
