@@ -74,6 +74,19 @@ object StreamingScores {
       .drop(r(key))
   }
 
+  /** Stream-static enrichment join ([EXT]): each micro-batch joins the
+    * static dimension frame — stateless on the stream side (no watermark,
+    * no buffered state; only stream-stream joins buffer). `broadcast`
+    * keeps it a broadcast hash join inside every micro-batch, so the
+    * stream never shuffles — the streaming analogue of the batch
+    * dim-enrichment in q_join_region_revenue, and the shape a curation
+    * stream uses to attach per-source metadata on ingest. Left join:
+    * events with no dimension row pass through with nulls rather than
+    * silently dropping.
+    */
+  def enrichedStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup ([EXT]: the ingestion-time flavor of
     * Dedup.exactGroups): drop rows whose key was already seen within the
     * watermark horizon. State holds one entry per distinct key and is

@@ -134,6 +134,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static join enriches each micro-batch, keeps unmatched rows") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF().toDF("source_id", "value")
+    val dim = Seq((1L, "web"), (2L, "pdf")).toDF("source_id", "kind")
+
+    val query = StreamingScores.enrichedStream(events, dim, "source_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 1.0), (3L, 2.0))
+      query.processAllAvailable()
+      mem.addData((2L, 3.0))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT source_id, value, kind FROM enriched")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(got === Set((1L, 1.0, "web"), (3L, 2.0, null), (2L, 3.0, "pdf")))
+    } finally query.stop()
+  }
+
   test("session windows close on gap and aggregate per user") {
     val sq = spark
     import sq.implicits._
