@@ -78,6 +78,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("imageDims round-trips synthesized PNG/JPEG headers for arbitrary dims") {
+    import graft.operators.Multimodal
+    def be(v: Long, bytes: Int): Array[Byte] =
+      (bytes - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val pngDim = Gen.chooseNum(1L, 0x7fffffffL) // PNG dims are 31-bit
+    check(Prop.forAll(pngDim, pngDim) { (w, h) =>
+      val png = hx("89504E470D0A1A0A" + "0000000D49484452") ++
+        be(w, 4) ++ be(h, 4) ++ hx("0802000000")
+      Multimodal.imageDims(png) ==
+        Some(Multimodal.ImageDims("png", w.toInt, h.toInt))
+    })
+    val jpgDim = Gen.chooseNum(1, 0xffff) // SOF dims are 16-bit
+    check(Prop.forAll(jpgDim, jpgDim) { (w, h) =>
+      val jpg = hx("FFD8" + "FFE00010" + "4A46494600010100000100010000" +
+        "FFC00011" + "08") ++ be(h.toLong, 2) ++ be(w.toLong, 2) ++
+        hx("03011100021101031101")
+      Multimodal.imageDims(jpg) == Some(Multimodal.ImageDims("jpeg", w, h))
+    })
+  }
+
+  test("simhashMd5: invariant under whole-document duplication (batched)") {
+    // doubling every token doubles every bit vote, which cannot change any
+    // sign — the defining robustness property of SimHash
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Gen.listOfN(60,
+      Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))).sample.get
+    val df = docs.map(_.mkString(" ")).toDF("text")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val both = df.select(
+      Dedup.simhashMd5(toks).as("once"),
+      Dedup.simhashMd5(concat(toks, toks)).as("doubled"))
+    assert(both.filter(col("once") =!= col("doubled")).count() === 0L)
+  }
+
   test("union count additivity (E1 invariant): |A union B| == |A| + |B|") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOf(Gen.chooseNum(0, 1000)),
