@@ -41,6 +41,61 @@ class OperatorSpec extends SparkSpec {
     assert(d.select(Flatten.flattenAgent(col("provider"))).head().get(0) === null)
   }
 
+  test("flattenRecord preserves every populated leaf through the export") {
+    // a densely-populated record: alignToSchema injects the value-wrappers,
+    // flattenRecord must unwrap them all back without losing a leaf
+    val raw = spark.range(1).select(
+      lit("http://dp.la/api/items/full1").as("dplaUri"),
+      lit("edm-rights").as("edmRights"),
+      lit("orig-1").as("originalId"),
+      lit("iiif-uri").as("iiifManifest"),
+      struct(lit("hub").as("name"), lit("hub-uri").as("uri"),
+        lit("hub-scheme").as("scheme"),
+        array(lit("hub-match")).as("exactMatch")).as("provider"),
+      array(struct(lit("wr-uri").as("uri"),
+        array(lit("image/jpeg")).as("fileFormat"),
+        array(lit("cc-by")).as("dcRights"),
+        lit("wr-edm").as("edmRights"),
+        lit("ref-by").as("isReferencedBy"))).as("hasView"),
+      struct(
+        array(struct(lit("creator-name").as("name"),
+          lit("creator-uri").as("uri"))).as("creator"),
+        array(struct(lit("english").as("providedLabel"),
+          lit("iso639").as("scheme"))).as("language"),
+        array(struct(lit("coll-title").as("title"),
+          struct(lit("coll-shown").as("uri")).as("isShownAt"))).as("collection"),
+        array(struct(lit("1901").as("originalSourceDate"),
+          lit("1901-01-01").as("begin"), lit("1901-12-31").as("end"))).as("date"))
+        .as("sourceResource"))
+    val flat = graft.processes.Processes.flattenRecord(
+      SchemaAlign.alignToSchema(raw, DplaMap.record))
+    val r = flat.select(
+      col("uri"), col("id"), col("rights"), col("originalId"),
+      col("iiifManifest"),
+      col("provider.name"), col("provider.uri"), col("provider.scheme"),
+      element_at(col("provider.exactMatch"), 1),
+      element_at(col("hasView"), 1).getField("uri"),
+      element_at(col("hasView"), 1).getField("format"),
+      element_at(col("hasView"), 1).getField("rights"),
+      element_at(col("hasView"), 1).getField("edmRights"),
+      element_at(col("hasView"), 1).getField("isReferencedBy"),
+      element_at(col("sourceResource.creator"), 1).getField("name"),
+      element_at(col("sourceResource.creator"), 1).getField("uri"),
+      element_at(col("sourceResource.language"), 1).getField("providedLabel"),
+      element_at(col("sourceResource.language"), 1).getField("scheme"),
+      element_at(col("sourceResource.collection"), 1).getField("title"),
+      element_at(col("sourceResource.collection"), 1)
+        .getField("isShownAt").getField("uri"),
+      element_at(col("sourceResource.date"), 1).getField("begin")).head()
+    assert(r.toSeq === Seq(
+      "http://dp.la/api/items/full1", "full1", "edm-rights", "orig-1",
+      "iiif-uri",
+      "hub", "hub-uri", "hub-scheme", "hub-match",
+      "wr-uri", Seq("image/jpeg"), Seq("cc-by"), "wr-edm", "ref-by",
+      "creator-name", "creator-uri", "english", "iso639",
+      "coll-title", "coll-shown", "1901-01-01"))
+  }
+
   test("itemId extracts the dp.la id (ParquetDump.scala:12-13 semantics)") {
     val d = df(
       StructType(Seq(StructField("dplaUri", DplaMap.valueWrapper))),
