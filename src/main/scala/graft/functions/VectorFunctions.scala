@@ -64,4 +64,32 @@ object VectorFunctions {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** ORACLE-friendly hyperplane sketch: hyperplane weight h(j,d) comes from
+    * the first three hex digits of md5("j d") instead of xxhash64 — md5 is
+    * bit-identical in every engine, so the bucket assignment itself
+    * hash-compares against a DuckDB reimplementation (the same trick as
+    * the md5 MinHash/SimHash variants; `lshBucket` stays the fast path).
+    * Dimension indices are 1-based to match SQL `generate_subscripts`.
+    * Both engines fold the projection left-to-right in list order, so the
+    * sign decision is bit-identical too.
+    */
+  def lshBucketMd5(v: Column, nBits: Int = 8): Column = {
+    val dv = asDouble(v)
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(
+          dv,
+          sequence(lit(1), size(dv)),
+          (x, d) => {
+            val hv = conv(
+              substring(md5(concat(lit(s"$j "), d.cast("string"))), 1, 3),
+              16, 10).cast("long")
+            x * ((hv % 2001L - 1000L).cast("double") / 1000.0)
+          }),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
 }

@@ -119,6 +119,16 @@ object VectorQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).cast("long").as("n"))
     }),
+
+    // ORACLED hyperplane sketch: md5-derived hyperplanes (cross-engine
+    // identical) — proves the sign-of-projection bucketing end to end;
+    // the xxhash64 form above stays the fast path. Heavy narrow map
+    // (nBits × dim md5 calls per vector) ⇒ spread the single-file scan.
+    "q_lsh_bucket_md5" -> ((s, dir) => {
+      graft.operators.Similarity.spreadIfNarrow(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          lshBucketMd5(col("embedding"), 8).as("bucket8"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +164,16 @@ object VectorQueries {
          WHERE a.vec_id < b.vec_id
            AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])), 4) >= 0.4""",
+
+    // NB: the inner lambda must stay on ONE line — DuckDB's parser rejects
+    // newline-split arithmetic inside nested lambdas.
+    "q_lsh_bucket_md5" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         SELECT vec_id,
+           CAST(list_sum(list_transform(generate_series(0, 7), j ->
+             CASE WHEN list_sum(list_transform(generate_series(1, len(e)), d -> e[d] * ((CAST(('0x' || substr(md5(j || ' ' || d), 1, 3)) AS BIGINT) % 2001 - 1000) / 1000.0))) >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS bucket8
+         FROM v""",
 
     "q_label_centroid_sim" ->
       """WITH centroids AS (
