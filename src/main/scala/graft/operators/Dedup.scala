@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *    cluster scale come from grouping on rotated prefixes, here we expose the
   *    signature itself plus a Hamming-distance verifier.
   * All of it is built from Spark built-ins (xxhash64 / higher-order array
-  * functions), staying inside whole-stage codegen — matching the reference's
-  * expression-first design cue (zero UDFs; SURVEY.md §2.J).
+  * functions) — matching the reference's expression-first design cue (zero
+  * UDFs; SURVEY.md §2.J). The HOF lambdas evaluate interpreted
+  * (CodegenFallback) inside the codegen'd stage — acceptable for these
+  * cheap per-element bodies; see TextAnalysis scaladoc for the rule on
+  * what must NOT go inside a lambda.
   */
 object Dedup {
 

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   * (higher-order array functions + regexes), mirroring the reference's own
   * expression-first stance (zero UDFs in 903 lines —
   * /root/reference/.../ParquetDump.scala:54-113 is all Column combinators).
-  * Built-ins stay inside whole-stage codegen, so at 100 TB these are narrow,
-  * scan-fused map stages with no shuffle and no JVM⇄interpreter boundary.
+  * At 100 TB these are narrow, scan-fused map stages with no shuffle and no
+  * UDF closure/serialization boundary. Precision note: Spark's higher-order
+  * array functions are `CodegenFallback` — their lambdas evaluate
+  * interpreted inside the codegen'd stage — which is fine for these simple
+  * per-element bodies, but means (a) a custom codegen `Expression` is the
+  * upgrade path when a fold dominates a profile (done for the vector math
+  * in graft.plans), and (b) expensive probes like `might_contain` must
+  * NEVER sit inside a HOF lambda (measured 30× slower in
+  * Curation.decontaminate — restructure to explode + top-level filter).
   *
   * The `canonicalize` chain reproduces the reference's Elasticsearch
   * `canonicalsort` normalizer (lowercase → strip leading articles and
