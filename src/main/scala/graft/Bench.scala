@@ -34,8 +34,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // drop frames the query persisted: carrying them over would (a)
+        // hand the rerun a warm cache it didn't pay for and (b) build up
+        // memory pressure that distorts later queries (observed 2.5x on
+        // q_embed_neardup_lsh inside the full sweep vs standalone)
+        spark.catalog.clearCache()
         // a failed query must not masquerade as a fast one
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) elapsed else -1.0
       }
       // ANY failed run reports -1: a query that fails intermittently must
       // not pass the bench gate on its lucky rerun
