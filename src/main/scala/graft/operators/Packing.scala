@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing ([EXT]): group documents into token-budget bins — the
+  * sample-packing step that turns a curated corpus into fixed-length
+  * training sequences without wasting pad tokens.
+  *
+  * Packing is inherently SEQUENTIAL (each bin depends on everything placed
+  * before it), so it cannot be a Catalyst expression; this is one of the
+  * few operators where `mapPartitions` is the honest answer (same
+  * justification class as the binary decode in Multimodal). The
+  * distributed form is the standard per-partition greedy: documents are
+  * deterministically hash-bucketed and sorted, then each partition runs
+  * one sequential first-fit pass. Quality loss vs global packing is
+  * bounded: at most one under-filled bin per partition.
+  *
+  * Scale design: the input projection carries (id, n_tokens) only — 16
+  * bytes/doc through the one shuffle, never text. Bin ids are globally
+  * unique by construction ((partition << 32) | local index), no
+  * post-assignment coordination.
+  */
+object Packing {
+
+  /** One packed training sequence. */
+  final case class PackedBin(
+      bin_id: Long,
+      doc_ids: Seq[Long],
+      n_docs: Int,
+      total_tokens: Long)
+
+  /** Greedy first-fit-by-arrival packing. `docs` needs a long id column
+    * and a long token-count column. Documents larger than `budget` get a
+    * bin of their own (flagged by total_tokens > budget) rather than being
+    * dropped — splitting oversized docs is the caller's chunking concern.
+    * Deterministic for a fixed `nPartitions`: the bucket key is
+    * xxhash64(id) mod n and arrival order is ascending id.
+    */
+  def packGreedy(
+      docs: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      budget: Long,
+      nPartitions: Int = 0): Dataset[PackedBin] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    val n =
+      if (nPartitions > 0) nPartitions
+      else spark.sparkContext.defaultParallelism
+    implicit val enc = Encoders.product[PackedBin]
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        col(tokenCountCol).cast("long").as("nt"))
+      .repartition(n, pmod(xxhash64(col("id")), lit(n.toLong)))
+      .sortWithinPartitions(col("id"))
+      .mapPartitions { rows =>
+        val pid = TaskContext.getPartitionId().toLong
+        var localBin = 0L
+        var curDocs = Vector.empty[Long]
+        var curTokens = 0L
+        def emit(): PackedBin = {
+          val b = PackedBin((pid << 32) | localBin, curDocs,
+            curDocs.size, curTokens)
+          localBin += 1; curDocs = Vector.empty; curTokens = 0L
+          b
+        }
+        val out = Iterator.newBuilder[PackedBin]
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val nt = math.max(r.getLong(1), 0L)
+          if (curDocs.nonEmpty && curTokens + nt > budget)
+            out += emit()
+          curDocs :+= id
+          curTokens += nt
+        }
+        if (curDocs.nonEmpty) out += emit()
+        out.result()
+      }
+  }
+}

@@ -140,6 +140,20 @@ object TextQueries {
         .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
     }),
 
+    // Rows-only: greedy sequence packing (per-partition first-fit is
+    // inherently sequential — not SQL-expressible; invariants are
+    // spec-tested: exhaustive, budget-bounded, deterministic).
+    "q_pack_bins" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.packGreedy(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048, nPartitions = 8)
+        .toDF()
+        .select(col("bin_id"), col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens"))
+    }),
+
     // ORACLED unigram-LM scoring: corpus-fit top-1000 vocabulary becomes a
     // literal map, scoring is a narrow per-doc fold (no join/shuffle —
     // see UnigramLm scaladoc); DuckDB refits the same model relationally.

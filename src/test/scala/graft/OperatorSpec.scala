@@ -329,6 +329,39 @@ class OperatorSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("packGreedy: exhaustive, budget-bounded, deterministic packing") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i * 37) % 900 + 50))
+      .toDF("doc_id", "n_tokens")
+    val bins = Packing.packGreedy(docs, "doc_id", "n_tokens",
+      budget = 2048, nPartitions = 4).collect()
+    // every doc packed exactly once
+    val packed = bins.flatMap(_.doc_ids)
+    assert(packed.sorted.toSeq === (1L to 200L))
+    // no bin over budget (no doc here exceeds it)
+    assert(bins.forall(_.total_tokens <= 2048))
+    // totals are consistent
+    val tokensByDoc = (1L to 200L).map(i => i -> ((i * 37) % 900 + 50)).toMap
+    bins.foreach { b =>
+      assert(b.total_tokens === b.doc_ids.map(tokensByDoc).sum)
+      assert(b.n_docs === b.doc_ids.size)
+    }
+    // bin ids unique; deterministic across reruns
+    assert(bins.map(_.bin_id).distinct.length === bins.length)
+    val again = Packing.packGreedy(docs, "doc_id", "n_tokens",
+      budget = 2048, nPartitions = 4).collect()
+    assert(again.map(b => b.bin_id -> b.doc_ids).toMap ===
+      bins.map(b => b.bin_id -> b.doc_ids).toMap)
+    // an oversized doc gets a bin of its own, never dropped
+    val withHuge = docs.union(Seq((999L, 10000L)).toDF("doc_id", "n_tokens"))
+    val hugeBins = Packing.packGreedy(withHuge, "doc_id", "n_tokens",
+      budget = 2048, nPartitions = 4).collect()
+    val hugeBin = hugeBins.find(_.doc_ids.contains(999L)).get
+    assert(hugeBin.doc_ids === Seq(999L))
+    assert(hugeBins.flatMap(_.doc_ids).length === 201)
+  }
+
   test("unigram LM scores gibberish worse than fluent text") {
     import graft.operators.UnigramLm
     import spark.implicits._
