@@ -103,6 +103,30 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Overlapping token-window chunks: split a token array into windows of
+    * `window` tokens advancing by `window - overlap` — the context-window
+    * chunking step for long documents (the complement of Packing: packing
+    * merges short docs, chunking splits long ones). Pure array
+    * expressions, so unlike packing this IS Catalyst-expressible: chunk i
+    * is `slice(toks, i·step + 1, window)` and the chunk count is
+    * `1 + ceil((n − window) / step)` (one chunk when n ≤ window; empty
+    * for empty input). The final chunk may be shorter; both engines'
+    * slice clamps at the end identically.
+    */
+  def chunkTokens(toks: Column, window: Int, overlap: Int = 0): Column = {
+    require(window > 0, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap (window $window)")
+    val step = window - overlap
+    val n = size(toks)
+    val nChunks = greatest(
+      ceil((n - lit(window)).cast("double") / step).cast("int") + 1, lit(1))
+    when(n <= 0, array().cast("array<array<string>>"))
+      .otherwise(transform(
+        sequence(lit(0), nChunks - 1),
+        i => slice(toks, i * step + 1, lit(window))))
+  }
+
   /** Rolling polynomial hash over the token stream (base-31 over xxhash64 of
     * each token, mod 1e9+7) — order-sensitive unlike the md5 fingerprint, so
     * documents that permute the same tokens fingerprint differently.

@@ -140,6 +140,20 @@ object TextQueries {
         .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
     }),
 
+    // ORACLED context-window chunking: 40-token windows advancing by 32
+    // (8-token overlap), exploded to one row per chunk — DuckDB mirrors
+    // the chunk-count formula and list_slice clamping exactly.
+    "q_chunk_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TA.chunkTokens(toks, window = 40, overlap = 8))
+            .as(Seq("ci", "chunk")))
+        .select(col("doc_id"),
+          (col("ci") + 1).cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          element_at(col("chunk"), 1).as("head_tok"))
+    }),
+
     // Rows-only: greedy sequence packing (per-partition first-fit is
     // inherently sequential — not SQL-expressible; invariants are
     // spec-tested: exhaustive, budget-bounded, deterministic).
@@ -410,6 +424,24 @@ object TextQueries {
            list_min(list_transform(s, x -> md5(concat('2 ', x)))) AS sig2,
            list_min(list_transform(s, x -> md5(concat('3 ', x)))) AS sig3
          FROM sh""",
+
+    "q_chunk_tokens" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, t,
+             unnest(generate_series(0,
+               CASE WHEN len(t) <= 0 THEN -1
+                 ELSE greatest(CAST(ceil((len(t) - 40) / 32.0) AS INTEGER), 0)
+               END)) AS ci
+           FROM tk)
+         SELECT doc_id,
+           CAST(ci + 1 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, ci*32 + 1, ci*32 + 40)) AS BIGINT)
+             AS n_chunk_tokens,
+           list_slice(t, ci*32 + 1, ci*32 + 40)[1] AS head_tok
+         FROM c""",
 
     "q_unigram_nll" ->
       """WITH tok AS (

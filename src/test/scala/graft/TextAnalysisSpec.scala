@@ -41,6 +41,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short === Seq.empty)
   }
 
+  test("chunkTokens: window math, clamped tail, overlap reconstruction") {
+    import spark.implicits._
+    def chunksOf(text: String, window: Int, overlap: Int): Seq[Seq[String]] =
+      Seq(text).toDF("s")
+        .select(TA.chunkTokens(TA.tokens(col("s")), window, overlap).as("c"))
+        .head().getSeq[scala.collection.Seq[String]](0).map(_.toSeq)
+
+    // n <= window: one chunk, whole doc
+    assert(chunksOf("a b c", 5, 1) === Seq(Seq("a", "b", "c")))
+    // empty doc: no chunks
+    assert(chunksOf("", 5, 1) === Seq.empty)
+    // exact coverage with overlap: 10 tokens, window 4, overlap 2 → step 2
+    val toks = (1 to 10).map(i => s"t$i")
+    val got = chunksOf(toks.mkString(" "), 4, 2)
+    assert(got.length === 4) // 1 + ceil((10-4)/2) = 4
+    assert(got.head === toks.slice(0, 4))
+    assert(got(1) === toks.slice(2, 6))
+    assert(got.last === toks.slice(6, 10))
+    // every chunk overlaps its successor by exactly `overlap`
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.takeRight(2) === b.take(2))
+    }
+    // dropping each chunk's leading overlap reconstructs the doc
+    assert((got.head ++ got.tail.flatMap(_.drop(2))) === toks)
+    // clamped tail: 9 tokens, window 4, step 4 → chunks of 4, 4, 1
+    assert(chunksOf((1 to 9).map("x" + _).mkString(" "), 4, 0).map(_.size)
+      === Seq(4, 4, 1))
+  }
+
   test("langIdHeuristic: script wins over stopwords; und for no evidence") {
     assert(one(TA.langIdHeuristic(col("s")), "the 北京 record") === "zh")
     assert(one(TA.langIdHeuristic(col("s")), "the quick fox") === "en")
