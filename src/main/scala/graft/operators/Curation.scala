@@ -28,7 +28,10 @@ object Curation {
       maxStopRatio: Double = 0.6,
       langs: Seq[String] = Seq("en"),
       nearDupThreshold: Double = 0.8,
-      testFraction: Double = 0.1)
+      testFraction: Double = 0.1,
+      // 1.0 disables the gate (any ratio passes); Gopher-style pipelines
+      // run ~0.2-0.5 to drop boilerplate/loop-generated text
+      maxDupShingleRatio: Double = 1.0)
 
   /** Quality + language gate (pure narrow predicate). */
   def qualityFilter(docs: DataFrame, textCol: String, langCol: String,
@@ -36,7 +39,8 @@ object Curation {
     val toks = TextAnalysis.tokens(col(textCol))
     docs.filter(col(langCol).isin(cfg.langs: _*) &&
       size(toks) >= cfg.minTokens &&
-      TextAnalysis.stopwordRatio(toks) <= cfg.maxStopRatio)
+      TextAnalysis.stopwordRatio(toks) <= cfg.maxStopRatio &&
+      TextAnalysis.dupShingleRatio(toks) <= cfg.maxDupShingleRatio)
   }
 
   /** Exact dedup keeping the lowest id per content fingerprint. */

@@ -72,6 +72,19 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
 
+  /** Fraction of shingles that are repeats of an earlier shingle in the
+    * same document (0 when shingle-less) — the intra-document repetition
+    * signal from the Gopher-style quality rules: boilerplate and
+    * loop-generated text score high, natural prose low. Derivable from
+    * the oracled q_shingle_stats counts (1 − uniq/total).
+    */
+  def dupShingleRatio(toks: Column, n: Int = 3): Column = {
+    val sh = shingles(toks, n)
+    when(size(sh) === 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh))
+  }
+
   /** Fraction of tokens that are known stopwords (0 when no tokens). */
   def stopwordRatio(toks: Column, stopwords: Seq[String] = StopwordsEn): Column = {
     val stops = array(stopwords.map(lit): _*)

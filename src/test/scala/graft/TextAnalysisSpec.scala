@@ -70,6 +70,32 @@ class TextAnalysisSpec extends SparkSpec {
       === Seq(4, 4, 1))
   }
 
+  test("dupShingleRatio: 0 for unique prose, high for loops, gates curation") {
+    import spark.implicits._
+    def ratio(s: String): Double =
+      Seq(s).toDF("s").select(TA.dupShingleRatio(TA.tokens(col("s"))))
+        .head().getDouble(0)
+    assert(ratio("one two three four five six") === 0.0)
+    assert(ratio("") === 0.0) // shingle-less
+    val loop = Seq.fill(20)("buy now click here").mkString(" ")
+    assert(ratio(loop) > 0.9) // 80 tokens, ~4 distinct shingles
+    // and the optional curation gate drops exactly the loop doc
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, (1 to 40).map("w" + _).mkString(" "), "en"),
+      (2L, loop, "en")).toDF("doc_id", "text", "lang")
+    val cfg = Curation.Config(minTokens = 10, maxStopRatio = 1.0,
+      langs = Seq("en"), maxDupShingleRatio = 0.5)
+    val kept = Curation.qualityFilter(docs, "text", "lang", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+    // default config (ratio gate off) keeps both
+    val keptDefault = Curation.qualityFilter(docs, "text", "lang",
+      Curation.Config(minTokens = 10, maxStopRatio = 1.0, langs = Seq("en")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDefault === Set(1L, 2L))
+  }
+
   test("langIdHeuristic: script wins over stopwords; und for no evidence") {
     assert(one(TA.langIdHeuristic(col("s")), "the 北京 record") === "zh")
     assert(one(TA.langIdHeuristic(col("s")), "the quick fox") === "en")
