@@ -65,7 +65,10 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     println(detail)
-    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    // failures (-1 sentinels) sort FIRST so the compact line names the
+    // culprit even when the full map is truncated away
+    val slowest = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
+      .take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries_truncated":true,"queries":$slowest,"sf":"$sfDir","detail_file":"bench_detail.json"}""")

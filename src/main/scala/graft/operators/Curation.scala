@@ -33,14 +33,22 @@ object Curation {
       // run ~0.2-0.5 to drop boilerplate/loop-generated text
       maxDupShingleRatio: Double = 1.0)
 
-  /** Quality + language gate (pure narrow predicate). */
+  /** Quality + language gate (pure narrow predicate). The repetition
+    * conjunct is only added when its threshold can actually reject
+    * something — `ratio <= 1.0` is always true but Catalyst cannot fold
+    * it away, and it would cost a full shingle build per document.
+    */
   def qualityFilter(docs: DataFrame, textCol: String, langCol: String,
       cfg: Config): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    docs.filter(col(langCol).isin(cfg.langs: _*) &&
+    val base = col(langCol).isin(cfg.langs: _*) &&
       size(toks) >= cfg.minTokens &&
-      TextAnalysis.stopwordRatio(toks) <= cfg.maxStopRatio &&
-      TextAnalysis.dupShingleRatio(toks) <= cfg.maxDupShingleRatio)
+      TextAnalysis.stopwordRatio(toks) <= cfg.maxStopRatio
+    val gate =
+      if (cfg.maxDupShingleRatio < 1.0)
+        base && TextAnalysis.dupShingleRatio(toks) <= cfg.maxDupShingleRatio
+      else base
+    docs.filter(gate)
   }
 
   /** Exact dedup keeping the lowest id per content fingerprint. */
@@ -96,8 +104,12 @@ object Curation {
     graft.plans.GraftFunctions.register(train.sparkSession)
     graft.plans.GraftFunctions.register(eval.sparkSession)
     def sh(c: Column) = TextAnalysis.shingles(TextAnalysis.tokens(c), shingleN)
+    // persisted: the bloom build (eager, below) materializes it and the
+    // exact-verify broadcast reuses it — without the cache the eval-side
+    // tokenize/shingle/distinct pipeline would run twice
     val evalShingles = Similarity.spreadIfNarrow(eval)
       .select(explode(sh(col(textCol))).as("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bfBytes: Array[Byte] = evalShingles
       .select(xxhash64(col("sh")).as("__h"))
       .agg(expr(s"graft_bloom_agg(__h, ${expectedItems}L, ${numBits}L)")

@@ -52,7 +52,9 @@ object Packing {
     implicit val enc = Encoders.product[PackedBin]
     docs
       .select(col(idCol).cast("long").as("id"),
-        col(tokenCountCol).cast("long").as("nt"))
+        // null-count docs pack as zero-cost rather than NPE-ing the
+        // per-partition pass; null ids are a data error and still throw
+        coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("nt"))
       .repartition(n, pmod(xxhash64(col("id")), lit(n.toLong)))
       .sortWithinPartitions(col("id"))
       .mapPartitions { rows =>

@@ -25,6 +25,13 @@ import graft.functions.VectorFunctions._
   *  - `annIvf` — approximate, trained: one Lloyd step builds a coarse
   *    quantizer; the tiny centroid table is collected and inlined so cell
   *    assignment is a narrow codegen'd map (no join, no vector shuffle).
+  *
+  * Cache lifecycle: the ANN operators persist their index frame
+  * (sketch/cell assignment) because it feeds a cap-count plus both
+  * self-join sides; the returned DataFrame is lazy, so the operator
+  * cannot know when to release it. Long-running sessions interleaving
+  * unrelated heavy work should `spark.catalog.clearCache()` between
+  * workloads (graft.Bench does exactly this between timed runs).
   */
 object Similarity {
 
@@ -122,14 +129,19 @@ object Similarity {
     * and duplicate candidates downstream.
     */
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16, maxInlineDoubles: Long = 1L << 18): DataFrame = {
+      nCells: Int = 16, maxInlineDoubles: Long = 1L << 18,
+      persistInput: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     // the (id, vec) projection feeds the eager training aggregate AND the
     // assignment scan below — persist so the parquet scan + float→double
-    // cast run once (training materializes the cache)
-    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    // cast run once (training materializes the cache). Callers that
+    // persist a derivative of this frame themselves (annIvf caches the
+    // normalized cells) pass persistInput = false: one extra columnar
+    // scan beats holding the vectors in cache twice.
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__seed_cell", pmod(xxhash64(col(idCol)), lit(nCells.toLong)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v =
+      if (persistInput) base.persist(StorageLevel.MEMORY_AND_DISK) else base
     val centroids: Array[Row] = v.groupBy(col("__seed_cell").as("cell"))
       .agg(expr("graft_vector_avg(__v)").as("centroid"))
       .collect()
@@ -207,7 +219,9 @@ object Similarity {
     // assignment argmax scan runs once, not 3x. MEMORY_AND_DISK: at
     // cluster scale this is exactly the frame an index build would
     // materialize anyway, and eviction degrades to recompute, not failure.
-    val cells = ivfCells(df, idCol, vecCol, nCells)
+    // persistInput = false: caching BOTH the raw projection and this
+    // derived frame would hold the vectors twice.
+    val cells = ivfCells(df, idCol, vecCol, nCells, persistInput = false)
       .withColumn("__v", normalize(col("__v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keptCells = cells.groupBy(col("cell"))
@@ -282,8 +296,12 @@ object Similarity {
       .select(col(idCol),
         // empty/degenerate vectors all sketch to 0 — null their band keys
         // (posexplode drops nulls) so they can't pile into one spurious
-        // bucket per table, same guard as the MinHash path
-        when(size(col("__v")) === 0, lit(null).cast("array<bigint>"))
+        // bucket per table, same guard as the MinHash path. coalesce:
+        // size(null) is null, which would slip past === 0 and give every
+        // NULL-embedding doc an array of null keys... which posexplode
+        // KEEPS (the array is non-null), congregating them per table.
+        when(coalesce(size(col("__v")), lit(0)) === 0,
+          lit(null).cast("array<bigint>"))
           .otherwise(transform(sequence(lit(0), lit(nTables - 1)), t =>
             call_function("shiftright", col("__sketch"), t * nBits)
               .bitwiseAND(lit(mask)))).as("band_keys"))

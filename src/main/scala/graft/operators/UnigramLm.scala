@@ -39,14 +39,19 @@ object UnigramLm {
     */
   def scores(docs: DataFrame, textCol: String, idCol: String,
       vocabSize: Int = 1000): DataFrame = {
+    // persist the distinct-token counts: the vocab top-K and the total
+    // are two actions over the same aggregate, and without the cache the
+    // full tokenize/explode/shuffle pass over the corpus would run twice
     val counts = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fit-style eager step: bounded vocab + one scalar
-    val vocabRows = counts.orderBy(col("c").desc, col("t"))
-      .limit(vocabSize).collect()
-    val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
-      .head().getLong(0)
+    val (vocabRows, total) =
+      try {
+        (counts.orderBy(col("c").desc, col("t")).limit(vocabSize).collect(),
+          counts.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
+      } finally { counts.unpersist(); () }
     if (total == 0L || vocabRows.isEmpty) {
       return docs.select(col(idCol), lit(0.0).as("avg_nll"),
         lit(0L).as("n_tokens")).limit(0)

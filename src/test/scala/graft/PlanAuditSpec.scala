@@ -106,17 +106,19 @@ class PlanAuditSpec extends SparkSpec {
       // eval shingles broadcast to the candidates; no sort-merge join
       assert(p.contains("BroadcastHashJoin"))
       assert(!p.contains("SortMergeJoin"))
-      // exactly two HASH shuffles: the eval-shingle distinct (small side)
-      // and the final per-doc count — the train scan itself stays narrow
-      // through explode, bloom filter, and broadcast join. (Round-robin
-      // spreads of the single-file local fixture don't count: on a real
-      // multi-file layout spreadIfNarrow is the identity.)
+      // at most two HASH shuffles: the final per-doc count, plus the
+      // eval-shingle distinct when its persisted frame isn't already
+      // hiding it inside an InMemoryRelation — the train scan itself
+      // stays narrow through explode, bloom filter, and broadcast join.
+      // (Round-robin spreads of the single-file local fixture don't
+      // count: on a real multi-file layout spreadIfNarrow is the
+      // identity.)
       import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
       val hashShuffles = plan.collect {
         case e: ShuffleExchangeExec
           if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
       }
-      assert(hashShuffles.size === 2, p)
+      assert(hashShuffles.size >= 1 && hashShuffles.size <= 2, p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
