@@ -142,6 +142,23 @@ class SinkSpec extends SparkSpec {
       .forall(_.getString(0).contains("m=8")))
   }
 
+  test("avro adapter fails actionably when the module is absent (A1/H2)") {
+    import graft.sources.AvroSource
+    // this container ships no spark-avro jar, which is exactly the
+    // environment the adapter's clear-failure contract is for
+    assume(!AvroSource.available(spark))
+    val e = intercept[IllegalStateException] {
+      AvroSource.read(spark, Seq(tmpDir()))
+    }
+    assert(e.getMessage.contains("spark-avro"))
+    assert(e.getMessage.contains("--packages"))
+    import spark.implicits._
+    val w = intercept[IllegalStateException] {
+      AvroSource.write(Seq((1, "x")).toDF("a", "b"), tmpDir() + "/avro_out")
+    }
+    assert(w.getMessage.contains("spark-avro"))
+  }
+
   test("catalog picks the lexicographically latest snapshot per provider") {
     val root = tmpDir()
     Seq("p1/enrichment/20260101_000000", "p1/enrichment/20260201_000000",
