@@ -287,8 +287,12 @@ object Similarity {
       s"nBits*nTables must fit the 63-bit sketch, got $nBits*$nTables")
     graft.plans.GraftFunctions.register(df.sparkSession)
     val mask = (1L << nBits) - 1
-    // normalized vectors feed the sketch AND both verify-join sides
-    val vecs = df.select(col(idCol), normalize(col(vecCol)).as("__v"))
+    // normalized vectors feed the sketch AND both verify-join sides;
+    // spread FIRST — normalize is an interpreted HOF fold, and a
+    // single-file scan would run it for the whole corpus in one task
+    // (measured 4.3s of a 5.6s query at sf0.1)
+    val vecs = spreadIfNarrow(df)
+      .select(col(idCol), normalize(col(vecCol)).as("__v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = vecs
       .withColumn("__sketch",
@@ -330,7 +334,9 @@ object Similarity {
     graft.plans.GraftFunctions.register(df.sparkSession)
     // same persist rationale as annIvf: the sketch+normalize projection
     // feeds the cap count and both self-join sides — compute it once.
-    val s = sketched(df, idCol, vecCol, nBits)
+    // spread first: normalize is an interpreted HOF fold and a
+    // single-file scan would pay it all in one task.
+    val s = sketched(spreadIfNarrow(df), idCol, vecCol, nBits)
       .select(col(idCol), normalize(col(vecCol)).as(vecCol), col("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keptBuckets = s.groupBy(col("bucket"))
