@@ -96,6 +96,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.metadata("PushedFilters").contains("EqualTo(lang,en)"))
   }
 
+  test("q_flatten_export: the whole repair+flatten chain is one narrow stage") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_flatten_export")(spark, sf)
+        .queryExecution.executedPlan
+      // align + sourceResource rebuild + leaf extraction collapse into
+      // Projects over the scan — zero shuffles at any corpus size
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        plan.toString)
+      assert(!plan.toString.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_unigram_nll: scoring is shuffle-free (one row per doc off the scan)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the FIT (vocab collect + total) runs eagerly at construction and
+      // may shuffle; the returned SCORING plan must not — the literal
+      // vocab map makes per-doc NLL a narrow fold, no explode, no join
+      val plan = SparkEntry.queries("q_unigram_nll")(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        plan.toString)
+      assert(!plan.toString.contains("Join"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q_decontaminate: train side never shuffles before the final count") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
