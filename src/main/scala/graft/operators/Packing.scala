@@ -31,6 +31,35 @@ object Packing {
       n_docs: Int,
       total_tokens: Long)
 
+  /** Materialize packed bins into training sequences: explode each bin's
+    * id list with its position, join the document texts on id, and
+    * concatenate per bin in pack order. At scale both sides are large, so
+    * this is a plain equi-join on the doc id (Catalyst picks the
+    * strategy) followed by one aggregation per bin; order inside a bin is
+    * pinned by sorting the collected (pos, text) structs, not by any
+    * arrival assumption.
+    */
+  def materializeBins(
+      bins: Dataset[PackedBin],
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val exploded = bins.toDF()
+      .select(col("bin_id"),
+        posexplode(col("doc_ids")).as(Seq("pos", "__id")))
+    exploded
+      .join(docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__text")), "__id")
+      .groupBy(col("bin_id"))
+      .agg(
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("__text")))),
+            e => e.getField("__text"))).as("text"),
+        count(lit(1)).cast("int").as("n_docs"))
+  }
+
   /** Greedy first-fit-by-arrival packing. `docs` needs a long id column
     * and a long token-count column. Documents larger than `budget` get a
     * bin of their own (flagged by total_tokens > budget) rather than being

@@ -362,6 +362,21 @@ class OperatorSpec extends SparkSpec {
     assert(hugeBins.flatMap(_.doc_ids).length === 201)
   }
 
+  test("materializeBins concatenates texts in pack order") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "first doc", 100L), (2L, "second doc", 100L),
+      (3L, "third doc", 100L))
+      .toDF("doc_id", "text", "n_tokens")
+    val bins = Packing.packGreedy(docs, "doc_id", "n_tokens",
+      budget = 250, nPartitions = 1)
+    val out = Packing.materializeBins(bins, docs, "doc_id", "text", sep = " | ")
+      .collect().map(r => r.getAs[String]("text")).sorted
+    // partition 0, ascending ids: bin0 = docs 1+2, bin1 = doc 3
+    assert(out === Array("first doc | second doc", "third doc"))
+  }
+
   test("unigram LM scores gibberish worse than fluent text") {
     import graft.operators.UnigramLm
     import spark.implicits._
