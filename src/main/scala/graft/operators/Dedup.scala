@@ -116,7 +116,11 @@ object Dedup {
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn").between(2, maxBucketSize))
       .select(col("band"), col("key"))
+    // bounded is ALSO persisted: both pair-join sides read it, and without
+    // the cache the cap aggregate + join would re-run per side (the
+    // buckets cache above only protects the upstream signature compute)
     val bounded = buckets.join(kept, Seq("band", "key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bounded.select(col("band"), col("key"), col(idCol).as("id_a"))
       .join(bounded.select(col("band"), col("key"), col(idCol).as("id_b")),
         Seq("band", "key"))

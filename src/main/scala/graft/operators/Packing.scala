@@ -38,26 +38,43 @@ object Packing {
     * strategy) followed by one aggregation per bin; order inside a bin is
     * pinned by sorting the collected (pos, text) structs, not by any
     * arrival assumption.
+    *
+    * `strict` (default on) pays one extra counting job to fail fast when
+    * the join would silently corrupt sequences — a bin id missing from
+    * `docs` (dropped text while the bin metadata still counts its
+    * tokens) or a duplicated doc id (text repeated). Disable only when
+    * the caller guarantees `docs` covers exactly the packed ids.
     */
   def materializeBins(
       bins: Dataset[PackedBin],
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      sep: String = "\n\n"): DataFrame = {
+      sep: String = "\n\n",
+      strict: Boolean = true): DataFrame = {
     val exploded = bins.toDF()
       .select(col("bin_id"),
         posexplode(col("doc_ids")).as(Seq("pos", "__id")))
-    exploded
-      .join(docs.select(col(idCol).cast("long").as("__id"),
-        col(textCol).as("__text")), "__id")
+    val texts = docs.select(col(idCol).cast("long").as("__id"),
+      col(textCol).as("__text"))
+    val joined = exploded.join(texts, "__id")
+    if (strict) {
+      val Seq(expected, got) = Seq(exploded, joined).map(_.count())
+      require(got == expected,
+        s"materializeBins: packed ids and docs disagree (expected " +
+          s"$expected doc slots, join produced $got) — missing or " +
+          s"duplicated ${idCol}s would silently corrupt sequences")
+    }
+    joined
       .groupBy(col("bin_id"))
       .agg(
         concat_ws(sep,
           transform(
             array_sort(collect_list(struct(col("pos"), col("__text")))),
             e => e.getField("__text"))).as("text"),
-        count(lit(1)).cast("int").as("n_docs"))
+        // count texts, not rows: a null text is skipped by concat_ws and
+        // must not inflate the doc count
+        count(col("__text")).cast("int").as("n_docs"))
   }
 
   /** Greedy first-fit-by-arrival packing. `docs` needs a long id column

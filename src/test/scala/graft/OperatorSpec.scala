@@ -362,19 +362,30 @@ class OperatorSpec extends SparkSpec {
     assert(hugeBins.flatMap(_.doc_ids).length === 201)
   }
 
-  test("materializeBins concatenates texts in pack order") {
+  test("materializeBins concatenates texts in pack order, rejects id drift") {
     import graft.operators.Packing
     import spark.implicits._
+    // texts sort ANTI-alphabetically vs pack position so a regression to
+    // text-order (or arrival-order) sorting fails the assertion
     val docs = Seq(
-      (1L, "first doc", 100L), (2L, "second doc", 100L),
-      (3L, "third doc", 100L))
+      (1L, "zeta", 100L), (2L, "alpha", 100L), (3L, "midway", 100L))
       .toDF("doc_id", "text", "n_tokens")
     val bins = Packing.packGreedy(docs, "doc_id", "n_tokens",
       budget = 250, nPartitions = 1)
     val out = Packing.materializeBins(bins, docs, "doc_id", "text", sep = " | ")
       .collect().map(r => r.getAs[String]("text")).sorted
-    // partition 0, ascending ids: bin0 = docs 1+2, bin1 = doc 3
-    assert(out === Array("first doc | second doc", "third doc"))
+    // partition 0, ascending ids: bin0 = docs 1+2 (pack order), bin1 = doc 3
+    assert(out === Array("midway", "zeta | alpha"))
+    // strict mode fails fast on a docs frame that lost a packed id
+    val e = intercept[IllegalArgumentException] {
+      Packing.materializeBins(bins, docs.filter(col("doc_id") =!= 2L),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("missing or duplicated"))
+    // and on duplicated ids
+    intercept[IllegalArgumentException] {
+      Packing.materializeBins(bins, docs.union(docs), "doc_id", "text")
+    }
   }
 
   test("unigram LM scores gibberish worse than fluent text") {
