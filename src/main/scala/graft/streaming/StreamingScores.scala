@@ -105,6 +105,36 @@ object StreamingScores {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ingest curation ([EXT]): the batch Curation pipeline's
+    * ingest-time counterpart, composed from this file's pieces — a narrow
+    * quality/language gate (same predicate family as
+    * Curation.qualityFilter), watermark-bounded exact dedup on the
+    * content fingerprint (state holds a 32-char digest per distinct doc,
+    * never bodies), and a stateless broadcast enrichment against a static
+    * dimension. Everything before the sink is either narrow or
+    * watermark-bounded, so state cannot grow with the stream.
+    *
+    * Column contract: `docs` carries (tsCol, textCol, langCol, joinKey).
+    */
+  def ingestCuration(
+      docs: DataFrame,
+      dim: DataFrame,
+      tsCol: String,
+      textCol: String,
+      langCol: String,
+      joinKey: String,
+      langs: Seq[String] = Seq("en"),
+      minTokens: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    val gated = docs
+      .filter(col(langCol).isin(langs: _*) && size(toks) >= minTokens)
+      .withColumn("__fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+    val deduped = dedupedStream(gated, tsCol, Seq("__fp"), watermark)
+      .drop("__fp")
+    enrichedStream(deduped, dim, joinKey)
+  }
+
   /** Input/output rows for the custom-state operator. */
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

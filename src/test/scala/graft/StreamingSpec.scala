@@ -157,6 +157,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest curation: gates, dedups across batches, enriches — end to end") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, String, Long)]
+    val docs = mem.toDF().toDF("ts", "text", "lang", "source_id")
+    val dim = Seq((1L, "web"), (2L, "pdf")).toDF("source_id", "kind")
+    val good = (1 to 40).map("tok" + _).mkString(" ")
+
+    val query = StreamingScores.ingestCuration(
+      docs, dim, "ts", "text", "lang", "source_id",
+      minTokens = 30, watermark = "1 hour")
+      .select(col("text"), col("kind"))
+      .writeStream.format("memory").queryName("ingested")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: one good doc, one too-short, one wrong-language
+      mem.addData(
+        (ts(1), good, "en", 1L),
+        (ts(2), "too short", "en", 1L),
+        (ts(3), good + " x", "de", 2L))
+      query.processAllAvailable()
+      // batch 2: exact re-send of the good doc (cross-batch dup) + a new
+      // doc from a source with no dim row
+      mem.addData((ts(4), good, "en", 1L), (ts(5), good + " fresh", "en", 3L))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT text, kind FROM ingested")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set((good, "web"), (good + " fresh", null)))
+    } finally query.stop()
+  }
+
   test("session windows close on gap and aggregate per user") {
     val sq = spark
     import sq.implicits._
