@@ -71,7 +71,7 @@ object Bench {
       .take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries_truncated":true,"queries":$slowest,"sf":"$sfDir","detail_file":"bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries_truncated":${results.size > 10},"queries":$slowest,"sf":"$sfDir","detail_file":"bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -33,23 +33,31 @@ object Curation {
       // run ~0.2-0.5 to drop boilerplate/loop-generated text
       maxDupShingleRatio: Double = 1.0)
 
-  /** Quality + language gate (pure narrow predicate). The repetition
-    * conjunct is only added when its threshold can actually reject
-    * something — `ratio <= 1.0` is always true but Catalyst cannot fold
-    * it away, and it would cost a full shingle build per document.
+  /** The quality/language gate as a single Column predicate — shared by
+    * the batch `qualityFilter` and the streaming `ingestCuration` so the
+    * two curation surfaces cannot drift. Conjuncts whose threshold cannot
+    * reject anything are omitted entirely: `ratio <= 1.0` is always true
+    * (both ratios are bounded by 1) but Catalyst cannot fold it away, and
+    * the repetition conjunct would cost a full shingle build per
+    * document.
     */
-  def qualityFilter(docs: DataFrame, textCol: String, langCol: String,
-      cfg: Config): DataFrame = {
+  def qualityPredicate(textCol: String, langCol: String,
+      cfg: Config): org.apache.spark.sql.Column = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val base = col(langCol).isin(cfg.langs: _*) &&
-      size(toks) >= cfg.minTokens &&
-      TextAnalysis.stopwordRatio(toks) <= cfg.maxStopRatio
-    val gate =
-      if (cfg.maxDupShingleRatio < 1.0)
-        base && TextAnalysis.dupShingleRatio(toks) <= cfg.maxDupShingleRatio
-      else base
-    docs.filter(gate)
+    val conjuncts = Seq(
+      Some(col(langCol).isin(cfg.langs: _*)),
+      Some(size(toks) >= cfg.minTokens),
+      Option.when(cfg.maxStopRatio < 1.0)(
+        TextAnalysis.stopwordRatio(toks) <= cfg.maxStopRatio),
+      Option.when(cfg.maxDupShingleRatio < 1.0)(
+        TextAnalysis.dupShingleRatio(toks) <= cfg.maxDupShingleRatio))
+    conjuncts.flatten.reduce(_ && _)
   }
+
+  /** Quality + language gate (pure narrow predicate). */
+  def qualityFilter(docs: DataFrame, textCol: String, langCol: String,
+      cfg: Config): DataFrame =
+    docs.filter(qualityPredicate(textCol, langCol, cfg))
 
   /** Exact dedup keeping the lowest id per content fingerprint. */
   def dropExactDups(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

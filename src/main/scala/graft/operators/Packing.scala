@@ -39,11 +39,16 @@ object Packing {
     * pinned by sorting the collected (pos, text) structs, not by any
     * arrival assumption.
     *
-    * `strict` (default on) pays one extra counting job to fail fast when
-    * the join would silently corrupt sequences — a bin id missing from
-    * `docs` (dropped text while the bin metadata still counts its
-    * tokens) or a duplicated doc id (text repeated). Disable only when
-    * the caller guarantees `docs` covers exactly the packed ids.
+    * `strict` (default on) pays one counting job to fail fast when the
+    * join would silently corrupt sequences. Expected slots come from the
+    * bins themselves (no join needed), and the joined frame is checked on
+    * three axes at once — row count (missing ids shrink it), distinct id
+    * count (a duplicated id compensating for a missing one keeps the row
+    * count but not the distinct count; packGreedy packs each id exactly
+    * once), and non-null text count (concat_ws drops null texts
+    * silently). The joined frame is persisted since both the check and
+    * the final aggregation read it. Disable only when the caller
+    * guarantees `docs` maps packed ids 1:1 to non-null texts.
     */
   def materializeBins(
       bins: Dataset[PackedBin],
@@ -57,13 +62,24 @@ object Packing {
         posexplode(col("doc_ids")).as(Seq("pos", "__id")))
     val texts = docs.select(col(idCol).cast("long").as("__id"),
       col(textCol).as("__text"))
-    val joined = exploded.join(texts, "__id")
+    val joined0 = exploded.join(texts, "__id")
+    val joined =
+      if (strict)
+        joined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else joined0
     if (strict) {
-      val Seq(expected, got) = Seq(exploded, joined).map(_.count())
-      require(got == expected,
+      val expected = bins.toDF()
+        .agg(coalesce(sum(size(col("doc_ids"))), lit(0L))).head().getLong(0)
+      val r = joined.agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("__id")).as("nid"),
+        count(col("__text")).as("ntext")).head()
+      val (n, nid, ntext) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(n == expected && nid == expected && ntext == expected,
         s"materializeBins: packed ids and docs disagree (expected " +
-          s"$expected doc slots, join produced $got) — missing or " +
-          s"duplicated ${idCol}s would silently corrupt sequences")
+          s"$expected doc slots; join rows=$n, distinct ids=$nid, " +
+          s"non-null texts=$ntext) — missing/duplicated ${idCol}s or " +
+          s"null ${textCol}s would silently corrupt sequences")
     }
     joined
       .groupBy(col("bin_id"))

@@ -176,20 +176,27 @@ object Similarity {
     } else {
       // large-codebook path: broadcast-join assignment. Same argmax order
       // (sim desc, cell asc) via max_by over a (sim, -cell) struct key.
+      // Grouping runs on a per-ROW id (monotonically_increasing_id is
+      // stable within one execution), not on idCol — duplicate ids must
+      // yield duplicate rows exactly like the inline path, so the result
+      // cannot silently change shape across the maxInlineDoubles
+      // threshold.
       import df.sparkSession.implicits._
       val centDf = centroids.toIndexedSeq
         .map(r => (r.getAs[Long]("cell"),
           r.getAs[scala.collection.Seq[Double]]("centroid").toSeq))
         .toDF("__cc", "__centroid")
-      v.crossJoin(broadcast(centDf))
-        .select(col(idCol), col("__v"),
+      v.withColumn("__row", monotonically_increasing_id())
+        .crossJoin(broadcast(centDf))
+        .select(col("__row"), col(idCol), col("__v"),
           struct(
             call_function("graft_cosine", col("__v"), col("__centroid"))
               .as("sim"),
             (-col("__cc")).as("negcell")).as("__key"),
           col("__cc"))
-        .groupBy(col(idCol))
-        .agg(expr("max_by(__cc, __key)").as("cell"),
+        .groupBy(col("__row"))
+        .agg(first(col(idCol)).as(idCol),
+          expr("max_by(__cc, __key)").as("cell"),
           first(col("__v")).as("__v"))
         .select(col(idCol), col("cell"), col("__v"))
     }

@@ -123,12 +123,13 @@ object StreamingScores {
       textCol: String,
       langCol: String,
       joinKey: String,
-      langs: Seq[String] = Seq("en"),
-      minTokens: Int = 30,
+      cfg: graft.operators.Curation.Config = graft.operators.Curation.Config(
+        maxStopRatio = 1.0),
       watermark: String = "2 hours"): DataFrame = {
-    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    // the SAME predicate builder as batch Curation.qualityFilter — the
+    // train-time and ingest-time gates cannot drift apart
     val gated = docs
-      .filter(col(langCol).isin(langs: _*) && size(toks) >= minTokens)
+      .filter(graft.operators.Curation.qualityPredicate(textCol, langCol, cfg))
       .withColumn("__fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
     val deduped = dedupedStream(gated, tsCol, Seq("__fp"), watermark)
       .drop("__fp")

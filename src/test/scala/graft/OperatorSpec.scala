@@ -381,10 +381,23 @@ class OperatorSpec extends SparkSpec {
       Packing.materializeBins(bins, docs.filter(col("doc_id") =!= 2L),
         "doc_id", "text")
     }
-    assert(e.getMessage.contains("missing or duplicated"))
-    // and on duplicated ids
+    assert(e.getMessage.contains("missing/duplicated"))
+    // on duplicated ids
     intercept[IllegalArgumentException] {
       Packing.materializeBins(bins, docs.union(docs), "doc_id", "text")
+    }
+    // on a duplicate that exactly compensates a missing id (row count
+    // alone would pass; the distinct-id axis catches it)
+    val compensated = docs.filter(col("doc_id") =!= 2L)
+      .union(docs.filter(col("doc_id") === 1L))
+    intercept[IllegalArgumentException] {
+      Packing.materializeBins(bins, compensated, "doc_id", "text")
+    }
+    // and on a null text (concat_ws would drop it silently)
+    val withNullText = docs.withColumn("text",
+      when(col("doc_id") === 2L, lit(null)).otherwise(col("text")))
+    intercept[IllegalArgumentException] {
+      Packing.materializeBins(bins, withNullText, "doc_id", "text")
     }
   }
 

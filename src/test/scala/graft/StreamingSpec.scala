@@ -169,7 +169,8 @@ class StreamingSpec extends SparkSpec {
 
     val query = StreamingScores.ingestCuration(
       docs, dim, "ts", "text", "lang", "source_id",
-      minTokens = 30, watermark = "1 hour")
+      cfg = graft.operators.Curation.Config(minTokens = 30, maxStopRatio = 1.0),
+      watermark = "1 hour")
       .select(col("text"), col("kind"))
       .writeStream.format("memory").queryName("ingested")
       .outputMode(OutputMode.Append()).start()
