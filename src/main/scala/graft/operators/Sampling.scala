@@ -54,6 +54,37 @@ object Sampling {
     df.filter(unitHash(col(keyCol)) < rate)
   }
 
+  /** Deterministic mixture construction with fractional EPOCH weights —
+    * the data-mixing step stratified() cannot express: a weight above 1
+    * up-samples by repetition (weight 2.5 ⇒ every doc appears twice and
+    * half the docs, hash-chosen, a third time), a weight below 1
+    * down-samples, 0 or absent drops the stratum. Copy counts are
+    * md5-hash-based so the mixture is reproducible row-by-row across
+    * runs, partitionings, and engines (md5 is bit-identical everywhere —
+    * this path is DuckDB-oracled). Output repeats input rows with a
+    * 1-based `copy` index; downstream shuffling/packing treats copies as
+    * independent documents. Narrow: one generator per row, no shuffle.
+    */
+  def mixture(df: DataFrame, strataCol: String, keyCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 100),
+      s"weights must be in [0, 100], got $weights")
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (stratum, ww)) =>
+      when(col(strataCol) === stratum, ww).otherwise(acc)
+    }
+    // md5-uniform in [0,1): first 8 hex chars = 32 bits. Cross-engine
+    // identical (DuckDB: ('0x' || substr(md5(...),1,8))::BIGINT).
+    val u01 = conv(substring(md5(concat(lit("mix "),
+      col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val copies = (floor(w) + when(u01 < w - floor(w), 1).otherwise(0))
+      .cast("int")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Disjoint, exhaustive train/test split by key hash. Rows with the same
     * key always land on the same side — the property that prevents
     * train/test leakage when keys repeat (same document re-crawled, same

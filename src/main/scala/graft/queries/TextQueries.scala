@@ -140,6 +140,19 @@ object TextQueries {
         .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
     }),
 
+    // ORACLED mixture sampling: fractional epoch weights per language —
+    // en up-sampled 2.5× (every doc twice, an md5-chosen half a third
+    // time), de down-sampled to 0.5, zh dropped (absent) — DuckDB
+    // reproduces the copy counts bit-identically from the same md5 hash.
+    "q_mixture" -> ((s, dir) => {
+      graft.operators.Sampling.mixture(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 2.5, "de" -> 0.5, "es" -> 1.0, "fr" -> 1.0))
+        // DuckDB's generate_series yields BIGINT
+        .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
+    }),
+
     // ORACLED context-window chunking: 40-token windows advancing by 32
     // (8-token overlap), exploded to one row per chunk — DuckDB mirrors
     // the chunk-count formula and list_slice clamping exactly.
@@ -424,6 +437,22 @@ object TextQueries {
            list_min(list_transform(s, x -> md5(concat('2 ', x)))) AS sig2,
            list_min(list_transform(s, x -> md5(concat('3 ', x)))) AS sig3
          FROM sh""",
+
+    "q_mixture" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5
+               WHEN 'es' THEN 1.0 WHEN 'fr' THEN 1.0 ELSE 0.0 END AS ww,
+             CAST(('0x' || substr(md5('mix ' || doc_id), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang,
+             CAST(floor(ww) + CASE WHEN u < ww - floor(ww) THEN 1 ELSE 0 END
+               AS INTEGER) AS copies
+           FROM w)
+         SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
+         FROM c WHERE copies >= 1""",
 
     "q_chunk_tokens" ->
       """WITH tk AS (

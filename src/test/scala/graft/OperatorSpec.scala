@@ -476,6 +476,33 @@ class OperatorSpec extends SparkSpec {
     assert(!langs.contains("de") && !langs.contains("fr"))
   }
 
+  test("mixture: fractional epoch weights repeat, downsample, and drop strata") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("lang"))
+    val mixed = Sampling.mixture(docs, "lang", "doc_id",
+      Map("en" -> 2.5, "de" -> 0.5, "zh" -> 0.0))
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = docs.filter(col("lang") === "en").count()
+    val de = docs.filter(col("lang") === "de").count()
+    // en ~2.5x (every doc twice + hash-half a third time)
+    assert(byLang("en") >= 2 * en && byLang("en") <= 3 * en)
+    assert(math.abs(byLang("en") - 2.5 * en) < 0.2 * en, byLang("en"))
+    // de ~0.5x, zh and absent langs dropped entirely
+    assert(math.abs(byLang("de") - 0.5 * de) < 0.25 * de, byLang("de"))
+    assert(!byLang.contains("zh") && !byLang.contains("fr"))
+    // copies are 1-based and dense per doc; rerun is identical
+    val copies = mixed.filter(col("lang") === "en")
+      .groupBy("doc_id").agg(max(col("copy")).as("mx"), count(lit(1)).as("n"))
+    assert(copies.filter(col("mx") =!= col("n")).count() === 0)
+    val again = Sampling.mixture(docs, "lang", "doc_id",
+      Map("en" -> 2.5, "de" -> 0.5, "zh" -> 0.0))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === byLang)
+  }
+
   test("salting the IVF self-join leaves the result set unchanged") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val unsalted = Similarity.annIvf(e, "vec_id", "embedding", k = 3,
