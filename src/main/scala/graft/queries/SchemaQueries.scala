@@ -1,11 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Flatten
-import graft.schema.SchemaAlign
+import graft.operators.{Flatten, MqDpla}
+import graft.schema.{DplaMap, SchemaAlign}
 import graft.sources.Tables
 
 /** Schema-manipulation queries: the value-wrapper round trip (SURVEY §2.B8 ⇄
@@ -19,7 +19,98 @@ object SchemaQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
+  /** Master-shaped nested DPLA fixture synthesized from `documents`: every
+    * field the MQ pipeline touches (MqReports.scala:22-88), with each
+    * array's emptiness / nullness and each scalar's nullness decided by
+    * doc_id arithmetic — so an independent engine can predict every flag
+    * from the flat table without nested types. Deliberately covers the
+    * size(NULL)-array quirk (title doc_id%3==2 and mediaMaster doc_id%4==1
+    * are NULL arrays → flag 1, MqDpla's documented CASE fall-through) and
+    * the null-conjunct mediaAccess path (iiifManifest null + mediaMaster
+    * null → 1).
+    *
+    * `slice(a, 1, 0)` is the empty-array-of-same-element-type trick: it
+    * keeps every branch of the CASE the same nested type without spelling
+    * casts, and stays codegen'd (no HOF lambda).
+    */
+  private def dplaMaster(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def emptyWhen(cond: Column, a: Column): Column =
+      when(cond, slice(a, 1, 0)).otherwise(a)
+
+    val title = when(d % 3 === 2, lit(null))
+      .otherwise(emptyWhen(d % 3 === 0, array(col("text"))))
+    val description = emptyWhen(d % 2 === 0, array(col("text")))
+    val creator = emptyWhen(d % 4 === 0,
+      array(struct(concat(lit("cr_"), col("lang")).as("name"))))
+    val typ = emptyWhen(d % 5 === 0, array(lit("text")))
+    val language = emptyWhen(d % 6 === 0,
+      array(struct(col("lang").as("providedLabel"))))
+    val place = emptyWhen(d % 3 === 1,
+      array(struct(col("source").as("name"))))
+    val subject = emptyWhen(d % 4 === 1,
+      array(struct(col("lang").as("providedLabel"))))
+    val collection = emptyWhen(d % 5 === 2,
+      array(struct(concat(col("source"), lit("-c")).as("title"))))
+    val date = emptyWhen(d % 6 === 3,
+      array(struct(concat(lit("19"), (d % 90 + 10).cast(StringType))
+        .as("originalSourceDate"))))
+    // %5==1/2/4 match an openRights pattern ('%/by-sa/%' must NOT match
+    // '%/by/%'), %5==3 is standardized-but-closed, %5==0 is unstated (null
+    // rights → openRights CASE falls to ELSE 0 in both engines).
+    val rightsStr =
+      when(d % 5 === 1, lit("http://rightsstatements.org/vocab/NoC-US/1.0/"))
+        .when(d % 5 === 2, lit("http://creativecommons.org/publicdomain/mark/1.0/"))
+        .when(d % 5 === 4, lit("http://creativecommons.org/licenses/by-sa/4.0/"))
+        .when(d % 5 === 3, lit("http://example.org/all-rights-reserved"))
+    val mediaMaster = when(d % 4 === 1, lit(null))
+      .otherwise(emptyWhen(d % 4 === 0, array(struct(
+        SchemaAlign.wrapValue(concat(lit("http://media/"), d.cast(StringType)))
+          .as("uri")))))
+
+    t(s, dir, "documents").select(
+      SchemaAlign.wrapValue(
+        concat(lit("http://dp.la/api/items/"), d.cast(StringType))).as("dplaUri"),
+      struct(
+        title.as("title"), description.as("description"),
+        creator.as("creator"), typ.as("type"), language.as("language"),
+        place.as("place"), subject.as("subject"),
+        collection.as("collection"), date.as("date")).as("sourceResource"),
+      struct(concat(lit("prov_"), col("source")).as("name")).as("provider"),
+      when(d % 7 === 0, lit(null))
+        .otherwise(struct(concat(lit("dp_"), col("lang")).as("name")))
+        .as("dataProvider"),
+      when(d % 2 === 0, lit(null))
+        .otherwise(struct(SchemaAlign.wrapValue(
+          concat(lit("http://obj/"), d.cast(StringType))).as("uri")))
+        .as("object"),
+      when(d % 3 === 0, lit(null))
+        .otherwise(SchemaAlign.wrapValue(
+          concat(lit("http://iiif/"), d.cast(StringType))))
+        .as("iiifManifest"),
+      mediaMaster.as("mediaMaster"),
+      SchemaAlign.wrapValue(rightsStr).as("edmRights"))
+  }
+
+  /** The reference flagship end-to-end: synthesized master → alignToSchema
+    * to the canonical record → ParquetDump flatten → MqReports itemdata →
+    * score aggregation — the full chain MqReports.scala:22-134 runs in
+    * production, hash-compared against an independent engine's prediction.
+    */
+  private def mqDplaScores(s: SparkSession, dir: String,
+      score: DataFrame => DataFrame): DataFrame = {
+    val canonical = SchemaAlign.alignToSchema(dplaMaster(s, dir), DplaMap.record)
+    val flat = graft.processes.Processes.flattenRecord(canonical)
+    score(MqDpla.itemdata(flat))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_mq_dpla" -> ((s, dir) =>
+      mqDplaScores(s, dir, MqDpla.providerScores)),
+
+    "q_mq_dpla_contrib" -> ((s, dir) =>
+      mqDplaScores(s, dir, MqDpla.contributorScores)),
 
     // Wrap scalars into a nested record (master-dataset direction), then
     // flatten back with the export combinators — identity end to end.
@@ -137,7 +228,61 @@ object SchemaQueries {
     }),
   )
 
+  /** The MQ flags as the independent engine predicts them from the flat
+    * fixture — the same doc_id arithmetic `dplaMaster` uses to populate the
+    * nested records, never touching a nested type. NULL-array cases
+    * (title %3==2, mediaMaster %4==1) predict flag 1 (the reference's
+    * size(NULL) CASE fall-through); mediaAccess is 0 only when iiifManifest
+    * is null AND mediaMaster is present-and-empty.
+    */
+  private val mqDplaFlagsCte =
+    """WITH itemdata AS (
+         SELECT 'prov_' || source AS provider,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'dp_' || lang END AS dp,
+           CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS title,
+           CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS description,
+           CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS creator,
+           CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS typ,
+           CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END AS language,
+           CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS spatial,
+           CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END AS subject,
+           CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 1 END AS collection,
+           CASE WHEN doc_id % 6 = 3 THEN 0 ELSE 1 END AS dat,
+           CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS standardizedRights,
+           CASE WHEN doc_id % 5 IN (1, 2, 4) THEN 1 ELSE 0 END AS openRights,
+           CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS preview,
+           CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS iiifManifest,
+           CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS mediaMaster,
+           CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 0 THEN 0 ELSE 1 END
+             AS mediaAccess
+         FROM documents
+       ), derived AS (
+         SELECT *, CASE WHEN mediaAccess = 1 AND openRights = 1
+                        THEN 1 ELSE 0 END AS wikimediaReady
+         FROM itemdata
+       )"""
+
+  private val mqDplaAggs =
+    """avg(title) AS "title", avg(description) AS "description",
+       avg(creator) AS "creator", avg(typ) AS "type",
+       avg(language) AS "language", avg(spatial) AS "spatial",
+       avg(subject) AS "subject", avg(collection) AS "collection",
+       avg(dat) AS "date", avg(standardizedRights) AS "standardizedRights",
+       avg(preview) AS "preview", avg(iiifManifest) AS "iiifManifest",
+       avg(mediaMaster) AS "mediaMaster", avg(mediaAccess) AS "mediaAccess",
+       avg(openRights) AS "openRights", avg(wikimediaReady) AS "wikimediaReady",
+       count(*) AS "count""""
+
   val oracles: Map[String, String] = Map(
+    "q_mq_dpla" ->
+      s"""$mqDplaFlagsCte
+         SELECT provider AS "provider", $mqDplaAggs
+         FROM derived WHERE provider IS NOT NULL GROUP BY provider""",
+    "q_mq_dpla_contrib" ->
+      s"""$mqDplaFlagsCte
+         SELECT dp AS "dataProvider", provider AS "provider", $mqDplaAggs
+         FROM derived WHERE provider IS NOT NULL AND dp IS NOT NULL
+         GROUP BY dp, provider""",
     "q_flatten_export" ->
       """SELECT CAST(doc_id AS VARCHAR) AS id,
            'http://dp.la/api/items/' || CAST(doc_id AS VARCHAR) AS uri,

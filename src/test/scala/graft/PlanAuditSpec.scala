@@ -110,6 +110,15 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q_mq_dpla: full MQ chain = narrow flag Project + one agg exchange") {
+    // synthesize → align → flatten → itemdata all collapse into Projects
+    // over the scan; the only shuffle is the partial/final score aggregation
+    // on the grouping key — shuffle volume O(#providers), not O(#records)
+    val p = plan("q_mq_dpla")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+  }
+
   test("q_unigram_nll: scoring is shuffle-free (one row per doc off the scan)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
