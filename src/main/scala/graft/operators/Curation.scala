@@ -100,6 +100,11 @@ object Curation {
     *     count over shared-shingle rows.
     *
     * Returns (idCol, n_shared) for contaminated train docs only.
+    *
+    * Cache lifecycle: the eval shingle frame stays persisted after return
+    * (the returned plan re-reads it through the broadcast). Long-running
+    * sessions chaining many workloads should `spark.catalog.clearCache()`
+    * between them — the same contract as Dedup/Similarity/Packing.
     */
   def decontaminate(
       train: DataFrame,
@@ -108,9 +113,19 @@ object Curation {
       idCol: String,
       shingleN: Int = 3,
       expectedItems: Long = 1000000L,
-      numBits: Long = 8L * 1000000L): DataFrame = {
+      numBits: Long = 8L * 1000000L,
+      maxEvalRows: Long = 10000000L): DataFrame = {
     graft.plans.GraftFunctions.register(train.sparkSession)
     graft.plans.GraftFunctions.register(eval.sparkSession)
+    // the eval side is assumed benchmark-sized: its distinct shingles are
+    // both collected into one Bloom filter AND broadcast for the exact
+    // verify. A caller passing a corpus-sized frame here would OOM the
+    // driver late — fail fast with a bounded probe instead (the probe
+    // scans at most maxEvalRows+1 rows, never the table).
+    Similarity.requireBroadcastable(eval, maxEvalRows,
+      s"decontaminate eval set ($textCol)",
+      "swapping the sides (treat the smaller set as eval) or a shuffle " +
+        "join over pre-computed shingle tables")
     def sh(c: Column) = TextAnalysis.shingles(TextAnalysis.tokens(c), shingleN)
     // persisted: the bloom build (eager, below) materializes it and the
     // exact-verify broadcast reuses it — without the cache the eval-side
@@ -140,12 +155,26 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Full pipeline → (train, test). */
+  /** Full pipeline → (train, test): quality → eval-set decontamination
+    * (when an eval set is supplied) → exact dedup → near-dup dedup →
+    * deterministic split. Decontamination runs right after the quality
+    * gate — before the dedup shuffles — so contaminated rows never pay
+    * for fingerprinting or LSH, and the drop is a left-anti join on ids
+    * only (the contaminated-id side is per-doc, bounded by the eval hit
+    * count, never the corpus).
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      langCol: String, cfg: Config = Config()): (DataFrame, DataFrame) = {
+      langCol: String, cfg: Config = Config(),
+      evalSet: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val quality = qualityFilter(docs, textCol, langCol, cfg)
+    val decontaminated = evalSet match {
+      case Some(ev) =>
+        val contaminated = decontaminate(quality, ev, textCol, idCol)
+        quality.join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => quality
+    }
     val cleaned = dropNearDups(
-      dropExactDups(
-        qualityFilter(docs, textCol, langCol, cfg), textCol, idCol),
+      dropExactDups(decontaminated, textCol, idCol),
       textCol, idCol, cfg.nearDupThreshold)
     Sampling.trainTestSplit(cleaned, idCol, cfg.testFraction)
   }

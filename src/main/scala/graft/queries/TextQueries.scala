@@ -120,6 +120,28 @@ object TextQueries {
           round(avg(size(toks)), 4).as("avg_tokens"))
     }),
 
+    // The COMPOSED curation pipeline, oracled end to end: quality gate →
+    // eval-set decontamination (eval = every 17th document, so the oracle
+    // predicts the contaminated set from the same shared-shingle
+    // semantics) → exact dedup → LSH near-dup removal → split. Train and
+    // test are re-unioned for the oracle (the split is disjoint and
+    // exhaustive, proven in OperatorSpec; its xxhash64 isn't
+    // cross-engine). DuckDB verifies the near-dup stage by brute-force
+    // jaccard over the survivors — candidate generation differs (LSH vs
+    // all-pairs), the kept set must not.
+    "q_curate_full" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
+      val (train, test) = Curation.curate(docs, "doc_id", "text", "lang",
+        Curation.Config(minTokens = 30, maxStopRatio = 0.6, langs = Seq("en")),
+        evalSet = Some(eval))
+      train.unionByName(test)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(size(toks)), 4).as("avg_tokens"))
+    }),
+
     // ORACLED MinHash: md5-based permutations (md5 is bit-identical across
     // engines, so the signature itself hash-compares — the xxhash64
     // variant in q_minhash_lsh stays the fast path; this one proves the
@@ -420,6 +442,48 @@ object TextQueries {
            FROM q)
          SELECT source, count(*) AS n_docs, round(avg(len(tk)), 4) AS avg_tokens
          FROM d WHERE rn = 1 GROUP BY source""",
+
+    "q_curate_full" ->
+      """WITH tk AS (
+           SELECT doc_id, source, lang, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+           FROM documents),
+         sh AS (
+           SELECT *, list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - 2, 0)),
+             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+           FROM tk),
+         q AS (
+           SELECT * FROM sh
+           WHERE lang = 'en' AND len(tk) >= 30 AND
+             (CASE WHEN len(tk) = 0 THEN 0
+               ELSE CAST(len(list_filter(tk, t ->
+                 list_contains(['the','of','and','a','an','in','to'], t)))
+                 AS DOUBLE) / len(tk) END) <= 0.6),
+         evs AS (
+           SELECT DISTINCT unnest(s) AS esh FROM sh WHERE doc_id % 17 = 0),
+         contam AS (
+           SELECT DISTINCT u.doc_id
+           FROM (SELECT doc_id, unnest(s) AS sh2 FROM q) u
+           JOIN evs ON u.sh2 = evs.esh),
+         decon AS (
+           SELECT * FROM q
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         d AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM decon),
+         dd AS (SELECT * FROM d WHERE rn = 1),
+         losers AS (
+           SELECT DISTINCT b.doc_id
+           FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+           WHERE (CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0
+             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) END) >= 0.8)
+         SELECT source, count(*) AS n_docs, round(avg(len(tk)), 4) AS avg_tokens
+         FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         GROUP BY source""",
 
     "q_minhash_md5" ->
       """WITH sh AS (

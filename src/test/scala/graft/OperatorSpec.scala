@@ -305,6 +305,46 @@ class OperatorSpec extends SparkSpec {
     assert(trainIds.union(testIds) === survivors)
   }
 
+  test("curate with an eval set drops contaminated docs before dedup") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and runs far away " * 4
+    val docs = Seq(
+      (1L, base + "alpha beta gamma delta epsilon zeta", "en", "s1"),
+      (2L, base + "alpha beta gamma delta epsilon zeta", "en", "s1"), // exact dup of 1
+      (4L, base + "totally different closing words here now then", "en", "s2"),
+      (7L, base + "held out benchmark phrasing lives here", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    // eval shares a shingle run with doc 7 only (quality-passing docs)
+    val eval = Seq((0L, "held out benchmark phrasing lives elsewhere"))
+      .toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 30, maxStopRatio = 0.9,
+      langs = Seq("en"), nearDupThreshold = 0.8, testFraction = 0.25)
+    val (train, test) = Curation.curate(docs, "doc_id", "text", "lang", cfg,
+      evalSet = Some(eval))
+    val survivors = (train.select("doc_id").collect() ++
+      test.select("doc_id").collect()).map(_.getLong(0)).toSet
+    // 7 contaminated, 2 exact-dups to 1; without the eval set 7 survives
+    assert(survivors === Set(1L, 4L))
+    val (tr2, te2) = Curation.curate(docs, "doc_id", "text", "lang", cfg)
+    val all2 = (tr2.select("doc_id").collect() ++
+      te2.select("doc_id").collect()).map(_.getLong(0)).toSet
+    assert(all2 === Set(1L, 4L, 7L))
+  }
+
+  test("decontaminate fails fast on an oversized eval side") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val train = Seq((1L, "some training text")).toDF("doc_id", "text")
+    val bigEval = spark.range(100).select(
+      col("id").as("doc_id"), concat(lit("eval doc "), col("id")).as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.decontaminate(train, bigEval, "text", "doc_id",
+        maxEvalRows = 10L)
+    }
+    assert(e.getMessage.contains("exceeds 10 rows"))
+  }
+
   test("decontaminate flags exactly the train docs sharing eval shingles") {
     import graft.operators.Curation
     import spark.implicits._
