@@ -1,11 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1 if unreadable, e.g. non-Linux). */
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Wall-seconds for a fixed single-thread spin. Between queries our own JVM
+    * is idle, so a slow probe means ANOTHER process holds the cores right now.
+    * This is the contention signal loadavg can't give: the 1-minute EMA is
+    * polluted by our own 32-thread sweep for a minute after every query, while
+    * the probe only sees contention present at the instant it runs. */
+  private def spinProbe(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0
+    while (i < 40000000) { acc = acc * 31 + i; i += 1 }
+    if (acc == 42) println("")  // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the harness environment (local[32], 32 shuffle
     // partitions — see the build prompt); override via SPARK_GRAFT_CPUS
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Captured BEFORE Spark spins up: at this instant self-load is ~0, so a
+    // high reading here is external contention (the round-3 bench record was
+    // poisoned by exactly such a window — load ~10 from a co-tenant).
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,51 +52,94 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    // Contention guard: calibrate the spin probe (min over a few quiet
+    // samples = the uncontended floor; GC noise can only inflate, never
+    // deflate, a sample, so the min is the right estimator), then require
+    // each kept run to start from a clean probe. A run whose preceding probe
+    // exceeds the floor by contendedFactor was taken while another process
+    // held the cores and is retried rather than recorded.
+    val probeFloor = (1 to 5).map(_ => spinProbe()).min
+    val contendedFactor =
+      sys.env.getOrElse("SPARK_GRAFT_CONTENDED_FACTOR", "1.6").toDouble
+    case class QRes(sec: Double, contended: Boolean,
+                    loadBefore: Double, loadAfter: Double, attempts: Int)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // (elapsed, probeWasClean, loadBefore, loadAfter); elapsed -1 = failed
+      def once(): (Double, Boolean, Double, Double) = {
+        val probe = spinProbe()
+        val clean = probe <= probeFloor * contendedFactor
+        val lb = loadavg()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val la = loadavg()
         // drop frames the query persisted: carrying them over would (a)
         // hand the rerun a warm cache it didn't pay for and (b) build up
         // memory pressure that distorts later queries (observed 2.5x on
         // q_embed_neardup_lsh inside the full sweep vs standalone)
         spark.catalog.clearCache()
         // a failed query must not masquerade as a fast one
-        if (ok) elapsed else -1.0
+        (if (ok) elapsed else -1.0, clean, lb, la)
       }
       // ANY failed run reports -1: a query that fails intermittently must
-      // not pass the bench gate on its lucky rerun
-      val runs = Seq(once(), once())
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      // not pass the bench gate on its lucky rerun. Otherwise keep sampling
+      // (max 4 attempts) until two CLEAN-probe runs exist; best clean run is
+      // the record. If contention never lifts, record best-of-all but flag
+      // the query so the committed artifact carries its own evidence caveat.
+      var runs = List(once(), once())
+      while (!runs.exists(_._1 < 0) && runs.count(_._2) < 2 && runs.size < 4)
+        runs ::= once()
+      val failed = runs.exists(_._1 < 0)
+      val cleanRuns = runs.filter(_._2).map(_._1)
+      val sec =
+        if (failed) -1.0
+        else if (cleanRuns.size >= 2) cleanRuns.min
+        else runs.map(_._1).min
+      name -> QRes(sec, contended = !failed && cleanRuns.size < 2,
+        loadBefore = runs.last._3, loadAfter = runs.head._4, runs.size)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
     // a failed query poisons the TOTAL too: silently dropping its seconds
     // would make a crashing query look like a speedup against the baseline
     val total =
-      if (results.values.exists(_ < 0)) -1.0 else results.values.sum
+      if (results.values.exists(_.sec < 0)) -1.0
+      else results.values.map(_.sec).sum
+    val contendedNames = results.collect {
+      case (k, v) if v.contended => "\"" + k + "\""
+    }.toSeq.sorted.mkString("[", ",", "]")
     // The full per-query map is ~3 KB with 70+ queries and the harness's
     // stdout tail capture truncated it two rounds running (BENCH_r1/r2
     // parsed:null). So: full detail goes to a sidecar file AND an earlier
     // stdout line that deliberately avoids the "metric" marker, while the
     // FINAL line is a compact always-parseable summary carrying the total
     // plus only the ten slowest queries.
-    val detail = s"""{"detail":$qs,"sf":"$sfDir"}"""
+    val loads = results.map { case (k, v) =>
+      s"\"$k\":{\"sec\":${v.sec},\"contended\":${v.contended}," +
+        s"\"load_before\":${v.loadBefore},\"load_after\":${v.loadAfter}," +
+        s"\"attempts\":${v.attempts}}"
+    }.mkString("{", ",", "}")
+    val detail = s"""{"detail":$qs,"runs":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"probe_floor_sec":$probeFloor}"""
+    // sidecar path is configurable so launching the bench from an arbitrary
+    // cwd can't silently clobber an unrelated bench_detail.json
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
+      java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     println(detail)
     // failures (-1 sentinels) sort FIRST so the compact line names the
     // culprit even when the full map is truncated away
-    val slowest = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
+    val slowest = results.toSeq
+      .sortBy { case (_, v) => (v.sec >= 0, -v.sec) }
       .take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries_truncated":${results.size > 10},"queries":$slowest,"sf":"$sfDir","detail_file":"bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries_truncated":${results.size > 10},"queries":$slowest,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contendedNames,"detail_file":"$detailPath"}""")
     spark.stop()
   }
 }
