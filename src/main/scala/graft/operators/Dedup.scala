@@ -100,6 +100,12 @@ object Dedup {
     * ~3× slower at ~10M candidates), never materializes a bucket's whole
     * id list as one array value, and the size cap rides the same shuffle
     * as a count aggregate instead of a second pass.
+    *
+    * Cache lifecycle: the bucket/bounded frames stay persisted after
+    * return — the result is lazy, so unpersisting here would defeat the
+    * point. Long-running sessions interleaving many workloads should
+    * `spark.catalog.clearCache()` between them (Bench does); a one-shot
+    * pipeline can ignore this — executor eviction handles pressure.
     */
   def lshCandidatePairs(
       minhashedDf: DataFrame,

@@ -73,7 +73,13 @@ object Multimodal {
         if (u8(i) != 0xff) return None // lost marker sync
         val marker = u8(i + 1)
         if (marker == 0xff) i += 1 // fill byte
-        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        // standalone markers carry NO length word: TEM (0x01), RSTn
+        // (0xd0-0xd7), and a stray mid-stream SOI (0xd8). Reading a bogus
+        // 16-bit "length" for these would skip into garbage on malformed
+        // files instead of failing cleanly.
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+        // EOI before any SOF: the image ended without a frame header
+        else if (marker == 0xd9) return None
         else {
           val len = be16(i + 2)
           if (len < 2) return None

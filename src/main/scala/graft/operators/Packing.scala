@@ -49,6 +49,10 @@ object Packing {
     * silently). The joined frame is persisted since both the check and
     * the final aggregation read it. Disable only when the caller
     * guarantees `docs` maps packed ids 1:1 to non-null texts.
+    *
+    * Cache lifecycle: in strict mode the joined frame stays persisted
+    * after return (the result is lazy). Long-running sessions should
+    * `spark.catalog.clearCache()` between workloads (Bench does).
     */
   def materializeBins(
       bins: Dataset[PackedBin],

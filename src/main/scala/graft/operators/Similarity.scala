@@ -305,13 +305,18 @@ object Similarity {
       .withColumn("__sketch",
         call_function("graft_lsh_bucket", col("__v"), lit(nBits * nTables)))
       .select(col(idCol),
-        // empty/degenerate vectors all sketch to 0 — null their band keys
-        // (posexplode drops nulls) so they can't pile into one spurious
-        // bucket per table, same guard as the MinHash path. coalesce:
-        // size(null) is null, which would slip past === 0 and give every
-        // NULL-embedding doc an array of null keys... which posexplode
-        // KEEPS (the array is non-null), congregating them per table.
-        when(coalesce(size(col("__v")), lit(0)) === 0,
+        // degenerate vectors can't be near-dups of anything by cosine, so
+        // null their band keys (posexplode drops nulls) rather than let
+        // them pile into one spurious bucket per table, same guard as the
+        // MinHash path. Three degenerate shapes: NULL column (dot is null
+        // -> coalesce 0), empty array (dot 0), and all-zero non-empty
+        // vector — normalize leaves zero vectors as zeros, every
+        // projection is then 0, and `proj >= 0` would set EVERY sketch
+        // bit, congregating all zero vectors into the same bucket in
+        // every table. Self-dot of the normalized vector is 0 exactly for
+        // these three and 1 otherwise, so one codegen'd check covers all.
+        when(coalesce(
+          call_function("graft_dot", col("__v"), col("__v")), lit(0d)) === 0,
           lit(null).cast("array<bigint>"))
           .otherwise(transform(sequence(lit(0), lit(nTables - 1)), t =>
             call_function("shiftright", col("__sketch"), t * nBits)

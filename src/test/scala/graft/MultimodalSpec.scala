@@ -67,6 +67,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDims(png.take(20)) === None) // truncated IHDR
     assert(Multimodal.imageDims(hx("FFD8FFE000")) === None) // truncated APP0
     assert(Multimodal.imageDims(Array.empty[Byte]) === None)
+    // a stray mid-stream SOI is a standalone marker (no length word):
+    // the walk must step over it and still find the SOF, not read the
+    // SOF's own 0xFFC0 bytes as a bogus segment length and skip past it
+    val jpgStraySoi = hx("FFD8" + "FFD8" + "FFC00011" + "08" + "00C8" +
+      "0140" + "03011100021101031101")
+    assert(Multimodal.imageDims(jpgStraySoi) ===
+      Some(Multimodal.ImageDims("jpeg", 320, 200)))
+    // EOI before any SOF: image ended without a frame header -> None,
+    // even when plausible-looking SOF bytes follow the EOI
+    val jpgEoiFirst = hx("FFD8" + "FFD9" + "FFC00011" + "08" + "00C8" +
+      "0140" + "03011100021101031101")
+    assert(Multimodal.imageDims(jpgEoiFirst) === None)
   }
 
   test("decodeStub surfaces parsed dimensions and nulls for non-images") {

@@ -666,6 +666,28 @@ class OperatorSpec extends SparkSpec {
       s"recall ${fifteen.size.toDouble / exact.size}")
   }
 
+  test("embeddingNearDupPairs nulls degenerate vectors out of every band") {
+    // zero-norm vectors would otherwise all sketch to the all-ones bucket
+    // (proj >= 0 holds for proj == 0) and, at threshold 0, their mutual
+    // dot of 0.0 would SURVIVE the verify step — so this is observable in
+    // the output, not just in candidate counts
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val zeros = (1L to 3L).map(i => Row(i, Seq.fill(4)(0.0)))
+    val empty = Row(4L, Seq.empty[Double])
+    val nul = Row(5L, null)
+    val near = Seq(Row(10L, Seq(1.0, 0.0, 0.0, 0.0)),
+      Row(11L, Seq(0.99, 0.1, 0.0, 0.0)))
+    val d = df(schema, (zeros ++ Seq(empty, nul) ++ near): _*)
+    val got = Similarity
+      .embeddingNearDupPairs(d, "vec_id", "embedding", 0.0,
+        nBits = 2, nTables = 4, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 11L)),
+      s"degenerate vectors leaked into pairs: $got")
+  }
+
   test("codegen HyperplaneSketch matches the HOF lshBucket reference bit-for-bit") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val both = Similarity.sketched(e, "vec_id", "embedding", nBits = 8)
