@@ -153,4 +153,19 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
   }
+
+  /** Cross-engine twin of [[rollingHash]]: same base-31 mod-1e9+7 fold, but
+    * the per-token hash is the first 8 hex digits of md5 (engine-portable)
+    * instead of xxhash64 (Spark-only). Exists so an independent engine can
+    * oracle the order-sensitive fold itself (DuckDB: list_reduce over the
+    * same md5 prefixes); production callers should prefer [[rollingHash]],
+    * which skips the md5 + hex-decode detour. Intermediates stay below
+    * 31·(1e9+7)+2^32 < 2^35, so ANSI mode never sees an overflow.
+    */
+  def rollingHashMd5(toks: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(31L) +
+        pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), p), p))
+  }
 }

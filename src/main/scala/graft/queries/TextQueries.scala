@@ -242,6 +242,16 @@ object TextQueries {
         TA.rollingHash(toks).as("rolling_hash"))
     }),
 
+    // ORACLED rolling hash: md5-prefix token hashes (cross-engine
+    // identical) through the same base-31 mod-1e9+7 left fold, so the
+    // order-sensitive fold in q_text_signatures has an independently
+    // verified sibling (DuckDB folds with list_reduce). Narrow
+    // compute-heavy map ⇒ spread the single-file scan first.
+    "q_rolling_md5" -> ((s, dir) => {
+      graft.operators.Similarity.spreadIfNarrow(t(s, dir, "documents"))
+        .select(col("doc_id"), TA.rollingHashMd5(toks).as("rolling_md5"))
+    }),
+
     // All-match extraction: digit runs and vowel runs per doc (the
     // pattern-mining flavor of quality scoring).
     "q_regexp_extract_all" -> ((s, dir) => {
@@ -587,6 +597,16 @@ object TextQueries {
              AS BIGINT)
            END AS simhash16
          FROM hs""",
+
+    "q_rolling_md5" ->
+      """SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1000000007)),
+               (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS rolling_md5
+         FROM documents""",
 
     "q_regexp_extract_all" ->
       """SELECT doc_id,
