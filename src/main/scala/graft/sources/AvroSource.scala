@@ -13,6 +13,15 @@ import scala.util.{Failure, Success, Try}
   * canonical columnar source (Tables) and this adapter either works (when
   * the jar is on the cluster classpath, as on EMR) or fails with a clear
   * actionable message rather than a bare ClassNotFoundException.
+  *
+  * Resolution attempt (round 4): a test-scoped
+  * `"org.apache.spark" %% "spark-avro" % "4.1.2" % Test` dependency does
+  * NOT resolve here — the offline dependency cache carries only scalatest/
+  * scalacheck, and the connector jar is absent from every local cache
+  * (`find / -name "*spark-avro*"` → nothing; only core avro-1.12.1 ships
+  * with Spark). The real read/write path therefore stays exercised only on
+  * clusters that bundle the module; the failure contract below is what CI
+  * covers (SourceSpec).
   */
 object AvroSource {
 
