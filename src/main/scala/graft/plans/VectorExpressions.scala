@@ -265,6 +265,8 @@ object GraftFunctions {
         TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()),
     "graft_lsh_bucket" ->
       ((exprs: Seq[Expression]) => HyperplaneSketch(exprs(0), exprs(1))),
+    "graft_bpe" ->
+      ((exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))),
     // Spark's own runtime-filter expressions, surfaced for explicit use
     // (InjectRuntimeFilter builds them internally; they have no SQL name)
     "graft_bloom_agg" ->

@@ -342,7 +342,50 @@ object TextQueries {
           max(col("tfidf")).as("tfidf"))
         .select(col("doc_id"), col("top_tok"), col("tfidf"))
     }),
+
+    // Learned-BPE tokenization (VERDICT r3 item 5): fit a 200-merge table
+    // on the corpus (distributed word counts, bounded driver loop), apply
+    // it via the codegen'd graft_bpe expression. The merge loop is not
+    // SQL-expressible, so this row is rows-only; segmentation itself is
+    // pinned by BpeSpec goldens and the lossless invariant is oracled
+    // separately (q_bpe_lossless).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Bpe
+        .tokenize(docs, "text", fittedMerges(s, dir))
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe"),
+          element_at(col("bpe_tokens"), 1).as("first_tok"))
+    }),
+
+    // ORACLED BPE invariant: merges only ever concatenate adjacent pieces
+    // inside a word, so joining the BPE tokens reconstructs the joined
+    // word pieces exactly — which DuckDB can compute independently from
+    // the raw text (same pre-tokenization regex). Verifies the whole
+    // distributed apply path (regex parity + merge application) byte-wise
+    // without needing the merge loop in SQL.
+    "q_bpe_lossless" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Bpe
+        .tokenize(docs, "text", fittedMerges(s, dir))
+        .select(col("doc_id"),
+          when(col("text").isNull, lit(null).cast("string"))
+            .otherwise(md5(concat_ws("", col("bpe_tokens"))))
+            .as("joined_md5"))
+    }),
   )
+
+  /** One fit per (session, sf dir): q_bpe_encode and q_bpe_lossless share
+    * the learned table, and Verify runs both — refitting would double the
+    * (cheap but not free) word-count job. The fit is deterministic, so
+    * caching cannot change results.
+    */
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private def fittedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    mergeCache.getOrElseUpdate(dir,
+      graft.operators.Bpe.fitMerges(t(s, dir, "documents"), "text",
+        numMerges = 200, vocabWords = 20000))
 
   val oracles: Map[String, String] = Map(
     "q_ngram_jaccard" ->
@@ -660,5 +703,17 @@ object TextQueries {
                ORDER BY tfidf DESC, tok) AS rn
            FROM scored)
          WHERE rn = 1""",
+
+    // BPE lossless invariant: joined BPE tokens == joined word pieces of
+    // the same pre-tokenization regex, computed here straight from the raw
+    // text (DuckDB never sees the merge table — that's the point).
+    "q_bpe_lossless" ->
+      """SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+             ELSE md5(array_to_string(
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+               ''))
+           END AS joined_md5
+         FROM documents""",
   )
 }
