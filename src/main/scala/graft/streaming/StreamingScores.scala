@@ -136,6 +136,138 @@ object StreamingScores {
     enrichedStream(deduped, dim, joinKey)
   }
 
+  // ------------------------------------------------------------------
+  // Streaming near-dup (VERDICT r3 item 7)
+  // ------------------------------------------------------------------
+
+  /** Rows for the streaming near-dup operator. */
+  final case class SketchedDoc(bucket: Long, doc_id: Long, ts: Timestamp,
+      simhash: Long)
+  final case class SketchEntry(ts_ms: Long, simhash: Long)
+  final case class BucketState(entries: List[SketchEntry])
+  final case class KeptDoc(doc_id: Long, ts: Timestamp, simhash: Long)
+
+  /** "N <unit>s" → milliseconds (the subset of Spark's interval syntax the
+    * streaming horizons here use).
+    */
+  private[streaming] def durationMs(s: String): Long = {
+    val pat = "(?i)^\\s*(\\d+)\\s*(millisecond|second|minute|hour|day)s?\\s*$".r
+    s match {
+      case pat(n, unit) => n.toLong * (unit.toLowerCase match {
+        case "millisecond" => 1L
+        case "second" => 1000L
+        case "minute" => 60000L
+        case "hour" => 3600000L
+        case "day" => 86400000L
+      })
+      case _ => throw new IllegalArgumentException(
+        s"unsupported duration '$s' — use 'N milliseconds/seconds/minutes/hours/days'")
+    }
+  }
+
+  /** Streaming NEAR-dup suppression ([EXT]): drop documents whose SimHash is
+    * within `maxHamming` bits of a document already seen in the same bucket
+    * inside the watermark horizon — the ingest-time analogue of
+    * `Dedup.nearDupPairs`, where `dedupedStream` is the exact-match
+    * analogue of `Dedup.exactGroups`.
+    *
+    * Plan shape: the 64-bit SimHash is computed scan-side (narrow, no
+    * shuffle); the only exchange is the groupByKey on the bucket key. State
+    * per bucket is a list of (event-time ms, simhash) pairs — 16 bytes per
+    * retained doc, never text — pruned two ways: entries older than
+    * `watermark horizon` drop out on every visit, and an event-time timeout
+    * removes whole idle buckets, so state is bounded on an unbounded
+    * stream. `maxBucketState` caps a degenerate bucket (the streaming twin
+    * of `Dedup.lshCandidatePairs`' maxBucketSize): oldest entries beyond
+    * the cap are forgotten, trading recall inside pathological buckets for
+    * bounded memory.
+    *
+    * DESIGN NOTE — single-band recall (the documented analysis VERDICT r3
+    * item 7 asked for): the bucket key is ONE SimHash prefix band of
+    * `prefixBits` bits, so a true near-dup pair is only compared when its
+    * `d ≤ maxHamming` differing bits all fall outside the prefix —
+    * probability C(64−p, d)/C(64, d) for random bit positions (p=16, d=3:
+    * ≈ 0.41; d=1: 0.75). Batch LSH recovers recall by probing `nTables`
+    * independent bands and OR-ing candidates, but the OR is a per-doc
+    * aggregation ACROSS band keys — in streaming that is a second stateful
+    * operator downstream of this one (or a custom multi-table
+    * StatefulProcessor), which Spark only supports in narrow append-mode
+    * chains and which multiplies state by nTables. The supported posture
+    * here: this operator is the cheap in-horizon guard (recall documented,
+    * precision exact — every drop is a verified ≤ maxHamming match);
+    * corpus-level completeness comes from the batch `Dedup.nearDupPairs`
+    * pass over the landed data, which is also where verified-Jaccard
+    * semantics live. Exact duplicates (hamming 0) always collide in every
+    * band and are caught with recall 1.
+    *
+    * In-batch determinism: rows inside one micro-batch process in
+    * (event time, doc_id) order, so the earliest copy survives regardless
+    * of arrival interleaving.
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      prefixBits: Int = 16,
+      watermark: String = "2 hours",
+      maxBucketState: Int = 256): Dataset[KeptDoc] = {
+    require(prefixBits > 0 && prefixBits <= 63,
+      s"prefixBits must be in [1,63], got $prefixBits")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0,64), got $maxHamming")
+    val horizonMs = durationMs(watermark)
+    implicit val inEnc = Encoders.product[SketchedDoc]
+    implicit val outEnc = Encoders.product[KeptDoc]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val keyEnc = Encoders.scalaLong
+    val sketched = docs
+      .withColumn("__simhash",
+        graft.operators.Dedup.simhash(
+          graft.operators.TextAnalysis.tokens(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .select(
+        shiftrightunsigned(col("__simhash"), 64 - prefixBits).as("bucket"),
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        col("__simhash").as("simhash"))
+      .as[SketchedDoc]
+    sketched
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, KeptDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[SketchedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // prune: an entry at ts e can only suppress arrivals with event
+            // time ≤ e + horizon, and the watermark admits only ts ≥ wm
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.ts_ms + horizonMs >= wm)
+            val kept = List.newBuilder[KeptDoc]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              val dup = entries.exists(e =>
+                java.lang.Long.bitCount(e.simhash ^ r.simhash) <= maxHamming)
+              if (!dup) {
+                entries ::= SketchEntry(r.ts.getTime, r.simhash)
+                kept += KeptDoc(r.doc_id, r.ts, r.simhash)
+              }
+            }
+            if (entries.size > maxBucketState)
+              entries = entries.sortBy(-_.ts_ms).take(maxBucketState)
+            state.update(BucketState(entries))
+            // whole-bucket eviction once every entry has aged out; must sit
+            // strictly past the current watermark or Spark rejects it
+            val maxTs = entries.iterator.map(_.ts_ms).foldLeft(0L)(math.max)
+            state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
+            kept.result().iterator
+          }
+      }
+  }
+
   /** Input/output rows for the custom-state operator. */
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

@@ -191,6 +191,82 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nearDupStream drops in-horizon near-dups, keeps distinct docs, evicts state") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val base = (0 until 80).map("alpha" + _).mkString(" ")
+    val distant = (0 until 80).map("omega" + _).mkString(" ")
+
+    // fixture search: swap the last token for the first candidate that keeps
+    // the pair a same-bucket near-dup under (prefixBits=16, maxHamming=3) —
+    // a one-token edit usually flips ≤3 simhash bits, but WHICH bits is
+    // hash-determined, so probe a deterministic candidate list instead of
+    // hard-coding one that might land in the prefix
+    val candidates = (0 until 30).map(i =>
+      ((0 until 79).map("alpha" + _) :+ s"zz$i").mkString(" "))
+    val sk = (Seq(base, distant) ++ candidates).toDF("text")
+      .select(graft.operators.Dedup.simhash(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("s"))
+      .collect().map(_.getLong(0))
+    val nearIdx = (2 until sk.length).find(i =>
+      java.lang.Long.bitCount(sk(0) ^ sk(i)) <= 3 &&
+        (sk(0) >>> 48) === (sk(i) >>> 48))
+    assert(nearIdx.isDefined, "fixture: no same-bucket near-dup candidate")
+    val near = candidates(nearIdx.get - 2)
+    assert(java.lang.Long.bitCount(sk(0) ^ sk(1)) > 3)
+
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val docs = mem.toDF().toDF("ts", "text", "doc_id")
+    val query = graft.streaming.StreamingScores
+      .nearDupStream(docs, "ts", "text", "doc_id", watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: base + distant both pass
+      mem.addData((ts(1), base, 1L), (ts(2), distant, 2L))
+      query.processAllAvailable()
+      // batch 2: near-dup of base (cross-batch, in-horizon) dropped;
+      // fresh doc passes
+      mem.addData((ts(3), near, 3L), (ts(4), distant + " fresh", 4L))
+      query.processAllAvailable()
+      // batch 3: advance event time 3 hours → watermark passes every entry
+      mem.addData((Timestamp.valueOf("2026-01-01 13:00:00"),
+        "unrelated advance doc", 5L))
+      query.processAllAvailable()
+      // batch 4: the same near-dup text is out of horizon now → kept
+      mem.addData((Timestamp.valueOf("2026-01-01 13:05:00"), near, 6L))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM neardup")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 4L, 5L, 6L))
+    } finally query.stop()
+  }
+
+  test("nearDupStream suppresses the later copy within one micro-batch") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val base = (0 until 80).map("alpha" + _).mkString(" ")
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val docs = mem.toDF().toDF("ts", "text", "doc_id")
+    val query = graft.streaming.StreamingScores
+      .nearDupStream(docs, "ts", "text", "doc_id", watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_inbatch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same text twice in ONE batch, later event time first in arrival
+      // order — event-time ordering must keep doc 1, not doc 2
+      mem.addData((ts(5), base, 2L), (ts(1), base, 1L))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM neardup_inbatch")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(1L))
+    } finally query.stop()
+  }
+
   test("session windows close on gap and aggregate per user") {
     val sq = spark
     import sq.implicits._
