@@ -31,7 +31,10 @@ object Curation {
       testFraction: Double = 0.1,
       // 1.0 disables the gate (any ratio passes); Gopher-style pipelines
       // run ~0.2-0.5 to drop boilerplate/loop-generated text
-      maxDupShingleRatio: Double = 1.0)
+      maxDupShingleRatio: Double = 1.0,
+      // false = pair-greedy near-dup drop (higher id of each verified pair);
+      // true = transitive: ONE keeper per connected near-dup cluster
+      transitiveNearDups: Boolean = false)
 
   /** The quality/language gate as a single Column predicate — shared by
     * the batch `qualityFilter` and the streaming `ingestCuration` so the
@@ -74,6 +77,23 @@ object Curation {
       threshold: Double): DataFrame = {
     val losers = Dedup.nearDupPairs(docs, textCol, idCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Transitive near-dup removal: keep exactly the MIN-id document of each
+    * connected cluster of verified pairs ([[Dedup.nearDupClusters]]). The
+    * pair-greedy [[dropNearDups]] above keeps every doc that is not the
+    * higher side of some pair — a maximal mutually-dissimilar set, which can
+    * retain several members of one transitive cluster (edges (1,9),(5,9)
+    * keep both 1 and 5). Large-corpus pipelines typically want this
+    * one-per-cluster posture; both always keep the cluster minimum, so the
+    * two only differ on clusters that are not cliques.
+    */
+  def dropNearDupClusters(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val losers = Dedup.nearDupClusters(docs, textCol, idCol, threshold)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -173,9 +193,11 @@ object Curation {
         quality.join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
       case None => quality
     }
-    val cleaned = dropNearDups(
-      dropExactDups(decontaminated, textCol, idCol),
-      textCol, idCol, cfg.nearDupThreshold)
+    val exactDeduped = dropExactDups(decontaminated, textCol, idCol)
+    val cleaned =
+      if (cfg.transitiveNearDups)
+        dropNearDupClusters(exactDeduped, textCol, idCol, cfg.nearDupThreshold)
+      else dropNearDups(exactDeduped, textCol, idCol, cfg.nearDupThreshold)
     Sampling.trainTestSplit(cleaned, idCol, cfg.testFraction)
   }
 }

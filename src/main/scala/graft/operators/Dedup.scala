@@ -166,6 +166,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Transitive near-dup clusters: the connected components of the verified
+    * pair graph, (id, component=min id of the cluster). `nearDupPairs`
+    * answers "which pairs are near-dups"; this answers "which documents are
+    * ONE document" — A~B and B~C put A, B, C in one cluster even though
+    * A and C never paired. See [[ConnectedComponents]] for the scale story.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8): DataFrame =
+    ConnectedComponents.run(
+      nearDupPairs(df, textCol, idCol, threshold, k, bands), "id_a", "id_b")
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
