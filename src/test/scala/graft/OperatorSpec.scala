@@ -237,7 +237,9 @@ class OperatorSpec extends SparkSpec {
     val builders = GraftFunctions.all.toMap
     assert(builders.keySet === Set("graft_cosine", "graft_dot",
       "graft_vector_avg", "graft_topk", "graft_lsh_bucket",
-      "graft_bloom_agg", "graft_might_contain"))
+      "graft_bpe", "graft_bloom_agg", "graft_might_contain"))
+    assert(builders("graft_bpe")(Seq(Literal.create("ab"),
+      Literal.create("a b"))).isInstanceOf[BpeEncode])
     val arr = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
     assert(builders("graft_cosine")(Seq(arr, arr)).isInstanceOf[CosineSimilarity])
     assert(builders("graft_dot")(Seq(arr, arr)).isInstanceOf[DotProduct])

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Redaction
+
+/** PII redaction + URL canonicalization goldens on inputs the synthesized
+  * oracle tails can't exercise: interleaved PII, the IP-before-phone
+  * ordering hazard, absent URL components.
+  */
+class RedactionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): String = {
+    val r = Seq(input).toDF("s").select(c).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("redacts emails, IPs, and phones with typed tokens") {
+    assert(one(Redaction.redactPii(col("s")),
+      "mail a.b+c@x-y.org, call +1 (555) 123-4567, host 192.168.0.1 end") ===
+      "mail <EMAIL>, call <PHONE>, host <IP> end")
+  }
+
+  test("order contract: dotted IPv4 is <IP>, never swallowed as a phone") {
+    assert(one(Redaction.redactPii(col("s")), "ping 10.20.30.40 now") ===
+      "ping <IP> now")
+    // but a long digit run with separators IS a phone-ish match
+    assert(one(Redaction.redactPii(col("s")), "card 1234 5678 9012") ===
+      "card <PHONE>")
+  }
+
+  test("email digits are protected by redacting emails first") {
+    assert(one(Redaction.redactPii(col("s")), "x 12345678@q.io y") ===
+      "x <EMAIL> y")
+  }
+
+  test("piiCounts counts each pattern independently over raw text") {
+    val (ne, ni, np) = Redaction.piiCounts(col("s"))
+    val r = Seq("a@b.co c@d.org 1.2.3.4 and (030) 1234-567")
+      .toDF("s").select(ne.as("e"), ni.as("i"), np.as("p")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 1L)))
+  }
+
+  test("canonicalUrl strips scheme, www, query, fragment, trailing slash") {
+    val c = Redaction.canonicalUrl(col("s"))
+    assert(one(c, "https://www.Ex.COM/A/b/?q=1#frag") === "ex.com/A/b")
+    assert(one(c, "http://ex.com/A/b") === "ex.com/A/b")
+    // only ONE leading www. strips (www.www.x is a real, distinct host)
+    assert(one(c, "https://www.www.x.org/p") === "www.x.org/p")
+    // bare host: empty path
+    assert(one(c, "https://ex.com") === "ex.com")
+  }
+
+  test("urlQuery is null when absent; urlPath empty for bare hosts") {
+    assert(one(Redaction.urlQuery(col("s")), "https://ex.com/p") === null)
+    assert(one(Redaction.urlQuery(col("s")), "https://ex.com/p?a=1") === "a=1")
+    assert(one(Redaction.urlPath(col("s")), "https://ex.com") === "")
+  }
+}
