@@ -184,4 +184,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(!shuffled.exists(_.contains("text")), shuffled.mkString(","))
     }
   }
+
+  test("q_pii_redact / q_url_parts: pure narrow maps, zero exchanges") {
+    for (q <- Seq("q_pii_redact", "q_url_parts")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q:\n$p")
+      // "*(n)" prefixes mark whole-stage-codegen stages in treeString
+      assert(p.contains("*(1) Project"), s"$q:\n$p")
+    }
+  }
+
+  test("BPE apply is one codegen'd narrow stage (no shuffle, no fallback project)") {
+    // fixed merge table — the audited plan is the APPLY path, not the fit
+    val df = graft.operators.Bpe.tokenize(
+      graft.sources.Tables.table(spark, sf, "documents"), "text",
+      Seq(("a", "b"), ("ab", "c")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*(1) Project"), p)
+    assert(p.toLowerCase.contains("graft_bpe"), p)
+  }
 }
