@@ -182,22 +182,37 @@ object Curation {
     * for fingerprinting or LSH, and the drop is a left-anti join on ids
     * only (the contaminated-id side is per-doc, bounded by the eval hit
     * count, never the corpus).
+    *
+    * Two frames persist deliberately (measured 2× end-to-end at sf0.1):
+    *  - `quality` feeds BOTH decontaminate's shingle explode and the
+    *    anti-join's probe side — uncached, the interpreted stopword/
+    *    repetition HOF gate re-runs per consumer;
+    *  - `cleaned` feeds BOTH split halves — trainTestSplit is two filters
+    *    over the same frame, so without the cache the ENTIRE pipeline
+    *    (decontaminate, window dedup, LSH verify) executes twice, once
+    *    per returned branch.
+    * Cache lifecycle: same contract as Dedup/Similarity/Packing — frames
+    * stay persisted after return (the results are lazy);
+    * `spark.catalog.clearCache()` between workloads.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, cfg: Config = Config(),
       evalSet: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val quality = qualityFilter(docs, textCol, langCol, cfg)
     val decontaminated = evalSet match {
       case Some(ev) =>
-        val contaminated = decontaminate(quality, ev, textCol, idCol)
-        quality.join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
+        val q = quality.persist(storage)
+        val contaminated = decontaminate(q, ev, textCol, idCol)
+        q.join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
       case None => quality
     }
     val exactDeduped = dropExactDups(decontaminated, textCol, idCol)
     val cleaned =
-      if (cfg.transitiveNearDups)
+      (if (cfg.transitiveNearDups)
         dropNearDupClusters(exactDeduped, textCol, idCol, cfg.nearDupThreshold)
-      else dropNearDups(exactDeduped, textCol, idCol, cfg.nearDupThreshold)
+      else dropNearDups(exactDeduped, textCol, idCol, cfg.nearDupThreshold))
+        .persist(storage)
     Sampling.trainTestSplit(cleaned, idCol, cfg.testFraction)
   }
 }

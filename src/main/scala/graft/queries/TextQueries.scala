@@ -203,6 +203,23 @@ object TextQueries {
           col("total_tokens"))
     }),
 
+    // Packing driven by REAL learned-BPE token counts (the composition the
+    // BPE operator exists for: budget = actual subword tokens, not regex
+    // words). Rows-only like q_pack_bins; the BPE counts themselves are
+    // pinned by BpeSpec + the q_bpe_lossless oracle.
+    "q_pack_bpe" -> ((s, dir) => {
+      import graft.operators.{Bpe, Packing}
+      val counted = Bpe
+        .tokenize(t(s, dir, "documents"), "text", fittedMerges(s, dir))
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_tokens"))
+      Packing.packGreedy(counted, "doc_id", "n_tokens",
+        budget = 4096, nPartitions = 8)
+        .toDF()
+        .select(col("bin_id"), col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens"))
+    }),
+
     // ORACLED unigram-LM scoring: corpus-fit top-1000 vocabulary becomes a
     // literal map, scoring is a narrow per-doc fold (no join/shuffle —
     // see UnigramLm scaladoc); DuckDB refits the same model relationally.
