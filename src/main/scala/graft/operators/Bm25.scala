@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval ([EXT]): score a bounded query set against the
+  * corpus and keep the top-k documents per query — the lexical-retrieval
+  * step a training-data pipeline runs for eval-set mining, hard-negative
+  * sampling, and RAG corpus construction.
+  *
+  * Scale design (100 TB corpus, bounded query set):
+  *  - the query-term frame is tiny by contract and BROADCAST; joining it
+  *    into the (doc, term, tf) stream FIRST means document terms that match
+  *    no query are dropped before any wide work — the only all-corpus
+  *    shuffle is the map-side-combined tf aggregation itself;
+  *  - document frequencies are computed from the already-filtered stream
+  *    (df is only needed for query terms), so the idf join is another
+  *    broadcast, never a corpus-wide exchange;
+  *  - corpus scalars (N, avgdl) ride in as a broadcast cross join of a
+  *    1-row aggregate, the same pattern as `q_tfidf_top_term`;
+  *  - top-k per query is a rank over a per-query window — the number of
+  *    window partitions equals the query count, so the final exchange
+  *    moves only (query, doc, score) rows that matched a query term.
+  *
+  * Scores are rounded to 4 decimals BEFORE ranking and tie-broken by
+  * doc_id so the result is engine-reproducible (the summation order of
+  * per-term contributions differs across engines).
+  */
+object Bm25 {
+
+  /** Okapi BM25 top-k. `queries` must be a small frame (query id column +
+    * query text column); duplicate terms within one query count once.
+    * Returns (queryIdCol, docIdCol, bm25, rank) for ranks 1..k.
+    */
+  def topK(
+      docs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = TextAnalysis.tokens(col(textCol))
+
+    // One pass over the corpus: per-doc term frequencies + doc length.
+    // dl rides along in the tf group-by key frame via a first() agg to
+    // avoid a second corpus scan / self-join.
+    val pairs = docs.select(
+      col(docIdCol).as("__doc"),
+      size(toks).cast("long").as("__dl"),
+      explode(toks).as("__tok"))
+    val tf = pairs
+      .groupBy(col("__doc"), col("__tok"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+
+    // Bounded query-term set: explode, dedup within query, broadcast.
+    val qterms = queries.select(
+      col(queryIdCol).as("__q"),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
+        .as("__tok"))
+
+    // Corpus scalars as a broadcast 1-row frame (N docs, average length).
+    // avgdl is rounded to 6 decimals so the one scalar that feeds every
+    // contribution is bit-identical across engines (summation order of
+    // the avg differs); at 6 decimals the score impact is far below the
+    // 4-decimal rounding of the final score.
+    val stats = docs.agg(
+      count(lit(1)).as("__n"),
+      round(avg(size(toks)), 6).as("__avgdl"))
+
+    // Prune the doc-term stream to query terms BEFORE computing df, and
+    // persist the pruned stream: df and the scoring both read it, and
+    // without the cache Catalyst re-derives the whole corpus
+    // tokenize+aggregate subtree for the df branch — a second full-corpus
+    // pass. `matched` is O(matching doc-terms), tiny relative to the
+    // corpus. Cache lifecycle: stays persisted after return (result is
+    // lazy); long-running sessions should clearCache between workloads,
+    // same contract as Dedup/Curation/Packing.
+    val matched = tf.join(broadcast(qterms), "__tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = matched.select(col("__tok"), col("__doc")).distinct()
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+
+    val contrib = matched
+      .join(broadcast(dfreq), "__tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__c",
+        col("__idf") * (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__dl") / col("__avgdl"))))
+
+    val scored = contrib
+      .groupBy(col("__q"), col("__doc"))
+      .agg(round(sum(col("__c")), 4).as("bm25"))
+
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("bm25").desc, col("__doc"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__q").as(queryIdCol), col("__doc").as(docIdCol),
+        col("bm25"), col("rank"))
+  }
+
+  /** Scoring column for one literal query against precomputed corpus
+    * literals — the narrow form for when the model (df map, N, avgdl) has
+    * already been fit: a single codegen'd fold over the token array, no
+    * joins. Useful for streaming scoring; the batch path above is the
+    * retrieval form.
+    */
+  def scoreLiteral(
+      toks: Column,
+      queryTerms: Seq[String],
+      dfByTerm: Map[String, Long],
+      nDocs: Long,
+      avgdl: Double,
+      k1: Double = 1.2,
+      b: Double = 0.75): Column = {
+    require(nDocs > 0 && avgdl > 0, "corpus stats must be positive")
+    val dl = size(toks).cast("double")
+    val terms = queryTerms.distinct
+    val perTerm = terms.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L)
+      val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      val tfc = size(filter(toks, x => x === lit(t))).cast("double")
+      lit(idf) * (tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }
+    round(perTerm.reduceLeft(_ + _), 4)
+  }
+}

@@ -455,6 +455,22 @@ object TextQueries {
             .otherwise(md5(concat_ws("", col("bpe_tokens"))))
             .as("joined_md5"))
     }),
+
+    // BM25 retrieval, ORACLED: a literal 3-query set scored against the
+    // corpus, top-10 per query. Scores are rounded to 4 decimals before
+    // ranking and tie-broken by doc_id so the rank is engine-stable;
+    // avgdl is rounded to 6 decimals on both sides so the one corpus
+    // scalar is bit-identical before it feeds every contribution.
+    "q_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qdf = Seq(
+        (1L, "spark query engine"),
+        (2L, "data scan filter"),
+        (3L, "the partition of documents")).toDF("query_id", "qtext")
+      graft.operators.Bm25.topK(
+        t(s, dir, "documents"), "doc_id", "text",
+        qdf, "query_id", "qtext", k = 10)
+    }),
   )
 
   /** One fit per (session, sf dir): q_bpe_encode and q_bpe_lossless share
@@ -857,5 +873,54 @@ object TextQueries {
                ''))
            END AS joined_md5
          FROM documents""",
+
+    // BM25: DuckDB recomputes tf/df/dl/avgdl from scratch with the same
+    // tokenizer regex and the same k1=1.2 / b=0.75 constants; avgdl is
+    // rounded to 6 decimals to match the Spark side exactly, scores to 4
+    // before the rank, ties broken by doc_id.
+    "q_bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark query engine'),
+           (CAST(2 AS BIGINT), 'data scan filter'),
+           (CAST(3 AS BIGINT), 'the partition of documents')),
+         qterms AS (
+           SELECT DISTINCT query_id, tok FROM (
+             SELECT query_id,
+               unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS tok
+             FROM q)),
+         pairs AS (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+           FROM pairs GROUP BY doc_id, tok),
+         stats AS (
+           SELECT count(*) AS n,
+             round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 6)
+               AS avgdl
+           FROM documents),
+         matched AS (
+           SELECT qt.query_id, tf.doc_id, tf.tok, tf.tf, tf.dl
+           FROM tf JOIN qterms qt USING (tok)),
+         dfreq AS (
+           SELECT tok, count(DISTINCT doc_id) AS df
+           FROM matched GROUP BY tok),
+         contrib AS (
+           SELECT m.query_id, m.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+               (m.tf * (1.2 + 1.0)) /
+               (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+           FROM matched m JOIN dfreq d USING (tok) CROSS JOIN stats s),
+         scored AS (
+           SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+           FROM contrib GROUP BY query_id, doc_id)
+         SELECT query_id, doc_id, bm25, rank FROM (
+           SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS rank
+           FROM scored)
+         WHERE rank <= 10""",
   )
 }

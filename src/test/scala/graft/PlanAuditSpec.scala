@@ -194,6 +194,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_bm25_topk: corpus tokenized once, query side broadcast, no SMJ") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("q_bm25_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p) // qterms + dfreq
+    val leaves = df.queryExecution.sparkPlan.collectLeaves()
+    // the pruned matched frame is cached and feeds BOTH df and scoring, so
+    // the only parquet leaf is the corpus-stats pass; a second corpus
+    // tokenize/aggregate subtree reappearing here is the 2×-scan regression
+    assert(leaves.count(_.isInstanceOf[FileSourceScanExec]) === 1,
+      leaves.mkString("\n"))
+    assert(leaves.count(_.isInstanceOf[InMemoryTableScanExec]) >= 2,
+      leaves.mkString("\n"))
+  }
+
   test("BPE apply is one codegen'd narrow stage (no shuffle, no fallback project)") {
     // fixed merge table — the audited plan is the APPLY path, not the fit
     val df = graft.operators.Bpe.tokenize(
