@@ -34,7 +34,11 @@ object Curation {
       maxDupShingleRatio: Double = 1.0,
       // false = pair-greedy near-dup drop (higher id of each verified pair);
       // true = transitive: ONE keeper per connected near-dup cluster
-      transitiveNearDups: Boolean = false)
+      transitiveNearDups: Boolean = false,
+      // Some(sep) rewrites textCol through TextAnalysis.dedupLines BEFORE
+      // the quality gate (intra-doc repetition removal: token counts and
+      // repetition ratios then score the cleaned page, not the boilerplate)
+      dedupLinesSep: Option[String] = None)
 
   /** The quality/language gate as a single Column predicate — shared by
     * the batch `qualityFilter` and the streaming `ingestCuration` so the
@@ -199,7 +203,12 @@ object Curation {
       langCol: String, cfg: Config = Config(),
       evalSet: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val quality = qualityFilter(docs, textCol, langCol, cfg)
+    val cleanedText = cfg.dedupLinesSep match {
+      case Some(sep) => docs.withColumn(textCol,
+        TextAnalysis.dedupLines(col(textCol), sep))
+      case None => docs
+    }
+    val quality = qualityFilter(cleanedText, textCol, langCol, cfg)
     val decontaminated = evalSet match {
       case Some(ev) =>
         val q = quality.persist(storage)

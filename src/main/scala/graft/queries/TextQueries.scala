@@ -456,6 +456,27 @@ object TextQueries {
             .as("joined_md5"))
     }),
 
+    // Intra-doc line dedup (repetition removal), ORACLED: the fixture text
+    // is single-line, so both engines synthesize the same repetitive
+    // multi-line page (boilerplate repeated verbatim between content
+    // slices — the q_pii_redact synthesis trick), then keep each line's
+    // first occurrence in order. The md5 of the deduped page plus the
+    // line counts hash-compare byte-wise.
+    "q_line_dedup" -> ((s, dir) => {
+      val synth = concat_ws("\n",
+        substring(col("text"), 1, 30),
+        lit("subscribe now"),
+        substring(col("text"), 1, 30),
+        lit("subscribe now"),
+        substring(col("text"), 31, 30))
+      val lines = split(synth, "\\n")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(array_distinct(lines)).cast("long").as("n_uniq_lines"),
+        md5(TA.dedupLines(synth)).as("dedup_md5"))
+    }),
+
     // BM25 retrieval, ORACLED: a literal 3-query set scored against the
     // corpus, top-10 per query. Scores are rounded to 4 decimals before
     // ranking and tie-broken by doc_id so the rank is engine-stable;
@@ -873,6 +894,26 @@ object TextQueries {
                ''))
            END AS joined_md5
          FROM documents""",
+
+    // Line dedup: same synthesized page; DuckDB's list_filter index lambda
+    // is 1-based (Spark's filter index is 0-based), list_position is the
+    // same first-occurrence probe on both sides.
+    "q_line_dedup" ->
+      """WITH synth AS (
+           SELECT doc_id,
+             concat_ws(chr(10),
+               substr(text, 1, 30), 'subscribe now',
+               substr(text, 1, 30), 'subscribe now',
+               substr(text, 31, 30)) AS s
+           FROM documents),
+         l AS (SELECT doc_id, string_split(s, chr(10)) AS ls FROM synth)
+         SELECT doc_id,
+           len(ls) AS n_lines,
+           len(list_distinct(ls)) AS n_uniq_lines,
+           md5(array_to_string(
+             list_filter(ls, (x, i) -> list_position(ls, x) = i),
+             chr(10))) AS dedup_md5
+         FROM l""",
 
     // BM25: DuckDB recomputes tf/df/dl/avgdl from scratch with the same
     // tokenizer regex and the same k1=1.2 / b=0.75 constants; avgdl is

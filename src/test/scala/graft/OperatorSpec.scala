@@ -307,6 +307,30 @@ class OperatorSpec extends SparkSpec {
     assert(trainIds.union(testIds) === survivors)
   }
 
+  test("curate with line dedup scores the cleaned page, not the boilerplate") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val content = "the quick brown fox jumps over a lazy dog and runs far " +
+      "away alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau"
+    // 30 repeated boilerplate lines push the dup-shingle ratio over any
+    // gate; after line dedup the doc is clean content + one banner line
+    val noisy = (Seq(content) ++ Seq.fill(30)("subscribe to our newsletter "
+      + "today for more great content updates")).mkString("\n")
+    val docs = Seq((1L, noisy, "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val cfg = Curation.Config(minTokens = 20, maxStopRatio = 1.0,
+      langs = Seq("en"), maxDupShingleRatio = 0.3, testFraction = 0.25)
+    // without line dedup the repetition gate kills the doc
+    val (tr0, te0) = Curation.curate(docs, "doc_id", "text", "lang", cfg)
+    assert(tr0.count() + te0.count() === 0)
+    // with it, the doc survives and its text is the deduped page
+    val (tr1, te1) = Curation.curate(docs, "doc_id", "text", "lang",
+      cfg.copy(dedupLinesSep = Some("\n")))
+    val rows = tr1.select("text").collect() ++ te1.select("text").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0).linesIterator.size === 2)
+  }
+
   test("curate with an eval set drops contaminated docs before dedup") {
     import graft.operators.Curation
     import spark.implicits._

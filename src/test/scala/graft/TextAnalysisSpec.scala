@@ -96,6 +96,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(keptDefault === Set(1L, 2L))
   }
 
+  test("dedupLines keeps first occurrence in order, preserves non-dups") {
+    assert(one(TA.dedupLines(col("s")), "a\nb\na\nc\nb\nd") === "a\nb\nc\nd")
+    assert(one(TA.dedupLines(col("s")), "only") === "only")
+    // empty lines dedup like any other line
+    assert(one(TA.dedupLines(col("s")), "a\n\nb\n\na") === "a\n\nb")
+    // custom separator is treated literally, not as a regex
+    assert(one(TA.dedupLines(col("s"), "."), "x.y.x.z") === "x.y.z")
+    // null passes through
+    import spark.implicits._
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(TA.dedupLines(col("s"))).head()
+    assert(r.isNullAt(0))
+  }
+
   test("langIdHeuristic: script wins over stopwords; und for no evidence") {
     assert(one(TA.langIdHeuristic(col("s")), "the 北京 record") === "zh")
     assert(one(TA.langIdHeuristic(col("s")), "the quick fox") === "en")
