@@ -97,6 +97,60 @@ object Packing {
         count(col("__text")).cast("int").as("n_docs"))
   }
 
+  /** One doc's packing slot from [[packNextFit]]. */
+  final case class PackAssign(doc_id: Long, bucket: Long, bin: Long)
+
+  /** Cross-engine-deterministic next-fit packing: documents are bucketed
+    * by an md5-derived hash (portable — any engine computes the same
+    * buckets, unlike xxhash64), ordered by ascending id within a bucket,
+    * and packed by one sequential next-fit pass per bucket. The bin index
+    * is a pure function of (ids, token counts, budget, nBuckets) — no
+    * dependence on partition count or task placement — which is what lets
+    * an independent engine reproduce the assignment exactly (DuckDB: a
+    * recursive CTE walking each bucket in id order).
+    *
+    * Same scale shape as [[packGreedy]]: only (id, nt, bucket) shuffles
+    * (~24 B/doc), the sequential pass is per-partition, and a partition
+    * holding several buckets resets its running bin state on each bucket
+    * boundary, so correctness never depends on nBuckets vs partition
+    * count. Oversized docs get a bin of their own, like packGreedy.
+    */
+  def packNextFit(
+      docs: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      budget: Long,
+      nBuckets: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(nBuckets.toLong))
+    implicit val enc = Encoders.product[PackAssign]
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("nt"),
+        bucket.as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .mapPartitions { rows =>
+        var curBucket = Long.MinValue
+        var bin = 0L
+        var cur = 0L
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nt = math.max(r.getLong(1), 0L)
+          val b = r.getLong(2)
+          if (b != curBucket) { curBucket = b; bin = 0L; cur = nt }
+          else if (cur + nt > budget) { bin += 1L; cur = nt }
+          else cur += nt
+          PackAssign(id, b, bin)
+        }
+      }
+      .toDF()
+  }
+
   /** Greedy first-fit-by-arrival packing. `docs` needs a long id column
     * and a long token-count column. Documents larger than `budget` get a
     * bin of their own (flagged by total_tokens > budget) rather than being

@@ -203,6 +203,19 @@ object TextQueries {
           col("total_tokens"))
     }),
 
+    // ORACLED packing: the md5-bucketed next-fit variant is a pure
+    // function of (ids, token counts, budget, buckets), so DuckDB can
+    // replay the sequential pass with a recursive CTE and hash-compare
+    // every doc's (bucket, bin) slot — cross-engine proof of the
+    // sequential packing semantics that q_pack_bins can only rows-check.
+    "q_pack_nextfit_md5" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.packNextFit(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, nBuckets = 8)
+    }),
+
     // Packing driven by REAL learned-BPE token counts (the composition the
     // BPE operator exists for: budget = actual subword tokens, not regex
     // words). Rows-only like q_pack_bins; the BPE counts themselves are
@@ -894,6 +907,35 @@ object TextQueries {
                ''))
            END AS joined_md5
          FROM documents""",
+
+    // Next-fit packing: DuckDB replays the per-bucket sequential pass with
+    // a recursive CTE (rn joins rn+1 within bucket, carrying the running
+    // bin + fill); the bucket is the same md5-prefix hash both engines
+    // compute, and the next-fit rule (open a new bin when the running fill
+    // would exceed 512; an oversized doc keeps its own bin) matches the
+    // operator's inner loop exactly.
+    "q_pack_nextfit_md5" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 8 AS bucket,
+             coalesce(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0)
+               AS nt
+           FROM documents),
+         o AS (
+           SELECT doc_id, bucket, nt,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+           FROM d),
+         acc AS (
+           SELECT bucket, rn, doc_id, nt,
+             CAST(0 AS BIGINT) AS bin, nt AS cur
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.bucket, o.rn, o.doc_id, o.nt,
+             CASE WHEN a.cur + o.nt > 512 THEN a.bin + 1 ELSE a.bin END,
+             CASE WHEN a.cur + o.nt > 512 THEN o.nt ELSE a.cur + o.nt END
+           FROM acc a JOIN o ON o.bucket = a.bucket AND o.rn = a.rn + 1)
+         SELECT doc_id, bucket, bin FROM acc""",
 
     // Line dedup: same synthesized page; DuckDB's list_filter index lambda
     // is 1-based (Spark's filter index is 0-based), list_position is the

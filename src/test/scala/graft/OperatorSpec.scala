@@ -428,6 +428,46 @@ class OperatorSpec extends SparkSpec {
     assert(hugeBins.flatMap(_.doc_ids).length === 201)
   }
 
+  test("packNextFit: exhaustive, budget-bounded, partitioning-invariant, matches a reference fold") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 90) + 1))
+      .toDF("doc_id", "nt")
+    val out = Packing.packNextFit(docs, "doc_id", "nt", budget = 100,
+      nBuckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exhaustive: every id exactly once
+    assert(out.map(_._1).sorted.toSeq === (1L to 200L))
+    // reference: same bucket hash, id order, sequential next-fit in Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 4
+    }
+    val nts = (1L to 200L).map(i => i -> ((i * 37 % 90) + 1)).toMap
+    val expected = (1L to 200L).groupBy(bucketOf).flatMap { case (b, ids) =>
+      var bin = 0L; var cur = 0L; var first = true
+      ids.sorted.map { id =>
+        val nt = nts(id)
+        if (first) { first = false; cur = nt }
+        else if (cur + nt > 100) { bin += 1; cur = nt }
+        else cur += nt
+        (id, b, bin)
+      }
+    }.toSet
+    assert(out.toSet === expected)
+    // partitioning-invariant: a skewed repartition upstream changes nothing
+    val out2 = Packing.packNextFit(docs.repartition(13), "doc_id", "nt",
+      budget = 100, nBuckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSet === expected)
+    // budget respected within every bin (no oversized docs in this set)
+    val binTotals = out.groupBy(r => (r._2, r._3))
+      .map { case (_, rs) => rs.map(r => nts(r._1)).sum }
+    assert(binTotals.forall(_ <= 100))
+  }
+
   test("materializeBins concatenates texts in pack order, rejects id drift") {
     import graft.operators.Packing
     import spark.implicits._
