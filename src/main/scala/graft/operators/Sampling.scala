@@ -97,4 +97,27 @@ object Sampling {
     val h = unitHash(col(keyCol))
     (df.filter(h >= testFraction), df.filter(h < testFraction))
   }
+
+  /** Per-key quota: keep at most `maxPerKey` rows per key (the crawl-
+    * curation cap that stops one host/domain from dominating the mix).
+    * Selection is by md5(id) order — a deterministic pseudo-random draw,
+    * portable across engines (the oracle replays it) and PREFIX-CONSISTENT:
+    * the rows kept at quota k are a superset of those kept at k' < k, so
+    * tightening a quota never rotates the sample.
+    *
+    * Scale: the rank filter compiles to WindowGroupLimit (plan-gated), so
+    * each map task pre-prunes to `maxPerKey` rows per key BEFORE the
+    * window exchange — a skewed host ships O(tasks × quota) rows, not its
+    * full population.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey must be positive, got $maxPerKey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey)
+      .drop("__rn")
+  }
 }

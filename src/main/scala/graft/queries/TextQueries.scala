@@ -490,6 +490,21 @@ object TextQueries {
         md5(TA.dedupLines(synth)).as("dedup_md5"))
     }),
 
+    // Per-host quota, ORACLED: the q_url_parts synthesized URLs give 7
+    // hosts; capPerKey keeps 5 docs per host by md5(id) order, which
+    // DuckDB replays verbatim. Composes the URL canonicalization and the
+    // quota operators end-to-end.
+    "q_host_quota" -> ((s, dir) => {
+      val R = graft.operators.Redaction
+      val url = concat(
+        lit("https://www.sub"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.com/p/"), col("doc_id").cast("string"),
+        lit("/?q="), col("lang"))
+      val docs = t(s, dir, "documents").withColumn("host", R.urlHost(url))
+      graft.operators.Sampling.capPerKey(docs, "host", "doc_id", 5)
+        .select(col("doc_id"), col("host"))
+    }),
+
     // BM25 retrieval, ORACLED: a literal 3-query set scored against the
     // corpus, top-10 per query. Scores are rounded to 4 decimals before
     // ranking and tie-broken by doc_id so the rank is engine-stable;
@@ -956,6 +971,20 @@ object TextQueries {
              list_filter(ls, (x, i) -> list_position(ls, x) = i),
              chr(10))) AS dedup_md5
          FROM l""",
+
+    // Host quota: same URL synthesis as q_url_parts (host parity is
+    // oracled there), same md5(id) draw order.
+    "q_host_quota" ->
+      """WITH d AS (
+           SELECT doc_id,
+             lower('www.sub' || (doc_id % 7) || '.example.com') AS host
+           FROM documents)
+         SELECT doc_id, host FROM (
+           SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM d)
+         WHERE rn <= 5""",
 
     // BM25: DuckDB recomputes tf/df/dl/avgdl from scratch with the same
     // tokenizer regex and the same k1=1.2 / b=0.75 constants; avgdl is

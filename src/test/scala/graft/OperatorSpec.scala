@@ -428,6 +428,25 @@ class OperatorSpec extends SparkSpec {
     assert(hugeBins.flatMap(_.doc_ids).length === 201)
   }
 
+  test("capPerKey: quota respected, deterministic, prefix-consistent as quota tightens") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"host${i % 3}"))
+      .toDF("doc_id", "host")
+    val at10 = Sampling.capPerKey(df, "host", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at10b = Sampling.capPerKey(df.repartition(7), "host", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at3 = Sampling.capPerKey(df, "host", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(at10.size === 30 && at3.size === 9)
+    assert(at10 === at10b)       // partitioning-independent
+    assert(at3.subsetOf(at10))   // tightening never rotates the sample
+    // keys under quota keep everything
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "host")
+    assert(Sampling.capPerKey(small, "host", "doc_id", 10).count() === 3)
+  }
+
   test("packNextFit: exhaustive, budget-bounded, partitioning-invariant, matches a reference fold") {
     import graft.operators.Packing
     import spark.implicits._

@@ -211,6 +211,16 @@ class PlanAuditSpec extends SparkSpec {
       leaves.mkString("\n"))
   }
 
+  test("q_host_quota: rank filter compiles to WindowGroupLimit (skew pre-prune)") {
+    val p = plan("q_host_quota")
+    // Partial limit before the exchange caps what a skewed host ships
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(countOf(p, "WindowGroupLimit") >= 2, p) // Partial + Final
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one exchange: the per-host window partitioning
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+  }
+
   test("BPE apply is one codegen'd narrow stage (no shuffle, no fallback project)") {
     // fixed merge table — the audited plan is the APPLY path, not the fit
     val df = graft.operators.Bpe.tokenize(
