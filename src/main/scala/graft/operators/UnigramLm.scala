@@ -71,4 +71,73 @@ object UnigramLm {
             / size(col("__t")), 4).as("avg_nll"),
         size(col("__t")).cast("long").as("n_tokens"))
   }
+
+  /** Interpolated bigram-LM scoring ([EXT] — the KenLM-shaped upgrade of
+    * [[scores]]): per-position probability is
+    * `λ·P(w₂|w₁) + (1−λ)·P(w₂)`, where the bigram term uses the fitted
+    * top-`bigramSize` bigram table (0 when either the bigram or its
+    * history is outside the fitted tables — pure backoff to the unigram
+    * term) and the unigram term floors OOV counts at 1, like [[scores]].
+    * Returns (idCol, avg_nll2, n_pairs) for documents with ≥ 2 tokens;
+    * avg_nll2 is the mean over the n−1 adjacent pairs, rounded to 4
+    * decimals for cross-engine hash comparison.
+    *
+    * Same scale shape as the unigram fit: two map-side-combined count
+    * aggregations (tokens, 2-shingles) with bounded top-K collects, then
+    * scoring is a narrow literal-map fold — zero scoring shuffles at any
+    * corpus size.
+    */
+  def bigramScores(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 1000, bigramSize: Int = 2000,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    val toksC = TextAnalysis.tokens(col(textCol))
+    val uniCounts = docs
+      .select(explode(toksC).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (uniRows, total) =
+      try {
+        (uniCounts.orderBy(col("c").desc, col("t")).limit(vocabSize)
+          .collect(),
+          uniCounts.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
+      } finally { uniCounts.unpersist(); () }
+    val biRows = docs
+      .select(explode(TextAnalysis.shingles(toksC, 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("b")).limit(bigramSize)
+      .collect()
+    if (total == 0L || uniRows.isEmpty) {
+      return docs.select(col(idCol), lit(0.0).as("avg_nll2"),
+        lit(0L).as("n_pairs")).limit(0)
+    }
+    val uniMap = map_from_arrays(
+      array(uniRows.map(r => lit(r.getString(0))).toIndexedSeq: _*),
+      array(uniRows.map(r => lit(r.getLong(1))).toIndexedSeq: _*))
+    val biMap =
+      if (biRows.isEmpty) map_from_arrays(
+        array().cast("array<string>"), array().cast("array<bigint>"))
+      else map_from_arrays(
+        array(biRows.map(r => lit(r.getString(0))).toIndexedSeq: _*),
+        array(biRows.map(r => lit(r.getLong(1))).toIndexedSeq: _*))
+    docs
+      .select(col(idCol), toksC.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        round(
+          aggregate(sequence(lit(2), size(col("__t"))), lit(0.0),
+            (acc, i) => {
+              val w1 = element_at(col("__t"), i - 1)
+              val w2 = element_at(col("__t"), i)
+              val c1 = element_at(uniMap, w1).cast("double")
+              val c12 = element_at(biMap, concat_ws(" ", w1, w2))
+                .cast("double")
+              val pbi = when(c1.isNotNull && c12.isNotNull, c12 / c1)
+                .otherwise(lit(0.0))
+              val puni = coalesce(element_at(uniMap, w2).cast("double"),
+                lit(1.0)) / lit(total.toDouble)
+              acc - log(lit(lambda) * pbi + lit(1.0 - lambda) * puni)
+            }) / (size(col("__t")) - 1), 4).as("avg_nll2"),
+        (size(col("__t")) - 1).cast("long").as("n_pairs"))
+  }
 }

@@ -490,6 +490,13 @@ object TextQueries {
         md5(TA.dedupLines(synth)).as("dedup_md5"))
     }),
 
+    // Interpolated bigram-LM scoring, ORACLED: DuckDB refits the same
+    // top-1000 unigram + top-2000 bigram tables and replays the
+    // λ·P(w2|w1) + (1−λ)·P(w2) interpolation per adjacent pair.
+    "q_bigram_nll" -> ((s, dir) =>
+      graft.operators.UnigramLm.bigramScores(
+        t(s, dir, "documents"), "text", "doc_id")),
+
     // Per-host quota, ORACLED: the q_url_parts synthesized URLs give 7
     // hosts; capPerKey keeps 5 docs per host by md5(id) order, which
     // DuckDB replays verbatim. Composes the URL canonicalization and the
@@ -971,6 +978,43 @@ object TextQueries {
              list_filter(ls, (x, i) -> list_position(ls, x) = i),
              chr(10))) AS dedup_md5
          FROM l""",
+
+    // Bigram LM: the λ weights are CAST to DOUBLE and 1−λ computed as an
+    // IEEE double subtraction (DuckDB parses bare 0.7/0.3 as DECIMAL,
+    // whose exact 0.3 differs from Scala's 1.0-0.7 by one ulp — enough to
+    // flip a 4-decimal rounding). Bigram term backs off to 0 when either
+    // the pair or its history misses the fitted tables; unigram term
+    // floors OOV at 1, like q_unigram_nll.
+    "q_bigram_nll" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+           FROM documents),
+         flat AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+         cnt AS (SELECT t, count(*) AS c FROM flat GROUP BY t),
+         vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 1000),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM flat),
+         idx AS (
+           SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok),
+         pairs AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM idx),
+         bcnt AS (
+           SELECT w1 || ' ' || w2 AS b, count(*) AS c
+           FROM pairs GROUP BY 1),
+         bitab AS (SELECT b, c FROM bcnt ORDER BY c DESC, b LIMIT 2000),
+         scored AS (
+           SELECT p.doc_id,
+             -ln(CAST(0.7 AS DOUBLE) *
+                 (CASE WHEN u1.c IS NOT NULL AND bb.c IS NOT NULL
+                   THEN CAST(bb.c AS DOUBLE) / u1.c ELSE 0 END) +
+                 (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                 (coalesce(u2.c, 1) / tot.total)) AS nll
+           FROM pairs p
+           LEFT JOIN vocab u1 ON u1.t = p.w1
+           LEFT JOIN vocab u2 ON u2.t = p.w2
+           LEFT JOIN bitab bb ON bb.b = p.w1 || ' ' || p.w2,
+           tot)
+         SELECT doc_id, round(avg(nll), 4) AS avg_nll2,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM scored GROUP BY doc_id""",
 
     // Host quota: same URL synthesis as q_url_parts (host parity is
     // oracled there), same md5(id) draw order.

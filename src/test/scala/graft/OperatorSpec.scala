@@ -548,6 +548,25 @@ class OperatorSpec extends SparkSpec {
     assert(v1.head === "the") // most frequent token wins slot 0
   }
 
+  test("bigram LM is order-sensitive: scrambled word order scores worse") {
+    import graft.operators.UnigramLm
+    import spark.implicits._
+    val fluent = "the cat sat on the mat and the cat sat on the rug"
+    // same multiset of tokens, scrambled order → same unigram score but
+    // the bigram term can't fire on unseen transitions
+    val scrambled = "mat the on sat rug cat the and on the sat cat the"
+    val corpus = (1L to 20L).map(i => (i, fluent)) :+ (21L, scrambled)
+    val docs = corpus.toDF("doc_id", "text")
+    val out = UnigramLm.bigramScores(docs, "text", "doc_id",
+      vocabSize = 50, bigramSize = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(21L) > out(1L),
+      s"scrambled=${out(21L)} should exceed fluent=${out(1L)}")
+    // single-token docs have no pairs and drop out
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(UnigramLm.bigramScores(one, "text", "doc_id").count() === 0)
+  }
+
   test("percentile sketch lands within tolerance of the exact percentile") {
     val li = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.agg(percentile(col("l_extendedprice"), lit(0.9)))
