@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive-Bayes text classifier ([EXT]): the fit/apply pair a
+  * curation pipeline uses for cheap supervised tagging (language, domain,
+  * quality tier) when a labeled slice exists — the classic fastText-tier
+  * baseline before anything neural.
+  *
+  * Fit is bounded, fit-style (same contract as UnigramLm/IVF): a global
+  * top-`vocabSize` vocabulary, per-label priors, and per-(label, token)
+  * counts restricted to the vocabulary — at most `labels × vocabSize`
+  * rows ever reach the driver. Apply is a narrow literal-map fold per
+  * label (zero shuffles at any corpus size): each label's map carries the
+  * Laplace-smoothed log-probability for EVERY vocab token (absent → the
+  * smoothed floor is baked in at build time), so out-of-vocabulary tokens
+  * contribute exactly 0 to every label and the fold needs no separate
+  * membership probe.
+  *
+  * Scores are rounded to 4 decimals before the argmax and ties break
+  * toward the LARGER label string (array_max struct order) — both
+  * reproduced by the DuckDB oracle, making the whole fit+apply loop
+  * cross-engine verifiable.
+  */
+object NaiveBayes {
+
+  /** Fit on rows with a non-null label, predict for every row. Returns
+    * (idCol, pred, score): the argmax label and its rounded log-score
+    * `log P(label) + Σ_tokens∈vocab log P(token|label)`.
+    */
+  def fitPredict(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      vocabSize: Int = 500): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val spark = docs.sparkSession
+    val toks = TextAnalysis.tokens(col(textCol))
+
+    // ---- fit: three bounded collects ----------------------------------
+    val vocabRows = docs
+      .select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocabSize)
+      .collect().map(_.getString(0))
+    val labeled = docs.filter(col(labelCol).isNotNull)
+    val labelRows = labeled
+      .groupBy(col(labelCol).as("l")).agg(count(lit(1)).as("dc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(labelRows.length <= 1000,
+      s"${labelRows.length} distinct labels — NB literal-map apply is " +
+        "built for bounded label sets; bucketize the label first")
+    if (labelRows.isEmpty || vocabRows.isEmpty) {
+      return docs.select(col(idCol), lit(null).cast("string").as("pred"),
+        lit(0.0).as("score")).limit(0)
+    }
+    val nDocs = labelRows.map(_._2).sum.toDouble
+    val vocabDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(vocabRows.toIndexedSeq.map(
+        org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType))))
+    val cntRows = labeled
+      .select(col(labelCol).as("l"), explode(toks).as("t"))
+      .join(broadcast(vocabDf), "t")
+      .groupBy(col("l"), col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    // ---- model literals ----------------------------------------------
+    val v = vocabRows.length
+    val perLabel: Seq[(String, Double, Column)] = labelRows.map {
+      case (l, dc) =>
+        val nL = vocabRows.map(t => cntRows.getOrElse((l, t), 0L)).sum
+        val logProb: String => Double = t =>
+          math.log((cntRows.getOrElse((l, t), 0L) + 1).toDouble / (nL + v))
+        val m = map_from_arrays(
+          array(vocabRows.toIndexedSeq.map(t => lit(t)): _*),
+          array(vocabRows.toIndexedSeq.map(t => lit(logProb(t))): _*))
+        (l, math.log(dc / nDocs), m)
+    }
+
+    // ---- apply: one narrow fold per label, struct argmax --------------
+    val toksSafe = coalesce(toks, array().cast("array<string>"))
+    val scoreStructs = perLabel.map { case (l, prior, m) =>
+      struct(
+        round(aggregate(toksSafe, lit(prior),
+          (acc, t) => acc + coalesce(element_at(m, t), lit(0.0))), 4)
+          .as("score"),
+        lit(l).as("pred"))
+    }
+    val best = array_max(array(scoreStructs: _*))
+    docs.select(col(idCol),
+      best.getField("pred").as("pred"),
+      best.getField("score").as("score"))
+  }
+}

@@ -490,6 +490,14 @@ object TextQueries {
         md5(TA.dedupLines(synth)).as("dedup_md5"))
     }),
 
+    // Naive-Bayes lang classifier, ORACLED: fit on the labeled corpus
+    // (top-500 vocab, Laplace smoothing), predict every doc; DuckDB
+    // refits the same model relationally and replays the rounded-score
+    // argmax with the same larger-label tie-break.
+    "q_nb_lang" -> ((s, dir) =>
+      graft.operators.NaiveBayes.fitPredict(
+        t(s, dir, "documents"), "text", "doc_id", "lang")),
+
     // Interpolated bigram-LM scoring, ORACLED: DuckDB refits the same
     // top-1000 unigram + top-2000 bigram tables and replays the
     // λ·P(w2|w1) + (1−λ)·P(w2) interpolation per adjacent pair.
@@ -978,6 +986,53 @@ object TextQueries {
              list_filter(ls, (x, i) -> list_position(ls, x) = i),
              chr(10))) AS dedup_md5
          FROM l""",
+
+    // Naive Bayes: integer/integer division is true division (DOUBLE) in
+    // DuckDB, matching the Scala-side exact double conversions; the
+    // smoothed log-prob is recomputed per occurrence from the same
+    // counts, and rounding to 4 decimals before the argmax makes the
+    // prediction engine-stable.
+    "q_nb_lang" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+           FROM documents),
+         vocab AS (
+           SELECT t FROM (
+             SELECT t, count(*) AS c FROM tok GROUP BY t
+             ORDER BY c DESC, t LIMIT 500)),
+         labels AS (
+           SELECT lang AS l, count(*) AS dc FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+         nd AS (SELECT CAST(sum(dc) AS DOUBLE) AS n FROM labels),
+         cnt AS (
+           SELECT lang AS l, t, count(*) AS c
+           FROM tok JOIN vocab USING (t)
+           WHERE lang IS NOT NULL GROUP BY lang, t),
+         vs AS (SELECT count(*) AS v FROM vocab),
+         nl AS (
+           SELECT labels.l, coalesce(s.n, 0) AS n
+           FROM labels LEFT JOIN (
+             SELECT l, sum(c) AS n FROM cnt GROUP BY l) s USING (l)),
+         dt AS (SELECT doc_id, t FROM tok JOIN vocab USING (t)),
+         contrib AS (
+           SELECT dt.doc_id, lab.l,
+             sum(ln((coalesce(c.c, 0) + 1) / (nl.n + vs.v))) AS s
+           FROM dt CROSS JOIN labels lab CROSS JOIN vs
+           JOIN nl ON nl.l = lab.l
+           LEFT JOIN cnt c ON c.l = lab.l AND c.t = dt.t
+           GROUP BY dt.doc_id, lab.l),
+         scored AS (
+           SELECT d.doc_id, lab.l,
+             round(ln(lab.dc / nd.n) + coalesce(ct.s, 0), 4) AS score
+           FROM documents d CROSS JOIN labels lab CROSS JOIN nd
+           LEFT JOIN contrib ct ON ct.doc_id = d.doc_id AND ct.l = lab.l)
+         SELECT doc_id, l AS pred, score FROM (
+           SELECT doc_id, l, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, l DESC) AS rn
+           FROM scored)
+         WHERE rn = 1""",
 
     // Bigram LM: the λ weights are CAST to DOUBLE and 1−λ computed as an
     // IEEE double subtraction (DuckDB parses bare 0.7/0.3 as DECIMAL,

@@ -548,6 +548,46 @@ class OperatorSpec extends SparkSpec {
     assert(v1.head === "the") // most frequent token wins slot 0
   }
 
+  test("semanticDedup keeps one representative per cell; identical vectors collapse") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val v1 = Seq(1.0f, 0.5f, -0.25f)
+    val v2 = Seq(-1.0f, 0.75f, 0.5f)
+    val vecs = Seq((1L, v1), (2L, v1), (5L, v1), (3L, v2), (4L, v2))
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.semanticDedupCells(vecs, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical vectors share a cell; the min id is the keeper
+    assert(cells.length === 2)
+    assert(cells.map(_._2).toSet === Set(1L, 3L))
+    assert(cells.map(_._3).sorted.toSeq === Seq(2L, 3L))
+    val kept = Similarity.semanticDedup(vecs, "embedding", "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("naive bayes learns separable token distributions, predicts unlabeled rows") {
+    import graft.operators.NaiveBayes
+    import spark.implicits._
+    val en = "the quick brown fox jumps over the lazy dog near the river"
+    val fr = "le renard brun rapide saute par dessus le chien au bord"
+    val docs = ((1L to 10L).map(i => (i, en + s" extra$i", "en")) ++
+      (11L to 20L).map(i => (i, fr + s" extra$i", "fr")) ++
+      Seq((21L, "the quick dog by the river", null),
+        (22L, "le chien rapide au bord", null)))
+      .toDF("doc_id", "text", "lang")
+    val out = NaiveBayes.fitPredict(docs, "text", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 22) // every row predicted, labeled or not
+    assert((1L to 10L).forall(out(_) == "en"))
+    assert((11L to 20L).forall(out(_) == "fr"))
+    assert(out(21L) === "en" && out(22L) === "fr")
+    // degenerate: no labels at all → empty result, not a crash
+    val none = Seq((1L, "some text", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    assert(NaiveBayes.fitPredict(none, "text", "doc_id", "lang").count() === 0)
+  }
+
   test("bigram LM is order-sensitive: scrambled word order scores worse") {
     import graft.operators.UnigramLm
     import spark.implicits._
