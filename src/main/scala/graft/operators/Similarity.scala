@@ -366,4 +366,42 @@ object Similarity {
         round(expr("graft_dot(q_vec, n_vec)"), 4).as("sim4"))
     topKPerQuery(scored, k)
   }
+
+  /** SemDeDup-lite: partition embedding space into 2^nBits hyperplane
+    * cells (the portable md5 sketch — any engine computes the same cells)
+    * and keep ONE representative per cell, the minimum id. The blunt,
+    * cheap tier of semantic dedup: one narrow sketch pass + one
+    * cell-keyed aggregation that shuffles only (cell, id) pairs, vs the
+    * pair-verified [[embeddingNearDupPairs]] path which is finer but pays
+    * candidate generation + verification. Returns one row per occupied
+    * cell: (cell, keeper, n_members).
+    */
+  def semanticDedupCells(
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nBits: Int = 8): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits out of [1,62]: $nBits")
+    spreadIfNarrow(vectors)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.lshBucketMd5(col(vecCol), nBits)
+          .as("cell"))
+      .groupBy(col("cell"))
+      .agg(min(col(idCol)).as("keeper"),
+        count(lit(1)).cast("long").as("n_members"))
+  }
+
+  /** The drop form of [[semanticDedupCells]]: the input minus every
+    * non-keeper row (a broadcast-friendly semi join on the keeper ids
+    * when cells are few; Catalyst picks the strategy).
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nBits: Int = 8): DataFrame = {
+    val keepers = semanticDedupCells(vectors, vecCol, idCol, nBits)
+      .select(col("keeper").as(idCol))
+    vectors.join(keepers, Seq(idCol), "left_semi")
+  }
 }

@@ -129,6 +129,13 @@ object VectorQueries {
         .select(col("vec_id"),
           lshBucketMd5(col("embedding"), 8).as("bucket8"))
     }),
+
+    // ORACLED SemDeDup-lite: one keeper (min id) per md5-hyperplane cell —
+    // the cell partition is the oracled q_lsh_bucket_md5 sketch, so the
+    // whole semantic-dedup decision is engine-reproducible.
+    "q_semantic_dedup" -> ((s, dir) =>
+      graft.operators.Similarity.semanticDedupCells(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 8)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,6 +181,18 @@ object VectorQueries {
              CASE WHEN list_sum(list_transform(generate_series(1, len(e)), d -> e[d] * ((CAST(('0x' || substr(md5(j || ' ' || d), 1, 3)) AS BIGINT) % 2001 - 1000) / 1000.0))) >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
            AS BIGINT) AS bucket8
          FROM v""",
+
+    "q_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (
+           SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(0, 7), j ->
+               CASE WHEN list_sum(list_transform(generate_series(1, len(e)), d -> e[d] * ((CAST(('0x' || substr(md5(j || ' ' || d), 1, 3)) AS BIGINT) % 2001 - 1000) / 1000.0))) >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT) AS cell
+           FROM v)
+         SELECT cell, min(vec_id) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_members
+         FROM b GROUP BY cell""",
 
     "q_label_centroid_sim" ->
       """WITH centroids AS (
