@@ -48,8 +48,11 @@ object Bm25 {
 
     // One pass over the corpus: per-doc term frequencies + doc length.
     // dl rides along in the tf group-by key frame via a first() agg to
-    // avoid a second corpus scan / self-join.
-    val pairs = docs.select(
+    // avoid a second corpus scan / self-join. Spread first: a single-file
+    // corpus scan would tokenize everything in one task before the
+    // explode's shuffle fans out.
+    val spread = Similarity.spreadIfNarrow(docs)
+    val pairs = spread.select(
       col(docIdCol).as("__doc"),
       size(toks).cast("long").as("__dl"),
       explode(toks).as("__tok"))
@@ -68,7 +71,7 @@ object Bm25 {
     // contribution is bit-identical across engines (summation order of
     // the avg differs); at 6 decimals the score impact is far below the
     // 4-decimal rounding of the final score.
-    val stats = docs.agg(
+    val stats = spread.agg(
       count(lit(1)).as("__n"),
       round(avg(size(toks)), 6).as("__avgdl"))
 

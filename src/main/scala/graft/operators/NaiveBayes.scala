@@ -38,14 +38,15 @@ object NaiveBayes {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     val spark = docs.sparkSession
     val toks = TextAnalysis.tokens(col(textCol))
+    val docsSpread = Similarity.spreadIfNarrow(docs)
 
     // ---- fit: three bounded collects ----------------------------------
-    val vocabRows = docs
+    val vocabRows = docsSpread
       .select(explode(toks).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t")).limit(vocabSize)
       .collect().map(_.getString(0))
-    val labeled = docs.filter(col(labelCol).isNotNull)
+    val labeled = docsSpread.filter(col(labelCol).isNotNull)
     val labelRows = labeled
       .groupBy(col(labelCol).as("l")).agg(count(lit(1)).as("dc"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
@@ -93,7 +94,8 @@ object NaiveBayes {
         lit(l).as("pred"))
     }
     val best = array_max(array(scoreStructs: _*))
-    docs.select(col(idCol),
+    // one interpreted fold per label per row — spread single-file scans
+    docsSpread.select(col(idCol),
       best.getField("pred").as("pred"),
       best.getField("score").as("score"))
   }

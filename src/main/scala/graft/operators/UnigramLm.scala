@@ -42,7 +42,8 @@ object UnigramLm {
     // persist the distinct-token counts: the vocab top-K and the total
     // are two actions over the same aggregate, and without the cache the
     // full tokenize/explode/shuffle pass over the corpus would run twice
-    val counts = docs
+    val docsSpread = Similarity.spreadIfNarrow(docs)
+    val counts = docsSpread
       .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -60,7 +61,9 @@ object UnigramLm {
       array(vocabRows.map(r => lit(r.getString(0))).toIndexedSeq: _*),
       array(vocabRows.map(r => lit(r.getLong(1))).toIndexedSeq: _*))
     val toks = TextAnalysis.tokens(col(textCol))
-    docs
+    // the literal-map fold is an interpreted HOF: spread a single-file
+    // scan first or the whole corpus scores on one task
+    docsSpread
       .select(col(idCol), toks.as("__t"))
       .filter(size(col("__t")) > 0)
       .select(col(idCol),
@@ -92,7 +95,8 @@ object UnigramLm {
       lambda: Double = 0.7): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
     val toksC = TextAnalysis.tokens(col(textCol))
-    val uniCounts = docs
+    val docsSpread = Similarity.spreadIfNarrow(docs)
+    val uniCounts = docsSpread
       .select(explode(toksC).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -102,7 +106,7 @@ object UnigramLm {
           .collect(),
           uniCounts.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
       } finally { uniCounts.unpersist(); () }
-    val biRows = docs
+    val biRows = docsSpread
       .select(explode(TextAnalysis.shingles(toksC, 2)).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("b")).limit(bigramSize)
@@ -120,7 +124,10 @@ object UnigramLm {
       else map_from_arrays(
         array(biRows.map(r => lit(r.getString(0))).toIndexedSeq: _*),
         array(biRows.map(r => lit(r.getLong(1))).toIndexedSeq: _*))
-    docs
+    // interpreted fold + O(vocab) linear literal-map probes per pair:
+    // spreading the scan is mandatory, not a nicety (single-file corpus
+    // = one task otherwise)
+    docsSpread
       .select(col(idCol), toksC.as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col(idCol),

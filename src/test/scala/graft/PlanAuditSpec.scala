@@ -124,12 +124,17 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // the FIT (vocab collect + total) runs eagerly at construction and
-      // may shuffle; the returned SCORING plan must not — the literal
-      // vocab map makes per-doc NLL a narrow fold, no explode, no join
+      // may shuffle; the returned SCORING plan must carry no HASH
+      // exchange — the literal vocab map makes per-doc NLL a narrow
+      // fold, no explode, no join. The one allowed exchange is the
+      // deliberate round-robin spread of the single-file scan (the
+      // interpreted-fold parallelism fix); a hashpartitioning exchange
+      // appearing here is the regression this test exists to catch.
       val plan = SparkEntry.queries("q_unigram_nll")(spark, sf)
         .queryExecution.executedPlan
-      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-        plan.toString)
+      val hashEx = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
+      assert(hashEx.isEmpty, plan.toString)
       assert(!plan.toString.contains("Join"), plan.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }

@@ -191,6 +191,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("fitted models score streams: BM25/NB literal columns run per micro-batch") {
+    // the fit-offline / score-online pattern: every fitted-model apply
+    // path here is a narrow literal-map column, so it drops into a
+    // streaming select unchanged — no state, no extra watermark.
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val bm25 = graft.operators.Bm25.scoreLiteral(
+      toks, Seq("spark", "query"),
+      Map("spark" -> 3L, "query" -> 5L), nDocs = 10L, avgdl = 8.0)
+    val query = docs
+      .select(col("doc_id"), bm25.as("bm25"),
+        graft.operators.TextAnalysis.dedupLines(col("text")).as("clean"))
+      .writeStream.format("memory").queryName("scored_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "spark query engine"), (2L, "nothing relevant here"))
+      query.processAllAvailable()
+      mem.addData((3L, "dup\ndup\nspark"))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, bm25, clean FROM scored_stream")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sortBy(_._1)
+      assert(got.length === 3)
+      assert(got(0)._2 > 0.0)        // both query terms hit
+      assert(got(1)._2 === 0.0)      // no term hits
+      assert(got(2)._3 === "dup\nspark") // line dedup ran in-stream
+      // batch/stream parity for the scoring column
+      val batch = Seq((1L, "spark query engine")).toDF("doc_id", "text")
+        .select(bm25).head().getDouble(0)
+      assert(math.abs(batch - got(0)._2) < 1e-12)
+    } finally query.stop()
+  }
+
   test("nearDupStream drops in-horizon near-dups, keeps distinct docs, evicts state") {
     val sq = spark
     import sq.implicits._
