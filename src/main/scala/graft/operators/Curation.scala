@@ -216,7 +216,13 @@ object Curation {
         q.join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
       case None => quality
     }
+    // near-dup consumes its input THREE times (signature pass, jaccard
+    // verify join, and the final anti join) — without this persist the
+    // whole upstream chain (quality gate, decontamination's shingle
+    // explode + Bloom probe, the exact-dedup window) re-executes per
+    // consumer. Same lifecycle contract as the other two persists.
     val exactDeduped = dropExactDups(decontaminated, textCol, idCol)
+      .persist(storage)
     val cleaned =
       (if (cfg.transitiveNearDups)
         dropNearDupClusters(exactDeduped, textCol, idCol, cfg.nearDupThreshold)
