@@ -85,6 +85,44 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-scaled stratum mixture (the multilingual/multi-source
+    * rebalancing rule: stratum s is sampled proportionally to
+    * `count(s)^alpha`, so alpha = 1 keeps natural proportions and
+    * alpha → 0 flattens toward uniform). Expected output size is
+    * `targetTotal` rows; per-stratum weights become fractional EPOCH
+    * counts applied by [[mixture]]'s md5 draw, so the result is exact,
+    * reproducible, and cross-engine oracle-able.
+    *
+    * Fit is one bounded stratum-count collect. Determinism across
+    * engines: alpha = 0.5 uses `sqrt` (IEEE-correctly-rounded everywhere,
+    * unlike `pow`), and both the normalizer and the final weights are
+    * rounded to 6 decimals before the draw, so an oracle replaying the
+    * formula computes bit-identical weights.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0, 1]: $alpha")
+    require(targetTotal > 0, s"targetTotal must be positive: $targetTotal")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.length <= 100000,
+      s"${counts.length} strata — bound the stratum column first")
+    if (counts.isEmpty) return df.withColumn("copy", lit(1)).limit(0)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val powF: Double => Double =
+      if (alpha == 0.5) math.sqrt else math.pow(_, alpha)
+    // fixed ascending-stratum summation order (the oracle's sum order is
+    // the engine's choice; rounding to 6 decimals absorbs the ulps)
+    val z = round6(counts.map { case (_, n) => powF(n.toDouble) }.sum)
+    val weights = counts.map { case (s, n) =>
+      s -> round6(powF(n.toDouble) / z * targetTotal / n)
+    }.toMap
+    mixture(df, strataCol, keyCol, weights)
+  }
+
   /** Disjoint, exhaustive train/test split by key hash. Rows with the same
     * key always land on the same side — the property that prevents
     * train/test leakage when keys repeat (same document re-crawled, same

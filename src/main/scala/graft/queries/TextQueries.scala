@@ -175,6 +175,24 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
     }),
 
+    // Corpus data card, ORACLED: per-source volume/token/dup/lang-mode
+    // rollup — the publishable dataset summary.
+    "q_data_card" -> ((s, dir) =>
+      graft.operators.CorpusReport.dataCard(
+        t(s, dir, "documents"), "source", "text", "lang")),
+
+    // Temperature-scaled mixture, ORACLED: weights are fitted from the
+    // per-lang counts with alpha = 0.5 (sqrt — IEEE-correctly-rounded in
+    // every engine, unlike pow), normalizer and weights rounded to 6
+    // decimals, then applied through the same md5 epoch draw as
+    // q_mixture. DuckDB refits the weights and replays the draw.
+    "q_temp_mixture" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.5, targetTotal = 1000L)
+        .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
+    }),
+
     // ORACLED context-window chunking: 40-token windows advancing by 32
     // (8-token overlap), exploded to one row per chunk — DuckDB mirrors
     // the chunk-count formula and list_slice clamping exactly.
@@ -732,6 +750,53 @@ object TextQueries {
            FROM w)
          SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
          FROM c WHERE copies >= 1""",
+
+    // Data card: same fingerprint chain (md5 of whitespace-collapsed
+    // lowercased text) and the same smaller-lang tie-break on the mode.
+    "q_data_card" ->
+      """WITH base AS (
+           SELECT source,
+             count(*) AS n_docs,
+             CAST(coalesce(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 0) AS BIGINT) AS n_tokens,
+             round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 4) AS avg_tokens,
+             round(1.0 - CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS DOUBLE) / count(*), 4) AS dup_ratio
+           FROM documents WHERE source IS NOT NULL GROUP BY source),
+         lc AS (
+           SELECT source, lang, count(*) AS lc FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL
+           GROUP BY source, lang),
+         top AS (
+           SELECT source, lang AS top_lang, lc FROM (
+             SELECT source, lang, lc,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY lc DESC, lang) AS rn
+             FROM lc)
+           WHERE rn = 1)
+         SELECT b.source, b.n_docs, b.n_tokens, b.avg_tokens, b.dup_ratio,
+           t.top_lang,
+           round(CAST(t.lc AS DOUBLE) / b.n_docs, 4) AS top_lang_share
+         FROM base b LEFT JOIN top t USING (source)""",
+
+    "q_temp_mixture" ->
+      """WITH c AS (
+           SELECT lang AS s, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+         z AS (SELECT round(sum(sqrt(n)), 6) AS z FROM c),
+         w AS (
+           SELECT s, round(sqrt(n) / z.z * 1000 / n, 6) AS ww
+           FROM c, z),
+         m AS (
+           SELECT d.doc_id, d.lang, w.ww,
+             CAST(('0x' || substr(md5('mix ' || d.doc_id), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+           FROM documents d JOIN w ON w.s = d.lang),
+         cc AS (
+           SELECT doc_id, lang,
+             CAST(floor(ww) + CASE WHEN u < ww - floor(ww) THEN 1 ELSE 0 END
+               AS INTEGER) AS copies
+           FROM m)
+         SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
+         FROM cc WHERE copies >= 1""",
 
     "q_chunk_tokens" ->
       """WITH tk AS (

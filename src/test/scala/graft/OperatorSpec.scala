@@ -428,6 +428,29 @@ class OperatorSpec extends SparkSpec {
     assert(hugeBins.flatMap(_.doc_ids).length === 201)
   }
 
+  test("temperatureMixture flattens toward rare strata, hits the target size") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 900 'big' docs vs 100 'small' docs
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureMixture(df, "lang", "doc_id",
+      alpha = 0.5, targetTotal = 1000L)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byLang.values.sum
+    assert(math.abs(total - 1000L) < 60, s"total $total")
+    // alpha=0.5: shares ∝ sqrt(900):sqrt(100) = 3:1, vs natural 9:1
+    val ratio = byLang("big").toDouble / byLang("small")
+    assert(ratio > 2.0 && ratio < 4.0, s"ratio $ratio")
+    // deterministic row-by-row
+    val a = out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val b = Sampling.temperatureMixture(df.repartition(7), "lang", "doc_id",
+      alpha = 0.5, targetTotal = 1000L)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(a === b)
+  }
+
   test("capPerKey: quota respected, deterministic, prefix-consistent as quota tightens") {
     import graft.operators.Sampling
     import spark.implicits._
