@@ -216,6 +216,32 @@ class PlanAuditSpec extends SparkSpec {
       leaves.mkString("\n"))
   }
 
+  test("fitted-model scoring plans carry no hash exchange (bigram, NB, mixture)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // like q_unigram_nll: the fit collects eagerly at construction; the
+      // RETURNED plan must be a narrow literal-map apply — only the
+      // deliberate round-robin spread may appear, never a hash exchange
+      for (q <- Seq("q_bigram_nll", "q_nb_lang", "q_temp_mixture")) {
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val hashEx = plan.collect { case e: ShuffleExchangeExec => e }
+          .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
+        assert(hashEx.isEmpty, s"$q:\n$plan")
+        assert(!plan.toString.contains("SortMergeJoin"), s"$q:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_data_card: two aggs + a window on the aggregated frame, nothing wider") {
+    val p = plan("q_data_card")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // per-source stats agg, per-(source,lang) agg, window + final join —
+    // all keyed on source-sized frames; cap the exchange count so a
+    // refactor that windows the RAW documents (corpus-wide sort) fails
+    assert(countOf(p, "Exchange hashpartitioning") <= 5, p)
+  }
+
   test("q_host_quota: rank filter compiles to WindowGroupLimit (skew pre-prune)") {
     val p = plan("q_host_quota")
     // Partial limit before the exchange caps what a skewed host ships
