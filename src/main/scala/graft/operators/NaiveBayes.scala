@@ -73,23 +73,23 @@ object NaiveBayes {
 
     // ---- model literals ----------------------------------------------
     val v = vocabRows.length
-    val perLabel: Seq[(String, Double, Column)] = labelRows.map {
+    val perLabel: Seq[(String, Double, String)] = labelRows.map {
       case (l, dc) =>
         val nL = vocabRows.map(t => cntRows.getOrElse((l, t), 0L)).sum
-        val logProb: String => Double = t =>
-          math.log((cntRows.getOrElse((l, t), 0L) + 1).toDouble / (nL + v))
-        val m = map_from_arrays(
-          array(vocabRows.toIndexedSeq.map(t => lit(t)): _*),
-          array(vocabRows.toIndexedSeq.map(t => lit(logProb(t))): _*))
-        (l, math.log(dc / nDocs), m)
+        val table = graft.plans.ScoreTable.serialize(
+          vocabRows.toIndexedSeq.map(t => t ->
+            math.log((cntRows.getOrElse((l, t), 0L) + 1).toDouble / (nL + v))),
+          0.0) // OOV tokens contribute 0 to every label
+        (l, math.log(dc / nDocs), table)
     }
 
-    // ---- apply: one narrow fold per label, struct argmax --------------
+    // ---- apply: one codegen'd O(1)-probe kernel per label, struct argmax
+    graft.plans.GraftFunctions.register(spark)
     val toksSafe = coalesce(toks, array().cast("array<string>"))
-    val scoreStructs = perLabel.map { case (l, prior, m) =>
+    val scoreStructs = perLabel.map { case (l, prior, table) =>
       struct(
-        round(aggregate(toksSafe, lit(prior),
-          (acc, t) => acc + coalesce(element_at(m, t), lit(0.0))), 4)
+        round(lit(prior) +
+          call_function("graft_map_sum", toksSafe, lit(table)), 4)
           .as("score"),
         lit(l).as("pred"))
     }

@@ -57,20 +57,23 @@ object UnigramLm {
       return docs.select(col(idCol), lit(0.0).as("avg_nll"),
         lit(0L).as("n_tokens")).limit(0)
     }
-    val vmap = map_from_arrays(
-      array(vocabRows.map(r => lit(r.getString(0))).toIndexedSeq: _*),
-      array(vocabRows.map(r => lit(r.getLong(1))).toIndexedSeq: _*))
+    // fitted table for the codegen kernel: per-token NLL precomputed as
+    // the SAME IEEE doubles the old HOF fold computed per row, so the
+    // swap is bit-exact against the DuckDB oracle (a − ln(x) ≡ a + −ln(x))
+    val table = graft.plans.ScoreTable.serialize(
+      vocabRows.map(r => r.getString(0) ->
+        -math.log(r.getLong(1).toDouble / total.toDouble)),
+      -math.log(1.0 / total.toDouble))
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val toks = TextAnalysis.tokens(col(textCol))
-    // the literal-map fold is an interpreted HOF: spread a single-file
-    // scan first or the whole corpus scores on one task
+    // spread a single-file scan so the scoring pass parallelizes (it is
+    // narrow: one codegen'd O(1)-probe kernel call per row)
     docsSpread
       .select(col(idCol), toks.as("__t"))
       .filter(size(col("__t")) > 0)
       .select(col(idCol),
         round(
-          aggregate(col("__t"), lit(0.0), (acc, t) =>
-            acc - log(coalesce(element_at(vmap, t).cast("double"), lit(1.0))
-              / lit(total.toDouble)))
+          call_function("graft_map_sum", col("__t"), lit(table))
             / size(col("__t")), 4).as("avg_nll"),
         size(col("__t")).cast("long").as("n_tokens"))
   }
@@ -115,36 +118,38 @@ object UnigramLm {
       return docs.select(col(idCol), lit(0.0).as("avg_nll2"),
         lit(0L).as("n_pairs")).limit(0)
     }
-    val uniMap = map_from_arrays(
-      array(uniRows.map(r => lit(r.getString(0))).toIndexedSeq: _*),
-      array(uniRows.map(r => lit(r.getLong(1))).toIndexedSeq: _*))
-    val biMap =
-      if (biRows.isEmpty) map_from_arrays(
-        array().cast("array<string>"), array().cast("array<bigint>"))
-      else map_from_arrays(
-        array(biRows.map(r => lit(r.getString(0))).toIndexedSeq: _*),
-        array(biRows.map(r => lit(r.getLong(1))).toIndexedSeq: _*))
-    // interpreted fold + O(vocab) linear literal-map probes per pair:
-    // spreading the scan is mandatory, not a nicety (single-file corpus
-    // = one task otherwise)
+    // Premultiplied interpolation tables for the codegen kernel (same
+    // IEEE ops the HOF fold performed per row: divide, then scale by the
+    // λ weights computed once here): bi value = λ·c12/c1 (entry only
+    // when the history w1 is in the fitted vocab — otherwise the bigram
+    // term backs off to 0), uni value = (1−λ)·c/total, default
+    // (1−λ)·1/total.
+    val uniCountsMap = uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biTable = graft.plans.ScoreTable.serialize(
+      biRows.flatMap { r =>
+        val pair = r.getString(0)
+        val w1 = pair.substring(0, pair.indexOf(' '))
+        uniCountsMap.get(w1).map { c1 =>
+          pair -> lambda * (r.getLong(1).toDouble / c1.toDouble)
+        }
+      },
+      0.0)
+    val lambda2 = 1.0 - lambda
+    val uniTable = graft.plans.ScoreTable.serialize(
+      uniRows.map(r => r.getString(0) ->
+        lambda2 * (r.getLong(1).toDouble / total.toDouble)),
+      lambda2 * (1.0 / total.toDouble))
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    // the scoring pass is one narrow codegen'd kernel call per row;
+    // spread a single-file scan so it parallelizes
     docsSpread
       .select(col(idCol), toksC.as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col(idCol),
         round(
-          aggregate(sequence(lit(2), size(col("__t"))), lit(0.0),
-            (acc, i) => {
-              val w1 = element_at(col("__t"), i - 1)
-              val w2 = element_at(col("__t"), i)
-              val c1 = element_at(uniMap, w1).cast("double")
-              val c12 = element_at(biMap, concat_ws(" ", w1, w2))
-                .cast("double")
-              val pbi = when(c1.isNotNull && c12.isNotNull, c12 / c1)
-                .otherwise(lit(0.0))
-              val puni = coalesce(element_at(uniMap, w2).cast("double"),
-                lit(1.0)) / lit(total.toDouble)
-              acc - log(lit(lambda) * pbi + lit(1.0 - lambda) * puni)
-            }) / (size(col("__t")) - 1), 4).as("avg_nll2"),
+          call_function("graft_bigram_nll", col("__t"),
+            lit(biTable), lit(uniTable))
+            / (size(col("__t")) - 1), 4).as("avg_nll2"),
         (size(col("__t")) - 1).cast("long").as("n_pairs"))
   }
 }

@@ -267,6 +267,11 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => HyperplaneSketch(exprs(0), exprs(1))),
     "graft_bpe" ->
       ((exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))),
+    "graft_map_sum" ->
+      ((exprs: Seq[Expression]) => MapSumScore(exprs(0), exprs(1))),
+    "graft_bigram_nll" ->
+      ((exprs: Seq[Expression]) =>
+        BigramNllSum(exprs(0), exprs(1), exprs(2))),
     // Spark's own runtime-filter expressions, surfaced for explicit use
     // (InjectRuntimeFilter builds them internally; they have no SQL name)
     "graft_bloom_agg" ->

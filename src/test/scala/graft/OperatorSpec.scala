@@ -237,7 +237,15 @@ class OperatorSpec extends SparkSpec {
     val builders = GraftFunctions.all.toMap
     assert(builders.keySet === Set("graft_cosine", "graft_dot",
       "graft_vector_avg", "graft_topk", "graft_lsh_bucket",
-      "graft_bpe", "graft_bloom_agg", "graft_might_contain"))
+      "graft_bpe", "graft_bloom_agg", "graft_might_contain",
+      "graft_map_sum", "graft_bigram_nll"))
+    assert(builders("graft_map_sum")(Seq(
+      Literal.create(Seq("a"), ArrayType(StringType)),
+      Literal.create("\t0.0\na\t1.5"))).isInstanceOf[MapSumScore])
+    assert(builders("graft_bigram_nll")(Seq(
+      Literal.create(Seq("a"), ArrayType(StringType)),
+      Literal.create("\t0.0"), Literal.create("\t0.1")))
+      .isInstanceOf[BigramNllSum])
     assert(builders("graft_bpe")(Seq(Literal.create("ab"),
       Literal.create("a b"))).isInstanceOf[BpeEncode])
     val arr = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
@@ -609,6 +617,44 @@ class OperatorSpec extends SparkSpec {
     val none = Seq((1L, "some text", null.asInstanceOf[String]))
       .toDF("doc_id", "text", "lang")
     assert(NaiveBayes.fitPredict(none, "text", "doc_id", "lang").count() === 0)
+  }
+
+  test("scoring kernels: O(1)-probe sums match hand computation, stay codegen") {
+    import graft.plans.ScoreTable
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val table = ScoreTable.serialize(Seq("a" -> 1.5, "b" -> -0.25), 100.0)
+    val df = Seq((1L, Seq("a", "b", "zz", "a"))).toDF("id", "toks")
+    // build via call_function — no SQL-escaping of the table literal
+    val got2 = df.select(
+      call_function("graft_map_sum", col("toks"), lit(table))).head().getDouble(0)
+    assert(got2 === 1.5 + -0.25 + 100.0 + 1.5)
+    // null token array → null result
+    val n = Seq((1L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+      .select(call_function("graft_map_sum", col("toks"), lit(table))).head()
+    assert(n.isNullAt(0))
+    // bigram kernel: pair hit + backoff miss, -ln per pair
+    val bi = ScoreTable.serialize(Seq("a b" -> 0.5), 0.0)
+    val uni = ScoreTable.serialize(Seq("b" -> 0.125, "c" -> 0.25), 0.0625)
+    val s = Seq((1L, Seq("a", "b", "c", "d"))).toDF("id", "toks")
+      .select(call_function("graft_bigram_nll", col("toks"),
+        lit(bi), lit(uni))).head().getDouble(0)
+    val expected = -math.log(0.5 + 0.125) + -math.log(0.0 + 0.25) +
+      -math.log(0.0 + 0.0625)
+    assert(math.abs(s - expected) < 1e-15)
+    // single-token docs: no pairs, sum 0
+    val z = Seq((1L, Seq("solo"))).toDF("id", "toks")
+      .select(call_function("graft_bigram_nll", col("toks"),
+        lit(bi), lit(uni))).head().getDouble(0)
+    assert(z === 0.0)
+    // the kernel stays inside WholeStageCodegen (no fallback project) —
+    // range-backed input so ConvertToLocalRelation can't fold the plan
+    val rdf = spark.range(2)
+      .select(split(concat(lit("a b "), col("id")), " ").as("toks"))
+    val p = rdf.select(call_function("graft_map_sum", col("toks"), lit(table)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project") &&
+      p.toLowerCase.contains("graft_map_sum"), p)
   }
 
   test("bigram LM is order-sensitive: scrambled word order scores worse") {
