@@ -115,6 +115,35 @@ class PropertySpec extends SparkSpec {
     assert(both.filter(col("once") =!= col("doubled")).count() === 0L)
   }
 
+  test("scoring kernels match a Scala reference fold on random tables (batched)") {
+    import graft.plans.ScoreTable
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val tokGen = Gen.oneOf((1 to 30).map(i => s"w$i"))
+    val entries = Gen.listOfN(20, Gen.zip(tokGen,
+      Gen.chooseNum(-5.0, 5.0))).sample.get.toMap.toSeq
+    val default = -7.25
+    val table = ScoreTable.serialize(entries, default)
+    val lookup = entries.toMap
+    val docs = Gen.listOfN(80, Gen.listOfN(25, tokGen)).sample.get
+    val df = docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+      call_function("graft_map_sum", col("toks"), lit(table)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.zipWithIndex.foreach { case (ts, i) =>
+      val expected = ts.foldLeft(0.0)((a, t) => a + lookup.getOrElse(t, default))
+      assert(got(i.toLong) === expected, s"doc $i") // bit-exact, same fold order
+    }
+    // serialize/parse round-trips exact doubles (Double.toString contract)
+    val weird = Seq("x" -> 1.0 / 3.0, "y" -> -0.0, "z" -> 4.9e-324)
+    val t2 = ScoreTable.serialize(weird, Double.MaxValue)
+    val one = Seq((1L, Seq("x", "y", "z", "oov"))).toDF("id", "toks")
+      .select(call_function("graft_map_sum", col("toks"), lit(t2)))
+      .head().getDouble(0)
+    assert(one === 1.0 / 3.0 + -0.0 + 4.9e-324 + Double.MaxValue)
+  }
+
   test("union count additivity (E1 invariant): |A union B| == |A| + |B|") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOf(Gen.chooseNum(0, 1000)),
