@@ -175,6 +175,17 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
     }),
 
+    // Fuzzy key join, ORACLED: synthesized keys with deliberate edit-1
+    // collisions (shared bases, some with a trailing char) run through
+    // the deletion-neighborhood candidate join + Levenshtein verify;
+    // DuckDB replays the identical neighborhood and verify.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val key = concat(lit("key"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 7 === 0, lit("x")).otherwise(lit("")))
+      graft.operators.FuzzyJoin.pairsWithin1(
+        t(s, dir, "documents").withColumn("k", key), "k", "doc_id")
+    }),
+
     // Corpus data card, ORACLED: per-source volume/token/dup/lang-mode
     // rollup — the publishable dataset summary.
     "q_data_card" -> ((s, dir) =>
@@ -750,6 +761,28 @@ object TextQueries {
            FROM w)
          SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
          FROM c WHERE copies >= 1""",
+
+    // Fuzzy join: delete-1 neighborhood (key + each single-char deletion)
+    // via list_transform, pair dedup, then the same levenshtein verify.
+    "q_fuzzy_join" ->
+      """WITH k AS (
+           SELECT doc_id AS id,
+             'key' || (doc_id % 40) ||
+             CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END AS key
+           FROM documents),
+         v AS (
+           SELECT id, key,
+             unnest(list_append(
+               list_transform(range(1, len(key) + 1), i -> substr(key, 1, i - 1) || substr(key, i + 1, len(key) - i)),
+               key)) AS var
+           FROM k),
+         p AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.key AS key_a, b.key AS key_b
+           FROM v a JOIN v b ON a.var = b.var AND a.id < b.id)
+         SELECT id_a, id_b,
+           CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+         FROM p WHERE levenshtein(key_a, key_b) <= 1""",
 
     // Data card: same fingerprint chain (md5 of whitespace-collapsed
     // lowercased text) and the same smaller-lang tie-break on the mode.

@@ -619,6 +619,44 @@ class OperatorSpec extends SparkSpec {
     assert(NaiveBayes.fitPredict(none, "text", "doc_id", "lang").count() === 0)
   }
 
+  test("fuzzy join finds exactly the edit-1 pairs, never crosses distance 2") {
+    import graft.operators.FuzzyJoin
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "spark"), (2L, "spark"),   // ed 0
+      (3L, "spark2"), (4L, "spork"),  // ed 1 to spark (insert / substitute)
+      (5L, "park"),                   // ed 1 to spark (delete)
+      (6L, "plonk"),                  // ed >= 2 from everything
+      (7L, null.asInstanceOf[String]))
+      .toDF("id", "k")
+    val got = FuzzyJoin.pairsWithin1(rows, "k", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sparkIds = Set(1L, 2L)
+    // all spark-adjacent pairs present
+    assert(got.contains((1L, 2L, 0L)))
+    for (v <- Seq(3L, 4L, 5L); s <- sparkIds)
+      assert(got.contains((s, v, 1L)), s"missing ($s, $v)")
+    // no pair involves plonk or the null key
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+    // exhaustive check vs brute force on this set
+    val keys = rows.collect().map(r => r.getLong(0) ->
+      Option(r.getString(1))).toMap
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (i, Some(a)) <- keys.toSeq; (j, Some(b)) <- keys.toSeq
+      if i < j && ed(a, b) <= 1
+    } yield (i, j, ed(a, b).toLong)).toSet
+    assert(got === brute)
+  }
+
   test("scoring kernels: O(1)-probe sums match hand computation, stay codegen") {
     import graft.plans.ScoreTable
     import spark.implicits._
