@@ -130,6 +130,27 @@ object VectorQueries {
           lshBucketMd5(col("embedding"), 8).as("bucket8"))
     }),
 
+    // ORACLED KNN classification: 5-NN majority vote over the labeled
+    // embeddings (ties toward the smaller label) — the vector-
+    // classification composition of the oracled exact KNN.
+    "q_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val knn = graft.operators.Similarity
+        .knnBruteForce(e, e, "vec_id", "embedding", k = 5)
+      val labels = e.select(col("vec_id").as("n_id"),
+        col("label").as("n_label"))
+      val votes = knn.join(broadcast(labels), "n_id")
+        .groupBy(col("q_id"), col("n_label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("votes").desc, col("n_label"))
+      votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("q_id").as("vec_id"),
+          col("n_label").as("pred_label"), col("votes"))
+    }),
+
     // ORACLED SemDeDup-lite: one keeper (min id) per md5-hyperplane cell —
     // the cell partition is the oracled q_lsh_bucket_md5 sketch, so the
     // whole semantic-dedup decision is engine-reproducible.
@@ -181,6 +202,27 @@ object VectorQueries {
              CASE WHEN list_sum(list_transform(generate_series(1, len(e)), d -> e[d] * ((CAST(('0x' || substr(md5(j || ' ' || d), 1, 3)) AS BIGINT) % 2001 - 1000) / 1000.0))) >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
            AS BIGINT) AS bucket8
          FROM v""",
+
+    "q_knn_classify" ->
+      """WITH knn AS (
+           SELECT vec_id, nbr_id FROM (
+             SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                          b.vec_id) AS rn
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id <> b.vec_id)
+           WHERE rn <= 5),
+         votes AS (
+           SELECT k.vec_id, e.label AS n_label, count(*) AS votes
+           FROM knn k JOIN embeddings e ON e.vec_id = k.nbr_id
+           GROUP BY k.vec_id, e.label)
+         SELECT vec_id, n_label AS pred_label, votes FROM (
+           SELECT vec_id, n_label, votes,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY votes DESC, n_label) AS rn
+           FROM votes)
+         WHERE rn = 1""",
 
     "q_semantic_dedup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

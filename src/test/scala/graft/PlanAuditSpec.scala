@@ -242,6 +242,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") <= 5, p)
   }
 
+  test("q_fuzzy_join: no cartesian, no sort-merge — capped variant equi-join only") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // candidates come from the cached bounded frame on both sides
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q_host_quota: rank filter compiles to WindowGroupLimit (skew pre-prune)") {
     val p = plan("q_host_quota")
     // Partial limit before the exchange caps what a skewed host ships
