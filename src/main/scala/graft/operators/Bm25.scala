@@ -44,6 +44,11 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // the query side is broadcast twice (term join + df join) — fail fast
+    // on an oversized query frame instead of OOMing the driver late (the
+    // decontaminate eval-side contract)
+    Similarity.requireBroadcastable(queries, 100000L, "BM25 query set",
+      "batched topK calls over query slices")
     val toks = TextAnalysis.tokens(col(textCol))
 
     // One pass over the corpus: per-doc term frequencies + doc length.
@@ -129,6 +134,7 @@ object Bm25 {
     require(nDocs > 0 && avgdl > 0, "corpus stats must be positive")
     val dl = size(toks).cast("double")
     val terms = queryTerms.distinct
+    if (terms.isEmpty) return lit(0.0)
     val perTerm = terms.map { t =>
       val df = dfByTerm.getOrElse(t, 0L)
       val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))

@@ -56,6 +56,21 @@ class Bm25Spec extends SparkSpec {
     assert(a === b)
   }
 
+  test("oversized query frames fail fast; empty literal term set scores 0") {
+    val hugeQueries = spark.range(200001)
+      .select(col("id").as("query_id"), lit("spark").as("qtext"))
+    val e = intercept[IllegalArgumentException] {
+      Bm25.topK(corpus, "doc_id", "text", hugeQueries,
+        "query_id", "qtext", k = 3)
+    }
+    assert(e.getMessage.contains("BM25 query set"))
+    val z = corpus.select(Bm25.scoreLiteral(
+      graft.operators.TextAnalysis.tokens(col("text")),
+      Seq.empty, Map.empty, nDocs = 4L, avgdl = 1.5).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(z.forall(_ === 0.0))
+  }
+
   test("scoreLiteral parity with the distributed path") {
     // fit the corpus stats by hand: df over {b, c}, N=4, avgdl=1.5
     val dfm = Map("b" -> 2L, "c" -> 2L)
