@@ -1,0 +1,46 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-shard materialization ([EXT]): write a curated corpus as N
+  * deterministic shards in a deterministic pseudo-random order — the
+  * last-mile step before a training job consumes the data. The "global
+  * shuffle" every training pipeline needs is NOT `orderBy(rand())`
+  * (non-reproducible, and a full sort): it's an md5 draw used twice —
+  * mod-N for the shard, sort-key within the shard — so the exact same
+  * corpus always produces byte-identical shard contents and order, on
+  * any cluster size, and a resumed/re-run job sees the same stream.
+  *
+  * Plan shape: one hash exchange on the shard id (each shard's rows land
+  * in exactly one task), an in-partition sort, and a partitionBy write —
+  * exactly one file per shard directory. No global sort, no sampling
+  * pass (`repartitionByRange` samples, which breaks run-to-run
+  * determinism guarantees; the mod-N split trades perfectly equal shard
+  * sizes for exact reproducibility — md5 uniformity keeps the imbalance
+  * within ~1/sqrt(rows-per-shard)).
+  */
+object ShardWriter {
+
+  /** Write `docs` under `path` as `shard=0..nShards-1` parquet dirs, one
+    * file per shard, rows ordered by the md5 draw within each shard.
+    * Returns the shard assignment frame (id, shard) for auditing.
+    */
+  def writeShards(
+      docs: DataFrame,
+      idCol: String,
+      nShards: Int,
+      path: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = md5(concat(lit("shard "), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    docs.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__key"), col(idCol))
+      .drop("__key")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    docs.select(col(idCol), shard.as("shard"))
+  }
+}
