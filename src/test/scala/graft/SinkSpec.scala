@@ -18,6 +18,36 @@ class SinkSpec extends SparkSpec {
   private def tmpDir(): String =
     Files.createTempDirectory("graft-test").toString
 
+  test("training pipeline end to end: curate -> BPE-pack -> shards") {
+    import graft.operators.Curation
+    import graft.processes.TrainingPipeline
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and runs far away "
+    val docs = ((1L to 40L).map(i =>
+      (i, base * 3 + s"unique tail $i with words alpha$i beta$i", "en", "s1")) ++
+      Seq(
+        (41L, base * 3 + "unique tail 1 with words alpha1 beta1", "en", "s1"),
+        (42L, "too short", "en", "s1"),
+        (43L, base * 3 + "wrong language tail here now", "de", "s1")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = tmpDir() + "/train"
+    val res = TrainingPipeline.run(docs, "doc_id", "text", "lang",
+      Curation.Config(minTokens = 30, maxStopRatio = 1.0,
+        langs = Seq("en"), testFraction = 0.2),
+      numMerges = 50, budget = 256, nShards = 2, outPath = out)
+    // 41 is an exact dup of 1 (higher id loses); 42/43 quality-gated;
+    // survivors split train/test
+    assert(res.trainDocs + res.testDocs === 40)
+    assert(res.trainBins > 0)
+    // shards exist and hold exactly the packed sequences
+    val back = spark.read.parquet(out)
+    assert(back.count() === res.trainBins)
+    assert(back.columns.toSet === Set("bin_id", "text", "n_docs", "shard"))
+    // every packed sequence carries >= 1 doc and non-empty text
+    assert(back.filter(col("n_docs") < 1 ||
+      length(col("text")) === 0).count() === 0)
+  }
+
   test("shard writer: one file per shard, deterministic assignment and order") {
     import graft.sinks.ShardWriter
     import spark.implicits._
