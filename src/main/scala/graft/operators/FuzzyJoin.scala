@@ -71,8 +71,10 @@ object FuzzyJoin {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
       .distinct()
-      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+      // compute the O(|a|·|b|) verify ONCE per candidate, filter on it
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

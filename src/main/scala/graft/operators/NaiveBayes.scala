@@ -58,12 +58,10 @@ object NaiveBayes {
         lit(0.0).as("score")).limit(0)
     }
     val nDocs = labelRows.map(_._2).sum.toDouble
-    val vocabDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(vocabRows.toIndexedSeq.map(
-        org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("t",
-          org.apache.spark.sql.types.StringType))))
+    val vocabDf = {
+      import spark.implicits._
+      vocabRows.toIndexedSeq.toDF("t")
+    }
     val cntRows = labeled
       .select(col(labelCol).as("l"), explode(toks).as("t"))
       .join(broadcast(vocabDf), "t")

@@ -123,10 +123,7 @@ object Packing {
       nBuckets: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long"),
-      lit(nBuckets.toLong))
+    val bucket = Sampling.md5Mod(col(idCol), "", nBuckets.toLong)
     implicit val enc = Encoders.product[PackAssign]
     docs
       .select(col(idCol).cast("long").as("id"),

@@ -29,6 +29,25 @@ object Sampling {
   private def unitHash(key: Column): Column =
     pmod(xxhash64(key), lit(Buckets)).cast("double") / Buckets.toDouble
 
+  /** THE portable md5 draw, shared by every cross-engine-oracled sampling
+    * decision (mixture epochs, next-fit buckets, shard split, per-key
+    * quota order). One definition so the wire contract — md5 of the
+    * domain-prefixed stringified key, first 8 hex chars as a long — can
+    * never drift between operators and their DuckDB oracles
+    * (`('0x' || substr(md5(prefix || key), 1, 8))::BIGINT`).
+    */
+  def md5Draw(key: Column, prefix: String): Column =
+    md5(if (prefix.isEmpty) key.cast("string")
+    else concat(lit(prefix), key.cast("string")))
+
+  /** First 8 hex chars of [[md5Draw]] as a long in [0, 2^32). */
+  def md5Hex8(key: Column, prefix: String): Column =
+    conv(substring(md5Draw(key, prefix), 1, 8), 16, 10).cast("long")
+
+  /** [[md5Hex8]] reduced mod n — the portable bucket/shard assignment. */
+  def md5Mod(key: Column, prefix: String, n: Long): Column =
+    pmod(md5Hex8(key, prefix), lit(n))
+
   private def checkFraction(f: Double): Unit =
     require(f == 0.0 || (f >= 1.0 / Buckets && f <= 1),
       s"fraction=$f out of range: must be 0, or in [${1.0 / Buckets}, 1] " +
@@ -72,11 +91,9 @@ object Sampling {
     val w = weights.foldLeft(lit(0.0)) { case (acc, (stratum, ww)) =>
       when(col(strataCol) === stratum, ww).otherwise(acc)
     }
-    // md5-uniform in [0,1): first 8 hex chars = 32 bits. Cross-engine
-    // identical (DuckDB: ('0x' || substr(md5(...),1,8))::BIGINT).
-    val u01 = conv(substring(md5(concat(lit("mix "),
-      col(keyCol).cast("string"))), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
+    // md5-uniform in [0,1): first 8 hex chars = 32 bits (long→double is
+    // exact below 2^32, so this equals the old string→double parse)
+    val u01 = md5Hex8(col(keyCol), "mix ").cast("double") / 4294967296.0
     val copies = (floor(w) + when(u01 < w - floor(w), 1).otherwise(0))
       .cast("int")
     df.withColumn("__copies", copies)
@@ -115,10 +132,15 @@ object Sampling {
     val powF: Double => Double =
       if (alpha == 0.5) math.sqrt else math.pow(_, alpha)
     // fixed ascending-stratum summation order (the oracle's sum order is
-    // the engine's choice; rounding to 6 decimals absorbs the ulps)
+    // the engine's choice; rounding to 6 decimals absorbs the ulps).
+    // Weights saturate at mixture()'s 100-epoch ceiling: a tiny stratum
+    // under a large targetTotal would otherwise compute an unbounded
+    // epoch count and trip mixture's require mid-job — capping is the
+    // documented semantic (extreme rare-stratum upsampling stops at 100
+    // copies), not a crash.
     val z = round6(counts.map { case (_, n) => powF(n.toDouble) }.sum)
     val weights = counts.map { case (s, n) =>
-      s -> round6(powF(n.toDouble) / z * targetTotal / n)
+      s -> math.min(100.0, round6(powF(n.toDouble) / z * targetTotal / n))
     }.toMap
     mixture(df, strataCol, keyCol, weights)
   }
@@ -153,7 +175,7 @@ object Sampling {
     require(maxPerKey > 0, s"maxPerKey must be positive, got $maxPerKey")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5Draw(col(idCol), ""), col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerKey)
       .drop("__rn")

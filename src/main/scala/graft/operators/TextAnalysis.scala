@@ -143,17 +143,21 @@ object TextAnalysis {
   /** First-occurrence line dedup inside one document (the Gopher/CCNet
     * repetition-removal step: navbars, cookie banners, and boilerplate
     * repeat verbatim within a page; keep each line's first occurrence,
-    * preserve order, drop the rest). A pure narrow expression — each row
-    * is independent, so the operator adds zero shuffles at any scale; the
-    * `array_position` probe makes it O(lines²) per document, bounded by
-    * per-document line counts, not corpus size (chunk pathological docs
-    * first if that bound is a concern).
+    * preserve order, drop the rest). EMPTY lines are exempt — they are
+    * paragraph separators, not repeated content, and deduping them would
+    * silently merge every multi-paragraph document into one block. A
+    * pure narrow expression — each row is independent, so the operator
+    * adds zero shuffles at any scale; the `array_position` probe makes
+    * it O(lines²) per document, bounded by per-document line counts, not
+    * corpus size (chunk pathological docs first if that bound is a
+    * concern).
     */
   def dedupLines(c: Column, sep: String = "\n"): Column = {
     val lines = split(c, java.util.regex.Pattern.quote(sep))
     when(c.isNull, lit(null).cast("string"))
       .otherwise(array_join(
-        filter(lines, (x, i) => array_position(lines, x) === i + 1), sep))
+        filter(lines, (x, i) =>
+          x === lit("") || array_position(lines, x) === i + 1), sep))
   }
 
   /** Rolling polynomial hash over the token stream (base-31 over xxhash64 of

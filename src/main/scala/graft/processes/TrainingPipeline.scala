@@ -50,12 +50,19 @@ object TrainingPipeline {
     val counted = Bpe.tokenize(train, textCol, merges)
       .select(col(idCol),
         size(col("bpe_tokens")).cast("long").as("__nt"))
+    // persist the bins: materializeBins runs two actions over them
+    // (strict-count + the join) and each would otherwise re-execute the
+    // full-corpus BPE encode upstream; the bins frame is tiny (id lists
+    // + counts). Same cache-lifecycle contract as the operators.
     val bins = Packing.packGreedy(counted, idCol, "__nt", budget)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sequences = Packing.materializeBins(bins, train, idCol, textCol)
     val assignments = ShardWriter.writeShards(sequences, "bin_id",
       nShards, outPath)
     Result(
-      trainBins = sequences.count(),
+      // count the WRITTEN shards (metadata-cheap) rather than re-running
+      // the sequence aggregation the write just materialized
+      trainBins = docs.sparkSession.read.parquet(outPath).count(),
       trainDocs = train.count(),
       testDocs = test.count(),
       shardAssignments = assignments)

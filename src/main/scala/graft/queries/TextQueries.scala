@@ -816,7 +816,9 @@ object TextQueries {
            WHERE lang IS NOT NULL GROUP BY lang),
          z AS (SELECT round(sum(sqrt(n)), 6) AS z FROM c),
          w AS (
-           SELECT s, round(sqrt(n) / z.z * 1000 / n, 6) AS ww
+           SELECT s,
+             least(CAST(100 AS DOUBLE),
+               round(sqrt(n) / z.z * 1000 / n, 6)) AS ww
            FROM c, z),
          m AS (
            SELECT d.doc_id, d.lang, w.ww,
@@ -1081,7 +1083,7 @@ object TextQueries {
            len(ls) AS n_lines,
            len(list_distinct(ls)) AS n_uniq_lines,
            md5(array_to_string(
-             list_filter(ls, (x, i) -> list_position(ls, x) = i),
+             list_filter(ls, (x, i) -> x = '' OR list_position(ls, x) = i),
              chr(10))) AS dedup_md5
          FROM l""",
 
@@ -1219,8 +1221,10 @@ object TextQueries {
          contrib AS (
            SELECT m.query_id, m.doc_id,
              ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-               (m.tf * (1.2 + 1.0)) /
-               (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS c
+               (m.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+               (m.tf + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) +
+                  CAST(0.75 AS DOUBLE) * m.dl / s.avgdl)) AS c
            FROM matched m JOIN dfreq d USING (tok) CROSS JOIN stats s),
          scored AS (
            SELECT query_id, doc_id, round(sum(c), 4) AS bm25

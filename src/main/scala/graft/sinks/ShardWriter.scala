@@ -32,9 +32,9 @@ object ShardWriter {
       nShards: Int,
       path: String): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val key = md5(concat(lit("shard "), col(idCol).cast("string")))
-    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
-      lit(nShards.toLong))
+    val key = graft.operators.Sampling.md5Draw(col(idCol), "shard ")
+    val shard = graft.operators.Sampling
+      .md5Mod(col(idCol), "shard ", nShards.toLong)
     docs.withColumn("__key", key)
       .withColumn("shard", shard)
       .repartition(nShards, col("shard"))

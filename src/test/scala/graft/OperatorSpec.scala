@@ -457,6 +457,14 @@ class OperatorSpec extends SparkSpec {
       alpha = 0.5, targetTotal = 1000L)
       .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
     assert(a === b)
+    // a 1-doc stratum under a huge target saturates at the 100-epoch
+    // ceiling instead of tripping mixture's require mid-job
+    val skew = ((1L to 10000L).map(i => (i, "big")) :+ (10001L, "rare"))
+      .toDF("doc_id", "lang")
+    val rare = Sampling.temperatureMixture(skew, "lang", "doc_id",
+      alpha = 0.5, targetTotal = 1000000L)
+      .filter(col("lang") === "rare").count()
+    assert(rare === 100L)
   }
 
   test("capPerKey: quota respected, deterministic, prefix-consistent as quota tightens") {

@@ -99,8 +99,9 @@ class TextAnalysisSpec extends SparkSpec {
   test("dedupLines keeps first occurrence in order, preserves non-dups") {
     assert(one(TA.dedupLines(col("s")), "a\nb\na\nc\nb\nd") === "a\nb\nc\nd")
     assert(one(TA.dedupLines(col("s")), "only") === "only")
-    // empty lines dedup like any other line
-    assert(one(TA.dedupLines(col("s")), "a\n\nb\n\na") === "a\n\nb")
+    // empty lines are paragraph separators — NEVER deduped
+    assert(one(TA.dedupLines(col("s")), "a\n\nb\n\na") === "a\n\nb\n")
+    assert(one(TA.dedupLines(col("s")), "p1\n\np2\n\np3") === "p1\n\np2\n\np3")
     // custom separator is treated literally, not as a regex
     assert(one(TA.dedupLines(col("s"), "."), "x.y.x.z") === "x.y.z")
     // null passes through
