@@ -32,6 +32,39 @@ object StreamingScores {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Windowed corpus data card: the streaming analogue of
+    * `CorpusReport.dataCard` for an ingest pipeline — per (window, source)
+    * volume, token mass, and an APPROXIMATE duplicate signal
+    * (`approx_count_distinct` over the content fingerprint; exact
+    * `count_distinct` is not supported in streaming aggregations, and at
+    * ingest rates an HLL bound is the right tool anyway). On a batch
+    * frame it computes the same shape for parity testing, modulo the
+    * approximate distinct.
+    */
+  def windowedDataCard(
+      docs: DataFrame,
+      tsCol: String,
+      sourceCol: String,
+      textCol: String,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    docs
+      .withWatermark(tsCol, watermark)
+      .filter(col(sourceCol).isNotNull)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window)
+          .getField("start").as("window_start"),
+        col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(toks)), lit(0L)).cast("long").as("n_tokens"),
+        round(avg(size(toks)), 4).as("avg_tokens"),
+        approx_count_distinct(
+          graft.operators.TextAnalysis.fingerprint(col(textCol)))
+          .as("approx_uniq"))
+  }
+
   /** Per-user session windows (gap-based), the stateful-session analogue. */
   def sessionStats(
       events: DataFrame,

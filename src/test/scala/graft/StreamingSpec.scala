@@ -191,6 +191,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed data card aggregates per (window, source) across batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val docs = mem.toDF().toDF("ts", "source", "text")
+    val query = StreamingScores.windowedDataCard(
+      docs, "ts", "source", "text", window = "10 minutes",
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("card_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (ts(1), "web", "alpha beta gamma"),
+        (ts(2), "web", "alpha beta gamma"),   // exact dup, same window
+        (ts(3), "pdf", "delta epsilon"),
+        (ts(12), "web", "zeta eta theta iota")) // next window
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT source, n_docs, n_tokens, approx_uniq FROM card_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // window 10:00: web 2 docs / 6 tokens / 1 distinct fp; pdf 1 doc
+      // window 10:10: web 1 doc / 4 tokens
+      assert(got === Set(
+        ("web", 2L, 6L, 1L), ("pdf", 1L, 2L, 1L), ("web", 1L, 4L, 1L)))
+      // batch parity of the exact columns
+      val batch = StreamingScores.windowedDataCard(
+        Seq((ts(1), "web", "alpha beta gamma"),
+          (ts(2), "web", "alpha beta gamma"),
+          (ts(3), "pdf", "delta epsilon"),
+          (ts(12), "web", "zeta eta theta iota"))
+          .toDF("ts", "source", "text"),
+        "ts", "source", "text", window = "10 minutes", watermark = "1 hour")
+        .select("source", "n_docs", "n_tokens")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(batch === got.map(t => (t._1, t._2, t._3)))
+    } finally query.stop()
+  }
+
   test("fitted models score streams: BM25/NB literal columns run per micro-batch") {
     // the fit-offline / score-online pattern: every fitted-model apply
     // path here is a narrow literal-map column, so it drops into a
