@@ -97,6 +97,74 @@ object Multimodal {
     } else None
   }
 
+  /** Parsed WAV header (the audio analogue of [[ImageDims]]). */
+  final case class AudioMeta(
+      media_id: Long,
+      channels: Int,
+      sample_rate: Int,
+      bits_per_sample: Int,
+      data_bytes: Long,
+      duration_ms: Long)
+
+  /** Real WAV/RIFF header parse, no codec library: verify the RIFF/WAVE
+    * magic, then walk the chunk list (4-byte id + LE32 size, word-
+    * aligned) for `fmt ` (channels LE16 @+2, sample rate LE32 @+4, bits
+    * LE16 @+14 inside the chunk body) and `data` (declared payload
+    * size). Returns (channels, rate, bits, dataBytes); None for
+    * truncated or non-WAV input. The data bytes themselves need not be
+    * present — ingest often reads headers from a ranged GET.
+    */
+  def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String =
+      if (i + 4 <= bytes.length)
+        new String(bytes.slice(i, i + 4), "US-ASCII")
+      else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Long] = None
+    while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (id == "fmt ") {
+        if (i + 8 + 16 > bytes.length) return None
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+      }
+      if (id == "data") data = Some(sz)
+      // chunks are word-aligned; a malformed giant size ends the walk
+      // via the loop bound rather than wrapping
+      i += 8 + math.min(sz, Int.MaxValue.toLong).toInt +
+        (sz.toInt & 1)
+    }
+    for { (c, r, b) <- fmt; d <- data } yield (c, r, b, d)
+  }
+
+  /** WAV header metadata per media record; duration from the declared
+    * data size and the computed byte rate (floor milliseconds). Records
+    * that do not parse are dropped — the caller separates audio from
+    * other modalities upstream.
+    */
+  def audioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val bytes = if (m.content == null) Array.empty[Byte] else m.content
+        wavMeta(bytes).collect {
+          case (c, r, b, d) if c > 0 && r > 0 && b > 0 =>
+            val byteRate = r.toLong * c * (b / 8)
+            AudioMeta(m.media_id, c, r, b, d,
+              if (byteRate > 0) d * 1000L / byteRate else 0L)
+        }
+      }
+    }
+  }
+
   /** Build an opaque-binary media frame from any string column (the test
     * corpus carries no real media; utf-8 bytes stand in for the payload).
     */

@@ -59,6 +59,39 @@ object MediaQueries {
         .select(col("media_id"), col("img_format"), col("width"),
           col("height"), col("n_bytes"))
     }),
+
+    // ORACLED audio decode: canonical 44-byte WAV headers synthesized
+    // in-plan (little-endian hex assembled byte-wise from fixture
+    // columns), then Multimodal.wavMeta walks the real RIFF chunk list
+    // and recovers channels/rate/bits/data size. DuckDB predicts the
+    // fields straight from the synthesis formulas, so an endianness or
+    // chunk-walk bug hash-mismatches.
+    "q_audio_meta" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      val channels = (col("doc_id") % 2 + 1).cast("long")
+      val rate = ((col("doc_id") % 5 + 1) * 8000).cast("long")
+      val dataB = (coalesce(col("n_chars"), lit(0L)) * 4).cast("long")
+      val byteRate = rate * channels * lit(2L)
+      val blockAlign = channels * lit(2L)
+      def le16h(v: Column): Column = concat(
+        lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"))
+      def le32h(v: Column): Column = concat(
+        le16h(v.bitwiseAND(lit(65535L))),
+        le16h(shiftright(v, 16).bitwiseAND(lit(65535L))))
+      val wavHex = concat(
+        lit("52494646"), le32h(dataB + 36), lit("57415645"), // RIFF..WAVE
+        lit("666D7420"), le32h(lit(16L)), le16h(lit(1L)),    // fmt , PCM
+        le16h(channels), le32h(rate), le32h(byteRate),
+        le16h(blockAlign), le16h(lit(16L)),
+        lit("64617461"), le32h(dataB))                       // data
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents")
+          .withColumn("media_type", lit("audio"))
+          .withColumn("payload", unhex(wavHex)),
+        "doc_id", "payload", "media_type", "source")
+      Multimodal.audioMeta(media).toDF()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,6 +109,20 @@ object MediaQueries {
            CAST((n_chars % 480) + 16 AS INTEGER) AS height,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 39 END AS BIGINT)
              AS n_bytes
+         FROM documents""",
+
+    // WAV: the oracle predicts every parsed field from the synthesis
+    // formulas; duration is floor((data*1000)/byteRate), integer // on
+    // both sides.
+    "q_audio_meta" ->
+      """SELECT doc_id AS media_id,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST((doc_id % 5 + 1) * 8000 AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(coalesce(n_chars, 0) * 4 AS BIGINT) AS data_bytes,
+           CAST((coalesce(n_chars, 0) * 4 * 1000) //
+             ((doc_id % 5 + 1) * 8000 * (doc_id % 2 + 1) * 2) AS BIGINT)
+             AS duration_ms
          FROM documents""",
   )
 }

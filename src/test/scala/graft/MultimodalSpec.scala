@@ -100,6 +100,57 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).width === None && f(1).height === None)
   }
 
+  test("wavMeta parses canonical and chunk-reordered WAV, rejects junk") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wav(channels: Int, rate: Int, bits: Int, data: Int,
+        leadingChunk: Boolean = false): Array[Byte] = {
+      val extra = if (leadingChunk) 12 else 0 // "LIST" chunk, 4-byte body
+      val b = ByteBuffer.allocate(44 + extra).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + data)
+        .put("WAVE".getBytes("US-ASCII"))
+      if (leadingChunk)
+        b.put("LIST".getBytes("US-ASCII")).putInt(4)
+          .put("INFO".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * bits / 8)
+        .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data)
+      b.array()
+    }
+    assert(Multimodal.wavMeta(wav(2, 44100, 16, 176400)) ===
+      Some((2, 44100, 16, 176400L)))
+    // an extra chunk before fmt is walked over, not mistaken for it
+    assert(Multimodal.wavMeta(wav(1, 8000, 16, 4000, leadingChunk = true)) ===
+      Some((1, 8000, 16, 4000L)))
+    // junk, truncation, image bytes: all None, no exceptions
+    assert(Multimodal.wavMeta("not audio at all".getBytes) === None)
+    assert(Multimodal.wavMeta(wav(2, 44100, 16, 100).take(20)) === None)
+    assert(Multimodal.wavMeta(Array[Byte]()) === None)
+  }
+
+  test("audioMeta computes floor-millisecond durations from declared sizes") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 44101)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(22050).putInt(44100)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(44101)
+    val docs = Seq((7L, b.array(), "audio", "s"))
+      .toDF("doc_id", "payload", "mt", "source")
+    val out = Multimodal.audioMeta(
+      Multimodal.asMedia(docs, "doc_id", "payload", "mt", "source"))
+      .collect()
+    assert(out.length === 1)
+    val m = out.head
+    // 44101 bytes at 44100 B/s → floor(1000.02ms) = 1000
+    assert(m.sample_rate === 22050 && m.channels === 1 &&
+      m.data_bytes === 44101L && m.duration_ms === 1000L)
+  }
+
   test("resizeStub truncates payloads without dropping rows") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 100, "image", "s")).toDF("doc_id", "text", "mt", "source")
