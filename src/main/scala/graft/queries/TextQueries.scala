@@ -175,6 +175,17 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
     }),
 
+    // Z-order key, ORACLED: the Morton interleave of quantized
+    // (doc_id, n_chars) — pure shift/mask algebra, so the multi-column
+    // layout decision itself hash-compares cross-engine.
+    "q_zorder" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ZOrder.zValue(col("doc_id"), 0.0, 10000.0,
+          col("n_chars"), 0.0, 2000.0).as("z"))
+    }),
+
     // Fuzzy key join, ORACLED: synthesized keys with deliberate edit-1
     // collisions (shared bases, some with a trailing char) run through
     // the deletion-neighborhood candidate join + Levenshtein verify;
@@ -761,6 +772,20 @@ object TextQueries {
            FROM w)
          SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
          FROM c WHERE copies >= 1""",
+
+    // Z-order: same quantization (floor of the scaled unit, clamped to
+    // [0, 65535]) and the same 32-term interleave sum.
+    "q_zorder" ->
+      """WITH q AS (
+           SELECT doc_id,
+             greatest(CAST(0 AS BIGINT), least(CAST(65535 AS BIGINT),
+               CAST(floor((CAST(doc_id AS DOUBLE) - 0.0) / 10000.0 * 65536.0) AS BIGINT))) AS qx,
+             greatest(CAST(0 AS BIGINT), least(CAST(65535 AS BIGINT),
+               CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 2000.0 * 65536.0) AS BIGINT))) AS qy
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 16), i -> ((qx >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) + ((qy >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1)))) AS BIGINT) AS z
+         FROM q""",
 
     // Fuzzy join: delete-1 neighborhood (key + each single-char deletion)
     // via list_transform, pair dedup, then the same levenshtein verify.

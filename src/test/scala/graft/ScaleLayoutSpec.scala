@@ -37,6 +37,33 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order: interleave bit math, clamping, and 2-D locality") {
+    import graft.operators.ZOrder
+    import spark.implicits._
+    def z(x: Long, y: Long): Long =
+      Seq((x, y)).toDF("x", "y")
+        .select(ZOrder.interleave(col("x"), col("y"))).head().getLong(0)
+    // bit i of x → position 2i, bit i of y → 2i+1
+    assert(z(0, 0) === 0L)
+    assert(z(1, 0) === 1L && z(0, 1) === 2L && z(1, 1) === 3L)
+    assert(z(3, 1) === 7L)         // x=0b11, y=0b01 → 0b0111
+    assert(z(0xffffL, 0xffffL) === 0xffffffffL)
+    // quantize clamps out-of-range instead of wrapping
+    val q = Seq((-5.0, 3000.0)).toDF("a", "b").select(
+      ZOrder.quantize(col("a"), 0.0, 2000.0),
+      ZOrder.quantize(col("b"), 0.0, 2000.0)).head()
+    assert(q.getLong(0) === 0L && q.getLong(1) === 65535L)
+    // locality: points close in BOTH dims give closer z than points
+    // close in one dim but far in the other
+    val near = math.abs(z(100, 100) - z(101, 101))
+    val far = math.abs(z(100, 100) - z(101, 60000))
+    assert(near < far)
+    // zOrderBy round-trips rows and sorts by the interleave
+    val df = (0L until 256L).map(i => (i, i * 7 % 256)).toDF("x", "y")
+    val ordered = ZOrder.zOrderBy(df, "x", 0, 256, "y", 0, 256)
+    assert(ordered.count() === 256)
+  }
+
   test("repartitionByRange yields disjoint ordered ranges (sorted-layout writes)") {
     import spark.implicits._
     // range partitioning is the layout tool for sorted output files whose
