@@ -133,14 +133,17 @@ object Multimodal {
       val id = tag(i)
       val sz = le32(i + 4)
       if (id == "fmt ") {
-        if (i + 8 + 16 > bytes.length) return None
+        // a fmt body shorter than the 16 PCM bytes would read the NEXT
+        // chunk's header as channels/rate — malformed, not recoverable
+        if (sz < 16 || i + 8 + 16 > bytes.length) return None
         fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
       }
       if (id == "data") data = Some(sz)
-      // chunks are word-aligned; a malformed giant size ends the walk
-      // via the loop bound rather than wrapping
-      i += 8 + math.min(sz, Int.MaxValue.toLong).toInt +
-        (sz.toInt & 1)
+      // advance in Long: a corrupt declared size near 2^31 would wrap an
+      // Int increment negative and index out of bounds; any next offset
+      // past the buffer just ends the walk with whatever was found
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      i = if (next > bytes.length.toLong) bytes.length else next.toInt
     }
     for { (c, r, b) <- fmt; d <- data } yield (c, r, b, d)
   }

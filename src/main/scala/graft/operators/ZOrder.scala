@@ -22,13 +22,17 @@ object ZOrder {
 
   /** Quantize a numeric column into [0, 2^QuantBits) given fixed bounds
     * (fit-style: callers supply corpus min/max — at scale from a cheap
-    * stats pass). Clamps out-of-range values rather than wrapping.
+    * stats pass). Clamps out-of-range values rather than wrapping; NULL
+    * propagates (Spark's greatest/least SKIP nulls, which would silently
+    * send every null row to the top lattice cell — the far corner of the
+    * z-curve — instead of leaving the layout decision to the caller).
     */
   def quantize(c: Column, min: Double, max: Double): Column = {
     require(max > min, s"degenerate quantization range [$min, $max]")
     val unit = (c.cast("double") - lit(min)) / lit(max - min)
     val q = floor(unit * lit((1 << QuantBits).toDouble)).cast("long")
-    greatest(lit(0L), least(lit(((1L << QuantBits) - 1)), q))
+    when(c.isNull, lit(null).cast("long"))
+      .otherwise(greatest(lit(0L), least(lit(((1L << QuantBits) - 1)), q)))
   }
 
   /** Morton interleave of two QuantBits-wide values: bit i of `x` lands
@@ -52,10 +56,9 @@ object ZOrder {
     */
   def zOrderBy(df: DataFrame, xCol: String, xMin: Double, xMax: Double,
       yCol: String, yMin: Double, yMax: Double): DataFrame = {
+    // sort on the expression directly — a temp column could collide with
+    // (and silently destroy) a caller column of the same name
     val z = zValue(col(xCol), xMin, xMax, col(yCol), yMin, yMax)
-    df.withColumn("__z", z)
-      .repartitionByRange(col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    df.repartitionByRange(z).sortWithinPartitions(z)
   }
 }

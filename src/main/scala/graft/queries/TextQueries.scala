@@ -780,8 +780,10 @@ object TextQueries {
            SELECT doc_id,
              greatest(CAST(0 AS BIGINT), least(CAST(65535 AS BIGINT),
                CAST(floor((CAST(doc_id AS DOUBLE) - 0.0) / 10000.0 * 65536.0) AS BIGINT))) AS qx,
-             greatest(CAST(0 AS BIGINT), least(CAST(65535 AS BIGINT),
-               CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 2000.0 * 65536.0) AS BIGINT))) AS qy
+             CASE WHEN n_chars IS NULL THEN NULL ELSE
+               greatest(CAST(0 AS BIGINT), least(CAST(65535 AS BIGINT),
+                 CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 2000.0 * 65536.0) AS BIGINT)))
+             END AS qy
            FROM documents)
          SELECT doc_id,
            CAST(list_sum(list_transform(range(0, 16), i -> ((qx >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) + ((qy >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1)))) AS BIGINT) AS z

@@ -18,7 +18,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingScores {
 
-  /** Tumbling-window event rollup with a watermark bounding state. */
+  /** Tumbling-window event rollup with a watermark bounding state.
+    *
+    * The grouping key must be the window STRUCT itself, not
+    * `window.getField("start")`: the TimeWindowing rule attaches the
+    * watermark-delay metadata to the window attribute, and projecting a
+    * field out of it inside the groupBy strips that metadata — the state
+    * store then never builds an eviction predicate and "watermark-
+    * bounded" silently becomes "retained forever". Start is projected
+    * AFTER the aggregation.
+    */
   def windowedCounts(
       events: DataFrame,
       tsCol: String,
@@ -28,9 +37,11 @@ object StreamingScores {
       .withWatermark(tsCol, watermark)
       .groupBy(
         org.apache.spark.sql.functions.window(col(tsCol), window)
-          .getField("start").as("window_start"),
+          .as("__w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("__w").getField("start").as("window_start"),
+        col("event_type"), col("n"), col("total"))
 
   /** Windowed corpus data card: the streaming analogue of
     * `CorpusReport.dataCard` for an ingest pipeline — per (window, source)
@@ -52,9 +63,12 @@ object StreamingScores {
     docs
       .withWatermark(tsCol, watermark)
       .filter(col(sourceCol).isNotNull)
+      // group by the window struct, not a projected field — see
+      // windowedCounts: field projection strips the watermark metadata
+      // and disables state eviction
       .groupBy(
         org.apache.spark.sql.functions.window(col(tsCol), window)
-          .getField("start").as("window_start"),
+          .as("__w"),
         col(sourceCol).as("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -63,6 +77,9 @@ object StreamingScores {
         approx_count_distinct(
           graft.operators.TextAnalysis.fingerprint(col(textCol)))
           .as("approx_uniq"))
+      .select(col("__w").getField("start").as("window_start"),
+        col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_tokens"), col("approx_uniq"))
   }
 
   /** Per-user session windows (gap-based), the stateful-session analogue. */

@@ -127,6 +127,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavMeta("not audio at all".getBytes) === None)
     assert(Multimodal.wavMeta(wav(2, 44100, 16, 100).take(20)) === None)
     assert(Multimodal.wavMeta(Array[Byte]()) === None)
+    // corrupt giant declared chunk sizes: must end the walk, not wrap an
+    // Int increment negative and index out of bounds
+    def junk(size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(32)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("JUNK".getBytes("US-ASCII")).putInt(size)
+        .put(new Array[Byte](20))
+      b.array()
+    }
+    assert(Multimodal.wavMeta(junk(Int.MaxValue - 8)) === None)
+    // unsigned size past 2^31 (LE32 reads it as a positive Long)
+    assert(Multimodal.wavMeta(junk(0xfffffff0)) === None)
+    // fmt chunk declaring fewer than the 16 PCM body bytes is malformed,
+    // not a license to read the next chunk's header as audio params
+    val shortFmt = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortFmt.put("RIFF".getBytes("US-ASCII")).putInt(32)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(4).putInt(0)
+      .put("data".getBytes("US-ASCII")).putInt(100)
+    assert(Multimodal.wavMeta(shortFmt.array()) === None)
   }
 
   test("audioMeta computes floor-millisecond durations from declared sizes") {

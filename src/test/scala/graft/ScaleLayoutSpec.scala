@@ -58,10 +58,29 @@ class ScaleLayoutSpec extends SparkSpec {
     val near = math.abs(z(100, 100) - z(101, 101))
     val far = math.abs(z(100, 100) - z(101, 60000))
     assert(near < far)
-    // zOrderBy round-trips rows and sorts by the interleave
+    // zOrderBy round-trips rows, sorts by the interleave within each
+    // partition, and keeps partition ranges disjoint
     val df = (0L until 256L).map(i => (i, i * 7 % 256)).toDF("x", "y")
     val ordered = ZOrder.zOrderBy(df, "x", 0, 256, "y", 0, 256)
-    assert(ordered.count() === 256)
+    val zCol = ZOrder.zValue(col("x"), 0, 256, col("y"), 0, 256)
+    val parts = ordered.select(zCol.as("z"))
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .collect().map(r => (r.getInt(1), r.getLong(0)))
+    assert(parts.length === 256)
+    parts.groupBy(_._1).foreach { case (p, rows) =>
+      val zs = rows.map(_._2)
+      assert(zs.sameElements(zs.sorted), s"partition $p not z-sorted")
+    }
+    val ranges = parts.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => (rows.map(_._2).min, rows.map(_._2).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, "overlapping ranges")
+      case _ =>
+    }
+    // nulls propagate out of quantize instead of landing in the top cell
+    val qn = Seq[Option[Double]](None).toDF("a")
+      .select(ZOrder.quantize(col("a"), 0.0, 10.0)).head()
+    assert(qn.isNullAt(0))
   }
 
   test("repartitionByRange yields disjoint ordered ranges (sorted-layout writes)") {
