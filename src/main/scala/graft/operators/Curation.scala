@@ -40,6 +40,37 @@ object Curation {
       // repetition ratios then score the cleaned page, not the boilerplate)
       dedupLinesSep: Option[String] = None)
 
+  /** Eval-side leakage report: for each eval row, how many train docs
+    * share at least one `shingleN`-gram with it and how many distinct
+    * shingles leak — the audit a decontamination run publishes (the
+    * per-TRAIN-doc view is [[decontaminate]]). Same scale shape: the
+    * eval side is size-gated and broadcast; the train side explodes once
+    * and the broadcast join discards non-matching shingles in-task, so
+    * the only exchange is the final per-eval-row aggregation.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      evalIdCol: String,
+      shingleN: Int = 3): DataFrame = {
+    Similarity.requireBroadcastable(evalSet, 1000000L,
+      "contamination-report eval set", "chunked report calls")
+    def sh(c: Column) =
+      TextAnalysis.shingles(TextAnalysis.tokens(c), shingleN)
+    val esh = evalSet.select(col(evalIdCol).as("__eid"),
+      explode(array_distinct(sh(col(textCol)))).as("__g"))
+    val tsh = docs.select(col(idCol).as("__tid"),
+      explode(array_distinct(sh(col(textCol)))).as("__g"))
+    tsh.join(broadcast(esh), "__g")
+      .groupBy(col("__eid"))
+      .agg(count_distinct(col("__tid")).as("n_train_docs"),
+        count_distinct(col("__g")).as("n_shared_shingles"))
+      .select(col("__eid").as(evalIdCol), col("n_train_docs"),
+        col("n_shared_shingles"))
+  }
+
   /** The quality/language gate as a single Column predicate — shared by
     * the batch `qualityFilter` and the streaming `ingestCuration` so the
     * two curation surfaces cannot drift. Conjuncts whose threshold cannot

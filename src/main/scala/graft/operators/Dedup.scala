@@ -163,6 +163,17 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
+  /** ASYMMETRIC containment |A∩B| / |A| (set semantics): ~1 when A is
+    * quoted/wrapped inside B even though Jaccard is low — the signal
+    * symmetric near-dup misses on quote-heavy corpora (a short doc fully
+    * embedded in a long one). 0 for shingle-less A.
+    */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val da = size(array_distinct(a)).cast("double")
+    when(da === 0, 0.0).otherwise(inter / da)
+  }
+
   /** Verified near-dup pairs: LSH candidates with true n-gram Jaccard ≥ t.
     *
     * The shingle projection — the most expensive narrow compute in the

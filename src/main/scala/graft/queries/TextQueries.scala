@@ -295,6 +295,32 @@ object TextQueries {
         "text", "doc_id")
     }),
 
+    // ORACLED eval-side leakage report: the per-eval-row view of
+    // q_decontaminate (same split, grouped by the eval doc instead of
+    // the train doc).
+    "q_contamination_report" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      Curation.contaminationReport(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "text", "doc_id", "eval_id")
+    }),
+
+    // ORACLED asymmetric containment |A∩B|/|A| on the adjacent-id pair
+    // set: the quote/wrapper signal symmetric Jaccard misses.
+    "q_containment" -> ((s, dir) => {
+      val sh = TA.shingles(toks)
+      val docs = t(s, dir, "documents").select(col("doc_id"), sh.as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, "id_a").select(col("id_a"), col("id_b"),
+        round(Dedup.containment(col("sh_a"), col("sh_b")), 4).as("cont_ab"),
+        round(Dedup.containment(col("sh_b"), col("sh_a")), 4).as("cont_ba"))
+    }),
+
     // ORACLED SimHash: md5-hex-digit bits (cross-engine identical) packed
     // into a 16-bit signature — proves the vote-and-threshold fold end to
     // end; the 64-bit xxhash64 form in q_text_signatures stays the fast
@@ -910,6 +936,47 @@ object TextQueries {
          SELECT t.doc_id, count(*) AS n_shared
          FROM tsh t JOIN esh e USING (g)
          GROUP BY t.doc_id""",
+
+    "q_contamination_report" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM documents),
+         esh AS (
+           SELECT doc_id AS eval_id, unnest(list_distinct(s)) AS g
+           FROM sh WHERE doc_id % 10 = 0),
+         tsh AS (
+           SELECT doc_id AS tid, unnest(list_distinct(s)) AS g
+           FROM sh WHERE doc_id % 10 <> 0)
+         SELECT e.eval_id,
+           count(DISTINCT t.tid) AS n_train_docs,
+           count(DISTINCT g) AS n_shared_shingles
+         FROM tsh t JOIN esh e USING (g)
+         GROUP BY e.eval_id""",
+
+    // Containment via the same union-cardinality trick as Jaccard:
+    // |A∩B| = |A|+|B|−|A∪B| over the distinct shingle sets.
+    "q_containment" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(a.s)) = 0 THEN 0
+             ELSE (len(list_distinct(a.s)) + len(list_distinct(b.s)) - len(list_distinct(a.s || b.s))) / CAST(len(list_distinct(a.s)) AS DOUBLE) END, 4) AS cont_ab,
+           round(CASE WHEN len(list_distinct(b.s)) = 0 THEN 0
+             ELSE (len(list_distinct(a.s)) + len(list_distinct(b.s)) - len(list_distinct(a.s || b.s))) / CAST(len(list_distinct(b.s)) AS DOUBLE) END, 4) AS cont_ba
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
 
     "q_simhash_md5" ->
       """WITH hs AS (

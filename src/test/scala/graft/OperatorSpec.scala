@@ -627,6 +627,27 @@ class OperatorSpec extends SparkSpec {
     assert(NaiveBayes.fitPredict(none, "text", "doc_id", "lang").count() === 0)
   }
 
+  test("containment flags embedded quotes that Jaccard misses") {
+    import spark.implicits._
+    val short = "the quick brown fox jumps over the lazy dog"
+    val long = ("completely different opening words here then a quote " +
+      short + " and a lot of different closing material after it " +
+      "padding tokens one two three four five six seven eight nine ten")
+    val df = Seq((short, long)).toDF("a", "b")
+    val shA = TA.shingles(TA.tokens(col("a")))
+    val shB = TA.shingles(TA.tokens(col("b")))
+    val r = df.select(
+      Dedup.containment(shA, shB).as("cont"),
+      Dedup.jaccard(shA, shB).as("jac")).head()
+    assert(r.getDouble(0) === 1.0)  // every shingle of the quote is in b
+    assert(r.getDouble(1) < 0.3)    // symmetric similarity stays low
+    // empty A → 0, not NaN/null
+    val z = Seq(("", long)).toDF("a", "b")
+      .select(Dedup.containment(TA.shingles(TA.tokens(col("a"))),
+        TA.shingles(TA.tokens(col("b"))))).head()
+    assert(z.getDouble(0) === 0.0)
+  }
+
   test("fuzzy join finds exactly the edit-1 pairs, never crosses distance 2") {
     import graft.operators.FuzzyJoin
     import spark.implicits._
