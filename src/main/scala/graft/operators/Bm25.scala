@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * sampling, and RAG corpus construction.
   *
   * Scale design (100 TB corpus, bounded query set):
-  *  - the query-term frame is tiny by contract and BROADCAST; joining it
-  *    into the (doc, term, tf) stream FIRST means document terms that match
-  *    no query are dropped before any wide work — the only all-corpus
-  *    shuffle is the map-side-combined tf aggregation itself;
+  *  - the query-term set is tiny by contract and BROADCAST; the exploded
+  *    (doc, token) stream is semi-joined against it IN-TASK, before the tf
+  *    group-by, so tokens matching no query are dropped while the plan is
+  *    still narrow — the only hash exchange in the whole job carries
+  *    query-matching (doc, term) pairs, never the full token stream
+  *    (doc length is a per-row value and survives the filter);
   *  - document frequencies are computed from the already-filtered stream
   *    (df is only needed for query terms), so the idf join is another
   *    broadcast, never a corpus-wide exchange;
@@ -51,6 +53,12 @@ object Bm25 {
       "batched topK calls over query slices")
     val toks = TextAnalysis.tokens(col(textCol))
 
+    // Bounded query-term set: explode, dedup within query, broadcast.
+    val qterms = queries.select(
+      col(queryIdCol).as("__q"),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
+        .as("__tok"))
+
     // One pass over the corpus: per-doc term frequencies + doc length.
     // dl rides along in the tf group-by key frame via a first() agg to
     // avoid a second corpus scan / self-join. Spread first: a single-file
@@ -61,15 +69,17 @@ object Bm25 {
       col(docIdCol).as("__doc"),
       size(toks).cast("long").as("__dl"),
       explode(toks).as("__tok"))
+
+    // Prune the exploded stream to query tokens while the plan is still
+    // narrow: a broadcast LEFT SEMI join runs inside the scan task, so
+    // non-matching tokens die before the tf group-by's exchange. Without
+    // this, the group-by would shuffle every (doc, token) pair in the
+    // corpus to aggregate tf counts that the query join then discards.
+    val qtokSet = qterms.select(col("__tok")).distinct()
     val tf = pairs
+      .join(broadcast(qtokSet), Seq("__tok"), "left_semi")
       .groupBy(col("__doc"), col("__tok"))
       .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
-
-    // Bounded query-term set: explode, dedup within query, broadcast.
-    val qterms = queries.select(
-      col(queryIdCol).as("__q"),
-      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
-        .as("__tok"))
 
     // Corpus scalars as a broadcast 1-row frame (N docs, average length).
     // avgdl is rounded to 6 decimals so the one scalar that feeds every
@@ -80,14 +90,13 @@ object Bm25 {
       count(lit(1)).as("__n"),
       round(avg(size(toks)), 6).as("__avgdl"))
 
-    // Prune the doc-term stream to query terms BEFORE computing df, and
-    // persist the pruned stream: df and the scoring both read it, and
-    // without the cache Catalyst re-derives the whole corpus
-    // tokenize+aggregate subtree for the df branch — a second full-corpus
-    // pass. `matched` is O(matching doc-terms), tiny relative to the
-    // corpus. Cache lifecycle: stays persisted after return (result is
-    // lazy); long-running sessions should clearCache between workloads,
-    // same contract as Dedup/Curation/Packing.
+    // Attach query ids to the (already query-pruned) tf stream and persist:
+    // df and the scoring both read it, and without the cache Catalyst
+    // re-derives the corpus tokenize+aggregate subtree for the df branch —
+    // a second full-corpus pass. `matched` is O(matching doc-terms), tiny
+    // relative to the corpus. Cache lifecycle: stays persisted after return
+    // (result is lazy); long-running sessions should clearCache between
+    // workloads, same contract as Dedup/Curation/Packing.
     val matched = tf.join(broadcast(qterms), "__tok")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = matched.select(col("__tok"), col("__doc")).distinct()

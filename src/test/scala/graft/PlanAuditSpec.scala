@@ -216,6 +216,48 @@ class PlanAuditSpec extends SparkSpec {
       leaves.mkString("\n"))
   }
 
+  test("q_bm25_topk: token stream pruned to query terms BEFORE any hash exchange") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_bm25_topk")(spark, sf)
+      // the pruned tf frame is persisted; its plan (scan → explode →
+      // broadcast LEFT SEMI vs query tokens → tf group-by) hides inside the
+      // InMemoryRelation — audit the cached plan, not the outer tree
+      val cached = df.queryExecution.executedPlan.collect {
+        case s: InMemoryTableScanExec => s.relation.cachedPlan
+      }.map {
+        // the cache is planned with AQE even when the outer query isn't;
+        // AdaptiveSparkPlanExec hides its subtree from collect — unwrap
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      assert(cached.nonEmpty, df.queryExecution.executedPlan.toString)
+      val semis = cached.flatMap(_.collect {
+        case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j
+      })
+      assert(semis.nonEmpty, cached.map(_.toString).mkString("\n"))
+      // below the semi-join the CORPUS side must be narrow: the only
+      // corpus exchange is the tf group-by ABOVE the prune, so shuffled
+      // rows are query-matching pairs, never the full token stream. The
+      // broadcast build side (query tokens) may contain its own tiny
+      // distinct exchange — bounded by contract, so audit the probe side.
+      semis.foreach { j =>
+        import org.apache.spark.sql.catalyst.optimizer.BuildRight
+        val probe = if (j.buildSide == BuildRight) j.left else j.right
+        val hashEx = probe.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+        assert(hashEx.isEmpty, j.toString)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("fitted-model scoring plans carry no hash exchange (bigram, NB, mixture)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
