@@ -96,7 +96,10 @@ object UnigramLm {
   def bigramScores(docs: DataFrame, textCol: String, idCol: String,
       vocabSize: Int = 1000, bigramSize: Int = 2000,
       lambda: Double = 0.7): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    // lambda = 1.0 excluded: the unigram interpolation floor (1-λ)/total
+    // would be 0, so any adjacent pair missing from the fitted bigram
+    // table scores -ln(0) = +Infinity
+    require(lambda >= 0.0 && lambda < 1.0, s"lambda out of [0,1): $lambda")
     val toksC = TextAnalysis.tokens(col(textCol))
     val docsSpread = Similarity.spreadIfNarrow(docs)
     val uniCounts = docsSpread

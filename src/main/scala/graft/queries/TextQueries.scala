@@ -817,6 +817,10 @@ object TextQueries {
 
     // Fuzzy join: delete-1 neighborhood (key + each single-char deletion)
     // via list_transform, pair dedup, then the same levenshtein verify.
+    // The DISTINCT in v mirrors Spark's array_union per-key dedup, and g
+    // mirrors pairsWithin1's variant-bucket cap (count BETWEEN 2 AND
+    // maxBucket=10000) so cross-engine parity holds even if a bucket ever
+    // exceeds the cap at a larger scale factor.
     "q_fuzzy_join" ->
       """WITH k AS (
            SELECT doc_id AS id,
@@ -824,15 +828,20 @@ object TextQueries {
              CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END AS key
            FROM documents),
          v AS (
-           SELECT id, key,
-             unnest(list_append(
-               list_transform(range(1, len(key) + 1), i -> substr(key, 1, i - 1) || substr(key, i + 1, len(key) - i)),
-               key)) AS var
-           FROM k),
+           SELECT DISTINCT id, key, var FROM (
+             SELECT id, key,
+               unnest(list_append(
+                 list_transform(range(1, len(key) + 1), i -> substr(key, 1, i - 1) || substr(key, i + 1, len(key) - i)),
+                 key)) AS var
+             FROM k) u),
+         g AS (
+           SELECT var FROM v GROUP BY var
+           HAVING count(*) BETWEEN 2 AND 10000),
          p AS (
            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
              a.key AS key_a, b.key AS key_b
-           FROM v a JOIN v b ON a.var = b.var AND a.id < b.id)
+           FROM v a JOIN g USING (var)
+                    JOIN v b ON a.var = b.var AND a.id < b.id)
          SELECT id_a, id_b,
            CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
          FROM p WHERE levenshtein(key_a, key_b) <= 1""",

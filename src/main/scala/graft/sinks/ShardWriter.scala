@@ -32,6 +32,11 @@ object ShardWriter {
       nShards: Int,
       path: String): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    // withColumn would silently REPLACE caller columns with these names,
+    // corrupting both the written shards and the returned assignment frame
+    require(!docs.columns.contains("__key") && !docs.columns.contains("shard"),
+      "input must not already contain __key or shard columns — rename them " +
+        "before sharding (shard is the writer's partition column)")
     val key = graft.operators.Sampling.md5Draw(col(idCol), "shard ")
     val shard = graft.operators.Sampling
       .md5Mod(col(idCol), "shard ", nShards.toLong)
