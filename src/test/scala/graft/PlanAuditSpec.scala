@@ -291,6 +291,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     // candidates come from the cached bounded frame on both sides
     assert(p.contains("InMemoryTableScan"), p)
+    // exchange budget: the pair equi-join's two __var partitionings plus
+    // the candidate distinct — a refactor that re-derives the exploded
+    // variant frame (instead of reading the cache) or adds a corpus-wide
+    // sort busts this budget
+    assert(countOf(p, "Exchange hashpartitioning") <= 4, p)
+  }
+
+  test("q_contamination_report: train side narrow until the broadcast eval join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_contamination_report")(spark, sf)
+        .queryExecution.executedPlan
+      val p = plan.toString
+      assert(!p.contains("SortMergeJoin"), p)
+      // the eval shingles are the broadcast build side; the train-side
+      // probe (scan → tokenize → explode) must carry no hash exchange —
+      // non-matching shingles die in-task, so everything that shuffles
+      // afterwards is already eval-matched
+      val joins = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, p)
+      joins.foreach { j =>
+        import org.apache.spark.sql.catalyst.optimizer.BuildRight
+        val probe = if (j.buildSide == BuildRight) j.left else j.right
+        val hashEx = probe.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+        assert(hashEx.isEmpty, j.toString)
+      }
+      // the two count_distincts over __eid plan as expand + bounded
+      // re-aggregations — all keyed on eval-sized frames
+      assert(countOf(p, "Exchange hashpartitioning") <= 3, p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q_host_quota: rank filter compiles to WindowGroupLimit (skew pre-prune)") {
