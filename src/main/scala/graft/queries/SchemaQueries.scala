@@ -126,6 +126,22 @@ object SchemaQueries {
         Flatten.deValue(col("rec"), "source"))
     }),
 
+    // Avro round trip (A1 read + H2 write, through the AvroSource
+    // fallback chain): the documents table written as Avro container
+    // files, read back, and returned row-for-row — the hash oracle
+    // replays straight from parquet, so a value corrupted anywhere in
+    // the write→read chain flips the gate. The write is an eager side
+    // effect at query construction (same contract as the fit-collect
+    // queries).
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-avro-rt").toString
+      graft.sources.AvroSource.write(t(s, dir, "documents"), out)
+      graft.sources.AvroSource.read(s, Seq(out))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).cast(LongType).as("text_len"))
+    }),
+
     // Align a narrowed frame to a wider target: missing columns come back
     // as typed nulls (SchemaRepair's hand-patched missing-column idiom,
     // SchemaRepair.scala:12-24, generalized).
@@ -309,5 +325,9 @@ object SchemaQueries {
          FROM documents""",
     "q_align_unwrap" ->
       "SELECT doc_id, text, lang FROM documents",
+    "q_avro_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars,
+           CAST(len(text) AS BIGINT) AS text_len
+         FROM documents""",
   )
 }

@@ -1,0 +1,362 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Direct Avro container-file source/sink over `org.apache.avro` (which
+  * ships with Spark core), for environments where the optional
+  * `spark-avro` connector jar is absent. Implements the subset the
+  * reference needs — nested records, arrays, maps, [null, T] unions,
+  * date/timestamp logical types — which covers the full DPLA-MAP shape
+  * (reference `ParquetDump.scala:116`, `SchemaRepair.scala:31,33`).
+  *
+  * Scale shape:
+  *  - READ parallelism is one task per file (the per-provider snapshot
+  *    layout the reference scans is many bounded files, so file-grain
+  *    splits saturate a cluster; unlike spark-avro this reader does not
+  *    split inside one container file on sync-block boundaries — a single
+  *    multi-TB file would be one task, so keep snapshot files bounded);
+  *  - schema resolution is Avro-native: the FIRST file's schema is the
+  *    reader schema, and every other file resolves against it (reordered
+  *    fields and defaulted additions are fine — the A1 multi-path merge
+  *    contract);
+  *  - WRITE is one container file per partition, written executor-side
+  *    through the broadcast Hadoop conf (the Sitemap F2/H6 pattern), so
+  *    no driver bottleneck and no global sort. Run it with speculative
+  *    execution off (direct write, no output committer) — same contract
+  *    as every executor-side put in graft.sinks.
+  */
+object AvroDirect {
+
+  // ---------------------------------------------------------------- read
+
+  /** Multi-path Avro scan: every `*.avro` under each path (or the path
+    * itself if it is a file), one task per file, first file's schema as
+    * the reader schema.
+    */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "at least one path required")
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val files = listAvroFiles(hconf.value, paths)
+    require(files.nonEmpty,
+      s"no .avro files under ${paths.mkString(", ")}")
+    val readerSchema = fileSchema(hconf.value, files.head)
+    val schemaJson = readerSchema.toString
+    val structType = toCatalyst(readerSchema) match {
+      case st: StructType => st
+      case other => throw new UnsupportedOperationException(
+        s"top-level Avro type must be a record, got $other")
+    }
+    val rows = spark.sparkContext
+      .parallelize(files, files.size)
+      .flatMap { file =>
+        val expected = new Schema.Parser().parse(schemaJson)
+        val fs = new Path(file).getFileSystem(hconf.value)
+        val in = fs.open(new Path(file))
+        val stream = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord](null, expected))
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => stream.close()))
+        val convert = avroToRow(expected, structType)
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = stream.hasNext
+            if (!h) stream.close()
+            h
+          }
+          def next(): Row = convert(stream.next()).asInstanceOf[Row]
+        }
+      }
+    spark.createDataFrame(rows, structType)
+  }
+
+  /** Driver-side schema peek (also used by SchemaDdl-style divergence
+    * checks): the writer schema of one container file.
+    */
+  def fileSchema(conf: Configuration, file: String): Schema = {
+    val fs = new Path(file).getFileSystem(conf)
+    val in = fs.open(new Path(file))
+    try {
+      val stream = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try stream.getSchema
+      finally stream.close()
+    } finally in.close()
+  }
+
+  private def listAvroFiles(
+      conf: Configuration, paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val status = fs.getFileStatus(path)
+      if (status.isFile) Seq(path.toString)
+      else fs.listStatus(path)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        .map(_.getPath.toString)
+        .sorted
+    }
+
+  // --------------------------------------------------------------- write
+
+  /** Write `df` under `out` as one Avro container file per partition
+    * (overwrite semantics). Empty partitions are skipped except partition
+    * 0, so an empty frame still materializes its schema.
+    */
+  def write(df: DataFrame, out: String): Unit = {
+    val spark = df.sparkSession
+    val avroSchema = toAvro(df.schema, "topLevelRecord")
+    val schemaJson = avroSchema.toString
+    val structType = df.schema
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(hconf.value)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    fs.mkdirs(outPath)
+    val base = outPath.toString
+    df.rdd.foreachPartition { iter =>
+      val idx = TaskContext.getPartitionId()
+      if (iter.nonEmpty || idx == 0) {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val convert = rowToAvro(structType, schema)
+        val file = new Path(f"$base/part-$idx%05d.avro")
+        val os = file.getFileSystem(hconf.value).create(file, true)
+        val writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        writer.setCodec(CodecFactory.snappyCodec())
+        writer.create(schema, os)
+        try iter.foreach(r =>
+          writer.append(convert(r).asInstanceOf[GenericRecord]))
+        finally writer.close()
+      }
+    }
+  }
+
+  // ------------------------------------------------- schema conversion
+
+  /** Unwrap a [null, T] union → (T, nullable). Avro unions beyond that
+    * shape have no Catalyst analogue and fail fast.
+    */
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(branches.size == 1,
+        s"only [null, T] unions are supported, got $s")
+      (branches.head, branches.size < s.getTypes.size)
+    } else (s, false)
+
+  def toCatalyst(s: Schema): DataType = {
+    val (base, _) = unwrap(s)
+    base.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT =>
+        if (logicalName(base) == "date") DateType else IntegerType
+      case Schema.Type.LONG =>
+        logicalName(base) match {
+          case "timestamp-micros" | "timestamp-millis" => TimestampType
+          case _ => LongType
+        }
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING | Schema.Type.ENUM => StringType
+      case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+      case Schema.Type.RECORD =>
+        StructType(base.getFields.asScala.map { f =>
+          StructField(f.name, toCatalyst(f.schema), unwrap(f.schema)._2)
+        }.toArray)
+      case Schema.Type.ARRAY =>
+        val (elem, elemNullable) = unwrap(base.getElementType)
+        ArrayType(toCatalyst(elem), elemNullable)
+      case Schema.Type.MAP =>
+        val (v, vNullable) = unwrap(base.getValueType)
+        MapType(StringType, toCatalyst(v), vNullable)
+      case other =>
+        throw new UnsupportedOperationException(s"Avro type $other")
+    }
+  }
+
+  private def logicalName(s: Schema): String =
+    Option(s.getLogicalType).map(_.getName).getOrElse("")
+
+  /** Catalyst → Avro; nullable fields become [null, T] unions with null
+    * defaults. Nested record names derive from the field path (Avro
+    * record names must be unique per full name).
+    */
+  def toAvro(dt: DataType, path: String, nullable: Boolean = false): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType =>
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case ArrayType(et, cn) =>
+        Schema.createArray(toAvro(et, s"${path}_item", cn))
+      case MapType(StringType, vt, cn) =>
+        Schema.createMap(toAvro(vt, s"${path}_value", cn))
+      case st: StructType =>
+        val rec = Schema.createRecord(sanitize(path), null, "graft.avro", false)
+        rec.setFields(st.fields.map { f =>
+          val fieldSchema = toAvro(f.dataType, s"${path}_${f.name}", f.nullable)
+          if (f.nullable)
+            new Schema.Field(f.name, fieldSchema, null,
+              Schema.Field.NULL_DEFAULT_VALUE)
+          else new Schema.Field(f.name, fieldSchema)
+        }.toSeq.asJava)
+        rec
+      case other =>
+        throw new UnsupportedOperationException(
+          s"no Avro mapping for Catalyst type $other at $path")
+    }
+    if (nullable)
+      Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+    else base
+  }
+
+  private def sanitize(path: String): String =
+    path.replaceAll("[^A-Za-z0-9_]", "_")
+
+  // -------------------------------------------------- value conversion
+
+  /** Converter Avro runtime value → Catalyst external value, built once
+    * per task from the (avro, catalyst) schema pair — the Avro side is
+    * needed to distinguish micros/millis timestamps, which the Catalyst
+    * type alone cannot.
+    */
+  private def avroToRow(s: Schema, dt: DataType): Any => Any = {
+    val (base, _) = unwrap(s)
+    (base.getType, dt) match {
+      case (Schema.Type.RECORD, st: StructType) =>
+        val converters = st.fields.map { f =>
+          val avroField = base.getField(f.name)
+          (f.name, avroToRow(avroField.schema, f.dataType))
+        }
+        v =>
+          if (v == null) null
+          else {
+            val rec = v.asInstanceOf[GenericRecord]
+            Row.fromSeq(converters.toSeq.map {
+              case (name, c) => c(rec.get(name))
+            })
+          }
+      case (Schema.Type.ARRAY, ArrayType(et, _)) =>
+        val c = avroToRow(base.getElementType, et)
+        v =>
+          if (v == null) null
+          else v.asInstanceOf[java.util.Collection[_]].asScala.map(c).toSeq
+      case (Schema.Type.MAP, MapType(_, vt, _)) =>
+        val c = avroToRow(base.getValueType, vt)
+        v =>
+          if (v == null) null
+          else v.asInstanceOf[java.util.Map[_, _]].asScala.map {
+            case (k, x) => k.toString -> c(x)
+          }.toMap
+      case (Schema.Type.LONG, TimestampType) =>
+        val millis = logicalName(base) == "timestamp-millis"
+        v =>
+          if (v == null) null
+          else {
+            val micros =
+              if (millis) v.asInstanceOf[Long] * 1000L
+              else v.asInstanceOf[Long]
+            val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+            ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+            ts
+          }
+      case (Schema.Type.INT, DateType) =>
+        v =>
+          if (v == null) null
+          else java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case (_, StringType) =>
+        v => if (v == null) null else v.toString
+      case (_, BinaryType) =>
+        {
+          case null => null
+          case b: ByteBuffer =>
+            val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+          case f: GenericData.Fixed => f.bytes().clone()
+          case other => other
+        }
+      case _ => identity[Any]
+    }
+  }
+
+  /** Converter Catalyst external value (Row tree) → Avro runtime value.
+    * Timestamps are written as micros (matching [[toAvro]]).
+    */
+  private def rowToAvro(dt: DataType, s: Schema): Any => Any = {
+    val (base, _) = unwrap(s)
+    dt match {
+      case st: StructType =>
+        val converters = st.fields.zipWithIndex.map { case (f, i) =>
+          (i, f.name, rowToAvro(f.dataType, base.getField(f.name).schema))
+        }
+        v =>
+          if (v == null) null
+          else {
+            val row = v.asInstanceOf[Row]
+            val rec = new GenericData.Record(base)
+            converters.foreach { case (i, name, c) =>
+              rec.put(name, c(row.get(i)))
+            }
+            rec
+          }
+      case ArrayType(et, _) =>
+        val c = rowToAvro(et, base.getElementType)
+        v =>
+          if (v == null) null
+          else {
+            val out = new java.util.ArrayList[Any]()
+            v.asInstanceOf[scala.collection.Seq[_]].foreach(x => out.add(c(x)))
+            out
+          }
+      case MapType(StringType, vt, _) =>
+        val c = rowToAvro(vt, base.getValueType)
+        v =>
+          if (v == null) null
+          else {
+            val out = new java.util.HashMap[String, Any]()
+            v.asInstanceOf[scala.collection.Map[_, _]].foreach {
+              case (k, x) => out.put(k.toString, c(x))
+            }
+            out
+          }
+      case TimestampType =>
+        v =>
+          if (v == null) null
+          else {
+            val ts = v.asInstanceOf[java.sql.Timestamp]
+            Math.addExact(
+              Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L),
+              (ts.getNanos / 1000).toLong)
+          }
+      case DateType =>
+        v =>
+          if (v == null) null
+          else v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case BinaryType =>
+        v => if (v == null) null else ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _ => identity[Any]
+    }
+  }
+}

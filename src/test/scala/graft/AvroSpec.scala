@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.AvroDirect
+
+/** Round-trip and schema-resolution tests for the direct Avro
+  * container-file path (A1/H2 without the optional spark-avro jar).
+  */
+class AvroSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-avro").toString
+
+  test("nested DPLA-MAP record round-trips through Avro (write → read)") {
+    // the reference's master dataset IS this shape (SchemaRepair.scala:31)
+    val rec = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("http://dp.la/api/items/abc1"),
+        Row("http://dp.la/api/items/abc2"),
+        Row(null))),
+      StructType(Seq(StructField("dplaUri", StringType))))
+    val canonical = graft.schema.SchemaAlign.alignToSchema(
+      rec, graft.schema.DplaMap.record)
+    val out = tmpDir()
+    AvroDirect.write(canonical, out)
+    val back = AvroDirect.read(spark, Seq(out))
+    assert(back.schema === canonical.schema)
+    val a = canonical.orderBy(col("dplaUri").asc_nulls_last).collect()
+    val b = back.orderBy(col("dplaUri").asc_nulls_last).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("full type matrix round-trips: date, timestamp, binary, map, array, struct") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType),
+      StructField("f", FloatType),
+      StructField("d", DoubleType),
+      StructField("bool", BooleanType),
+      StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("bin", BinaryType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, LongType)),
+      StructField("inner", StructType(Seq(
+        StructField("s", StringType),
+        StructField("xs", ArrayType(LongType)))))))
+    val ts = Timestamp.valueOf("2026-08-13 01:02:03.123456")
+    val rows = Seq(
+      Row(1L, 7, 1.5f, 2.25, true, Date.valueOf("2026-08-13"), ts,
+        Array[Byte](1, 2, 3), Seq("a", "b"), Map("k" -> 9L),
+        Row("s1", Seq(1L, 2L))),
+      Row(2L, null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = tmpDir()
+    AvroDirect.write(df, out)
+    val back = AvroDirect.read(spark, Seq(out)).orderBy("id")
+    assert(back.schema === schema)
+    val got = back.collect()
+    assert(got(0).getAs[Date]("day") === Date.valueOf("2026-08-13"))
+    assert(got(0).getAs[Timestamp]("ts") === ts) // micros preserved
+    assert(got(0).getAs[Array[Byte]]("bin").toSeq === Seq[Byte](1, 2, 3))
+    assert(got(0).getAs[Seq[String]]("tags") === Seq("a", "b"))
+    assert(got(0).getAs[Map[String, Long]]("attrs") === Map("k" -> 9L))
+    assert(got(0).getAs[Row]("inner") === Row("s1", Seq(1L, 2L)))
+    assert((1 to 10).forall(got(1).isNullAt))
+  }
+
+  test("multi-path scan unions files across directories (A1)") {
+    import spark.implicits._
+    val d1 = tmpDir(); val d2 = tmpDir()
+    AvroDirect.write(Seq((1L, "x")).toDF("id", "v"), d1)
+    AvroDirect.write(Seq((2L, "y"), (3L, "z")).toDF("id", "v"), d2)
+    val back = AvroDirect.read(spark, Seq(d1, d2))
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+  }
+
+  test("schema resolution: a file with reordered fields + a defaulted addition resolves against the first path's schema") {
+    import spark.implicits._
+    val d1 = tmpDir(); val d2 = tmpDir()
+    // first path defines the reader schema (id, v, extra?)
+    val df1 = Seq((1L, "x", "e1")).toDF("id", "v", "extra")
+    AvroDirect.write(df1, d1)
+    // second path: reordered fields, no extra column — Avro resolution
+    // matches by name and fills extra with its null default
+    val df2 = Seq(("y", 2L)).toDF("v", "id")
+    AvroDirect.write(df2, d2)
+    val back = AvroDirect.read(spark, Seq(d1, d2)).orderBy("id")
+    assert(back.columns.toSeq === Seq("id", "v", "extra"))
+    val got = back.collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+    assert(got(0).getString(2) === "e1" && got(1).isNullAt(2))
+  }
+
+  test("empty frame round-trips with its schema; empty partitions write no extra files") {
+    import spark.implicits._
+    val out = tmpDir()
+    val empty = Seq.empty[(Long, String)].toDF("id", "v").repartition(8)
+    AvroDirect.write(empty, out)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length === 1) // only partition 0 materializes the schema
+    val back = AvroDirect.read(spark, Seq(out))
+    assert(back.count() === 0)
+    assert(back.schema === empty.schema)
+
+    val out2 = tmpDir()
+    AvroDirect.write(Seq((1L, "x")).toDF("id", "v").repartition(8), out2)
+    val files2 = new java.io.File(out2).listFiles
+      .filter(_.getName.endsWith(".avro"))
+    // 1 data file + possibly partition 0's schema-only file
+    assert(files2.length <= 2)
+    assert(AvroDirect.read(spark, Seq(out2)).count() === 1)
+  }
+
+  test("read parallelism is one task per file") {
+    import spark.implicits._
+    val out = tmpDir()
+    AvroDirect.write((1L to 100L).toDF("id").repartition(4), out)
+    val back = AvroDirect.read(spark, Seq(out))
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.agg(sum("id")).head.getLong(0) === 5050L)
+  }
+}

@@ -208,21 +208,17 @@ class SinkSpec extends SparkSpec {
       .forall(_.getString(0).contains("m=8")))
   }
 
-  test("avro adapter fails actionably when the module is absent (A1/H2)") {
+  test("avro adapter falls back to the direct path when the module is absent (A1/H2)") {
     import graft.sources.AvroSource
-    // this container ships no spark-avro jar, which is exactly the
-    // environment the adapter's clear-failure contract is for
+    // this container ships no spark-avro jar; the adapter must route to
+    // AvroDirect transparently, so a user of read/write never sees the gap
     assume(!AvroSource.available(spark))
-    val e = intercept[IllegalStateException] {
-      AvroSource.read(spark, Seq(tmpDir()))
-    }
-    assert(e.getMessage.contains("spark-avro"))
-    assert(e.getMessage.contains("--packages"))
     import spark.implicits._
-    val w = intercept[IllegalStateException] {
-      AvroSource.write(Seq((1, "x")).toDF("a", "b"), tmpDir() + "/avro_out")
-    }
-    assert(w.getMessage.contains("spark-avro"))
+    val out = tmpDir() + "/avro_out"
+    AvroSource.write(Seq((1L, "x"), (2L, "y")).toDF("a", "b"), out)
+    val back = AvroSource.read(spark, Seq(out))
+    assert(back.orderBy("a").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "x"), (2L, "y")))
   }
 
   test("catalog picks the lexicographically latest snapshot per provider") {
