@@ -56,7 +56,7 @@ object MqDpla {
         col("dataProvider.name").as("dataProvider")),
       flags)
 
-  private def withDerived(d: DataFrame): DataFrame =
+  def withDerived(d: DataFrame): DataFrame =
     d.withColumn("wikimediaReady",
       Completeness.allOf(col("mediaAccess"), col("openRights")))
 
@@ -65,7 +65,7 @@ object MqDpla {
     * `openRights` lands after `mediaAccess`, immediately before
     * `wikimediaReady` — required for the byte-for-byte CSV claim above.
     */
-  private val scoreCols =
+  val scoreCols: Seq[String] =
     flags.map(_.name).filterNot(_ == "openRights") :+
       "openRights" :+ "wikimediaReady"
 

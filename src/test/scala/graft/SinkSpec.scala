@@ -208,6 +208,46 @@ class SinkSpec extends SparkSpec {
       .forall(_.getString(0).contains("m=8")))
   }
 
+  test("monthly batch main chains parquet -> jsonl -> mq -> sitemap on local paths") {
+    import graft.processes.{Mains, MonthlyBatchMain, SchemaRepairMain, SchemaTestMain}
+    import graft.sources.AvroDirect
+    // master-dataset layout: root/<provider>/{enrichment,jsonl}/<snapshot>/
+    val master = tmpDir()
+    val canonical = graft.schema.SchemaAlign.alignToSchema(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize((1 to 20).map(i =>
+          Row(s"http://dp.la/api/items/i$i"))),
+        StructType(Seq(StructField("dplaUri", StringType)))),
+      graft.schema.DplaMap.record)
+    for (p <- Seq("p1", "p2")) {
+      AvroDirect.write(canonical, s"$master/$p/enrichment/20260801_000000")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(s"""{"id":"$p-1"}"""))),
+        StructType(Seq(StructField("value", StringType))))
+        .write.text(s"$master/$p/jsonl/20260801_000000")
+    }
+    val out = tmpDir()
+    MonthlyBatchMain.main(Array(master, out, "https://sitemaps.example/"))
+    // session survives (the frame must not stop a pre-existing session)
+    assert(!spark.sparkContext.isStopped)
+    val parquetOut = Mains.datePath(s"$out/parquet", "all.parquet")
+    assert(spark.read.parquet(parquetOut).count() === 40) // 2 providers
+    val jsonlDir = new java.io.File(Mains.datePath(s"$out/jsonl", "jsonl"))
+    assert(jsonlDir.isDirectory &&
+      jsonlDir.listFiles.exists(_.getName.endsWith(".jsonl")))
+    val provCsv = new java.io.File(Mains.datePath(s"$out/mq", "provider"))
+    assert(provCsv.isDirectory &&
+      provCsv.listFiles.exists(_.getName.endsWith(".csv")))
+    assert(new java.io.File(s"$out/sitemap/sitemapindex.xml.gz").exists)
+
+    // schema repair + schema test mains over the same fixtures
+    val repaired = tmpDir() + "/repaired"
+    SchemaRepairMain.main(
+      Array(s"$master/p1/enrichment/20260801_000000", repaired))
+    assert(AvroDirect.read(spark, Seq(repaired)).count() === 20)
+    SchemaTestMain.main(Array(master, tmpDir()))
+  }
+
   test("avro adapter falls back to the direct path when the module is absent (A1/H2)") {
     import graft.sources.AvroSource
     // this container ships no spark-avro jar; the adapter must route to
