@@ -26,15 +26,31 @@ object Catalog {
   /** Latest snapshot dir for one provider+dataType, if any:
     * `root/provider/dataType/<timestamp>/` with the lexicographically
     * greatest timestamp (S3FileHelper.scala:27 `.sorted.lastOption`).
+    *
+    * Computed as a streaming max over `listStatusIterator`, which pages
+    * under the hood on object stores — the reference buffers up to
+    * MAX_ROWS = 2,000,000 keys across pages before sorting
+    * (S3FileHelper.scala:16,20-31); the fold keeps O(1) memory at any
+    * listing size and cannot miss a snapshot that lands past a page
+    * boundary.
     */
   def latestSnapshot(conf: Configuration, root: String, provider: String,
       dataType: String): Option[String] = {
     val base = new Path(s"$root/$provider/$dataType")
     val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) None
-    else fs.listStatus(base).filter(_.isDirectory)
-      .map(_.getPath.getName).toSeq.sorted.lastOption
-      .map(ts => s"$root/$provider/$dataType/$ts")
+    else {
+      val it = fs.listStatusIterator(base)
+      var best: Option[String] = None
+      while (it.hasNext) {
+        val status = it.next()
+        if (status.isDirectory) {
+          val name = status.getPath.getName
+          if (best.forall(_ < name)) best = Some(name)
+        }
+      }
+      best.map(ts => s"$root/$provider/$dataType/$ts")
+    }
   }
 
   /** provider → latest snapshot path, for every provider that has one. */

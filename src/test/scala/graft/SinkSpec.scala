@@ -261,6 +261,23 @@ class SinkSpec extends SparkSpec {
       (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "x"), (2L, "y")))
   }
 
+  test("latest-snapshot choice is stable across listing page boundaries") {
+    // S3 lists 1000 keys per page; a listing larger than one page must
+    // still pick the global max even when the winner is created first
+    // and sits early in creation order (the bug class the reference's
+    // MAX_ROWS paging constant exists for, S3FileHelper.scala:16,20-31)
+    val root = tmpDir()
+    val base = new java.io.File(s"$root/p1/enrichment")
+    new java.io.File(base, "20260731_235959").mkdirs() // winner, created first
+    (1 to 1200).foreach(i =>
+      new java.io.File(base, f"2026${i % 6 + 1}%02d01_$i%06d").mkdirs())
+    // a stray FILE (not dir) sorting last must not win
+    new java.io.File(base, "29999999_999999").createNewFile()
+    val got = Catalog.latestSnapshot(
+      spark.sparkContext.hadoopConfiguration, root, "p1", "enrichment")
+    assert(got === Some(s"$root/p1/enrichment/20260731_235959"))
+  }
+
   test("catalog picks the lexicographically latest snapshot per provider") {
     val root = tmpDir()
     Seq("p1/enrichment/20260101_000000", "p1/enrichment/20260201_000000",
