@@ -615,7 +615,80 @@ object TextQueries {
       graft.operators.Bpe.fitMerges(t(s, dir, "documents"), "text",
         numMerges = 200, vocabWords = 20000))
 
-  val oracles: Map[String, String] = Map(
+  /** The static oracles plus the fitted-model BPE replay (available once
+    * the fit has run — Verify executes every query BEFORE dumping oracle
+    * SQL, so the merge table is in [[mergeCache]] by then; evaluated cold
+    * the entry is simply absent and q_bpe_encode stays rows-only).
+    */
+  def oracles: Map[String, String] = staticOracles ++ bpeEncodeOracle
+
+  /** DuckDB replay of the BPE APPLY under the fitted merge table: the
+    * learned merges ship embedded as a list literal (rank = position);
+    * each distinct word starts as characters and a recursive CTE merges
+    * the leftmost lowest-rank adjacent pair, one merge per iteration.
+    * That is equivalent to BpeEncode's "merge ALL non-overlapping
+    * occurrences of the best pair" step: a pair containing a merged
+    * symbol must have been learned after it, so its rank is strictly
+    * higher and the best pair stays best until its occurrences are
+    * exhausted — leftmost-first yields the identical final segmentation.
+    */
+  private def bpeEncodeOracle: Map[String, String] =
+    // exactly-one guard: with multiple fitted dirs in one JVM there is no
+    // way to know which one the dump is for — omit rather than guess
+    if (mergeCache.size != 1) Map.empty
+    else {
+      val merges = mergeCache.values.head
+      if (merges.isEmpty) Map.empty
+      else {
+        def sq(s: String): String = s"'${s.replace("'", "''")}'"
+        val mergeList = merges.map { case (a, b) => sq(s"$a $b") }
+          .mkString("[", ", ", "]")
+        Map("q_bpe_encode" ->
+          s"""WITH RECURSIVE
+             ml AS (SELECT $mergeList AS l),
+             words AS (
+               SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+               FROM documents WHERE text IS NOT NULL),
+             enc AS (
+               SELECT w, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS ps, 0 AS step
+               FROM words
+               UNION ALL
+               SELECT w,
+                 list_concat(list_concat(list_slice(ps, 1, pos - 1), [ps[pos] || ps[pos + 1]]), list_slice(ps, pos + 2, len(ps))) AS ps,
+                 step + 1
+               FROM (
+                 SELECT w, ps, step,
+                   list_aggregate(lr, 'min') AS bestrank,
+                   list_position(lr, list_aggregate(lr, 'min')) AS pos
+                 FROM (
+                   SELECT e.w AS w, e.ps AS ps, e.step AS step,
+                     list_transform(list_transform(range(1, len(e.ps)), j -> e.ps[j] || ' ' || e.ps[j + 1]), p -> list_position(ml.l, p)) AS lr
+                   FROM enc e, ml) t1) t2
+               WHERE bestrank IS NOT NULL),
+             fin AS (
+               SELECT w, ps FROM (
+                 SELECT w, ps, row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+                 FROM enc) WHERE rn = 1),
+             occ AS (
+               SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w,
+                 generate_subscripts(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'), 1) AS wpos
+               FROM documents WHERE text IS NOT NULL),
+             agg AS (
+               SELECT o.doc_id AS doc_id,
+                 CAST(sum(len(f.ps)) AS BIGINT) AS n_bpe,
+                 max(CASE WHEN o.wpos = 1 THEN f.ps[1] END) AS first_tok
+               FROM occ o JOIN fin f ON o.w = f.w
+               GROUP BY o.doc_id)
+             SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                 ELSE coalesce(a.n_bpe, 0) END AS n_bpe,
+               a.first_tok
+             FROM documents d LEFT JOIN agg a USING (doc_id)""")
+      }
+    }
+
+  private val staticOracles: Map[String, String] = Map(
     "q_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,
