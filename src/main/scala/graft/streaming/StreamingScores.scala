@@ -318,6 +318,114 @@ object StreamingScores {
       }
   }
 
+  /** Rows for the BANDED near-dup variant. */
+  final case class BandKey(band: Int, key: Long)
+  final case class BandedDoc(band: Int, key: Long, doc_id: Long,
+      ts: Timestamp, simhash: Long)
+  final case class BandVerdict(doc_id: Long, ts: Timestamp, simhash: Long,
+      band: Int, suppressed: Boolean)
+
+  /** Multi-band streaming near-dup (the recall upgrade [[nearDupStream]]'s
+    * design note prices out): the 64-bit SimHash splits into `bands`
+    * disjoint slices, each doc lands in `bands` state groups, and each
+    * group emits a per-band verdict. By pigeonhole, a pair within
+    * `maxHamming < bands` bits shares at least one identical band, so the
+    * OR over bands catches EVERY in-horizon near-dup — recall 1.0 where
+    * the single-band operator's is C(64−p, d)/C(64, d), at `bands`× the
+    * state and shuffle cost (caller's trade).
+    *
+    * The OR itself is an aggregation downstream of a stateful operator,
+    * which append-mode streaming can't chain — so this operator emits the
+    * verdict stream and [[keptFromBandVerdicts]] folds it per micro-batch
+    * inside the caller's `foreachBatch` (all of a doc's band rows ride the
+    * same batch, so the fold never splits a doc).
+    *
+    * Transitive-suppression semantics: a band adds every doc IT didn't
+    * suppress to its state, including docs another band suppressed — a
+    * later doc matching such an entry is still a near-dup of the chain
+    * that suppressed it (the same approximation batch LSH clustering
+    * makes), so precision stays "within maxHamming of something earlier",
+    * not "of a surviving doc".
+    */
+  def nearDupStreamBanded(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      watermark: String = "2 hours",
+      maxBucketState: Int = 256): Dataset[BandVerdict] = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    // maxHamming < bands is the operator's contract: it is exactly what
+    // makes the pigeonhole recall-1.0 guarantee hold (need more hamming
+    // tolerance → use more bands)
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be in [0,bands=$bands), got $maxHamming")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val horizonMs = durationMs(watermark)
+    implicit val inEnc = Encoders.product[BandedDoc]
+    implicit val outEnc = Encoders.product[BandVerdict]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val keyEnc = Encoders.product[BandKey]
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("__simhash"), b * width)
+          .bitwiseAND(lit(mask)).as("key"))
+    }
+    val sketched = docs
+      .withColumn("__simhash",
+        graft.operators.Dedup.simhash(
+          graft.operators.TextAnalysis.tokens(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .select(explode(array(bandStructs: _*)).as("__b"),
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        col("__simhash").as("simhash"))
+      .select(col("__b.band").as("band"), col("__b.key").as("key"),
+        col("doc_id"), col("ts"), col("simhash"))
+      .as[BandedDoc]
+    sketched
+      .groupByKey(r => BandKey(r.band, r.key))
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bk: BandKey, rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.ts_ms + horizonMs >= wm)
+            val out = List.newBuilder[BandVerdict]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              val dup = entries.exists(e =>
+                java.lang.Long.bitCount(e.simhash ^ r.simhash) <= maxHamming)
+              if (!dup) entries ::= SketchEntry(r.ts.getTime, r.simhash)
+              out += BandVerdict(r.doc_id, r.ts, r.simhash, bk.band, dup)
+            }
+            if (entries.size > maxBucketState)
+              entries = entries.sortBy(-_.ts_ms).take(maxBucketState)
+            state.update(BucketState(entries))
+            val maxTs = entries.iterator.map(_.ts_ms).foldLeft(0L)(math.max)
+            state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** The per-micro-batch OR over [[nearDupStreamBanded]]'s verdicts, for
+    * the caller's `foreachBatch`: a doc survives iff NO band suppressed
+    * it. Returns (doc_id, ts, simhash) like [[nearDupStream]].
+    */
+  def keptFromBandVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"), col("ts"), col("simhash"))
+      .agg(max(col("suppressed").cast("int")).as("__sup"))
+      .filter(col("__sup") === 0)
+      .drop("__sup")
+
   /** Input/output rows for the custom-state operator. */
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

@@ -271,6 +271,85 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("banded near-dup recall is 1.0 on every <=maxHamming pair; single-band matches its predicted prefix-collision subset") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    // disjoint token families per pair, so cross-pair interference would
+    // need two unrelated 64-bit sketches within 3 bits (~C(64,3)/2^64 ≈ 0).
+    // SHORT docs (12 tokens): a one-token edit on a long doc flips ~zero
+    // bits of a majority-vote sketch; at 12 tokens the per-bit margins are
+    // small enough that edits flip a few hash-determined bits, giving a
+    // deterministic mix of hamming values to select from
+    def baseText(i: Int) = (0 until 40).map(j => s"w${i}x$j").mkString(" ")
+    def varText(i: Int) =
+      ((0 until 39).map(j => s"w${i}x$j") :+ s"zz$i").mkString(" ")
+    val n = 150
+    val sketches = (0 until n).flatMap(i => Seq(baseText(i), varText(i)))
+      .toDF("text")
+      .select(graft.operators.Dedup.simhash(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("s"))
+      .collect().map(_.getLong(0))
+    // ground truth: pairs within hamming 3 (which pairs qualify, and how
+    // many bits each edit flips, is hash-determined but deterministic)
+    val qualifying = (0 until n).filter(i =>
+      java.lang.Long.bitCount(sketches(2 * i) ^ sketches(2 * i + 1)) <= 3)
+    assert(qualifying.size >= 10, s"fixture too weak: ${qualifying.size}")
+    // single-band prediction: suppressed iff also top-16-bit prefix equal
+    val prefixHit = qualifying.filter(i =>
+      (sketches(2 * i) >>> 48) == (sketches(2 * i + 1) >>> 48)).toSet
+    assert(prefixHit.size < qualifying.size,
+      "fixture: single band should miss at least one pair")
+
+    // ---- banded: every qualifying variant must be suppressed ----------
+    val memB = MemoryStream[(Timestamp, String, Long)]
+    val docsB = memB.toDF().toDF("ts", "text", "doc_id")
+    val qB = StreamingScores
+      .nearDupStreamBanded(docsB, "ts", "text", "doc_id", watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_banded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memB.addData((0 until n).map(i => (ts(1), baseText(i), i.toLong)): _*)
+      qB.processAllAvailable()
+      memB.addData(
+        (0 until n).map(i => (ts(2), varText(i), (1000 + i).toLong)): _*)
+      qB.processAllAvailable()
+    } finally qB.stop()
+    val keptB = StreamingScores
+      .keptFromBandVerdicts(sq.table("neardup_banded"))
+      .select("doc_id").as[Long].collect().toSet
+    assert((0 until n).forall(i => keptB.contains(i.toLong))) // bases kept
+    // recall 1.0: no qualifying variant survives (pigeonhole: d<=3 < 4 bands)
+    assert(qualifying.forall(i => !keptB.contains(1000L + i)), keptB.toString)
+    // non-qualifying variants (hamming > 3) must survive
+    assert((0 until n).filterNot(qualifying.contains)
+      .forall(i => keptB.contains(1000L + i)))
+
+    // ---- single band: suppression is exactly the prefix-collision set --
+    val memS = MemoryStream[(Timestamp, String, Long)]
+    val docsS = memS.toDF().toDF("ts", "text", "doc_id")
+    val qS = StreamingScores
+      .nearDupStream(docsS, "ts", "text", "doc_id", watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_single")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memS.addData((0 until n).map(i => (ts(1), baseText(i), i.toLong)): _*)
+      qS.processAllAvailable()
+      memS.addData(
+        (0 until n).map(i => (ts(2), varText(i), (1000 + i).toLong)): _*)
+      qS.processAllAvailable()
+    } finally qS.stop()
+    val keptS = sq.table("neardup_single")
+      .select("doc_id").as[Long].collect().toSet
+    val suppressedS = (0 until n).filter(i => !keptS.contains(1000L + i)).toSet
+    assert(suppressedS === prefixHit,
+      s"single-band suppressed $suppressedS, predicted $prefixHit")
+    // and the measured recall ordering the scaladoc claims
+    assert(prefixHit.size < qualifying.size &&
+      qualifying.forall(i => !keptB.contains(1000L + i)))
+  }
+
   test("nearDupStream drops in-horizon near-dups, keeps distinct docs, evicts state") {
     val sq = spark
     import sq.implicits._
