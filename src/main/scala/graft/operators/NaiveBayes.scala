@@ -47,14 +47,17 @@ object NaiveBayes {
       .orderBy(col("c").desc, col("t")).limit(vocabSize)
       .collect().map(_.getString(0))
     val labeled = docsSpread.filter(col(labelCol).isNotNull)
-    // cardinality gate BEFORE the label collect: a free-text column passed
-    // as labelCol would otherwise flood the driver before any require fires
-    Similarity.requireBoundedCardinality(labeled, labelCol, 1000L,
-      "NB label column (literal-map apply is built for bounded label sets)",
-      "bucketize the label first")
+    // bounded collect: limit(cap+1) rides the existing aggregate, so a
+    // free-text column passed as labelCol ships at most 1001 rows to the
+    // driver before the require fires — one job, no extra distinct scan
     val labelRows = labeled
       .groupBy(col(labelCol).as("l")).agg(count(lit(1)).as("dc"))
+      .limit(1001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(labelRows.length <= 1000,
+      "NB label column has more than 1000 distinct values — the " +
+        "literal-map apply is built for bounded label sets; bucketize " +
+        "the label first")
     if (labelRows.isEmpty || vocabRows.isEmpty) {
       return docs.select(col(idCol), lit(null).cast("string").as("pred"),
         lit(0.0).as("score")).limit(0)

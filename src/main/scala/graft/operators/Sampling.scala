@@ -120,15 +120,16 @@ object Sampling {
       alpha: Double, targetTotal: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha out of (0, 1]: $alpha")
     require(targetTotal > 0, s"targetTotal must be positive: $targetTotal")
-    // cardinality gate BEFORE the stratum collect: an unbounded stratum
-    // column must fail in the cluster, not on the driver mid-collect
-    Similarity.requireBoundedCardinality(
-      df.filter(col(strataCol).isNotNull), strataCol, 100000L,
-      "temperatureMixture stratum column", "bound the stratum column first")
+    // bounded collect: limit(cap+1) rides the existing aggregate, so an
+    // unbounded stratum column ships at most 100001 rows to the driver
+    // before the require fires — one job, no extra distinct scan
     val counts = df.filter(col(strataCol).isNotNull)
       .groupBy(col(strataCol).cast("string").as("s"))
       .agg(count(lit(1)).as("n"))
+      .limit(100001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.length <= 100000,
+      s"more than 100000 strata — bound the stratum column first")
     if (counts.isEmpty) return df.withColumn("copy", lit(1)).limit(0)
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -86,21 +86,6 @@ object Similarity {
         s"use $alternative instead")
   }
 
-  /** Bounded distinct-cardinality guard: counts at most `maxDistinct + 1`
-    * distinct values of `c` with a limit BEFORE any driver collect, so a
-    * high-cardinality column (free text passed as a label) fails fast in
-    * the cluster instead of exhausting driver memory on the collect the
-    * caller is about to do. Same posture as [[requireBroadcastable]].
-    */
-  def requireBoundedCardinality(
-      df: DataFrame, c: String, maxDistinct: Long, what: String,
-      hint: String): Unit = {
-    val n = df.select(col(c)).distinct()
-      .limit(math.min(maxDistinct + 1, Int.MaxValue.toLong).toInt).count()
-    require(n <= maxDistinct,
-      s"$what has more than $maxDistinct distinct values; $hint")
-  }
-
   /** Spread a frame to the cluster's parallelism iff it is
     * under-partitioned: the streamed side of a broadcast join keeps its
     * scan partitioning, so a batch read from one small file would score

@@ -15,7 +15,10 @@ import graft.sources.{AvroSource, Catalog}
   * read args → getOrCreate → execute → stop), wired to the plan-builder +
   * sink pairs in [[Processes]]. `MonthlyBatchMain` chains the four
   * monthly steps in the reference's EMR step order
-  * (`monthly_batch_emr.sh:41-111`: parquet → jsonl → mq → sitemap).
+  * (`monthly_batch_emr.sh:41-111`: parquet → jsonl → mq → sitemap) in a
+  * SINGLE session with the month pinned once — a UTC month rollover
+  * mid-chain must not point the mq/sitemap steps at a parquet path the
+  * dump step never wrote.
   *
   * The frame stops the session only when it created it, so the same
   * mains run under spark-submit (fresh session, stopped at exit) and
@@ -24,7 +27,13 @@ import graft.sources.{AvroSource, Catalog}
 object Mains {
 
   private[processes] def run(appName: String)(body: SparkSession => Unit): Unit = {
-    val preExisting = SparkSession.getDefaultSession.isDefined
+    // a stopped-but-not-cleared default session must not count as
+    // pre-existing (getOrCreate skips stopped sessions and builds a fresh
+    // one, which would then leak); an active thread-local session counts
+    // the same as a default one
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .exists(s => !s.sparkContext.isStopped)
     val spark = SparkSession.builder().appName(appName).getOrCreate()
     try body(spark)
     finally if (!preExisting) spark.stop()
@@ -36,11 +45,16 @@ object Mains {
   private[processes] def isoTimestamp: String =
     nowUtc.atZone(ZoneOffset.UTC).format(DateTimeFormatter.ISO_INSTANT)
 
-  /** `root/yyyy/MM/suffix`, this month (PathHelper.datePath convention). */
-  def datePath(root: String, suffix: String): String = {
-    val now = nowUtc
-    Catalog.datePath(root, now.getYear, now.getMonthValue, suffix)
-  }
+  /** `root/yyyy/MM/suffix` at a pinned time (PathHelper.datePath
+    * convention) — chained steps pin once so the path cannot roll over
+    * between steps.
+    */
+  def datePath(root: String, suffix: String, at: LocalDateTime): String =
+    Catalog.datePath(root, at.getYear, at.getMonthValue, suffix)
+
+  /** `root/yyyy/MM/suffix`, this month. */
+  def datePath(root: String, suffix: String): String =
+    datePath(root, suffix, nowUtc)
 }
 
 /** Master dataset (Avro snapshots) → flattened parquet export.
@@ -50,18 +64,22 @@ object ParquetDumpMain {
   def main(args: Array[String]): Unit = {
     val Array(masterRoot, outRoot) = args.take(2)
     Mains.run("graft: parquet dump") { spark =>
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val paths = Catalog.latestSnapshots(hconf, masterRoot, "enrichment")
-        .values.toSeq.sorted
-      require(paths.nonEmpty, s"no enrichment snapshots under $masterRoot")
-      val records = AvroSource.read(spark, paths)
-      val out = Mains.datePath(outRoot, "all.parquet")
-      val count = Processes.parquetDump(
-        Processes.schemaRepair(records), out)
-      Manifest.write(hconf, out, Map("Count" -> count.toString),
-        Mains.isoTimestamp)
-      println(s"Parquet saved to $out")
+      execute(spark, masterRoot, Mains.datePath(outRoot, "all.parquet"))
     }
+  }
+
+  private[processes] def execute(
+      spark: SparkSession, masterRoot: String, outPath: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val paths = Catalog.latestSnapshots(hconf, masterRoot, "enrichment")
+      .values.toSeq.sorted
+    require(paths.nonEmpty, s"no enrichment snapshots under $masterRoot")
+    val records = AvroSource.read(spark, paths)
+    val count = Processes.parquetDump(
+      Processes.schemaRepair(records), outPath)
+    Manifest.write(hconf, outPath, Map("Count" -> count.toString),
+      Mains.isoTimestamp)
+    println(s"Parquet saved to $outPath")
   }
 }
 
@@ -72,13 +90,17 @@ object JsonlDumpMain {
   def main(args: Array[String]): Unit = {
     val Array(masterRoot, outRoot) = args.take(2)
     Mains.run("graft: jsonl dump") { spark =>
-      val paths = Catalog.latestSnapshots(
-        spark.sparkContext.hadoopConfiguration, masterRoot, "jsonl")
-      val result = JsonlDump.dump(spark, paths,
-        Mains.datePath(outRoot, "jsonl"), Mains.isoTimestamp)
-      println(s"JSONL saved to ${result.outRoot} " +
-        s"(${result.totalCount} records)")
+      execute(spark, masterRoot, Mains.datePath(outRoot, "jsonl"))
     }
+  }
+
+  private[processes] def execute(
+      spark: SparkSession, masterRoot: String, outPath: String): Unit = {
+    val paths = Catalog.latestSnapshots(
+      spark.sparkContext.hadoopConfiguration, masterRoot, "jsonl")
+    val result = JsonlDump.dump(spark, paths, outPath, Mains.isoTimestamp)
+    println(s"JSONL saved to ${result.outRoot} " +
+      s"(${result.totalCount} records)")
   }
 }
 
@@ -89,14 +111,19 @@ object MqReportsMain {
   def main(args: Array[String]): Unit = {
     val Array(parquetPath, outRoot) = args.take(2)
     Mains.run("graft: mq reports") { spark =>
-      val itemdata = MqDpla.itemdata(spark.read.parquet(parquetPath))
-      val (np, nc) = Processes.mqReports(
-        MqDpla.withDerived(itemdata), MqDpla.scoreCols,
+      execute(spark, parquetPath,
         Mains.datePath(outRoot, "provider"),
-        Mains.datePath(outRoot, "contributor"),
-        Mains.isoTimestamp)
-      println(s"MQ reports: $np provider rows, $nc contributor rows")
+        Mains.datePath(outRoot, "contributor"))
     }
+  }
+
+  private[processes] def execute(spark: SparkSession, parquetPath: String,
+      outProvider: String, outContributor: String): Unit = {
+    val itemdata = MqDpla.itemdata(spark.read.parquet(parquetPath))
+    val (np, nc) = Processes.mqReports(
+      MqDpla.withDerived(itemdata), MqDpla.scoreCols,
+      outProvider, outContributor, Mains.isoTimestamp)
+    println(s"MQ reports: $np provider rows, $nc contributor rows")
   }
 }
 
@@ -109,13 +136,18 @@ object SitemapMain {
     val itemUrlBase =
       if (args.length > 3) args(3) else "https://dp.la/item/"
     Mains.run("graft: sitemap") { spark =>
-      import spark.implicits._
-      val ids = spark.read.parquet(parquetPath)
-        .select(col("id")).as[String]
-      val subfiles = Sitemap.write(spark, ids, outDir, itemUrlBase,
-        publicUrlPrefix, Mains.isoTimestamp)
-      println(s"Sitemap: ${subfiles.size} subfiles under $outDir")
+      execute(spark, parquetPath, outDir, publicUrlPrefix, itemUrlBase)
     }
+  }
+
+  private[processes] def execute(spark: SparkSession, parquetPath: String,
+      outDir: String, publicUrlPrefix: String, itemUrlBase: String): Unit = {
+    import spark.implicits._
+    val ids = spark.read.parquet(parquetPath)
+      .select(col("id")).as[String]
+    val subfiles = Sitemap.write(spark, ids, outDir, itemUrlBase,
+      publicUrlPrefix, Mains.isoTimestamp)
+    println(s"Sitemap: ${subfiles.size} subfiles under $outDir")
   }
 }
 
@@ -169,7 +201,8 @@ object ThumbnailPurgeMain {
 }
 
 /** The chained monthly batch, reference EMR step order
-  * (`monthly_batch_emr.sh:41-111`): parquet → jsonl → mq → sitemap.
+  * (`monthly_batch_emr.sh:41-111`): parquet → jsonl → mq → sitemap, in
+  * ONE session with the month pinned before the first step.
   * Args: masterRoot outRoot publicUrlPrefix.
   * Layout: outRoot/{parquet,jsonl,mq,sitemap}; parquet feeds mq+sitemap.
   */
@@ -177,10 +210,17 @@ object MonthlyBatchMain {
   def main(args: Array[String]): Unit = {
     val Array(masterRoot, outRoot, publicUrlPrefix) = args.take(3)
     val base = outRoot.stripSuffix("/")
-    ParquetDumpMain.main(Array(masterRoot, s"$base/parquet"))
-    JsonlDumpMain.main(Array(masterRoot, s"$base/jsonl"))
-    val parquetOut = Mains.datePath(s"$base/parquet", "all.parquet")
-    MqReportsMain.main(Array(parquetOut, s"$base/mq"))
-    SitemapMain.main(Array(parquetOut, s"$base/sitemap", publicUrlPrefix))
+    val month = Mains.nowUtc
+    val parquetOut = Mains.datePath(s"$base/parquet", "all.parquet", month)
+    Mains.run("graft: monthly batch") { spark =>
+      ParquetDumpMain.execute(spark, masterRoot, parquetOut)
+      JsonlDumpMain.execute(spark, masterRoot,
+        Mains.datePath(s"$base/jsonl", "jsonl", month))
+      MqReportsMain.execute(spark, parquetOut,
+        Mains.datePath(s"$base/mq", "provider", month),
+        Mains.datePath(s"$base/mq", "contributor", month))
+      SitemapMain.execute(spark, parquetOut, s"$base/sitemap",
+        publicUrlPrefix, "https://dp.la/item/")
+    }
   }
 }

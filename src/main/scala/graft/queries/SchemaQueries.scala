@@ -19,6 +19,12 @@ object SchemaQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
+  /** One avro-roundtrip output path per (session, sf dir) — reused so
+    * repeated query constructions overwrite instead of leaking dirs.
+    */
+  private val avroRtDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Master-shaped nested DPLA fixture synthesized from `documents`: every
     * field the MQ pipeline touches (MqReports.scala:22-88), with each
     * array's emptiness / nullness and each scalar's nullness decided by
@@ -132,10 +138,14 @@ object SchemaQueries {
     // replays straight from parquet, so a value corrupted anywhere in
     // the write→read chain flips the gate. The write is an eager side
     // effect at query construction (same contract as the fit-collect
-    // queries).
+    // queries). One output dir per (session, sf dir), reused across
+    // constructions — repeated bench/verify attempts overwrite in place
+    // (AvroSource.write is idempotent-overwrite) instead of leaking a
+    // corpus-sized temp dir per call; the "data" subpath does not
+    // pre-exist, so the connector path's first write succeeds too.
     "q_avro_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-avro-rt").toString
+      val out = avroRtDirs.getOrElseUpdate(dir, java.nio.file.Files
+        .createTempDirectory("graft-avro-rt").toString + "/data")
       graft.sources.AvroSource.write(t(s, dir, "documents"), out)
       graft.sources.AvroSource.read(s, Seq(out))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),

@@ -96,18 +96,30 @@ object AvroDirect {
     } finally in.close()
   }
 
+  /** Recursive listing (spark-avro's file index recurses too — a
+    * partitioned/nested layout must not silently read a subset here);
+    * hidden and metadata entries (`_SUCCESS`, `.crc`) are skipped.
+    */
   private def listAvroFiles(
-      conf: Configuration, paths: Seq[String]): Seq[String] =
+      conf: Configuration, paths: Seq[String]): Seq[String] = {
+    def walk(p: Path, fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+      val status = fs.getFileStatus(p)
+      if (status.isFile) {
+        if (p.getName.endsWith(".avro")) Seq(p.toString) else Seq.empty
+      } else fs.listStatus(p)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .toSeq.flatMap(s =>
+          if (s.isFile) {
+            if (s.getPath.getName.endsWith(".avro")) Seq(s.getPath.toString)
+            else Seq.empty
+          } else walk(s.getPath, fs))
+    }
     paths.flatMap { p =>
       val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val status = fs.getFileStatus(path)
-      if (status.isFile) Seq(path.toString)
-      else fs.listStatus(path)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-        .map(_.getPath.toString)
-        .sorted
+      walk(path, path.getFileSystem(conf)).sorted
     }
+  }
 
   // --------------------------------------------------------------- write
 

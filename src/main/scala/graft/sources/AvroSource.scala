@@ -27,9 +27,14 @@ object AvroSource {
       case Failure(e) => throw e
     }
 
-  /** Avro write for repaired datasets (H2, SchemaRepair.scala:33). */
+  /** Avro write for repaired datasets (H2, SchemaRepair.scala:33).
+    * OVERWRITE semantics on both paths (the reference's idempotent-
+    * overwrite posture, H7) — without the explicit mode the connector
+    * path would error on an existing dir while the fallback deletes it,
+    * and a caller tested against one would learn the wrong contract.
+    */
   def write(df: DataFrame, out: String): Unit =
-    Try(df.write.format("avro").save(out)) match {
+    Try(df.write.format("avro").mode("overwrite").save(out)) match {
       case Success(_) => ()
       case Failure(e) if isMissingModule(e) => AvroDirect.write(df, out)
       case Failure(e) => throw e

@@ -330,9 +330,14 @@ object StreamingScores {
     * disjoint slices, each doc lands in `bands` state groups, and each
     * group emits a per-band verdict. By pigeonhole, a pair within
     * `maxHamming < bands` bits shares at least one identical band, so the
-    * OR over bands catches EVERY in-horizon near-dup — recall 1.0 where
+    * OR over bands catches every in-horizon near-dup — recall 1.0 where
     * the single-band operator's is C(64−p, d)/C(64, d), at `bands`× the
-    * state and shuffle cost (caller's trade).
+    * state and shuffle cost (caller's trade). The guarantee holds WITHIN
+    * the state bounds: `maxBucketState` eviction in a hot bucket (the
+    * band key is only 64/bands bits) and the watermark horizon both
+    * forget entries, exactly like the single-band operator — size the cap
+    * to the expected per-bucket in-horizon volume when full recall
+    * matters.
     *
     * The OR itself is an aggregation downstream of a stateful operator,
     * which append-mode streaming can't chain — so this operator emits the
