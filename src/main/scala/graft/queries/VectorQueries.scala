@@ -45,6 +45,15 @@ object VectorQueries {
           count(when(col("sim4") >= 0.2, 1)).as("n_close"))
     }),
 
+    // Spherical k-means, ORACLED end to end: deterministic md5-draw init,
+    // two Lloyd rounds with 6-decimal-rounded assignment + centroids, then
+    // the final assignment — DuckDB unrolls the IDENTICAL fit (same init
+    // order, same rounding, same smallest-cluster tie-break), so the hash
+    // gate covers the whole iterative fit, not just the apply.
+    "q_kmeans" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansFitAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
+
     // Centroid similarity by label cluster: element-wise mean vector per
     // label via the VectorAvg TypedImperativeAggregate (map-side combined —
     // the posexplode/groupBy(label,dim) alternative shuffles N×D rows),
@@ -235,6 +244,67 @@ object VectorQueries {
          SELECT cell, min(vec_id) AS keeper,
            CAST(count(*) AS BIGINT) AS n_members
          FROM b GROUP BY cell""",
+
+    // k-means replay: the md5-draw init, both Lloyd rounds (assign via
+    // 6-decimal cosine + smallest-cluster tie-break, update via
+    // 6-decimal per-dim means with empty clusters keeping their previous
+    // centroid), and the final 4-decimal assignment — unrolled as CTEs.
+    "q_kmeans" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         seeds AS (
+           SELECT v, row_number() OVER (
+               ORDER BY md5('km ' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS c
+           FROM e),
+         c0 AS (SELECT c, v AS centroid FROM seeds WHERE c < 8),
+         a1 AS (
+           SELECT vec_id, v, c,
+             round(list_cosine_similarity(v, centroid), 6) AS s,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
+               AS r
+           FROM e CROSS JOIN c0),
+         b1 AS (SELECT vec_id, v, c FROM a1 WHERE r = 1),
+         u1 AS (
+           SELECT c, list(m ORDER BY d) AS centroid FROM (
+             SELECT c, d, round(avg(x), 6) AS m FROM (
+               SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS d
+               FROM b1)
+             GROUP BY c, d)
+           GROUP BY c),
+         c1 AS (
+           SELECT c0.c, coalesce(u1.centroid, c0.centroid) AS centroid
+           FROM c0 LEFT JOIN u1 USING (c)),
+         a2 AS (
+           SELECT vec_id, v, c,
+             round(list_cosine_similarity(v, centroid), 6) AS s,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
+               AS r
+           FROM e CROSS JOIN c1),
+         b2 AS (SELECT vec_id, v, c FROM a2 WHERE r = 1),
+         u2 AS (
+           SELECT c, list(m ORDER BY d) AS centroid FROM (
+             SELECT c, d, round(avg(x), 6) AS m FROM (
+               SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS d
+               FROM b2)
+             GROUP BY c, d)
+           GROUP BY c),
+         c2 AS (
+           SELECT c1.c, coalesce(u2.centroid, c1.centroid) AS centroid
+           FROM c1 LEFT JOIN u2 USING (c)),
+         fin AS (
+           SELECT vec_id, c,
+             round(list_cosine_similarity(v, centroid), 6) AS s,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
+               AS r
+           FROM e CROSS JOIN c2)
+         SELECT vec_id, CAST(c AS BIGINT) AS cluster,
+           round(s, 4) AS sim
+         FROM fin WHERE r = 1""",
 
     "q_label_centroid_sim" ->
       """WITH centroids AS (

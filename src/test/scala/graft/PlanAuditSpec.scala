@@ -265,7 +265,8 @@ class PlanAuditSpec extends SparkSpec {
       // like q_unigram_nll: the fit collects eagerly at construction; the
       // RETURNED plan must be a narrow literal-map apply — only the
       // deliberate round-robin spread may appear, never a hash exchange
-      for (q <- Seq("q_bigram_nll", "q_nb_lang", "q_temp_mixture")) {
+      for (q <- Seq("q_bigram_nll", "q_nb_lang", "q_temp_mixture",
+          "q_kmeans")) {
         val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
         val hashEx = plan.collect { case e: ShuffleExchangeExec => e }
           .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
