@@ -96,6 +96,55 @@ object Clustering {
       iters: Int): DataFrame =
     assign(df, idCol, vecCol, kmeansFit(df, idCol, vecCol, k, iters))
 
+  /** SemDeDup over k-means cells (Abbas et al. 2023 shape): fit k
+    * clusters, then within each cluster drop every point whose cosine to
+    * a LOWER-id point of the same cluster reaches `tau`. The pairwise
+    * (non-transitive) rule keeps both the plan and the oracle pure joins
+    * — no iterative closure — and the cluster key is the scale move:
+    * candidate pairs are Σ|cell|² instead of n², with `maxClusterSize`
+    * failing fast on a degenerate fit instead of letting one cell go
+    * quadratic. Returns (idCol, cluster, kept 1/0) for every non-null
+    * vector.
+    *
+    * [[Similarity.semanticDedupCells]] is the cheaper one-pass variant
+    * (hyperplane cells, exact-cell keeper); this one trades a fit pass
+    * for real similarity verification inside learned cells.
+    */
+  def semDeDupKmeans(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      tau: Double,
+      maxClusterSize: Long = 100000L): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau out of [-1,1]: $tau")
+    val centroids = kmeansFit(df, idCol, vecCol, k, iters)
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val e = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        graft.functions.VectorFunctions.asDouble(col(vecCol)).as("__v"))
+    val asg = withCluster(e, centroids)
+      .select(col("__id"), col("cluster"), col("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biggest = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(biggest <= maxClusterSize,
+      s"largest cluster has $biggest members (> $maxClusterSize) — the " +
+        "within-cluster verify would go quadratic; raise k or the cap")
+    val b = asg.select(col("__id").as("__bid"),
+      col("cluster").as("__bcluster"), col("__v").as("__bv"))
+    val dups = asg.join(b,
+        col("cluster") === col("__bcluster") && col("__bid") < col("__id") &&
+          round(call_function("graft_cosine", col("__v"), col("__bv")), 6)
+            >= lit(tau),
+        "left_semi")
+      .select(col("__id"), lit(0L).as("__dup0"))
+    asg.join(dups, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        coalesce(col("__dup0"), lit(1L)).as("kept"))
+  }
+
   /** Adds `cluster` (long) + `__sim` via the max-struct argmax: struct
     * comparison orders by (sim, -cluster), so the max is the highest
     * 6-decimal-rounded similarity with ties to the SMALLEST cluster id —

@@ -54,6 +54,16 @@ object VectorQueries {
       graft.operators.Clustering.kmeansFitAssign(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
 
+    // SemDeDup over the fitted k-means cells, ORACLED: within each
+    // cluster, a point is dropped iff a lower-id point of the same
+    // cluster reaches cosine 0.2 (pairwise rule — no closure, pure
+    // joins on both engines). The cluster key bounds candidate pairs to
+    // Σ|cell|², the SemDeDup scale argument.
+    "q_semdedup_kmeans" -> ((s, dir) =>
+      graft.operators.Clustering.semDeDupKmeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, tau = 0.2)),
+
     // Centroid similarity by label cluster: element-wise mean vector per
     // label via the VectorAvg TypedImperativeAggregate (map-side combined —
     // the posexplode/groupBy(label,dim) alternative shuffles N×D rows),
@@ -168,6 +178,66 @@ object VectorQueries {
         t(s, dir, "embeddings"), "embedding", "vec_id", 8)),
   )
 
+  /** The k-means fit replay shared by q_kmeans and q_semdedup_kmeans:
+    * md5-draw init (rank = cluster), two Lloyd rounds with 6-decimal
+    * rounding at the same points as Clustering.kmeansFit, empty clusters
+    * carrying their previous centroid; `fin` holds the final per-point
+    * assignment candidates (filter r = 1).
+    */
+  private val kmeansCtes: String =
+    """WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE embedding IS NOT NULL),
+       seeds AS (
+         SELECT v, row_number() OVER (
+             ORDER BY md5('km ' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS c
+         FROM e),
+       c0 AS (SELECT c, v AS centroid FROM seeds WHERE c < 8),
+       a1 AS (
+         SELECT vec_id, v, c,
+           round(list_cosine_similarity(v, centroid), 6) AS s,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
+             AS r
+         FROM e CROSS JOIN c0),
+       b1 AS (SELECT vec_id, v, c FROM a1 WHERE r = 1),
+       u1 AS (
+         SELECT c, list(m ORDER BY d) AS centroid FROM (
+           SELECT c, d, round(avg(x), 6) AS m FROM (
+             SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS d
+             FROM b1)
+           GROUP BY c, d)
+         GROUP BY c),
+       c1 AS (
+         SELECT c0.c, coalesce(u1.centroid, c0.centroid) AS centroid
+         FROM c0 LEFT JOIN u1 USING (c)),
+       a2 AS (
+         SELECT vec_id, v, c,
+           round(list_cosine_similarity(v, centroid), 6) AS s,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
+             AS r
+         FROM e CROSS JOIN c1),
+       b2 AS (SELECT vec_id, v, c FROM a2 WHERE r = 1),
+       u2 AS (
+         SELECT c, list(m ORDER BY d) AS centroid FROM (
+           SELECT c, d, round(avg(x), 6) AS m FROM (
+             SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS d
+             FROM b2)
+           GROUP BY c, d)
+         GROUP BY c),
+       c2 AS (
+         SELECT c1.c, coalesce(u2.centroid, c1.centroid) AS centroid
+         FROM c1 LEFT JOIN u2 USING (c)),
+       fin AS (
+         SELECT vec_id, c,
+           round(list_cosine_similarity(v, centroid), 6) AS s,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
+             AS r
+         FROM e CROSS JOIN c2)"""
+
   val oracles: Map[String, String] = Map(
     "q_knn_brute" ->
       """SELECT vec_id, nbr_id, sim4, rn FROM (
@@ -248,63 +318,30 @@ object VectorQueries {
     // k-means replay: the md5-draw init, both Lloyd rounds (assign via
     // 6-decimal cosine + smallest-cluster tie-break, update via
     // 6-decimal per-dim means with empty clusters keeping their previous
-    // centroid), and the final 4-decimal assignment — unrolled as CTEs.
+    // centroid), and the final 4-decimal assignment — unrolled as CTEs
+    // (kmeansCtes, shared with the SemDeDup replay below).
     "q_kmeans" ->
-      """WITH e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
-         seeds AS (
-           SELECT v, row_number() OVER (
-               ORDER BY md5('km ' || CAST(vec_id AS VARCHAR)), vec_id) - 1
-             AS c
-           FROM e),
-         c0 AS (SELECT c, v AS centroid FROM seeds WHERE c < 8),
-         a1 AS (
-           SELECT vec_id, v, c,
-             round(list_cosine_similarity(v, centroid), 6) AS s,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
-               AS r
-           FROM e CROSS JOIN c0),
-         b1 AS (SELECT vec_id, v, c FROM a1 WHERE r = 1),
-         u1 AS (
-           SELECT c, list(m ORDER BY d) AS centroid FROM (
-             SELECT c, d, round(avg(x), 6) AS m FROM (
-               SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS d
-               FROM b1)
-             GROUP BY c, d)
-           GROUP BY c),
-         c1 AS (
-           SELECT c0.c, coalesce(u1.centroid, c0.centroid) AS centroid
-           FROM c0 LEFT JOIN u1 USING (c)),
-         a2 AS (
-           SELECT vec_id, v, c,
-             round(list_cosine_similarity(v, centroid), 6) AS s,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
-               AS r
-           FROM e CROSS JOIN c1),
-         b2 AS (SELECT vec_id, v, c FROM a2 WHERE r = 1),
-         u2 AS (
-           SELECT c, list(m ORDER BY d) AS centroid FROM (
-             SELECT c, d, round(avg(x), 6) AS m FROM (
-               SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS d
-               FROM b2)
-             GROUP BY c, d)
-           GROUP BY c),
-         c2 AS (
-           SELECT c1.c, coalesce(u2.centroid, c1.centroid) AS centroid
-           FROM c1 LEFT JOIN u2 USING (c)),
-         fin AS (
-           SELECT vec_id, c,
-             round(list_cosine_similarity(v, centroid), 6) AS s,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY round(list_cosine_similarity(v, centroid), 6) DESC, c)
-               AS r
-           FROM e CROSS JOIN c2)
+      s"""$kmeansCtes
          SELECT vec_id, CAST(c AS BIGINT) AS cluster,
            round(s, 4) AS sim
          FROM fin WHERE r = 1""",
+
+    // SemDeDup replay: same fit, then the pairwise within-cluster rule
+    // as a plain EXISTS — dropped iff a lower-id same-cluster point
+    // reaches the 6-decimal-rounded cosine threshold.
+    "q_semdedup_kmeans" ->
+      s"""$kmeansCtes,
+         asg AS (
+           SELECT f.vec_id, f.c, e.v
+           FROM fin f JOIN e USING (vec_id) WHERE f.r = 1)
+         SELECT a.vec_id, CAST(a.c AS BIGINT) AS cluster,
+           CAST(CASE WHEN EXISTS (
+             SELECT 1 FROM asg b
+             WHERE b.c = a.c AND b.vec_id < a.vec_id
+               AND round(list_cosine_similarity(a.v, b.v), 6)
+                     >= CAST(0.2 AS DOUBLE))
+           THEN 0 ELSE 1 END AS BIGINT) AS kept
+         FROM asg a""",
 
     "q_label_centroid_sim" ->
       """WITH centroids AS (

@@ -64,6 +64,32 @@ class ClusteringSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSet.size === 1) // all in one cluster
   }
 
+  test("semDeDupKmeans keeps one point per tight cluster at a high tau") {
+    // same-group fixture points are near-identical directions (cosine
+    // ~0.999+), so at tau = 0.99 only the lowest-id member of each
+    // cluster survives; every drop had a lower-id same-cluster witness
+    val out = Clustering.semDeDupKmeans(fixture, "vec_id", "embedding",
+      k = 3, iters = 4, tau = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 90)
+    val kept = out.filter(_._3 == 1L)
+    assert(kept.length === 3, kept.mkString(","))
+    // each kept point is the minimum id of its cluster
+    val minByCluster = out.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.map(_._1).min
+    }
+    assert(kept.forall { case (id, c, _) => minByCluster(c) === id })
+    // degenerate-cluster cap fails fast instead of going quadratic
+    intercept[IllegalArgumentException] {
+      Clustering.semDeDupKmeans(fixture, "vec_id", "embedding",
+        k = 3, iters = 1, tau = 0.5, maxClusterSize = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.semDeDupKmeans(fixture, "vec_id", "embedding",
+        k = 3, iters = 1, tau = 1.5)
+    }
+  }
+
   test("null vectors are excluded; guards reject bad k/iters") {
     val sq = spark
     import sq.implicits._
