@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic fixed-iteration PageRank ([EXT]): the domain/source
+  * authority score a corpus-curation pipeline uses to weight crawl
+  * sources (CommonCrawl-style domain ranking) and prioritize dedup
+  * keepers — the second iterative graph operator beside
+  * [[ConnectedComponents]], expressed so an independent engine can
+  * replay the fit exactly:
+  *
+  *  - fixed `iters` power rounds (no data-dependent stop), ranks rounded
+  *    to 8 decimals after every round — engines summing contributions in
+  *    different orders still agree bit-for-bit after the round;
+  *  - dangling mass (nodes with no out-edges) is redistributed uniformly
+  *    each round, the standard correction, computed as one bounded
+  *    scalar aggregate.
+  *
+  * Scale shape per round: one join of the rank frame with the
+  * (pre-persisted) degree-annotated edge list keyed on src, one
+  * map-side-combined sum keyed on dst, one broadcast-size scalar agg for
+  * the dangling mass. Rank state is 16 bytes per node; lineage is
+  * truncated per round with localCheckpoint (the [[ConnectedComponents]]
+  * contract: single-job batch fits — streaming-recovery jobs should
+  * checkpoint to reliable storage instead).
+  */
+object PageRank {
+
+  /** (node, rank) after `iters` rounds over the directed multigraph
+    * `edges` (parallel edges count once per occurrence). Node set =
+    * union of sources and destinations.
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping out of [0,1]: $damping")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "PageRank: empty graph")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val withDeg = e.join(outdeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (1.0 - damping) / n
+
+    var ranks = nodes
+      .withColumn("rank", round(lit(1.0 / n), 8))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      // mass sitting on dangling nodes this round (no out-edges)
+      val dangling = ranks.join(outdeg,
+          ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      val next = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          round(lit(base) +
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+              lit(dangling / n)), 8).as("rank"))
+        .localCheckpoint()
+      ranks.unpersist()
+      ranks = next
+      it += 1
+    }
+    ranks
+  }
+}

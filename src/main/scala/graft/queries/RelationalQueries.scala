@@ -26,6 +26,24 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Fixed-iteration PageRank, ORACLED end to end: a deterministic
+    // 2-out-regular graph synthesized from documents (so the oracle can
+    // rebuild the identical edge list), 3 power rounds with ranks
+    // rounded to 8 decimals per round — DuckDB unrolls the same rounds,
+    // so the hash gate covers the whole iterative computation. The
+    // fixture graph has no dangling nodes (every node has out-degree
+    // 2); the operator's dangling redistribution is spec-tested on a
+    // hand-computed graph instead.
+    "q_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .union(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      graft.operators.PageRank.run(edges, "src", "dst", iters = 3)
+    }),
+
     // TPC-H Q5 shape: 5-way join w/ broadcast dims, grouped revenue.
     "q_join_region_revenue" -> ((s, dir) => {
       val nation = broadcast(t(s, dir, "nation"))
@@ -466,7 +484,47 @@ object RelationalQueries {
     }),
   )
 
+  /** One unrolled PageRank power round: `next` from `prev`, matching
+    * PageRank.run's arithmetic op-for-op (explicit DOUBLE casts — bare
+    * decimal literals are DECIMAL in DuckDB, an ulp off IEEE).
+    */
+  private def prRound(prev: String, next: String): String =
+    s"""$next AS (
+         SELECT nd.node,
+           round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.c +
+             CAST(0.85 AS DOUBLE) *
+               coalesce(s.inr, CAST(0 AS DOUBLE)), 8) AS rank
+         FROM nodes nd CROSS JOIN n
+         LEFT JOIN (
+           SELECT e.dst AS node, sum(r.rank / deg.d) AS inr
+           FROM e JOIN $prev r ON e.src = r.node
+                  JOIN deg ON e.src = deg.src
+           GROUP BY e.dst) s ON nd.node = s.node)"""
+
   val oracles: Map[String, String] = Map(
+    // PageRank replay: identical synthesized edge list, identical three
+    // rounds with per-round 8-decimal rounding.
+    "q_pagerank" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM documents),
+         e AS (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % n.c AS dst
+           FROM documents, n
+           UNION ALL
+           SELECT doc_id AS src, (doc_id * 13 + 5) % n.c AS dst
+           FROM documents, n),
+         nodes AS (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM e
+             UNION ALL SELECT dst AS node FROM e) u),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         r0 AS (
+           SELECT node, round(CAST(1 AS DOUBLE) / n.c, 8) AS rank
+           FROM nodes, n),
+         ${prRound("r0", "r1")},
+         ${prRound("r1", "r2")},
+         ${prRound("r2", "r3")}
+         SELECT node, rank FROM r3""",
+
     "q_percentiles" ->
       """SELECT l_returnflag,
            round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
