@@ -162,6 +162,26 @@ object Sampling {
     (df.filter(h >= testFraction), df.filter(h < testFraction))
   }
 
+  /** Group-disjoint train/test split: the draw hashes `groupCol` (a
+    * source, domain, or author), so every row of a group lands on the
+    * SAME side — the leakage-safe split when near-duplicates cluster
+    * within groups (per-doc splitting would put a doc in train and its
+    * sibling in test, inflating eval). The md5 draw makes the assignment
+    * deterministic, portable (oracle replays it), and stable under any
+    * row-level churn within a group; rows with a NULL group go to train
+    * (no group identity → nothing to leak against).
+    * Plan: one narrow filter per side, zero shuffles.
+    */
+  def groupDisjointSplit(df: DataFrame, groupCol: String,
+      testFraction: Double): (DataFrame, DataFrame) = {
+    require(testFraction >= 1.0 / Buckets && testFraction < 1,
+      s"testFraction=$testFraction out of [${1.0 / Buckets}, 1)")
+    // md5Hex8/2^32, the cross-engine wire contract (md5Draw family)
+    val draw = md5Hex8(col(groupCol), "split ").cast("double") / 4294967296.0
+    (df.filter(col(groupCol).isNull || draw >= testFraction),
+      df.filter(col(groupCol).isNotNull && draw < testFraction))
+  }
+
   /** Per-key quota: keep at most `maxPerKey` rows per key (the crawl-
     * curation cap that stops one host/domain from dominating the mix).
     * Selection is by md5(id) order — a deterministic pseudo-random draw,

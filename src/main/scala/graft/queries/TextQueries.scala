@@ -571,6 +571,19 @@ object TextQueries {
       graft.operators.UnigramLm.bigramScores(
         t(s, dir, "documents"), "text", "doc_id")),
 
+    // Group-disjoint split, ORACLED: every row of a source lands on the
+    // same side (the leakage-safe split — near-dups cluster within
+    // sources, and a per-doc draw would let a doc sit in train with its
+    // sibling in test). The md5 group draw replays verbatim in DuckDB;
+    // NULL sources go to train.
+    "q_group_split" -> ((s, dir) => {
+      val (train, test) = graft.operators.Sampling.groupDisjointSplit(
+        t(s, dir, "documents"), "source", testFraction = 0.3)
+      train.select(col("doc_id"), col("source"), lit("train").as("side"))
+        .unionAll(test.select(col("doc_id"), col("source"),
+          lit("test").as("side")))
+    }),
+
     // Per-host quota, ORACLED: the q_url_parts synthesized URLs give 7
     // hosts; capPerKey keeps 5 docs per host by md5(id) order, which
     // DuckDB replays verbatim. Composes the URL canonicalization and the
@@ -1346,6 +1359,16 @@ object TextQueries {
          SELECT doc_id, round(avg(nll), 4) AS avg_nll2,
            CAST(count(*) AS BIGINT) AS n_pairs
          FROM scored GROUP BY doc_id""",
+
+    // Group-disjoint split: the md5 group draw, first 8 hex chars over
+    // 2^32, test iff draw < 0.3; NULL sources train.
+    "q_group_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN source IS NOT NULL AND
+             CAST(('0x' || substr(md5('split ' || source), 1, 8)) AS BIGINT)
+               / 4294967296.0 < CAST(0.3 AS DOUBLE)
+           THEN 'test' ELSE 'train' END AS side
+         FROM documents""",
 
     // Host quota: same URL synthesis as q_url_parts (host parity is
     // oracled there), same md5(id) draw order.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AsOfJoin, Dedup, Flatten, Similarity, TextAnalysis => TA}
+import graft.operators.{AsOfJoin, Dedup, Flatten, Sampling, Similarity, TextAnalysis => TA}
 import graft.schema.{DplaMap, SchemaAlign}
 
 /** Golden tests for operators whose semantics the DuckDB oracle can't
@@ -434,6 +434,28 @@ class OperatorSpec extends SparkSpec {
     val hugeBin = hugeBins.find(_.doc_ids.contains(999L)).get
     assert(hugeBin.doc_ids === Seq(999L))
     assert(hugeBins.flatMap(_.doc_ids).length === 201)
+  }
+
+  test("groupDisjointSplit: groups never straddle the split, nulls go to train") {
+    val sq = spark
+    import sq.implicits._
+    val docs = (1L to 300L).map(i => (i, if (i % 30 == 0) null
+      else s"src${i % 20}")).toDF("doc_id", "source")
+    val (train, test) = Sampling.groupDisjointSplit(docs, "source", 0.3)
+    assert(train.count() + test.count() === 300) // exact partition
+    val trainSrc = train.filter(col("source").isNotNull)
+      .select("source").distinct().as[String].collect().toSet
+    val testSrc = test.select("source").distinct().as[String].collect().toSet
+    assert(trainSrc.intersect(testSrc).isEmpty, (trainSrc, testSrc).toString)
+    assert(testSrc.nonEmpty && trainSrc.nonEmpty) // 20 sources, 0.3 draw
+    assert(train.filter(col("source").isNull).count() === 10) // nulls→train
+    assert(test.filter(col("source").isNull).count() === 0)
+    // deterministic across layout
+    val (t2, s2) = Sampling.groupDisjointSplit(docs.repartition(7),
+      "source", 0.3)
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq ===
+      test.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(t2.count() === train.count())
   }
 
   test("temperatureMixture flattens toward rare strata, hits the target size") {
