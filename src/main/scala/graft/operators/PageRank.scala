@@ -55,15 +55,22 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (1.0 - damping) / n
 
+    // one existence probe up front: a graph with no dangling nodes (most
+    // curated link graphs) skips the per-round dangling-mass job entirely
+    val hasDangling = nodes.join(outdeg,
+      nodes("node") === outdeg("src"), "left_anti").limit(1).count() > 0
+
     var ranks = nodes
       .withColumn("rank", round(lit(1.0 / n), 8))
       .localCheckpoint()
     var it = 0
     while (it < iters) {
       // mass sitting on dangling nodes this round (no out-edges)
-      val dangling = ranks.join(outdeg,
-          ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val dangling =
+        if (!hasDangling) 0.0
+        else ranks.join(outdeg,
+            ranks("node") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
