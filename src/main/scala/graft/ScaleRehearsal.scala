@@ -78,11 +78,15 @@ object ScaleRehearsal {
     val tPipeline = (System.nanoTime() - t1) / 1e9
     sampling = false
 
+    // plain Double interpolation (the Bench contract): an f"%.1f" render
+    // is default-locale-dependent and a comma-decimal locale would emit
+    // invalid JSON
+    def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     println(
       s"""{"metric":"scale_rehearsal","sf":"$sfDir","blowup":$blowup,""" +
-      s""""rows_in":$nIn,"curate_sec":${f"$tCurate%.1f"},""" +
+      s""""rows_in":$nIn,"curate_sec":${r1(tCurate)},""" +
       s""""train_docs":$nTrain,"test_docs":$nTest,""" +
-      s""""pipeline_sec":${f"$tPipeline%.1f"},""" +
+      s""""pipeline_sec":${r1(tPipeline)},""" +
       s""""pipeline_train_docs":${res.trainDocs},""" +
       s""""train_bins":${res.trainBins},""" +
       s""""peak_cache_bytes":$peakCache,""" +

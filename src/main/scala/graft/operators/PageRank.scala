@@ -55,10 +55,16 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (1.0 - damping) / n
 
-    // one existence probe up front: a graph with no dangling nodes (most
-    // curated link graphs) skips the per-round dangling-mass job entirely
-    val hasDangling = nodes.join(outdeg,
-      nodes("node") === outdeg("src"), "left_anti").limit(1).count() > 0
+    // the dangling-node SET is static — compute and persist it once, so
+    // the per-round mass lookup is one narrow join + scalar agg instead
+    // of re-deriving the outdeg aggregation from the raw edges every
+    // round; a graph with no dangling nodes (most curated link graphs)
+    // skips the per-round job entirely
+    val danglingNodes = nodes.join(outdeg,
+        nodes("node") === outdeg("src"), "left_anti")
+      .select(col("node").as("__dn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = danglingNodes.limit(1).count() > 0
 
     var ranks = nodes
       .withColumn("rank", round(lit(1.0 / n), 8))
@@ -68,8 +74,8 @@ object PageRank {
       // mass sitting on dangling nodes this round (no out-edges)
       val dangling =
         if (!hasDangling) 0.0
-        else ranks.join(outdeg,
-            ranks("node") === outdeg("src"), "left_anti")
+        else ranks.join(danglingNodes,
+            ranks("node") === col("__dn"))
           .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
@@ -86,6 +92,9 @@ object PageRank {
       ranks = next
       it += 1
     }
+    // the returned frame is localCheckpoint-materialized, so the working
+    // frames can be released now
+    nodes.unpersist(); withDeg.unpersist(); danglingNodes.unpersist()
     ranks
   }
 }

@@ -39,6 +39,11 @@ object Mains {
     finally if (!preExisting) spark.stop()
   }
 
+  /** Actionable arg-count failure instead of a bare MatchError. */
+  private[processes] def need(args: Array[String], n: Int, usage: String): Unit =
+    require(args.length >= n,
+      s"expected $n arguments, got ${args.length} - usage: $usage")
+
   private[processes] def nowUtc: LocalDateTime =
     LocalDateTime.now(ZoneOffset.UTC)
 
@@ -62,6 +67,7 @@ object Mains {
   */
 object ParquetDumpMain {
   def main(args: Array[String]): Unit = {
+    Mains.need(args, 2, "masterRoot outRoot")
     val Array(masterRoot, outRoot) = args.take(2)
     Mains.run("graft: parquet dump") { spark =>
       execute(spark, masterRoot, Mains.datePath(outRoot, "all.parquet"))
@@ -88,6 +94,7 @@ object ParquetDumpMain {
   */
 object JsonlDumpMain {
   def main(args: Array[String]): Unit = {
+    Mains.need(args, 2, "masterRoot outRoot")
     val Array(masterRoot, outRoot) = args.take(2)
     Mains.run("graft: jsonl dump") { spark =>
       execute(spark, masterRoot, Mains.datePath(outRoot, "jsonl"))
@@ -109,6 +116,7 @@ object JsonlDumpMain {
   */
 object MqReportsMain {
   def main(args: Array[String]): Unit = {
+    Mains.need(args, 2, "parquetPath outRoot")
     val Array(parquetPath, outRoot) = args.take(2)
     Mains.run("graft: mq reports") { spark =>
       execute(spark, parquetPath,
@@ -132,6 +140,7 @@ object MqReportsMain {
   */
 object SitemapMain {
   def main(args: Array[String]): Unit = {
+    Mains.need(args, 3, "parquetPath outDir publicUrlPrefix [itemUrlBase]")
     val Array(parquetPath, outDir, publicUrlPrefix) = args.take(3)
     val itemUrlBase =
       if (args.length > 3) args(3) else "https://dp.la/item/"
@@ -156,6 +165,7 @@ object SitemapMain {
   */
 object SchemaRepairMain {
   def main(args: Array[String]): Unit = {
+    Mains.need(args, 2, "inPath outPath")
     val Array(inPath, outPath) = args.take(2)
     Mains.run("graft: schema repair") { spark =>
       val records = AvroSource.read(spark, Seq(inPath))
@@ -170,6 +180,7 @@ object SchemaRepairMain {
   */
 object SchemaTestMain {
   def main(args: Array[String]): Unit = {
+    Mains.need(args, 2, "masterRoot outRoot")
     val Array(masterRoot, outRoot) = args.take(2)
     Mains.run("graft: schema test") { spark =>
       val frames = Catalog.latestSnapshots(
@@ -189,6 +200,7 @@ object SchemaTestMain {
   */
 object ThumbnailPurgeMain {
   def main(args: Array[String]): Unit = {
+    Mains.need(args, 2, "parquetPath thumbRoot")
     val Array(parquetPath, thumbRoot) = args.take(2)
     Mains.run("graft: thumbnail purge") { spark =>
       import spark.implicits._
@@ -208,6 +220,7 @@ object ThumbnailPurgeMain {
   */
 object MonthlyBatchMain {
   def main(args: Array[String]): Unit = {
+    Mains.need(args, 3, "masterRoot outRoot publicUrlPrefix")
     val Array(masterRoot, outRoot, publicUrlPrefix) = args.take(3)
     val base = outRoot.stripSuffix("/")
     val month = Mains.nowUtc

@@ -155,6 +155,19 @@ object AvroDirect {
         finally writer.close()
       }
     }
+    // an empty relation can plan to a ZERO-partition RDD (PropagateEmpty
+    // Relation / spark.emptyDataFrame) — foreachPartition never runs, so
+    // materialize the schema-only file driver-side to keep the contract
+    // that the written dir is always readable
+    if (!fs.listStatus(outPath).exists(_.getPath.getName.endsWith(".avro"))) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val os = fs.create(new Path(s"$base/part-00000.avro"), true)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      writer.setCodec(CodecFactory.snappyCodec())
+      writer.create(schema, os)
+      writer.close()
+    }
   }
 
   // ------------------------------------------------- schema conversion

@@ -121,6 +121,22 @@ class AvroSpec extends SparkSpec {
     assert(AvroDirect.read(spark, Seq(out2)).count() === 1)
   }
 
+  test("a ZERO-partition frame still writes a readable schema-only dir") {
+    // an empty relation can plan to an RDD with no partitions at all
+    // (foreachPartition never runs) — the driver-side fallback must
+    // materialize the schema
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val zero = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    assert(zero.rdd.getNumPartitions === 0) // the shape under test
+    val out = tmpDir()
+    AvroDirect.write(zero, out)
+    val back = AvroDirect.read(spark, Seq(out))
+    assert(back.count() === 0)
+    assert(back.schema === schema)
+  }
+
   test("read parallelism is one task per file") {
     import spark.implicits._
     val out = tmpDir()

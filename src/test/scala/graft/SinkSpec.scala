@@ -227,15 +227,20 @@ class SinkSpec extends SparkSpec {
         .write.text(s"$master/$p/jsonl/20260801_000000")
     }
     val out = tmpDir()
+    // pin the month ONCE before the run: recomputing datePath at assert
+    // time would point at next month's paths if UTC rolls over mid-test
+    val month = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
     MonthlyBatchMain.main(Array(master, out, "https://sitemaps.example/"))
     // session survives (the frame must not stop a pre-existing session)
     assert(!spark.sparkContext.isStopped)
-    val parquetOut = Mains.datePath(s"$out/parquet", "all.parquet")
+    val parquetOut = Mains.datePath(s"$out/parquet", "all.parquet", month)
     assert(spark.read.parquet(parquetOut).count() === 40) // 2 providers
-    val jsonlDir = new java.io.File(Mains.datePath(s"$out/jsonl", "jsonl"))
+    val jsonlDir = new java.io.File(
+      Mains.datePath(s"$out/jsonl", "jsonl", month))
     assert(jsonlDir.isDirectory &&
       jsonlDir.listFiles.exists(_.getName.endsWith(".jsonl")))
-    val provCsv = new java.io.File(Mains.datePath(s"$out/mq", "provider"))
+    val provCsv = new java.io.File(
+      Mains.datePath(s"$out/mq", "provider", month))
     assert(provCsv.isDirectory &&
       provCsv.listFiles.exists(_.getName.endsWith(".csv")))
     assert(new java.io.File(s"$out/sitemap/sitemapindex.xml.gz").exists)

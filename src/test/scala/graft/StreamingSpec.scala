@@ -278,10 +278,11 @@ class StreamingSpec extends SparkSpec {
 
     // disjoint token families per pair, so cross-pair interference would
     // need two unrelated 64-bit sketches within 3 bits (~C(64,3)/2^64 ≈ 0).
-    // SHORT docs (12 tokens): a one-token edit on a long doc flips ~zero
-    // bits of a majority-vote sketch; at 12 tokens the per-bit margins are
-    // small enough that edits flip a few hash-determined bits, giving a
-    // deterministic mix of hamming values to select from
+    // MODERATE docs (40 tokens): a one-token edit on a long doc flips
+    // ~zero bits of a majority-vote sketch, and on a very short one it
+    // flips too many; at 40 tokens the per-bit margins leave edits
+    // flipping a few hash-determined bits, giving a deterministic mix of
+    // hamming values to select from
     def baseText(i: Int) = (0 until 40).map(j => s"w${i}x$j").mkString(" ")
     def varText(i: Int) =
       ((0 until 39).map(j => s"w${i}x$j") :+ s"zz$i").mkString(" ")
