@@ -330,6 +330,17 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q_semdedup_kmeans: within-cluster verify is a cluster-keyed equi-join, never all-pairs") {
+    val p = plan("q_semdedup_kmeans")
+    // the fit collects eagerly; the returned plan's pair generation must
+    // key on the fitted cluster id — a refactor that loses the equi-key
+    // degenerates to an all-pairs nested-loop over the corpus
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // both join sides read the persisted assignment frame
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q_host_quota: rank filter compiles to WindowGroupLimit (skew pre-prune)") {
     val p = plan("q_host_quota")
     // Partial limit before the exchange caps what a skewed host ships
