@@ -37,6 +37,60 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup against a persisted BUCKETED fingerprint
+    * index ([EXT]): the daily-increment shape of a 100 TB pipeline. The
+    * historical index is a table bucketed on `fp`, so the anti-join
+    * against it shuffles ONLY the new batch (the bucketed scan already
+    * satisfies the join's distribution — history, the petabyte side,
+    * never moves); the survivors' fingerprints then append in the same
+    * bucket layout, keeping every future increment one-sided too.
+    *
+    * Semantics: the min-id copy of each fingerprint new to the index
+    * survives (exactGroups' keeper rule applied within the increment);
+    * fingerprints already indexed drop entirely. A missing table
+    * bootstraps from this increment. Returns the surviving rows of `df`
+    * (materialized before the index append, so the result is stable).
+    */
+  def incrementalExact(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexTable: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(!df.columns.contains("__fp") && !df.columns.contains("__keep"),
+      "input must not already contain __fp/__keep columns")
+    val spark = df.sparkSession
+    val withFp = df.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    // in-increment first occurrence: min-id keeper per fingerprint
+    val keepers = withFp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"))
+    val firsts = withFp.join(keepers, "__fp")
+      .filter(col(idCol) === col("__keep")).drop("__keep")
+    val fresh =
+      if (spark.catalog.tableExists(indexTable)) {
+        firsts.join(spark.table(indexTable)
+            .select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      } else firsts
+    // SEVER the plan from the table before mutating it: a persist is not
+    // enough — the table append invalidates dependent cache entries and
+    // the result would silently recompute against the UPDATED index
+    // (dropping everything); localCheckpoint materializes eagerly and
+    // cuts the lineage entirely
+    val out = fresh.localCheckpoint()
+    val newFps = out.select(col("__fp").as("fp"))
+    // append via saveAsTable WITH the bucket spec: plain insertInto would
+    // write unbucketed files into a bucketed layout (silent corruption of
+    // the one property the index exists for); saveAsTable validates the
+    // spec against the existing table
+    newFps.write.mode(if (spark.catalog.tableExists(indexTable)) "append"
+        else "overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(indexTable)
+    out.drop("__fp")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -55,6 +55,31 @@ object TextQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Incremental exact dedup against the bucketed fingerprint index,
+    // ORACLED: bootstrap the index from doc_id < 250, then run the full
+    // table as the next increment — survivors are min-id keepers of
+    // fingerprints the first half never saw. The bucketed-layout
+    // one-sided-shuffle property is plan-gated in ScaleLayoutSpec; this
+    // row proves the cross-increment semantics. (Table state is
+    // per-invocation: dropped and rebuilt each call.)
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      s.sql("DROP TABLE IF EXISTS inc_fp_idx")
+      // the in-memory catalog forgets tables across JVMs but the managed
+      // LOCATION survives in the warehouse dir and blocks re-creation —
+      // remove it physically too
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "inc_fp_idx")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.operators.Dedup.incrementalExact(
+        docs.filter(col("doc_id") < 250), "text", "doc_id",
+        "inc_fp_idx", buckets = 8)
+      graft.operators.Dedup.incrementalExact(
+        docs, "text", "doc_id", "inc_fp_idx", buckets = 8)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // 3-word shingles (ES shingle filter analogue, necropolis.json:26-31).
     "q_shingle_stats" -> ((s, dir) => {
       val sh = TA.shingles(toks)
@@ -772,6 +797,19 @@ object TextQueries {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
            min(doc_id) AS keeper_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",
+
+    // Incremental dedup: same fingerprint chain; survivors of the second
+    // increment = min-id keepers whose fp the first half never indexed.
+    "q_incremental_dedup" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents WHERE text IS NOT NULL),
+         hist AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         firsts AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY fp)
+         SELECT f.doc_id, f.lang
+         FROM f JOIN firsts ON f.fp = firsts.fp AND f.doc_id = firsts.keep
+         WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = f.fp)""",
 
     "q_shingle_stats" ->
       """SELECT doc_id,

@@ -37,6 +37,53 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: history never reshuffles, increments dedupe against it") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS inc_fp_test")
+    try {
+      // batch 1: doc 3 normalizes to doc 1's fingerprint → keeper 1
+      val b1 = Seq((1L, "alpha text"), (2L, "beta text"),
+        (3L, " Alpha   TEXT ")).toDF("doc_id", "text")
+      val out1 = Dedup.incrementalExact(b1, "text", "doc_id",
+        "inc_fp_test", buckets = 4)
+      assert(out1.select("doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L))
+      // batch 2: beta is already indexed; gamma keeps its min id
+      val b2 = Seq((10L, "beta text"), (11L, "gamma text"),
+        (12L, "gamma text")).toDF("doc_id", "text")
+      val out2 = Dedup.incrementalExact(b2, "text", "doc_id",
+        "inc_fp_test", buckets = 4)
+      assert(out2.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+      // batch 3 would see gamma too
+      val b3 = Seq((20L, "gamma text"), (21L, "delta text"))
+        .toDF("doc_id", "text")
+      val out3 = Dedup.incrementalExact(b3, "text", "doc_id",
+        "inc_fp_test", buckets = 4)
+      assert(out3.select("doc_id").as[Long].collect().toSeq === Seq(21L))
+
+      // LAYOUT: the anti-join against the bucketed index shuffles ONLY
+      // the increment side — exactly one hash exchange in the plan, and
+      // the index scan reports its buckets
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe =
+        try {
+          b2.withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+            .join(spark.table("inc_fp_test").select(col("fp").as("__fp")),
+              Seq("__fp"), "left_anti")
+            .queryExecution.executedPlan.toString
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(probe.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning") === 1, probe)
+      assert(probe.contains("Bucketed: true"), probe)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS inc_fp_test")
+    }
+  }
+
   test("z-order: interleave bit math, clamping, and 2-D locality") {
     import graft.operators.ZOrder
     import spark.implicits._
