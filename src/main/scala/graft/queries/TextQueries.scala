@@ -639,6 +639,23 @@ object TextQueries {
         t(s, dir, "documents"), "doc_id", "text",
         qdf, "query_id", "qtext", k = 10)
     }),
+
+    // DSIR-style importance weighting, ORACLED: the English slice of the
+    // corpus plays the high-quality target; every document is scored by
+    // the mean per-token log likelihood ratio between a target-fitted
+    // and a source-fitted Laplace-smoothed unigram model (source top-1000
+    // vocab + OOV bucket), then the Gumbel-perturbed keep decision
+    // replays the deterministic md5 draw. DuckDB refits both models and
+    // replays the draw; smoothing uses the FITTED vocab size on both
+    // sides.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val D = graft.operators.Dsir
+      D.importanceScores(docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id", vocabSize = 1000)
+        .withColumn("kept",
+          D.gumbelKeep(col("logratio"), col("doc_id"), threshold = 0.5))
+    }),
   )
 
   /** One fit per (session, sf dir): q_bpe_encode and q_bpe_lossless share
@@ -1472,5 +1489,51 @@ object TextQueries {
                ORDER BY bm25 DESC, doc_id) AS rank
            FROM scored)
          WHERE rank <= 10""",
+
+    // DSIR: refit both smoothed unigram models (source top-1000 vocab +
+    // OOV mass bucket, FITTED V in the smoothing denominators), score
+    // every document by the mean log ratio, replay the Gumbel draw.
+    // u = (hex8 + 0.5)/2^32 is exact in double on both engines (power-of-
+    // two divide), and both the weight (4 dec) and the noise (6 dec) are
+    // rounded before the threshold compare.
+    "q_dsir_weights" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+           FROM documents),
+         scnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         vocab AS (SELECT t, c AS sc FROM scnt ORDER BY c DESC, t LIMIT 1000),
+         stot AS (SELECT sum(c) AS st FROM scnt),
+         tcnt AS (
+           SELECT t, count(*) AS c FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             FROM documents WHERE lang = 'en')
+           GROUP BY t),
+         ttot AS (SELECT coalesce(sum(c), 0) AS tt FROM tcnt),
+         fit AS (SELECT count(*) AS v, sum(sc) AS siv FROM vocab),
+         tiv AS (
+           SELECT coalesce(sum(tc.c), 0) AS tivc
+           FROM vocab LEFT JOIN tcnt tc USING (t)),
+         rat AS (
+           SELECT vocab.t,
+             ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / (tt + v + 1)) -
+             ln(CAST(sc + 1 AS DOUBLE) / (st + v + 1)) AS r
+           FROM vocab LEFT JOIN tcnt tc USING (t), ttot, stot, fit),
+         oov AS (
+           SELECT ln(CAST(tt - tivc + 1 AS DOUBLE) / (tt + v + 1)) -
+                  ln(CAST(st - siv + 1 AS DOUBLE) / (st + v + 1)) AS r
+           FROM ttot, tiv, stot, fit)
+         SELECT doc_id,
+           round(avg(coalesce(rat.r, oov.r)), 4) + CAST(0 AS DOUBLE)
+             AS logratio,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           (round(avg(coalesce(rat.r, oov.r)), 4) +
+            round(-ln(-ln(
+              (CAST(CAST(('0x' || substr(md5('dsir ' || doc_id), 1, 8))
+                 AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / CAST(4294967296.0 AS DOUBLE))), 6))
+             > CAST(0.5 AS DOUBLE) AS kept
+         FROM tok LEFT JOIN rat USING (t), oov
+         GROUP BY doc_id""",
   )
 }
