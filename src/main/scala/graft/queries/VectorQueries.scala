@@ -176,7 +176,76 @@ object VectorQueries {
     "q_semantic_dedup" -> ((s, dir) =>
       graft.operators.Similarity.semanticDedupCells(
         t(s, dir, "embeddings"), "embedding", "vec_id", 8)),
+
+    // Product-quantization codes, ORACLED via the fitted codebooks: the
+    // 4×16-dim subspace split, 8-code codebooks from the deterministic
+    // 2-round spherical fit; DuckDB replays the per-subspace rounded
+    // argmax under the embedded centroid literals (the q_bpe_encode
+    // dynamic-oracle trick — the fit itself follows the q_kmeans
+    // contract, spec-pinned for determinism).
+    "q_pq_codes" -> ((s, dir) =>
+      graft.operators.Pq.encode(t(s, dir, "embeddings"), "vec_id",
+        "embedding", fittedPq(s, dir))),
+
+    // Rows-only: ADC approximate top-3 under the same codebooks — the
+    // compressed-domain ANN path (recall floor + determinism pinned in
+    // PqSpec; the scoring decomposition is not SQL-expressible without
+    // re-deriving the fit, which q_pq_codes already gates).
+    "q_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Pq.annPq(e, e, "vec_id", "embedding",
+          fittedPq(s, dir), k = 3)
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_candidates"), max(col("adc4")).as("best_adc"))
+    }),
   )
+
+  /** One PQ fit per sf dir (q_pq_codes and q_ann_pq share it; the fit is
+    * deterministic, so caching cannot change results).
+    */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private def fittedPq(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(dir,
+      graft.operators.Pq.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 8, iters = 2))
+
+  /** DuckDB replay of the PQ ENCODE under the fitted codebooks (available
+    * once the fit has run — Verify executes every query before dumping
+    * oracle SQL). Centroid components are 6-decimal-rounded doubles, so
+    * the literals round-trip exactly; the argmax replays the rounded
+    * cosine with the smaller-code tie-break.
+    */
+  private def pqOracle: Map[String, String] =
+    if (pqCache.size != 1) Map.empty
+    else {
+      val cents = pqCache.values.head
+      val m = cents.length
+      val sub = cents.head.head.length
+      val rows = for {
+        j <- cents.indices
+        c <- cents(j).indices
+      } yield s"($j, $c, CAST(${cents(j)(c).mkString("[", ", ", "]")} AS DOUBLE[]))"
+      Map("q_pq_codes" ->
+        s"""WITH e AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE embedding IS NOT NULL),
+           cent(j, c, cv) AS (VALUES ${rows.mkString(",\n             ")}),
+           sub AS (
+             SELECT vec_id, j, list_slice(v, j * $sub + 1, j * $sub + $sub) AS sv
+             FROM e CROSS JOIN (SELECT unnest(range($m)) AS j)),
+           scored AS (
+             SELECT vec_id, j, c,
+               round(list_cosine_similarity(sv, cv), 6) AS s
+             FROM sub JOIN cent USING (j))
+           SELECT vec_id, CAST(j AS BIGINT) AS subspace, CAST(c AS BIGINT) AS code
+           FROM (
+             SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY s DESC, c) AS r
+             FROM scored)
+           WHERE r = 1""")
+    }
 
   /** The k-means fit replay shared by q_kmeans and q_semdedup_kmeans:
     * md5-draw init (rank = cluster), two Lloyd rounds with 6-decimal
@@ -238,7 +307,9 @@ object VectorQueries {
              AS r
          FROM e CROSS JOIN c2)"""
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = staticOracles ++ pqOracle
+
+  private val staticOracles: Map[String, String] = Map(
     "q_knn_brute" ->
       """SELECT vec_id, nbr_id, sim4, rn FROM (
            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pq, Similarity}
+
+/** Product quantization: fit determinism, code shape, compact/exploded
+  * parity, ADC recall above chance, and the query-side size gate.
+  */
+class PqSpec extends SparkSpec {
+
+  private lazy val e =
+    graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+  private lazy val cents = Pq.fit(e, "vec_id", "embedding", m = 4, k = 8,
+    iters = 2)
+
+  test("fit is deterministic and shaped m x k x (dim/m)") {
+    assert(cents.length === 4)
+    assert(cents.forall(_.length === 8))
+    assert(cents.forall(_.forall(_.length === 16)))
+    val again = Pq.fit(e, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    assert(cents.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
+  }
+
+  test("encode emits one code per (vector, subspace), codes within [0, k)") {
+    val n = e.count()
+    val enc = Pq.encode(e, "vec_id", "embedding", cents)
+    assert(enc.count() === n * 4)
+    val bad = enc.filter(col("code") < 0 || col("code") >= 8).count()
+    assert(bad === 0)
+    // codes actually use the codebook: more than one distinct code per
+    // subspace (a degenerate fit would collapse everything to code 0)
+    val distinctPerSub = enc.groupBy(col("subspace"))
+      .agg(countDistinct(col("code")).as("d")).collect()
+      .map(_.getLong(1))
+    assert(distinctPerSub.forall(_ >= 2))
+  }
+
+  test("compact codes frame agrees with the exploded encode") {
+    val compact = Pq.codes(e, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = Pq.encode(e, "vec_id", "embedding", cents)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      }
+    assert(compact === exploded)
+  }
+
+  test("ADC recall@3 beats chance and reruns identically") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnBruteForce(e, e, "vec_id", "embedding", 3))
+    val pq = pairs(Pq.annPq(e, e, "vec_id", "embedding", cents, k = 3))
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // ADC ranks EVERY document (no candidate pruning), so recall measures
+    // pure reconstruction quality of the 4x8 codebook on near-random
+    // 64-dim vectors; random top-3 would recall 3/500 = 0.6%.
+    assert(recall > 0.05, s"ADC recall@3 $recall")
+    val again = pairs(Pq.annPq(e, e, "vec_id", "embedding", cents, k = 3))
+    assert(pq === again)
+  }
+
+  test("query side fails fast past the broadcast gate") {
+    val err = intercept[IllegalArgumentException] {
+      Pq.annPq(e, e, "vec_id", "embedding", cents, k = 3, maxQueryRows = 10)
+    }
+    assert(err.getMessage.contains("batched query slices"))
+  }
+}
