@@ -91,6 +91,116 @@ object Dedup {
     out.drop("__fp")
   }
 
+  /** Incremental NEAR-dup suppression against a persisted signature
+    * index ([EXT]) — the MinHash sibling of [[incrementalExact]]: a new
+    * batch drops every document whose estimated Jaccard (matching
+    * MinHash components / k) against ANY indexed document reaches
+    * `threshold`; survivors' banded signatures append to the index.
+    *
+    * Index design for the one-sided-shuffle property: the band id is
+    * baked INTO the key string (`md5(band || "|" || components)`), so the
+    * index is a single-column-keyed table bucketed on `key` — the
+    * candidate equi-join and the per-key cap aggregation are both
+    * satisfied by the bucketed scan, and only the (small) batch side
+    * ever shuffles. Signatures are stored with each band row, so the
+    * verify needs no text and no second pass over history.
+    *
+    * md5 permutations (not xxhash64) keep the whole decision replayable
+    * by an independent engine — the q_incr_neardup oracle recomputes
+    * both increments in SQL. Batch documents are only checked against
+    * the index, not each other (intra-batch near-dup is [[nearDupPairs]]'
+    * job); documents with no shingles have null band keys and pass
+    * through unexamined, and never enter the index.
+    *
+    * Skew guard: index keys holding more than `maxBucket` rows are
+    * excluded from candidate generation (degenerate boilerplate bands) —
+    * the count aggregation is shuffle-free thanks to the bucketed layout.
+    */
+  def incrementalNearDupMd5(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexTable: String,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000,
+      buckets: Int = 64): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(buckets > 0 && maxBucket > 0, "buckets/maxBucket must be positive")
+    require(!batch.columns.exists(c => c == "__sig" || c == "__bk"),
+      "input must not already contain __sig/__bk columns")
+    val spark = batch.sparkSession
+    val r = k / bands
+    require(!batch.columns.contains("__sh"),
+      "input must not already contain a __sh column")
+    val withSig = Similarity.spreadIfNarrow(batch)
+      .withColumn("__sh",
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
+      .withColumn("__sig", minhashSignatureMd5(col("__sh"), k))
+      .withColumn("__bk",
+        when(coalesce(size(col("__sh")), lit(0)) === 0,
+          lit(null).cast("array<string>"))
+          .otherwise(lshBandKeysMd5(col("__sig"), bands, r)))
+      .drop("__sh")
+    val batchBands = withSig.select(col(idCol).as("__bid"),
+      col("__sig").as("__bsig"), explode(col("__bk")).as("key"))
+    val dropIds =
+      if (spark.catalog.tableExists(indexTable)) {
+        val idx = spark.table(indexTable)
+        // shuffle-free thanks to bucketBy(key): the scan satisfies the
+        // groupBy distribution, so the cap costs one pass, no exchange
+        val okKeys = idx.groupBy(col("key"))
+          .agg(count(lit(1)).as("__kn"))
+          .filter(col("__kn") <= maxBucket)
+          .select(col("key"))
+        val est = size(filter(
+          zip_with(col("__bsig"), col("sig"), (a, b) => a === b),
+          m => m)).cast("double") / lit(k.toDouble)
+        batchBands
+          .join(idx.join(okKeys, Seq("key")), Seq("key"))
+          .filter(est >= lit(threshold))
+          .select(col("__bid").as(idCol))
+          .distinct()
+      } else batchBands.limit(0).select(col("__bid").as(idCol))
+    val kept = withSig.join(dropIds, Seq(idCol), "left_anti")
+    // sever lineage BEFORE the index append (the incrementalExact rule:
+    // appending invalidates dependent caches and the result would
+    // recompute against the updated index, dropping everything)
+    val out = kept.localCheckpoint()
+    out.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
+        col("__sig").as("sig"))
+      .write.mode(if (spark.catalog.tableExists(indexTable)) "append"
+        else "overwrite")
+      .bucketBy(buckets, "key").sortBy("key")
+      .saveAsTable(indexTable)
+    out.drop("__sig", "__bk")
+  }
+
+  /** md5-permutation MinHash signature (array<string>): component `i` is
+    * the minimum md5 over `"i " + shingle` — the cross-engine-replayable
+    * variant of [[minhashSignature]] (hex strings compare identically
+    * everywhere). Empty/null shingle sets yield null components; callers
+    * null the band keys for those rows (see [[incrementalNearDupMd5]]).
+    */
+  def minhashSignatureMd5(shingleCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol,
+        s => md5(concat(i.cast("string"), lit(" "), s)))))
+
+  /** Band keys with the band id baked into the hash (array<string>):
+    * `md5(band || "|" || joined components)` — one string key per band,
+    * so downstream joins/indexes need no (band, key) composite.
+    */
+  def lshBandKeysMd5(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => md5(concat(b.cast("string"), lit("|"),
+        concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

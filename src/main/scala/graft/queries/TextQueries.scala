@@ -656,6 +656,36 @@ object TextQueries {
         .withColumn("kept",
           D.gumbelKeep(col("logratio"), col("doc_id"), threshold = 0.5))
     }),
+
+    // Incremental NEAR-dup against the banded signature index, ORACLED:
+    // increment 1 bootstraps the index with the corpus; increment 2 is a
+    // synthesized batch — exact copies (must drop), tail-extended
+    // near-dups (drop iff a band collides AND est-Jaccard clears 0.7),
+    // and vowel-rotated texts (shingles differ, kept; short texts have
+    // no shingles and pass through unexamined). DuckDB replays both
+    // increments: md5 signatures, baked-band keys, the candidate join,
+    // and the component-match estimate. (Index table state is
+    // per-invocation: dropped and rebuilt each call.)
+    "q_incr_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      s.sql("DROP TABLE IF EXISTS inc_nd_idx")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "inc_nd_idx")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.operators.Dedup.incrementalNearDupMd5(
+        docs, "text", "doc_id", "inc_nd_idx", buckets = 8)
+      val batch = docs.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" qq7x ww8y ee9z")))
+          .otherwise(translate(col("text"), "aeiou", "uoiea"))
+          .as("text"))
+      graft.operators.Dedup.incrementalNearDupMd5(
+        batch, "text", "doc_id", "inc_nd_idx", buckets = 8)
+        .select(col("doc_id"))
+    }),
   )
 
   /** One fit per (session, sf dir): q_bpe_encode and q_bpe_lossless share
@@ -1535,5 +1565,63 @@ object TextQueries {
              > CAST(0.5 AS DOUBLE) AS kept
          FROM tok LEFT JOIN rat USING (t), oov
          GROUP BY doc_id""",
+
+    // Incremental near-dup: replay both increments — md5 signatures
+    // (k=8), baked-band keys (4 bands x 2 rows), index-key cap, the
+    // candidate join, and the matching-component estimate vs 0.7.
+    "q_incr_neardup" ->
+      """WITH f AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         b AS (
+           SELECT doc_id + 100000 AS doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  WHEN doc_id % 3 = 1 THEN text || ' qq7x ww8y ee9z'
+                  ELSE translate(text, 'aeiou', 'uoiea') END AS text
+           FROM f),
+         fsh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM f),
+         bsh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM b),
+         fsig AS (
+           SELECT doc_id,
+             list_transform(range(8), i -> list_min(list_transform(s, x -> md5(i || ' ' || x)))) AS isg,
+             len(s) AS ns
+           FROM fsh),
+         bsig AS (
+           SELECT doc_id,
+             list_transform(range(8), i -> list_min(list_transform(s, x -> md5(i || ' ' || x)))) AS bsg,
+             len(s) AS ns
+           FROM bsh),
+         fb AS (
+           SELECT doc_id AS iid, isg,
+             unnest(list_transform(range(4), bb -> md5(bb || '|' || concat_ws(',', list_slice(isg, bb * 2 + 1, bb * 2 + 2))))) AS key
+           FROM fsig WHERE ns > 0),
+         okk AS (SELECT key FROM fb GROUP BY key HAVING count(*) <= 1000),
+         bb2 AS (
+           SELECT doc_id AS bid, bsg,
+             unnest(list_transform(range(4), bb -> md5(bb || '|' || concat_ws(',', list_slice(bsg, bb * 2 + 1, bb * 2 + 2))))) AS key
+           FROM bsig WHERE ns > 0),
+         cand AS (
+           SELECT DISTINCT bid
+           FROM bb2
+             JOIN (SELECT * FROM fb JOIN okk USING (key)) fi USING (key)
+           WHERE CAST(len(list_filter(generate_series(1, 8), i -> bsg[i] = fi.isg[i])) AS DOUBLE)
+               / CAST(8 AS DOUBLE) >= CAST(0.7 AS DOUBLE))
+         SELECT doc_id FROM b
+         WHERE doc_id NOT IN (SELECT bid FROM cand)""",
   )
 }
