@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column combinators for large-scale training-data pipelines
@@ -83,6 +83,60 @@ object TextAnalysis {
     when(size(sh) === 0, 0.0)
       .otherwise(lit(1.0) -
         size(array_distinct(sh)).cast("double") / size(sh))
+  }
+
+  /** Gopher-style intra-document repetition fractions ([EXT]) — the two
+    * signals [[dupShingleRatio]] cannot see because they weight by
+    * CHARACTERS, not shingle counts: `top2_frac` = fraction of the
+    * document's alphanumeric characters covered by all occurrences of
+    * its most frequent word 2-gram (tie to the lexicographically
+    * smaller gram), and `dup5_frac` = fraction covered by 5-grams that
+    * occur more than once. Loop-generated boilerplate scores near 1,
+    * natural prose near 0. Returns (idCol, top2_frac, dup5_frac,
+    * dup3_shingle_ratio) for every non-null-text document, 0.0 for
+    * documents too short to form grams.
+    *
+    * Scale shape: two exploded (doc, gram) count aggregations (map-side
+    * combined; the argmax is a min-of-struct aggregate, not a window, so
+    * nothing sorts) joined back to the narrow base — numerators are
+    * exact integer character sums, so cross-engine parity needs no
+    * float-order care.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = graft.operators.Similarity.spreadIfNarrow(
+      df.filter(col(textCol).isNotNull))
+      .select(col(idCol), tokens(col(textCol)).as("__t"),
+        length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
+          .cast("long").as("__tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def gramCounts(n: Int): DataFrame = base
+      .select(col(idCol), explode(shingles(col("__t"), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+    // chars covered by a gram's occurrences: count x alnum length (the
+    // separator spaces are not document characters)
+    def covered(c: Column, g: Column): Column =
+      c * length(translate(g, " ", "")).cast("long")
+    // argmax by (count desc, gram asc) == min of struct(-count, gram)
+    val top2 = gramCounts(2)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__c")).as("nc"), col("__g").as("g"))).as("b"))
+      .select(col(idCol),
+        covered(-col("b.nc"), col("b.g")).as("__top2num"))
+    val dup5 = gramCounts(5)
+      .filter(col("__c") >= 2)
+      .groupBy(col(idCol))
+      .agg(sum(covered(col("__c"), col("__g"))).as("__dup5num"))
+    def frac(num: Column): Column =
+      when(col("__tc") === 0, 0.0)
+        .otherwise(round(coalesce(num, lit(0L)).cast("double") /
+          col("__tc"), 4))
+    base
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol),
+        frac(col("__top2num")).as("top2_frac"),
+        frac(col("__dup5num")).as("dup5_frac"),
+        round(dupShingleRatio(col("__t")), 4).as("dup3_shingle_ratio"))
   }
 
   /** Fraction of tokens that are known stopwords (0 when no tokens). */

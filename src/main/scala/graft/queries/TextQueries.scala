@@ -686,6 +686,15 @@ object TextQueries {
         batch, "text", "doc_id", "inc_nd_idx", buckets = 8)
         .select(col("doc_id"))
     }),
+
+    // Gopher-style repetition fractions, ORACLED: characters covered by
+    // the most frequent word 2-gram and by duplicated 5-grams, plus the
+    // 3-shingle repeat ratio — the character-weighted repetition gates a
+    // quality pipeline applies before perplexity scoring. Numerators are
+    // exact integer character sums, so the only float op is one final
+    // division per column.
+    "q_repetition" -> ((s, dir) =>
+      TA.repetitionStats(t(s, dir, "documents"), "text", "doc_id")),
   )
 
   /** One fit per (session, sf dir): q_bpe_encode and q_bpe_lossless share
@@ -1623,5 +1632,61 @@ object TextQueries {
                / CAST(8 AS DOUBLE) >= CAST(0.7 AS DOUBLE))
          SELECT doc_id FROM b
          WHERE doc_id NOT IN (SELECT bid FROM cand)""",
+
+    // Repetition fractions: per-(doc, gram) counts, argmax by
+    // (count desc, gram asc), integer character numerators, one final
+    // double division per column.
+    "q_repetition" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+             CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+               AS BIGINT) AS tc
+           FROM documents WHERE text IS NOT NULL),
+         g2 AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> concat_ws(' ', t[i], t[i+1]))) AS g
+           FROM d),
+         c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         t2 AS (
+           SELECT doc_id, c * length(replace(g, ' ', '')) AS num FROM (
+             SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, g) AS rn
+             FROM c2)
+           WHERE rn = 1),
+         g5 AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS g
+           FROM d),
+         c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+         d5 AS (
+           SELECT doc_id, sum(c * length(replace(g, ' ', ''))) AS num
+           FROM c5 WHERE c >= 2 GROUP BY doc_id),
+         g3 AS (
+           SELECT doc_id, len(sh) AS ns, len(list_distinct(sh)) AS nu FROM (
+             SELECT doc_id,
+               list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS sh
+             FROM d))
+         SELECT d.doc_id,
+           CASE WHEN tc = 0 THEN CAST(0 AS DOUBLE)
+             ELSE round(CAST(coalesce(t2.num, 0) AS DOUBLE) / tc, 4)
+           END AS top2_frac,
+           CASE WHEN tc = 0 THEN CAST(0 AS DOUBLE)
+             ELSE round(CAST(coalesce(d5.num, 0) AS DOUBLE) / tc, 4)
+           END AS dup5_frac,
+           CASE WHEN ns = 0 THEN CAST(0 AS DOUBLE)
+             ELSE round(CAST(1 AS DOUBLE) - CAST(nu AS DOUBLE) / ns, 4)
+           END AS dup3_shingle_ratio
+         FROM d
+           LEFT JOIN t2 USING (doc_id)
+           LEFT JOIN d5 USING (doc_id)
+           JOIN g3 USING (doc_id)""",
   )
 }

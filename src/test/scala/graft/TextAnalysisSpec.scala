@@ -117,4 +117,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(TA.langIdHeuristic(col("s")), "le chat avec rien") === "fr")
     assert(one(TA.langIdHeuristic(col("s")), "xyzzy qwerty") === "und")
   }
+
+  test("repetitionStats: boilerplate near 1, distinct prose 0, short docs 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(20)("spam ham").mkString(" ")), // one 2-gram dominates
+      (2L, (0 until 30).map(i => s"tok$i").mkString(" ")), // all distinct
+      (3L, "only two"),  // 2-gram exists once, no 5-grams
+      (4L, "")           // no characters at all
+    ).toDF("doc_id", "text")
+    val out = TA.repetitionStats(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: "spam ham" occurs 20x and covers 140 of 140 alnum chars
+    assert(out(1L)._1 === 1.0)
+    // overlapping duplicated 5-grams can cover more than the doc once
+    assert(out(1L)._2 > 1.0)
+    assert(out(1L)._3 > 0.9)
+    // the top 2-gram exists even in distinct prose (count 1, covering
+    // just its own few characters); the DUPLICATION fractions are 0
+    assert(out(2L)._1 < 0.1 && out(2L)._2 === 0.0 && out(2L)._3 === 0.0)
+    // a single occurrence is never a duplicate, but it is the top gram
+    assert(out(3L)._1 === 1.0 && out(3L)._2 === 0.0 && out(3L)._3 === 0.0)
+    assert(out(4L) === ((0.0, 0.0, 0.0)))
+  }
 }
