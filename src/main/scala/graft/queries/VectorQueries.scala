@@ -187,6 +187,16 @@ object VectorQueries {
       graft.operators.Pq.encode(t(s, dir, "embeddings"), "vec_id",
         "embedding", fittedPq(s, dir))),
 
+    // MMR diversified re-rank, ORACLED end to end: exact top-8
+    // candidates per query, then three greedy maximal-marginal-relevance
+    // steps (λ=0.7) — each argmax on the 6-decimal score with id
+    // tie-break, redundancy updated with 6-decimal cosines. DuckDB
+    // unrolls the identical three steps as CTEs (the q_kmeans trick), so
+    // the hash gate covers the whole greedy loop.
+    "q_mmr_rerank" -> ((s, dir) =>
+      graft.operators.Mmr.rerankKnn(t(s, dir, "embeddings"), "vec_id",
+        "embedding", c = 8, k = 3, lambda = 0.7)),
+
     // Rows-only: ADC approximate top-3 under the same codebooks — the
     // compressed-domain ANN path (recall floor + determinism pinned in
     // PqSpec; the scoring decomposition is not SQL-expressible without
@@ -309,7 +319,60 @@ object VectorQueries {
 
   def oracles: Map[String, String] = staticOracles ++ pqOracle
 
+  /** One greedy MMR step as CTEs: score+rank the remaining pool, take
+    * the winner, update the redundancy term for the rest.
+    */
+  private def mmrStep(i: Int): String =
+    s"""a$i AS (
+         SELECT q_id, n_id, rel4, nv, ms6,
+           700 * rel4 - 3 * ms6 AS sc
+         FROM r${i - 1}),
+       w$i AS (
+         SELECT q_id, n_id, rel4, nv, ms6, sc,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY sc DESC, n_id) AS rn
+         FROM a$i),
+       s$i AS (
+         SELECT q_id, n_id,
+           CAST(sc AS DOUBLE) / CAST(10000000 AS DOUBLE) AS mmr6, nv
+         FROM w$i WHERE rn = 1),
+       r$i AS (
+         SELECT w.q_id, w.n_id, w.rel4, w.nv,
+           greatest(w.ms6,
+             CAST(round(round(list_cosine_similarity(w.nv, s.nv), 6)
+               * 1000000) AS BIGINT)) AS ms6
+         FROM w$i w JOIN s$i s USING (q_id) WHERE w.rn > 1)"""
+
+  private val mmrOracle: String =
+    s"""WITH knn AS (
+         SELECT q_id, n_id, sim4, nv FROM (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS sim4,
+             CAST(b.embedding AS DOUBLE[]) AS nv,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                        b.vec_id) AS rn
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id <> b.vec_id)
+         WHERE rn <= 8),
+       r0 AS (
+         SELECT q_id, n_id,
+           CAST(round(sim4 * 10000) AS BIGINT) AS rel4, nv,
+           CAST(0 AS BIGINT) AS ms6
+         FROM knn),
+       ${mmrStep(1)},
+       ${mmrStep(2)},
+       ${mmrStep(3)}
+       SELECT q_id, n_id, mmr6, CAST(1 AS BIGINT) AS rank FROM s1
+       UNION ALL
+       SELECT q_id, n_id, mmr6, CAST(2 AS BIGINT) AS rank FROM s2
+       UNION ALL
+       SELECT q_id, n_id, mmr6, CAST(3 AS BIGINT) AS rank FROM s3"""
+
   private val staticOracles: Map[String, String] = Map(
+    "q_mmr_rerank" -> mmrOracle,
     "q_knn_brute" ->
       """SELECT vec_id, nbr_id, sim4, rn FROM (
            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
