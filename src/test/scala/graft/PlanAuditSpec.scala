@@ -351,6 +351,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") === 1, p)
   }
 
+  test("q_dsir_weights: scoring is shuffle-free after the two fits") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // both model fits (source vocab/total, target counts) run eagerly
+      // at construction; the returned plan scores every doc through the
+      // literal log-ratio map plus the narrow Gumbel expression — no
+      // hash exchange, no join (the q_unigram_nll contract)
+      val plan = SparkEntry.queries("q_dsir_weights")(spark, sf)
+        .queryExecution.executedPlan
+      val hashEx = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
+      assert(hashEx.isEmpty, plan.toString)
+      assert(!plan.toString.contains("Join"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_ann_pq: queries broadcast over the streamed code table, one hash exchange") {
+    val p = plan("q_ann_pq")
+    // per-query LUTs ride the broadcast; the corpus side carries only
+    // its m codes per row into the scoring join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // graft_topk partial+final is the only hash exchange; the outer
+    // per-query aggregate reuses its q_id partitioning
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+  }
+
   test("BPE apply is one codegen'd narrow stage (no shuffle, no fallback project)") {
     // fixed merge table — the audited plan is the APPLY path, not the fit
     val df = graft.operators.Bpe.tokenize(

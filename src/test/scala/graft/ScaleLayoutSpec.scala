@@ -84,6 +84,47 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup: signature index never reshuffles for candidates") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS inc_nd_test")
+    try {
+      val doc = (s: Int) => (0 until 40).map(i => s"v${s}w$i").mkString(" ")
+      val b1 = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+      Dedup.incrementalNearDupMd5(b1, "text", "doc_id", "inc_nd_test",
+        buckets = 4)
+      // LAYOUT: the candidate join AND the per-key cap aggregation are
+      // both satisfied by the key-bucketed index scan — the only hash
+      // exchange in the probe plan moves the batch's band rows
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe =
+        try {
+          val idx = spark.table("inc_nd_test")
+          val okKeys = idx.groupBy(col("key"))
+            .agg(count(lit(1)).as("kn")).filter(col("kn") <= 1000)
+            .select(col("key"))
+          val batch = Seq((10L, doc(1) + " tail99")).toDF("doc_id", "text")
+          val bands = batch
+            .withColumn("__sh", graft.operators.TextAnalysis.shingles(
+              graft.operators.TextAnalysis.tokens(col("text"))))
+            .select(col("doc_id"),
+              Dedup.minhashSignatureMd5(col("__sh"), 8).as("bsig"))
+            .withColumn("key",
+              explode(Dedup.lshBandKeysMd5(col("bsig"), 4, 2)))
+          bands.join(idx.join(okKeys, Seq("key")), Seq("key"))
+            .queryExecution.executedPlan.toString
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(probe.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning") === 1, probe)
+      assert(probe.contains("Bucketed: true"), probe)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS inc_nd_test")
+    }
+  }
+
   test("z-order: interleave bit math, clamping, and 2-D locality") {
     import graft.operators.ZOrder
     import spark.implicits._
