@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact shared-span detection ([EXT]) — the exact-substring half of
+  * training-data dedup (the Lee et al. 2021 shape): find the longest run
+  * of tokens two documents share VERBATIM, so pipelines can strip quoted
+  * boilerplate and license blocks that near-dup signatures (whole-doc
+  * Jaccard) never see.
+  *
+  * Relational formulation (no suffix array): explode positioned L-gram
+  * seeds, equi-join them across documents, and merge adjacent seed hits
+  * into maximal spans with the DIAGONAL trick — two hits of the pair
+  * (a, b) belong to the same shared span iff they sit on the same
+  * diagonal `posA − posB` and their positions are consecutive; a run of
+  * `r` consecutive seeds on one diagonal is a shared span of
+  * `r + L − 1` tokens. Runs are islands: `posA − row_number()` within
+  * (a, b, diagonal) is constant exactly along a consecutive run.
+  *
+  * Scale shape: the L-gram seed stream is a narrow posexplode (one row
+  * per token, same bytes as the tokenized corpus); seeds are md5-hashed
+  * so the join key is 16 bytes regardless of L. The document-frequency
+  * cap drops boilerplate grams BEFORE the pair join (the standard guard
+  * that keeps a viral license paragraph from going quadratic), and every
+  * downstream window partitions by (a, b, diagonal) — match rows only,
+  * never the corpus. All arithmetic is integer, so the oracle replays
+  * bit-exactly with no rounding care.
+  */
+object SpanDedup {
+
+  /** Positioned seed grams: (idCol, __p 1-based, __g md5 of the L
+    * consecutive tokens). Documents shorter than `l` yield nothing.
+    */
+  private def seeds(df: DataFrame, textCol: String, idCol: String,
+      l: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    Similarity.spreadIfNarrow(df.filter(col(textCol).isNotNull))
+      .select(col(idCol), TextAnalysis.shingles(toks, l).as("__sh"))
+      .select(col(idCol), posexplode(col("__sh")).as(Seq("__p0", "__gs")))
+      .select(col(idCol), (col("__p0") + 1).as("__p"), md5(col("__gs")).as("__g"))
+  }
+
+  /** Longest verbatim shared token span per document pair: (id_a, id_b,
+    * max_span, n_spans) for pairs whose longest span reaches `minSpan`
+    * tokens (id_a < id_b). `maxDf` drops seed grams present in more
+    * than that many documents before pairing — raise it only with a
+    * matching oracle change.
+    */
+  def sharedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      l: Int = 5,
+      minSpan: Int = 8,
+      maxDf: Int = 50): DataFrame = {
+    require(l >= 2 && l <= 50, s"seed length l must be in [2, 50], got $l")
+    require(minSpan >= l, s"minSpan ($minSpan) must be >= l ($l)")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val s = seeds(df, textCol, idCol, l)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document-frequency cap BEFORE the self-join: a gram in > maxDf docs
+    // is boilerplate and would contribute O(df²) pair rows
+    val ok = s.groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__g"))
+    val bounded = s.join(ok, Seq("__g"))
+    val a = bounded.select(col("__g"), col(idCol).as("id_a"),
+      col("__p").as("__pa"))
+    val b = bounded.select(col("__g"), col(idCol).as("id_b"),
+      col("__p").as("__pb"))
+    // one row per (gram instance in a, gram instance in b): (pa, pb) is
+    // unique per pair because a position holds exactly one gram, so no
+    // distinct is needed and the join output feeds the window directly
+    val hits = a.join(b, Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__pa"), col("__pb"),
+        (col("__pa") - col("__pb")).as("__d"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("__d"))
+      .orderBy(col("__pa"))
+    val runs = hits
+      .withColumn("__isl", col("__pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("__d"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+      .withColumn("__span", col("__run") + lit(l - 1))
+    runs
+      .filter(col("__span") >= minSpan)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("__span")).as("max_span"),
+        count(lit(1)).as("n_spans"))
+  }
+
+  /** Per-document contamination summary over [[sharedSpans]]: for each
+    * document, the longest span it shares with ANY other document and
+    * the number of partners at or above `minSpan` — the per-doc gate a
+    * strip-or-drop decision keys on.
+    */
+  def spanContamination(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      l: Int = 5,
+      minSpan: Int = 8,
+      maxDf: Int = 50): DataFrame = {
+    val pairs = sharedSpans(df, textCol, idCol, l, minSpan, maxDf)
+    pairs
+      .select(col("id_a").as(idCol), col("max_span"),
+        col("id_b").as("partner"))
+      .unionAll(pairs.select(col("id_b").as(idCol), col("max_span"),
+        col("id_a").as("partner")))
+      .groupBy(col(idCol))
+      .agg(max(col("max_span")).as("max_span"),
+        countDistinct(col("partner")).as("n_partners"))
+  }
+}

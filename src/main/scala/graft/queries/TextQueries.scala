@@ -687,6 +687,27 @@ object TextQueries {
         .select(col("doc_id"))
     }),
 
+    // Exact shared-span detection, ORACLED: longest verbatim token run
+    // per document pair via positioned 5-gram seeds, a df-capped
+    // cross-doc equi-join, and diagonal island-merging — the
+    // exact-substring dedup shape a suffix-array pipeline computes,
+    // expressed relationally. The corpus is augmented with character
+    // substrings of the first 50 docs so partial-overlap pairs exist
+    // beyond the fixture's exact duplicates. All-integer arithmetic.
+    "q_shared_spans" -> ((s, dir) => {
+      graft.operators.SpanDedup.sharedSpans(
+        spanFixture(s, dir), "text", "doc_id",
+        l = 5, minSpan = 8, maxDf = 50)
+    }),
+
+    // Per-document contamination rollup of the same spans: longest span
+    // shared with any partner + partner count — the strip-or-drop gate.
+    "q_span_contamination" -> ((s, dir) => {
+      graft.operators.SpanDedup.spanContamination(
+        spanFixture(s, dir), "text", "doc_id",
+        l = 5, minSpan = 8, maxDf = 50)
+    }),
+
     // Gopher-style repetition fractions, ORACLED: characters covered by
     // the most frequent word 2-gram and by duplicated 5-grams, plus the
     // 3-shingle repeat ratio — the character-weighted repetition gates a
@@ -696,6 +717,17 @@ object TextQueries {
     "q_repetition" -> ((s, dir) =>
       TA.repetitionStats(t(s, dir, "documents"), "text", "doc_id")),
   )
+
+  /** Shared fixture for the span queries: the corpus plus character
+    * substrings of the first 50 docs (partial-overlap partners).
+    */
+  private def spanFixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          substring(col("text"), 41, 160).as("text")))
+  }
 
   /** One fit per (session, sf dir): q_bpe_encode and q_bpe_lossless share
     * the learned table, and Verify runs both — refitting would double the
@@ -781,6 +813,47 @@ object TextQueries {
              FROM documents d LEFT JOIN agg a USING (doc_id)""")
       }
     }
+
+  /** Shared CTE chain for the span oracles: the augmented fixture,
+    * positioned md5 5-gram seeds (generate_subscripts = 1-based
+    * position, matching Spark's posexplode + 1), the df ≤ 50 cap, the
+    * cross-doc hit join, and diagonal island runs.
+    */
+  private val spanCtes: String =
+    """WITH aug AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 200000 AS doc_id, substr(text, 41, 160) AS text
+         FROM documents WHERE doc_id < 50),
+       tk AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         FROM aug WHERE text IS NOT NULL),
+       sd AS (
+         SELECT doc_id, unnest(gl) AS g,
+           CAST(generate_subscripts(gl, 1) AS BIGINT) AS p
+         FROM (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gl
+           FROM tk)),
+       okg AS (
+         SELECT g FROM (
+           SELECT g, count(DISTINCT doc_id) AS df FROM sd GROUP BY g)
+         WHERE df <= 50),
+       bs AS (SELECT sd.* FROM sd JOIN okg USING (g)),
+       hits AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa,
+           a.p - b.p AS d
+         FROM bs a JOIN bs b USING (g)
+         WHERE a.doc_id < b.doc_id),
+       runs AS (
+         SELECT id_a, id_b, d, isl, count(*) + 4 AS span FROM (
+           SELECT id_a, id_b, d, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, d
+               ORDER BY pa) AS isl
+           FROM hits)
+         GROUP BY id_a, id_b, d, isl)"""
 
   private val staticOracles: Map[String, String] = Map(
     "q_ngram_jaccard" ->
@@ -1632,6 +1705,28 @@ object TextQueries {
                / CAST(8 AS DOUBLE) >= CAST(0.7 AS DOUBLE))
          SELECT doc_id FROM b
          WHERE doc_id NOT IN (SELECT bid FROM cand)""",
+
+    // Shared spans: positioned md5 5-gram seeds, df cap, cross-doc
+    // equi-join, diagonal islands (pa − row_number constant along a
+    // consecutive run), span = run + 4.
+    "q_shared_spans" -> (spanCtes +
+      """
+         SELECT id_a, id_b, max(span) AS max_span,
+           CAST(count(*) AS BIGINT) AS n_spans
+         FROM runs WHERE span >= 8 GROUP BY id_a, id_b"""),
+
+    "q_span_contamination" -> (spanCtes +
+      """,
+         prs AS (
+           SELECT id_a, id_b, max(span) AS max_span
+           FROM runs WHERE span >= 8 GROUP BY id_a, id_b),
+         sides AS (
+           SELECT id_a AS doc_id, max_span, id_b AS partner FROM prs
+           UNION ALL
+           SELECT id_b AS doc_id, max_span, id_a AS partner FROM prs)
+         SELECT doc_id, max(max_span) AS max_span,
+           CAST(count(DISTINCT partner) AS BIGINT) AS n_partners
+         FROM sides GROUP BY doc_id"""),
 
     // Repetition fractions: per-(doc, gram) counts, argmax by
     // (count desc, gram asc), integer character numerators, one final
