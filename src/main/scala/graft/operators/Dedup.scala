@@ -136,6 +136,15 @@ object Dedup {
     val r = k / bands
     require(!batch.columns.contains("__sh"),
       "input must not already contain a __sh column")
+    // Materialize the signatures BEFORE anything joins over them: the
+    // minhash transform is an interpreted HOF tree, and without this cut
+    // projection collapse inlines the WHOLE tree into the candidate
+    // join's filter — re-hashing every shingle of a document once per
+    // candidate row it meets (measured 26 s vs 0.3 s on a 500-doc
+    // increment). The checkpoint also severs lineage from the index
+    // table ahead of the append (the incrementalExact rule: appending
+    // invalidates dependent caches and a lazy result would recompute
+    // against the UPDATED index, dropping everything).
     val withSig = Similarity.spreadIfNarrow(batch)
       .withColumn("__sh",
         TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
@@ -145,10 +154,11 @@ object Dedup {
           lit(null).cast("array<string>"))
           .otherwise(lshBandKeysMd5(col("__sig"), bands, r)))
       .drop("__sh")
+      .localCheckpoint()
     val batchBands = withSig.select(col(idCol).as("__bid"),
       col("__sig").as("__bsig"), explode(col("__bk")).as("key"))
     val dropIds =
-      if (spark.catalog.tableExists(indexTable)) {
+      (if (spark.catalog.tableExists(indexTable)) {
         val idx = spark.table(indexTable)
         // shuffle-free thanks to bucketBy(key): the scan satisfies the
         // groupBy distribution, so the cap costs one pass, no exchange
@@ -164,19 +174,18 @@ object Dedup {
           .filter(est >= lit(threshold))
           .select(col("__bid").as(idCol))
           .distinct()
-      } else batchBands.limit(0).select(col("__bid").as(idCol))
+      } else batchBands.limit(0).select(col("__bid").as(idCol)))
+        // tiny (ids only); cuts the index-table lineage so `kept` below
+        // stays stable across the append without re-materializing it
+        .localCheckpoint()
     val kept = withSig.join(dropIds, Seq(idCol), "left_anti")
-    // sever lineage BEFORE the index append (the incrementalExact rule:
-    // appending invalidates dependent caches and the result would
-    // recompute against the updated index, dropping everything)
-    val out = kept.localCheckpoint()
-    out.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
+    kept.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
         col("__sig").as("sig"))
       .write.mode(if (spark.catalog.tableExists(indexTable)) "append"
         else "overwrite")
       .bucketBy(buckets, "key").sortBy("key")
       .saveAsTable(indexTable)
-    out.drop("__sig", "__bk")
+    kept.drop("__sig", "__bk")
   }
 
   /** md5-permutation MinHash signature (array<string>): component `i` is
