@@ -62,15 +62,31 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = md5(normalize(c))
 
   /** n-word shingles over a token array (default n=3). Docs with fewer than
-    * n tokens yield an empty array — the guard matters because Spark's
+    * n tokens yield an empty array.
+    *
+    * Dispatches to the codegen [[graft.plans.ShingleArray]] kernel (one
+    * pass over the materialized token array, string-identical output).
+    * The HOF form it replaces — `transform(sequence(1, size-n+1), i ->
+    * concat_ws(' ', toks[i..i+n-1]))` — evaluates interpreted and
+    * re-walks `element_at` (and, when `toks` is an inlined expression,
+    * the whole tokenizer) per position: measured ~20× slower as a seed/
+    * shingle producer on the sf0.1 corpus, and quadratic under explode.
+    * Falls back to that HOF only when no Spark session is active to
+    * register the function against (the guard there: Spark's
     * `sequence(1, 0)` is DESCENDING (1,0), not empty, which would index
-    * element 0 of a 1-based array.
+    * element 0 of a 1-based array).
     */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.plans.GraftFunctions.register(s)
+        call_function("graft_shingles", toks, lit(n))
+      case None =>
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    }
 
   /** Fraction of shingles that are repeats of an earlier shingle in the
     * same document (0 when shingle-less) — the intra-document repetition

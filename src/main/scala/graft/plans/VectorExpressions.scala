@@ -269,6 +269,8 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))),
     "graft_map_sum" ->
       ((exprs: Seq[Expression]) => MapSumScore(exprs(0), exprs(1))),
+    "graft_shingles" ->
+      ((exprs: Seq[Expression]) => ShingleArray(exprs(0), exprs(1))),
     "graft_bigram_nll" ->
       ((exprs: Seq[Expression]) =>
         BigramNllSum(exprs(0), exprs(1), exprs(2))),

@@ -41,6 +41,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short === Seq.empty)
   }
 
+  test("shingle kernel matches the HOF form on edges (null array, null elements, boundaries)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // HOF reference, built exactly as shingles() did before the kernel
+    def hof(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    val rows = Seq(
+      Some(Seq[String]("a", "b", "c", "d")), // normal
+      Some(Seq[String]("a", "b", "c")),      // exactly n
+      Some(Seq[String]("a", "b")),           // short
+      Some(Seq.empty[String]),               // empty
+      None)                                  // null array
+    val df = rows.toDF("t")
+    for (n <- Seq(1, 2, 3)) {
+      val got = df.select(TA.shingles(col("t"), n).as("g")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+      val exp = df.select(hof(col("t"), n).as("g")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+      assert(got.toSeq === exp.toSeq, s"n=$n")
+    }
+    // null ELEMENTS are skipped by concat_ws on both paths
+    val withNulls = spark.sql("SELECT array('a', NULL, 'c', 'd') AS t")
+    assert(withNulls.select(TA.shingles(col("t"), 3)).head().getSeq[String](0)
+      === withNulls.select(hof(col("t"), 3)).head().getSeq[String](0))
+  }
+
   test("chunkTokens: window math, clamped tail, overlap reconstruction") {
     import spark.implicits._
     def chunksOf(text: String, window: Int, overlap: Int): Seq[Seq[String]] =
