@@ -32,25 +32,16 @@ object SpanDedup {
 
   /** Positioned seed grams: (idCol, __p 1-based, __g md5 of the L
     * consecutive tokens). Documents shorter than `l` yield nothing.
-    *
-    * Built as posexplode(tokens) + `l-1` window leads rather than the
-    * shingle HOF: transform/element_at lambdas evaluate interpreted
-    * (CodegenFallback) and re-walk the token expression per position —
-    * 29.5 s vs 1.4 s measured on the sf0.1 corpus for identical output.
-    * The window costs one exchange on the document id, the same bytes
-    * the seed stream carries anyway.
+    * A zero-exchange map stage: the codegen shingle kernel builds the
+    * gram array in one pass and posexplode numbers the positions —
+    * no window, so the token stream never shuffles by document.
     */
   private def seeds(df: DataFrame, textCol: String, idCol: String,
       l: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__p0"))
-    val leads = (1 until l).map(k => lead(col("__t"), k).over(w))
     Similarity.spreadIfNarrow(df.filter(col(textCol).isNotNull))
-      .select(col(idCol), posexplode(toks).as(Seq("__p0", "__t")))
-      .select(col(idCol), col("__p0"),
-        concat_ws(" ", col("__t") +: leads: _*).as("__gs"),
-        leads.last.isNotNull.as("__full"))
-      .filter(col("__full"))
+      .select(col(idCol), TextAnalysis.shingles(toks, l).as("__sh"))
+      .select(col(idCol), posexplode(col("__sh")).as(Seq("__p0", "__gs")))
       .select(col(idCol), (col("__p0") + 1).as("__p"), md5(col("__gs")).as("__g"))
   }
 
