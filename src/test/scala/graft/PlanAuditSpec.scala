@@ -379,6 +379,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") === 1, p)
   }
 
+  test("q_shared_spans: seed build is a zero-exchange codegen map; match-side joins only") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_shared_spans")(spark, sf)
+      val p = df.queryExecution.executedPlan
+      val ps = p.toString
+      // never all-pairs: candidate pairing is an equi-join on the seed gram
+      assert(!ps.contains("CartesianProduct") &&
+        !ps.contains("BroadcastNestedLoopJoin"), ps)
+      // the persisted seed frame: union scan → tokenize → shingle kernel →
+      // posexplode → md5. Pure map stage — no exchange of any kind below it.
+      val cached = p.collect {
+        case s: InMemoryTableScanExec => s.relation.cachedPlan
+      }.map {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case q => q
+      }
+      assert(cached.nonEmpty, ps)
+      cached.foreach { c =>
+        val cs = c.toString
+        assert(cs.toLowerCase.contains("graft_shingles"), cs)
+        val roundRobinOk = c.collect { case e: ShuffleExchangeExec => e }
+          .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
+        // spreadIfNarrow's round-robin spread is the only allowed exchange
+        assert(roundRobinOk.isEmpty, cs)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("BPE apply is one codegen'd narrow stage (no shuffle, no fallback project)") {
     // fixed merge table — the audited plan is the APPLY path, not the fit
     val df = graft.operators.Bpe.tokenize(
