@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -80,4 +80,60 @@ case class ShingleArray(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleArray =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_cms_atleast(key, sketch, min)`: true iff a Count-Min sketch's
+  * estimate for `key` reaches `min` — the candidate prefilter of the
+  * heavy-hitters operator. The sketch (a `count_min_sketch(...)`
+  * aggregate result, carried as a binary literal) is deserialized once
+  * per executor from the plan; each probe is `depth` hash-and-read
+  * operations, inside WholeStageCodegen via the [[MapSumScore]]
+  * reference-object pattern.
+  *
+  * CMS estimates NEVER undercount, so filtering on this predicate keeps
+  * a superset of the true heavy keys: downstream exact counting gives an
+  * exact final answer regardless of sketch error. Probes hash the key's
+  * UTF-8 bytes — the same path `count_min_sketch` takes when adding
+  * string values, so fit and probe agree byte-for-byte.
+  */
+case class CmsAtLeast(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val keyOk = first.dataType == StringType
+    val sketchOk = second.foldable && second.dataType == BinaryType &&
+      second.eval() != null
+    val minOk = third.foldable && third.dataType == LongType &&
+      third.eval() != null
+    if (keyOk && sketchOk && minOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, non-null binary literal, non-null " +
+        s"long literal), got (${first.dataType.simpleString}, " +
+        s"${second.sql}, ${third.sql})")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_cms_atleast"
+
+  @transient private lazy val sketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      second.eval().asInstanceOf[Array[Byte]])
+  @transient private lazy val min: Long =
+    third.eval().asInstanceOf[java.lang.Long].longValue()
+
+  def probe(key: Any): Boolean =
+    sketch.estimateCount(key.asInstanceOf[UTF8String].getBytes) >= min
+
+  override protected def nullSafeEval(key: Any, sk: Any, m: Any): Any =
+    probe(key)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cms", this, classOf[CmsAtLeast].getName)
+    nullSafeCodeGen(ctx, ev, (key, _, _) => s"${ev.value} = $ref.probe($key);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): CmsAtLeast =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -716,6 +716,15 @@ object TextQueries {
     // division per column.
     "q_repetition" -> ((s, dir) =>
       TA.repetitionStats(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Exact heavy hitters, ORACLED: tokens occurring >= 40 times, found
+    // via a Count-Min prefilter + exact count on the candidates. The
+    // sketch bounds partial-agg state (tasks x candidates, not tasks x
+    // vocabulary); CMS never undercounts, so the result is exactly the
+    // plain GROUP BY/HAVING the oracle runs.
+    "q_heavy_tokens" -> ((s, dir) =>
+      graft.operators.HeavyHitters.heavyTokens(
+        t(s, dir, "documents"), "text", minCount = 40L)),
   )
 
   /** Shared fixture for the span queries: the corpus plus character
@@ -1727,6 +1736,15 @@ object TextQueries {
          SELECT doc_id, max(max_span) AS max_span,
            CAST(count(DISTINCT partner) AS BIGINT) AS n_partners
          FROM sides GROUP BY doc_id"""),
+
+    // Heavy hitters: the CMS prefilter only prunes candidates, so the
+    // exact semantics are a plain GROUP BY/HAVING.
+    "q_heavy_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents WHERE text IS NOT NULL)
+         GROUP BY token HAVING count(*) >= 40""",
 
     // Repetition fractions: per-(doc, gram) counts, argmax by
     // (count desc, gram asc), integer character numerators, one final
