@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII redaction + URL canonicalization ([EXT]) — the scrub/normalize pass a
@@ -78,4 +78,48 @@ object Redaction {
     concat(
       regexp_replace(urlHost(c), "^www\\.", ""),
       regexp_replace(urlPath(c), "/$", ""))
+
+  // ------------------------------------------------------------------
+  // Token-blocklist screening
+  // ------------------------------------------------------------------
+
+  /** Per-document blocklist screen ([EXT]): how many tokens hit a
+    * blocklist, the hit fraction, and the drop decision — the
+    * "bad-words filter" stage of a corpus-curation pipeline.
+    *
+    * The blocklist rides in the plan as a [[graft.plans.MapSumScore]]
+    * table (every entry valued 1.0, default 0.0), so the count is one
+    * codegen pass with an O(1) hash probe per token — no join, no
+    * shuffle, no per-row set broadcast; the whole screen is a narrow
+    * map stage. Blocklist entries are lowercased to match the
+    * tokenizer; documents with no tokens score 0.0 and are kept.
+    *
+    * Returns (idCol, n_flagged, n_tokens, flag_frac,
+    * blocked = flag_frac > maxFrac).
+    */
+  def blocklistScreen(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blocklist: Seq[String],
+      maxFrac: Double = 0.1): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    require(blocklist.size <= 1000000,
+      s"blocklist rides in the plan; ${blocklist.size} entries exceeds the " +
+        "1M literal bound — load larger lists as a table and Bloom-join")
+    require(maxFrac >= 0.0, s"maxFrac must be >= 0, got $maxFrac")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val table = graft.plans.ScoreTable.serialize(
+      blocklist.map(_.toLowerCase).distinct.map(_ -> 1.0), default = 0.0)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nFlagged =
+      call_function("graft_map_sum", toks, lit(table)).cast("long")
+    val nTokens = size(toks).cast("long")
+    Similarity.spreadIfNarrow(df.filter(col(textCol).isNotNull))
+      .select(col(idCol), nFlagged.as("n_flagged"), nTokens.as("n_tokens"))
+      .withColumn("flag_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_flagged").cast("double") / col("n_tokens")))
+      .withColumn("blocked", col("flag_frac") > maxFrac)
+  }
 }

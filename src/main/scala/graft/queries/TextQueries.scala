@@ -725,6 +725,15 @@ object TextQueries {
     "q_heavy_tokens" -> ((s, dir) =>
       graft.operators.HeavyHitters.heavyTokens(
         t(s, dir, "documents"), "text", minCount = 40L)),
+
+    // Token-blocklist screen, ORACLED: per-doc blocklist hit count /
+    // fraction / drop decision via the codegen literal-map kernel — a
+    // pure narrow map stage (no join, no shuffle). Blocklist words are
+    // drawn from the fixture's real vocabulary so hits actually occur.
+    "q_blocklist" -> ((s, dir) =>
+      graft.operators.Redaction.blocklistScreen(
+        t(s, dir, "documents"), "text", "doc_id",
+        Seq("slow", "merge", "hash"), maxFrac = 0.05)),
   )
 
   /** Shared fixture for the span queries: the corpus plus character
@@ -1736,6 +1745,29 @@ object TextQueries {
          SELECT doc_id, max(max_span) AS max_span,
            CAST(count(DISTINCT partner) AS BIGINT) AS n_partners
          FROM sides GROUP BY doc_id"""),
+
+    // Blocklist screen: integer hit counts; the fraction is one IEEE
+    // division (bit-stable cross-engine); CASE-guarded for tokenless
+    // docs on both sides.
+    "q_blocklist" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT doc_id,
+             CAST(len(list_filter(t,
+               x -> list_contains(['slow', 'merge', 'hash'], x))) AS BIGINT)
+               AS n_flagged,
+             CAST(len(t) AS BIGINT) AS n_tokens
+           FROM d)
+         SELECT doc_id, n_flagged, n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(n_flagged AS DOUBLE) / n_tokens END AS flag_frac,
+           CASE WHEN n_tokens = 0 THEN FALSE
+                ELSE CAST(n_flagged AS DOUBLE) / n_tokens > 0.05 END
+             AS blocked
+         FROM c""",
 
     // Heavy hitters: the CMS prefilter only prunes candidates, so the
     // exact semantics are a plain GROUP BY/HAVING.

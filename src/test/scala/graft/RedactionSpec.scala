@@ -58,4 +58,30 @@ class RedactionSpec extends SparkSpec {
     assert(one(Redaction.urlQuery(col("s")), "https://ex.com/p?a=1") === "a=1")
     assert(one(Redaction.urlPath(col("s")), "https://ex.com") === "")
   }
+
+  test("blocklistScreen counts, fractions, and gates; empty-token docs kept") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "bad word bad apple"),          // 2/4 flagged -> blocked at 0.25
+      (2L, "all clean text here"),         // 0/4
+      (3L, "BAD punctuation!!!"),          // case-folded match: 1/2
+      (4L, "...")                          // tokenless: kept, frac 0
+    ).toDF("doc_id", "text")
+    val out = Redaction.blocklistScreen(df, "text", "doc_id",
+        Seq("bad", "Evil"), maxFrac = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((2L, 4L, 0.5, true)))
+    assert(out(2L) === ((0L, 4L, 0.0, false)))
+    assert(out(3L) === ((1L, 2L, 0.5, true)))
+    assert(out(4L) === ((0L, 0L, 0.0, false)))
+  }
+
+  test("blocklistScreen is a narrow map: no exchange beyond the spread") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text").repartition(4)
+    val p = Redaction.blocklistScreen(df, "text", "doc_id", Seq("a"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
