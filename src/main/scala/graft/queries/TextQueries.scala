@@ -726,6 +726,22 @@ object TextQueries {
       graft.operators.HeavyHitters.heavyTokens(
         t(s, dir, "documents"), "text", minCount = 40L)),
 
+    // Snapshot content diff, ORACLED: the corpus vs a simulated next
+    // snapshot (doc_id % 10 == 3 dropped, % 10 == 5 edited, fresh ids
+    // appended). Both sides reduce to (id, md5 fingerprint) before the
+    // full-outer join, so the exchange carries digests, not bodies.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" revised")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      graft.operators.SnapshotDiff.diff(docs, next, "doc_id", "text")
+    }),
+
     // Token-blocklist screen, ORACLED: per-doc blocklist hit count /
     // fraction / drop decision via the codegen literal-map kernel — a
     // pure narrow map stage (no join, no shuffle). Blocklist words are
@@ -1745,6 +1761,35 @@ object TextQueries {
          SELECT doc_id, max(max_span) AS max_span,
            CAST(count(DISTINCT partner) AS BIGINT) AS n_partners
          FROM sides GROUP BY doc_id"""),
+
+    // Snapshot diff: same fingerprint both sides; `||` (not concat —
+    // DuckDB's concat swallows NULLs, Spark's propagates) keeps
+    // null-text edits null; IS NOT DISTINCT FROM = Spark's <=>.
+    "q_snapshot_diff" ->
+      """WITH o AS (
+           SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fpo,
+             TRUE AS po
+           FROM documents),
+         nx AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN text || ' revised'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 3
+           UNION ALL
+           SELECT doc_id + 500000 AS doc_id, text
+           FROM documents WHERE doc_id < 20),
+         n AS (
+           SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fpn,
+             TRUE AS pn
+           FROM nx)
+         SELECT doc_id,
+           CASE WHEN pn IS NULL THEN 'removed'
+                WHEN po IS NULL THEN 'added'
+                WHEN fpo IS NOT DISTINCT FROM fpn THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL JOIN n USING (doc_id)""",
 
     // Blocklist screen: integer hit counts; the fraction is one IEEE
     // division (bit-stable cross-engine); CASE-guarded for tokenless
