@@ -95,6 +95,58 @@ object SpanDedup {
         count(lit(1)).as("n_spans"))
   }
 
+  /** Eval-set span decontamination ([EXT]): for each TRAIN document, the
+    * longest token run it shares VERBATIM with any eval document and the
+    * number of leaking eval documents — the exact-substring
+    * decontamination gate (a contiguous 50-token quote of an eval answer
+    * is leakage even when whole-doc shingle overlap stays low; cf. the
+    * shingle-count view in `Curation.decontaminate`).
+    *
+    * Scale shape mirrors decontaminate, not [[sharedSpans]]: the eval
+    * side is size-gated and BROADCAST, so the train-side seed stream is
+    * pruned to eval-matching grams in-task — no df cap needed (per-gram
+    * fan-out is bounded by the broadcast eval side) and the only
+    * exchanges carry match rows: the run window keyed (train, eval,
+    * diagonal) and the final per-train-doc rollup.
+    *
+    * Returns (idCol, max_span, n_eval_docs) for train documents whose
+    * longest shared run reaches `minSpan`.
+    */
+  def spanContaminationVs(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      evalIdCol: String,
+      l: Int = 5,
+      minSpan: Int = 8): DataFrame = {
+    require(l >= 2 && l <= 50, s"seed length l must be in [2, 50], got $l")
+    require(minSpan >= l, s"minSpan ($minSpan) must be >= l ($l)")
+    Similarity.requireBroadcastable(evalSet, 1000000L,
+      "span-decontamination eval set", "chunked calls per eval shard")
+    val ts = seeds(docs, textCol, idCol, l)
+    val es = seeds(evalSet, textCol, evalIdCol, l)
+      .select(col(evalIdCol).as("__eid"), col("__p").as("__ep"), col("__g"))
+    val hits = ts.join(broadcast(es), Seq("__g"))
+      .select(col(idCol), col("__eid"), col("__p"),
+        (col("__p") - col("__ep")).as("__d"))
+    val w = Window.partitionBy(col(idCol), col("__eid"), col("__d"))
+      .orderBy(col("__p"))
+    // (__p, __ep) pairs are unique per (doc, eval) — a position holds one
+    // gram — but the same __p can hit several __ep on DIFFERENT diagonals;
+    // within one (doc, eval, diagonal) partition __p never repeats, so
+    // row_number gives the island offset exactly as in sharedSpans
+    hits
+      .withColumn("__isl", col("__p") - row_number().over(w))
+      .groupBy(col(idCol), col("__eid"), col("__d"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+      .withColumn("__span", col("__run") + lit(l - 1))
+      .filter(col("__span") >= minSpan)
+      .groupBy(col(idCol))
+      .agg(max(col("__span")).as("max_span"),
+        countDistinct(col("__eid")).as("n_eval_docs"))
+  }
+
   /** Per-document contamination summary over [[sharedSpans]]: for each
     * document, the longest span it shares with ANY other document and
     * the number of partners at or above `minSpan` — the per-doc gate a

@@ -708,6 +708,19 @@ object TextQueries {
         l = 5, minSpan = 8, maxDf = 50)
     }),
 
+    // Span decontamination vs a broadcast eval set, ORACLED: eval rows
+    // are character substrings of 40 corpus docs, so some train docs
+    // verbatim-quote an "eval answer". Train seeds prune in-task against
+    // the broadcast eval grams; only match rows ever shuffle.
+    "q_span_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ev = docs.filter(col("doc_id") % 12 === 7)
+        .select((col("doc_id") + 900000L).as("eval_id"),
+          substring(col("text"), 21, 200).as("text"))
+      graft.operators.SpanDedup.spanContaminationVs(
+        docs, ev, "text", "doc_id", "eval_id", l = 5, minSpan = 8)
+    }),
+
     // Gopher-style repetition fractions, ORACLED: characters covered by
     // the most frequent word 2-gram and by duplicated 5-grams, plus the
     // 3-shingle repeat ratio — the character-weighted repetition gates a
@@ -1748,6 +1761,51 @@ object TextQueries {
          SELECT id_a, id_b, max(span) AS max_span,
            CAST(count(*) AS BIGINT) AS n_spans
          FROM runs WHERE span >= 8 GROUP BY id_a, id_b"""),
+
+    // Span decontamination: same seed/diagonal algebra as spanCtes but
+    // across (train, eval); no df cap — the broadcast eval side bounds
+    // fan-out in the engine, and the oracle joins the same finite sets.
+    "q_span_decontaminate" ->
+      """WITH ev AS (
+           SELECT doc_id + 900000 AS eval_id, substr(text, 21, 200) AS text
+           FROM documents WHERE doc_id % 12 = 7),
+         ttk AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents WHERE text IS NOT NULL),
+         etk AS (
+           SELECT eval_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM ev WHERE text IS NOT NULL),
+         ts AS (
+           SELECT doc_id, unnest(gl) AS g,
+             CAST(generate_subscripts(gl, 1) AS BIGINT) AS p
+           FROM (
+             SELECT doc_id,
+               list_transform(
+                 generate_series(1, greatest(len(t) - 4, 0)),
+                 i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gl
+             FROM ttk)),
+         es AS (
+           SELECT eval_id, unnest(gl) AS g,
+             CAST(generate_subscripts(gl, 1) AS BIGINT) AS ep
+           FROM (
+             SELECT eval_id,
+               list_transform(
+                 generate_series(1, greatest(len(t) - 4, 0)),
+                 i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gl
+             FROM etk)),
+         hits AS (
+           SELECT ts.doc_id, es.eval_id, ts.p, ts.p - es.ep AS d
+           FROM ts JOIN es USING (g)),
+         runs AS (
+           SELECT doc_id, eval_id, d, isl, count(*) + 4 AS span FROM (
+             SELECT doc_id, eval_id, d, p,
+               p - row_number() OVER (PARTITION BY doc_id, eval_id, d
+                 ORDER BY p) AS isl
+             FROM hits)
+           GROUP BY doc_id, eval_id, d, isl)
+         SELECT doc_id, max(span) AS max_span,
+           CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+         FROM runs WHERE span >= 8 GROUP BY doc_id""",
 
     "q_span_contamination" -> (spanCtes +
       """,

@@ -411,6 +411,33 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q_span_decontaminate: train seeds prune against a broadcast eval side, no SMJ") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_span_decontaminate")(spark, sf)
+      val p = df.queryExecution.executedPlan
+      val ps = p.toString
+      assert(!ps.contains("SortMergeJoin") && !ps.contains("CartesianProduct"), ps)
+      val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, ps)
+      // below the broadcast join the TRAIN side is a pure map: every
+      // hash exchange in the plan sits ABOVE the prune (the run window
+      // and the final rollup), so shuffled rows are eval-matching hits
+      bhj.foreach { j =>
+        import org.apache.spark.sql.catalyst.optimizer.BuildRight
+        val probe = if (j.buildSide == BuildRight) j.left else j.right
+        val hashEx = probe.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+        assert(hashEx.isEmpty, j.toString)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("BPE apply is one codegen'd narrow stage (no shuffle, no fallback project)") {
     // fixed merge table — the audited plan is the APPLY path, not the fit
     val df = graft.operators.Bpe.tokenize(

@@ -83,4 +83,35 @@ class SpanDedupSpec extends SparkSpec {
     assert(out === Map(1L -> ((10L, 2L)), 2L -> ((10L, 2L)),
       3L -> ((10L, 2L))))
   }
+
+  test("spanContaminationVs: train doc quoting an eval answer is flagged with the run length") {
+    val evalDoc = (1 to 12).map(i => s"e${i}z")
+    val train = toksDf(
+      10L -> (fill(10, 6) ++ evalDoc.slice(0, 10) ++ fill(10, 6, 100)),
+      11L -> fill(11, 20))
+    val ev = toksDf(900L -> evalDoc)
+    val out = SpanDedup.spanContaminationVs(train, ev, "text", "doc_id",
+      "doc_id", l = 5, minSpan = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(10L -> ((10L, 1L))))
+  }
+
+  test("spanContaminationVs counts distinct leaking eval docs") {
+    val q = (1 to 9).map(i => s"q${i}z")
+    val train = toksDf(20L -> (fill(20, 4) ++ q ++ fill(20, 4, 100)))
+    val ev = toksDf(901L -> (fill(91, 3) ++ q), 902L -> (q ++ fill(92, 3)))
+    val out = SpanDedup.spanContaminationVs(train, ev, "text", "doc_id",
+      "doc_id", l = 5, minSpan = 9).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 9L && out.head.getLong(2) === 2L)
+  }
+
+  test("spanContaminationVs: sub-minSpan overlap stays clean") {
+    val q = (1 to 6).map(i => s"r${i}z")
+    val train = toksDf(30L -> (fill(30, 5) ++ q ++ fill(30, 5, 100)))
+    val ev = toksDf(903L -> (fill(93, 2) ++ q ++ fill(93, 2, 200)))
+    assert(SpanDedup.spanContaminationVs(train, ev, "text", "doc_id",
+      "doc_id", l = 5, minSpan = 8).count() === 0)
+  }
 }
