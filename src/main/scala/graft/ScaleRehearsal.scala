@@ -76,6 +76,20 @@ object ScaleRehearsal {
       numMerges = 100, budget = 2048, nShards = 8,
       outPath = s"$outDir/shards")
     val tPipeline = (System.nanoTime() - t1) / 1e9
+
+    // round-5 heavy operators at the same blowup: the span seed join
+    // (df-capped pairing over 10× the seed stream — the salt token
+    // breaks up runs, so spans come from genuine overlap, and shared
+    // grams sit at 10× their base df, stressing the cap) and the CMS
+    // heavy-hitter pass over ~10× the token stream
+    val t2 = System.nanoTime()
+    val nSpanPairs = graft.operators.SpanDedup.sharedSpans(
+      blown, "text", "doc_id", l = 5, minSpan = 8, maxDf = 50).count()
+    val tSpans = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val nHeavy = graft.operators.HeavyHitters.heavyTokens(
+      blown, "text", minCount = 40L * blowup).count()
+    val tHeavy = (System.nanoTime() - t3) / 1e9
     sampling = false
 
     // plain Double interpolation (the Bench contract): an f"%.1f" render
@@ -89,6 +103,8 @@ object ScaleRehearsal {
       s""""pipeline_sec":${r1(tPipeline)},""" +
       s""""pipeline_train_docs":${res.trainDocs},""" +
       s""""train_bins":${res.trainBins},""" +
+      s""""spans_sec":${r1(tSpans)},"span_pairs":$nSpanPairs,""" +
+      s""""heavy_sec":${r1(tHeavy)},"heavy_tokens":$nHeavy,""" +
       s""""peak_cache_bytes":$peakCache,""" +
       s""""cc_converged":true}""")
     spark.stop()
