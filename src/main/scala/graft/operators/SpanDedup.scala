@@ -160,11 +160,18 @@ object SpanDedup {
       minSpan: Int = 8,
       maxDf: Int = 50): DataFrame = {
     val pairs = sharedSpans(df, textCol, idCol, l, minSpan, maxDf)
+    // both directions via ONE explode, not a self-union: a union of two
+    // selects over `pairs` references the (unpersisted) span plan twice
+    // and evaluates the whole seed join + window chain twice with it
+    // (measured ~2× q_shared_spans in the bench sweep)
     pairs
-      .select(col("id_a").as(idCol), col("max_span"),
-        col("id_b").as("partner"))
-      .unionAll(pairs.select(col("id_b").as(idCol), col("max_span"),
-        col("id_a").as("partner")))
+      .select(explode(array(
+        struct(col("id_a").as("id"), col("max_span"),
+          col("id_b").as("partner")),
+        struct(col("id_b").as("id"), col("max_span"),
+          col("id_a").as("partner")))).as("__s"))
+      .select(col("__s.id").as(idCol), col("__s.max_span"),
+        col("__s.partner"))
       .groupBy(col(idCol))
       .agg(max(col("max_span")).as("max_span"),
         countDistinct(col("partner")).as("n_partners"))
