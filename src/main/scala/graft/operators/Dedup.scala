@@ -141,8 +141,8 @@ object Dedup {
     // projection collapse inlines the WHOLE tree into the candidate
     // join's filter — re-hashing every shingle of a document once per
     // candidate row it meets (measured 26 s vs 0.3 s on a 500-doc
-    // increment). The checkpoint also severs lineage from the index
-    // table ahead of the append (the incrementalExact rule: appending
+    // increment). Index-table lineage is severed separately by the
+    // survivor checkpoint below (the incrementalExact rule: appending
     // invalidates dependent caches and a lazy result would recompute
     // against the UPDATED index, dropping everything).
     val withSig = Similarity.spreadIfNarrow(batch)
@@ -175,17 +175,18 @@ object Dedup {
           .select(col("__bid").as(idCol))
           .distinct()
       } else batchBands.limit(0).select(col("__bid").as(idCol)))
-        // tiny (ids only); cuts the index-table lineage so `kept` below
-        // stays stable across the append without re-materializing it
-        .localCheckpoint()
-    val kept = withSig.join(dropIds, Seq(idCol), "left_anti")
-    kept.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
+    // materialize the survivor set ONCE: the index append below and every
+    // caller action read these blocks, and the checkpoint (not the
+    // dropIds subtree) severs the index-table lineage so the returned
+    // frame stays stable across the append
+    val out = withSig.join(dropIds, Seq(idCol), "left_anti").localCheckpoint()
+    out.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
         col("__sig").as("sig"))
       .write.mode(if (spark.catalog.tableExists(indexTable)) "append"
         else "overwrite")
       .bucketBy(buckets, "key").sortBy("key")
       .saveAsTable(indexTable)
-    kept.drop("__sig", "__bk")
+    out.drop("__sig", "__bk")
   }
 
   /** md5-permutation MinHash signature (array<string>): component `i` is

@@ -29,6 +29,13 @@ object HeavyHitters {
 
   /** Exact (key, cnt) for keys with `cnt >= minCount`.
     *
+    * The input is scanned twice (sketch fit, then candidate count), so
+    * the exactness guarantee requires a DETERMINISTIC frame: a
+    * nondeterministic input (`sample` without a seed, `rand()`-derived
+    * filters, a re-read of changing data) can present different rows to
+    * the two scans and silently drop a key that was light in scan 1 but
+    * heavy in scan 2 — persist such inputs first.
+    *
     * @param eps        CMS relative error: estimates overcount by at most
     *                   `eps * totalCount` with probability `confidence`.
     *                   Smaller eps = wider sketch = fewer false

@@ -92,7 +92,13 @@ object Redaction {
     * codegen pass with an O(1) hash probe per token — no join, no
     * shuffle, no per-row set broadcast; the whole screen is a narrow
     * map stage. Blocklist entries are lowercased to match the
-    * tokenizer; documents with no tokens score 0.0 and are kept.
+    * tokenizer; empty entries are dropped (the serialized table's empty
+    * key is the out-of-vocabulary default slot — a stray blank line in a
+    * blocklist file must not flag every unknown token). Documents with
+    * no tokens score 0.0 and are kept; documents with NULL text are NOT
+    * in the output at all (same contract as the other text operators) —
+    * callers gating a corpus by inner-joining the screen must union
+    * null-text rows back explicitly if they want to keep them.
     *
     * Returns (idCol, n_flagged, n_tokens, flag_frac,
     * blocked = flag_frac > maxFrac).
@@ -103,14 +109,15 @@ object Redaction {
       idCol: String,
       blocklist: Seq[String],
       maxFrac: Double = 0.1): DataFrame = {
-    require(blocklist.nonEmpty, "blocklist must not be empty")
-    require(blocklist.size <= 1000000,
-      s"blocklist rides in the plan; ${blocklist.size} entries exceeds the " +
+    val entries = blocklist.map(_.toLowerCase).filter(_.nonEmpty).distinct
+    require(entries.nonEmpty, "blocklist must have a non-empty entry")
+    require(entries.size <= 1000000,
+      s"blocklist rides in the plan; ${entries.size} entries exceeds the " +
         "1M literal bound — load larger lists as a table and Bloom-join")
     require(maxFrac >= 0.0, s"maxFrac must be >= 0, got $maxFrac")
     graft.plans.GraftFunctions.register(df.sparkSession)
     val table = graft.plans.ScoreTable.serialize(
-      blocklist.map(_.toLowerCase).distinct.map(_ -> 1.0), default = 0.0)
+      entries.map(_ -> 1.0), default = 0.0)
     val toks = TextAnalysis.tokens(col(textCol))
     val nFlagged =
       call_function("graft_map_sum", toks, lit(table)).cast("long")

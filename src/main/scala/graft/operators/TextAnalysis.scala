@@ -74,7 +74,11 @@ object TextAnalysis {
     * Falls back to that HOF only when no Spark session is active to
     * register the function against (the guard there: Spark's
     * `sequence(1, 0)` is DESCENDING (1,0), not empty, which would index
-    * element 0 of a 1-based array).
+    * element 0 of a 1-based array). Multi-session caveat: registration
+    * targets the ACTIVE session; a column built while session A is
+    * active but analyzed by session B resolves against B — call
+    * `GraftFunctions.register(B)` (idempotent, as every graft operator
+    * entry point does) before analyzing there.
     */
   def shingles(toks: Column, n: Int = 3): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {

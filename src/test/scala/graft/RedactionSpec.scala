@@ -84,4 +84,16 @@ class RedactionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("an empty blocklist entry is dropped, not treated as the OOV default") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "clean words only")).toDF("doc_id", "text")
+    // a stray blank line in a blocklist file must not flag every token
+    val out = Redaction.blocklistScreen(df, "text", "doc_id",
+      Seq("bad", "")).head()
+    assert(out.getLong(1) === 0L && !out.getBoolean(4))
+    intercept[IllegalArgumentException] {
+      Redaction.blocklistScreen(df, "text", "doc_id", Seq("", ""))
+    }
+  }
 }
