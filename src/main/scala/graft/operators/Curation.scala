@@ -38,7 +38,13 @@ object Curation {
       // Some(sep) rewrites textCol through TextAnalysis.dedupLines BEFORE
       // the quality gate (intra-doc repetition removal: token counts and
       // repetition ratios then score the cleaned page, not the boilerplate)
-      dedupLinesSep: Option[String] = None)
+      dedupLinesSep: Option[String] = None,
+      // non-empty = drop documents whose blocklisted-token fraction
+      // exceeds maxBlockFrac (the Redaction.blocklistScreen gate, fused
+      // into the same narrow predicate so batch and streaming ingest
+      // cannot drift); entries are lowercased, empty strings dropped
+      blocklist: Seq[String] = Nil,
+      maxBlockFrac: Double = 0.1)
 
   /** Eval-side leakage report: for each eval row, how many train docs
     * share at least one `shingleN`-gram with it and how many distinct
@@ -88,14 +94,29 @@ object Curation {
       Option.when(cfg.maxStopRatio < 1.0)(
         TextAnalysis.stopwordRatio(toks) <= cfg.maxStopRatio),
       Option.when(cfg.maxDupShingleRatio < 1.0)(
-        TextAnalysis.dupShingleRatio(toks) <= cfg.maxDupShingleRatio))
+        TextAnalysis.dupShingleRatio(toks) <= cfg.maxDupShingleRatio),
+      Option.when(cfg.blocklist.exists(_.nonEmpty)) {
+        // same literal-map kernel as Redaction.blocklistScreen: O(1)
+        // probe per token, stays a narrow codegen conjunct. minTokens
+        // >= 1 in any realistic config makes the 0-token division moot,
+        // but guard it anyway (0/0 would be null and null && x = null
+        // drops rows the other conjuncts accepted)
+        val table = graft.plans.ScoreTable.serialize(
+          cfg.blocklist.map(_.toLowerCase).filter(_.nonEmpty).distinct
+            .map(_ -> 1.0), default = 0.0)
+        val frac = when(size(toks) === 0, lit(0.0)).otherwise(
+          call_function("graft_map_sum", toks, lit(table)) / size(toks))
+        frac <= cfg.maxBlockFrac
+      })
     conjuncts.flatten.reduce(_ && _)
   }
 
   /** Quality + language gate (pure narrow predicate). */
   def qualityFilter(docs: DataFrame, textCol: String, langCol: String,
-      cfg: Config): DataFrame =
+      cfg: Config): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs.filter(qualityPredicate(textCol, langCol, cfg))
+  }
 
   /** Exact dedup keeping the lowest id per content fingerprint. */
   def dropExactDups(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -177,7 +177,9 @@ object StreamingScores {
         maxStopRatio = 1.0),
       watermark: String = "2 hours"): DataFrame = {
     // the SAME predicate builder as batch Curation.qualityFilter — the
-    // train-time and ingest-time gates cannot drift apart
+    // train-time and ingest-time gates cannot drift apart (register for
+    // the blocklist conjunct's literal-map kernel)
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val gated = docs
       .filter(graft.operators.Curation.qualityPredicate(textCol, langCol, cfg))
       .withColumn("__fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))

@@ -191,6 +191,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest curation applies the blocklist conjunct at the stream gate") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, String, Long)]
+    val docs = mem.toDF().toDF("ts", "text", "lang", "source_id")
+    val dim = Seq((1L, "web")).toDF("source_id", "kind")
+    val clean = (1 to 40).map("tok" + _).mkString(" ")
+    // 8 blocklisted tokens out of 48 -> frac ~0.167 > 0.1
+    val dirty = clean + " " + (1 to 8).map(_ => "banned").mkString(" ")
+
+    val query = StreamingScores.ingestCuration(
+      docs, dim, "ts", "text", "lang", "source_id",
+      cfg = graft.operators.Curation.Config(minTokens = 30,
+        maxStopRatio = 1.0, blocklist = Seq("banned"), maxBlockFrac = 0.1),
+      watermark = "1 hour")
+      .select(col("text"))
+      .writeStream.format("memory").queryName("blockgated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), clean, "en", 1L), (ts(2), dirty, "en", 1L))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT text FROM blockgated")
+        .collect().map(_.getString(0)).toSet
+      assert(got === Set(clean))
+      // batch gate agrees exactly (shared predicate builder)
+      val batch = Seq((clean, "en"), (dirty, "en")).toDF("text", "lang")
+      val kept = graft.operators.Curation.qualityFilter(batch, "text", "lang",
+        graft.operators.Curation.Config(minTokens = 30, maxStopRatio = 1.0,
+          blocklist = Seq("banned"), maxBlockFrac = 0.1))
+        .collect().map(_.getString(0)).toSet
+      assert(kept === Set(clean))
+    } finally query.stop()
+  }
+
   test("windowed data card aggregates per (window, source) across batches") {
     val sq = spark
     import sq.implicits._
