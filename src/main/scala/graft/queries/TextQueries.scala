@@ -755,6 +755,48 @@ object TextQueries {
       graft.operators.SnapshotDiff.diff(docs, next, "doc_id", "text")
     }),
 
+    // Delta curation e2e, ORACLED: month 0 bootstraps the fingerprint +
+    // signature indexes (gate -> within-increment exact keeper), month 1
+    // curates ONLY the snapshot delta against them. The simulated next
+    // snapshot exercises every path: %10==5 cosmetic append (near-dup of
+    // its own previous version -> suppressed), %10==9 vowel rotation
+    // (material rewrite -> survives), +500000 exact copies of history
+    // (exact-index drop when the source was indexed), +700000 substring
+    // docs (fresh-ish, low Jaccard -> survive). Index state is dropped
+    // and rebuilt per invocation.
+    "q_delta_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      for (tb <- Seq("dcq_fp", "dcq_sig")) {
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tb)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val next = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" revised")))
+            .when(col("doc_id") % 10 === 9,
+              translate(col("text"), "aeiou", "uoiea"))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionAll(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+            col("lang")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            substring(col("text"), 50, 260).as("text"), col("lang")))
+      val cfg = graft.operators.Curation.Config(
+        minTokens = 30, maxStopRatio = 1.0, langs = Seq("en"))
+      graft.processes.DeltaCurate.run(docs.limit(0), docs,
+        "doc_id", "text", "lang", cfg, "dcq_fp", "dcq_sig", buckets = 8)
+      graft.processes.DeltaCurate.run(docs, next,
+        "doc_id", "text", "lang", cfg, "dcq_fp", "dcq_sig", buckets = 8)
+        .survivors.select(col("doc_id"))
+    }),
+
     // Token-blocklist screen, ORACLED: per-doc blocklist hit count /
     // fraction / drop decision via the codegen literal-map kernel — a
     // pure narrow map stage (no join, no shuffle). Blocklist words are
@@ -1819,6 +1861,111 @@ object TextQueries {
          SELECT doc_id, max(max_span) AS max_span,
            CAST(count(DISTINCT partner) AS BIGINT) AS n_partners
          FROM sides GROUP BY doc_id"""),
+
+    // Delta curation: replays BOTH DeltaCurate increments — month-0 gate
+    // + within-increment exact keeper builds the index state (near-dup
+    // drops nothing against an empty index), then the month-1 delta
+    // (diff by fingerprint) is gated, exact-checked against month-0 fps,
+    // and near-dup-checked against month-0 survivors' banded md5
+    // signatures (k=8, 4 bands, est >= 0.8, cap 1000). Same machinery as
+    // the q_incr_neardup oracle.
+    "q_delta_curate" ->
+      """WITH d0 AS (SELECT doc_id, text, lang FROM documents),
+         nx AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN text || ' revised'
+                  WHEN doc_id % 10 = 9 THEN translate(text, 'aeiou', 'uoiea')
+                  ELSE text END AS text,
+             lang
+           FROM d0 WHERE doc_id % 10 <> 3
+           UNION ALL
+           SELECT doc_id + 500000 AS doc_id, text, lang
+           FROM d0 WHERE doc_id < 20
+           UNION ALL
+           SELECT doc_id + 700000 AS doc_id,
+             substr(text, 50, 260) AS text, lang
+           FROM d0 WHERE doc_id % 10 = 4),
+         o AS (SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fpo,
+             TRUE AS po FROM d0),
+         n AS (SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fpn,
+             TRUE AS pn FROM nx),
+         delta_ids AS (
+           SELECT doc_id FROM o FULL JOIN n USING (doc_id)
+           WHERE (po IS NULL AND pn IS NOT NULL)
+              OR (po IS NOT NULL AND pn IS NOT NULL
+                  AND NOT (fpo IS NOT DISTINCT FROM fpn))),
+         g0 AS (
+           SELECT doc_id, text,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+           FROM d0
+           WHERE lang = 'en' AND text IS NOT NULL
+             AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 30),
+         idx0 AS (
+           SELECT doc_id, text, fp FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id) AS rn FROM g0)
+           WHERE rn = 1),
+         g1 AS (
+           SELECT nx.doc_id, nx.text,
+             md5(regexp_replace(trim(lower(nx.text)), '\s+', ' ', 'g')) AS fp
+           FROM nx JOIN delta_ids USING (doc_id)
+           WHERE lang = 'en' AND text IS NOT NULL
+             AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 30),
+         first1 AS (
+           SELECT doc_id, text, fp FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id) AS rn FROM g1)
+           WHERE rn = 1),
+         ex1 AS (
+           SELECT doc_id, text FROM first1
+           WHERE fp NOT IN (SELECT fp FROM idx0)),
+         fsh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM idx0),
+         bsh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM ex1),
+         fsig AS (
+           SELECT doc_id,
+             list_transform(range(8), i -> list_min(list_transform(s, x -> md5(i || ' ' || x)))) AS isg,
+             len(s) AS ns
+           FROM fsh),
+         bsig AS (
+           SELECT doc_id,
+             list_transform(range(8), i -> list_min(list_transform(s, x -> md5(i || ' ' || x)))) AS bsg,
+             len(s) AS ns
+           FROM bsh),
+         fb AS (
+           SELECT doc_id AS iid, isg,
+             unnest(list_transform(range(4), bb -> md5(bb || '|' || concat_ws(',', list_slice(isg, bb * 2 + 1, bb * 2 + 2))))) AS key
+           FROM fsig WHERE ns > 0),
+         okk AS (SELECT key FROM fb GROUP BY key HAVING count(*) <= 1000),
+         bb2 AS (
+           SELECT doc_id AS bid, bsg,
+             unnest(list_transform(range(4), bb -> md5(bb || '|' || concat_ws(',', list_slice(bsg, bb * 2 + 1, bb * 2 + 2))))) AS key
+           FROM bsig WHERE ns > 0),
+         cand AS (
+           SELECT DISTINCT bid
+           FROM bb2
+             JOIN (SELECT * FROM fb JOIN okk USING (key)) fi USING (key)
+           WHERE CAST(len(list_filter(generate_series(1, 8), i -> bsg[i] = fi.isg[i])) AS DOUBLE)
+               / CAST(8 AS DOUBLE) >= CAST(0.8 AS DOUBLE))
+         SELECT doc_id FROM ex1
+         WHERE doc_id NOT IN (SELECT bid FROM cand)""",
 
     // Snapshot diff: same fingerprint both sides; `||` (not concat —
     // DuckDB's concat swallows NULLs, Spark's propagates) keeps
