@@ -237,3 +237,27 @@ object MonthlyBatchMain {
     }
   }
 }
+
+/** Incremental snapshot curation ([EXT], no reference counterpart): diff
+  * the new snapshot against the previous one and curate only the delta
+  * against the persisted dedup indexes — the monthly-churn-sized job.
+  * Writes the surviving delta as parquet under outPath.
+  */
+object DeltaCurateMain {
+  def main(args: Array[String]): Unit = {
+    Mains.need(args, 3, "prevSnapshotParquet newSnapshotParquet outPath " +
+      "[fpIndexTable sigIndexTable]")
+    val Array(prevPath, newPath, outPath) = args.take(3)
+    val fpTable = if (args.length > 3) args(3) else "graft_fp_index"
+    val sigTable = if (args.length > 4) args(4) else "graft_sig_index"
+    Mains.run("graft: delta curate") { spark =>
+      val prev = spark.read.parquet(prevPath)
+      val next = spark.read.parquet(newPath)
+      val r = DeltaCurate.run(prev, next, "doc_id", "text", "lang",
+        fpIndexTable = fpTable, sigIndexTable = sigTable)
+      r.survivors.write.mode("overwrite").parquet(outPath)
+      println(s"""{"added":${r.added},"changed":${r.changed},""" +
+        s""""removed":${r.removed},"gated":${r.gated}}""")
+    }
+  }
+}

@@ -253,6 +253,35 @@ class SinkSpec extends SparkSpec {
     SchemaTestMain.main(Array(master, tmpDir()))
   }
 
+  test("DeltaCurateMain: delta-curates two parquet snapshots end to end") {
+    import graft.processes.DeltaCurateMain
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS dcm_fp")
+    spark.sql("DROP TABLE IF EXISTS dcm_sig")
+    def doc(i: Int) = (1 to 35).map(k => s"m${i}v$k").mkString(" ")
+    val prevDir = tmpDir() + "/prev"; val newDir = tmpDir() + "/next"
+    val outDir = tmpDir() + "/delta"
+    (1 to 4).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(prevDir)
+    // next: doc 2 rewritten, doc 5 added, doc 6 an exact copy of doc 1
+    (Seq((1L, doc(1), "en"), (2L, doc(20), "en"), (3L, doc(3), "en"),
+      (4L, doc(4), "en"), (5L, doc(5), "en"), (6L, doc(1), "en")))
+      .toDF("doc_id", "text", "lang").write.parquet(newDir)
+    // bootstrap the indexes from the previous snapshot first
+    graft.processes.DeltaCurate.run(
+      spark.read.parquet(prevDir).limit(0), spark.read.parquet(prevDir),
+      "doc_id", "text", "lang",
+      fpIndexTable = "dcm_fp", sigIndexTable = "dcm_sig")
+    DeltaCurateMain.main(Array(prevDir, newDir, outDir, "dcm_fp", "dcm_sig"))
+    assert(!spark.sparkContext.isStopped)
+    val ids = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 (material rewrite) and 5 (fresh) survive; 6 hits the exact index
+    assert(ids === Set(2L, 5L))
+    spark.sql("DROP TABLE IF EXISTS dcm_fp")
+    spark.sql("DROP TABLE IF EXISTS dcm_sig")
+  }
+
   test("avro adapter falls back to the direct path when the module is absent (A1/H2)") {
     import graft.sources.AvroSource
     // this container ships no spark-avro jar; the adapter must route to
