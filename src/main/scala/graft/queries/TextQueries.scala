@@ -805,6 +805,17 @@ object TextQueries {
       graft.operators.Redaction.blocklistScreen(
         t(s, dir, "documents"), "text", "doc_id",
         Seq("slow", "merge", "hash"), maxFrac = 0.05)),
+
+    // Trained quality classifier, ORACLED end to end: logistic regression
+    // over the fitted top-32 vocabulary, two full-batch GD epochs with
+    // integer micro-unit weights (every gradient sum is an exact integer
+    // sum — associative, so cross-engine bit-identity doesn't depend on
+    // accumulation order). DuckDB unrolls the IDENTICAL fit as CTEs (the
+    // q_kmeans trick), so the hash gate covers the whole training loop.
+    "q_lr_quality" -> ((s, dir) =>
+      graft.operators.QualityClassifier.fitScore(
+        t(s, dir, "documents"), "text", "doc_id",
+        col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5)),
   )
 
   /** Shared fixture for the span queries: the corpus plus character
@@ -944,7 +955,79 @@ object TextQueries {
            FROM hits)
          GROUP BY id_a, id_b, d, isl)"""
 
+  /** One LR-fit round for the q_lr_quality replay: consumes (w{r-1},
+    * b{r-1}), emits (z{r}, g{r}, w{r}, b{r}). Weights are integer
+    * micro-units, so every sum here is exact — the only doubles are the
+    * sigmoid (identical IEEE expression both engines) and the two
+    * half-up roundings, written as floor(x + 0.5) to match Scala's
+    * convention rather than either engine's native round().
+    */
+  private def lrRoundCte(r: Int): String = {
+    val (pw, pb) = (s"w${r - 1}", s"b${r - 1}")
+    s"""z$r AS (
+           SELECT d.doc_id, d.y,
+             (SELECT b FROM $pb) + coalesce(sum($pw.w), 0) AS z
+           FROM d LEFT JOIN vt ON vt.doc_id = d.doc_id
+                  LEFT JOIN $pw ON $pw.tk = vt.tk
+           GROUP BY d.doc_id, d.y),
+         g$r AS (
+           SELECT doc_id,
+             CAST(floor((1.0/(1.0 + exp(-(z/1000000.0))) - y)*1000000.0
+               + 0.5) AS BIGINT) AS g
+           FROM z$r),
+         w$r AS (
+           SELECT $pw.tk,
+             $pw.w - CAST(floor(0.5 * coalesce(sg.sg, 0)
+                 / (SELECT CAST(n AS DOUBLE) FROM n) + 0.5) AS BIGINT) AS w
+           FROM $pw LEFT JOIN (
+             SELECT vt.tk, sum(g$r.g) AS sg
+             FROM vt JOIN g$r USING (doc_id) GROUP BY vt.tk) sg
+           ON sg.tk = $pw.tk),
+         b$r AS (
+           SELECT (SELECT b FROM $pb)
+             - CAST(floor(0.5 * (SELECT sum(g) FROM g$r)
+                 / (SELECT CAST(n AS DOUBLE) FROM n) + 0.5) AS BIGINT) AS b)"""
+  }
+
+  /** q_lr_quality: the full 2-epoch LR fit unrolled, then the scoring
+    * pass under (w2, b2). Base CTEs mirror QualityClassifier.prep/fit
+    * exactly: all documents (null text → empty token list → bias-only
+    * logit), top-32 vocabulary by (count DESC, token ASC), zero init.
+    */
+  private val lrQualityOracle: String =
+    s"""WITH d AS (
+           SELECT doc_id,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+               '[a-z0-9]+')) AS tk
+           FROM documents),
+         vocab AS (
+           SELECT tk, count(*) AS c FROM tok GROUP BY tk
+           ORDER BY c DESC, tk LIMIT 32),
+         n AS (SELECT count(*) AS n FROM documents),
+         vt AS (SELECT doc_id, tok.tk FROM tok JOIN vocab USING (tk)),
+         w0 AS (SELECT tk, CAST(0 AS BIGINT) AS w FROM vocab),
+         b0 AS (SELECT CAST(0 AS BIGINT) AS b),
+         ${lrRoundCte(1)},
+         ${lrRoundCte(2)},
+         zf AS (
+           SELECT d.doc_id, d.y,
+             (SELECT b FROM b2) + coalesce(sum(w2.w), 0) AS z
+           FROM d LEFT JOIN vt ON vt.doc_id = d.doc_id
+                  LEFT JOIN w2 ON w2.tk = vt.tk
+           GROUP BY d.doc_id, d.y)
+         SELECT doc_id,
+           round(1.0/(1.0 + exp(-(z/1000000.0))), 4) AS score,
+           CAST(CASE WHEN round(1.0/(1.0 + exp(-(z/1000000.0))), 4) >= 0.5
+             THEN 1 ELSE 0 END AS BIGINT) AS pred,
+           y
+         FROM zf"""
+
   private val staticOracles: Map[String, String] = Map(
+    "q_lr_quality" -> lrQualityOracle,
     "q_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,

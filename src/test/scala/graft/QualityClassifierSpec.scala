@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityClassifier
+
+/** Logistic-regression quality classifier: learns an obvious signal,
+  * deterministic across physical layout, bias-only scoring for empty
+  * docs, micro-unit update arithmetic, and guards.
+  */
+class QualityClassifierSpec extends SparkSpec {
+
+  // 40 "good" docs say the marker word, 40 "bad" docs never do; filler
+  // tokens are shared so only the marker separates the classes
+  private def fixture = {
+    val sq = spark
+    import sq.implicits._
+    (0 until 80).map { i =>
+      val good = i % 2 == 0
+      val filler = s"common words here batch ${i % 7}"
+      val text = if (good) s"$filler quality prose" else s"$filler junk"
+      (i.toLong, text, good)
+    }.toDF("doc_id", "text", "is_good")
+  }
+
+  test("learns the separating tokens: marker weights pull apart") {
+    val m = QualityClassifier.fit(fixture, "text", "doc_id",
+      col("is_good"), vocabSize = 16, iters = 4, lr = 1.0)
+    // both markers are frequent enough to be in the top-16 vocabulary
+    assert(m.weights.contains("quality"), m.weights.keySet.toString)
+    assert(m.weights.contains("junk"), m.weights.keySet.toString)
+    assert(m.weights("quality") > 0L, m.weights("quality").toString)
+    assert(m.weights("junk") < 0L, m.weights("junk").toString)
+    // and the fitted model separates the classes
+    val scored = QualityClassifier.score(fixture, "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val good = (0 until 80 by 2).map(i => scored(i.toLong))
+    val bad = (1 until 80 by 2).map(i => scored(i.toLong))
+    assert(good.min > bad.max,
+      s"good min ${good.min} vs bad max ${bad.max}")
+  }
+
+  test("deterministic across physical layout (repartition changes nothing)") {
+    val a = QualityClassifier.fit(fixture, "text", "doc_id",
+      col("is_good"), vocabSize = 16, iters = 2)
+    val b = QualityClassifier.fit(fixture.repartition(7), "text", "doc_id",
+      col("is_good"), vocabSize = 16, iters = 2)
+    assert(a === b)
+  }
+
+  test("null/empty text scores at the bias-only logit") {
+    val sq = spark
+    import sq.implicits._
+    val docs = Seq((1L, "quality quality quality", true),
+      (2L, null.asInstanceOf[String], false), (3L, "", false))
+      .toDF("doc_id", "text", "is_good")
+    val m = QualityClassifier.fit(docs, "text", "doc_id", col("is_good"),
+      vocabSize = 4, iters = 2)
+    val out = QualityClassifier.score(docs, "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // docs 2 and 3 both have zero tokens → identical bias-only score
+    assert(out(2L) === out(3L))
+    assert(out(1L) > out(2L))
+  }
+
+  test("zero iterations leaves the zero model: every score is 0.5") {
+    val m = QualityClassifier.fit(fixture, "text", "doc_id",
+      col("is_good"), vocabSize = 8, iters = 0)
+    assert(m.biasInt === 0L)
+    assert(m.weights.values.forall(_ === 0L))
+    val out = QualityClassifier.score(fixture, "text", "doc_id", m).collect()
+    assert(out.forall(_.getDouble(1) === 0.5))
+    assert(out.forall(_.getLong(2) === 1L)) // 0.5 >= 0.5 boundary
+  }
+
+  test("guards: vocabSize and iters bounds") {
+    intercept[IllegalArgumentException] {
+      QualityClassifier.fit(fixture, "text", "doc_id", col("is_good"),
+        vocabSize = 0)
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.fit(fixture, "text", "doc_id", col("is_good"),
+        vocabSize = 8, iters = -1)
+    }
+  }
+}
