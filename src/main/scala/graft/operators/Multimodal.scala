@@ -168,6 +168,95 @@ object Multimodal {
     }
   }
 
+  /** Parsed MP4 movie header (the video analogue of [[AudioMeta]]). */
+  final case class VideoMeta(
+      media_id: Long,
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      n_tracks: Int,
+      duration_ms: Long)
+
+  /** Real MP4/ISO-BMFF box walk, no codec library: boxes are
+    * `[BE32 size][4-char type][payload]`, with `size == 1` meaning a
+    * BE64 largesize follows the type and `size == 0` meaning the box
+    * runs to end of buffer. Reads the `ftyp` major brand, then walks the
+    * `moov` container for `mvhd` (version 0: timescale BE32 at payload
+    * +12, duration BE32 at +16; version 1: BE32 at +20, BE64 at +24)
+    * and counts `trak` children. Returns None for non-BMFF input or any
+    * malformed size that would walk out of bounds — offsets advance in
+    * Long so a corrupt declared size cannot wrap an Int index.
+    */
+  def mp4Meta(bytes: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= bytes.length)
+        new String(bytes.slice(i, i + 4), "US-ASCII")
+      else ""
+    // walk the box list in [from, until); false on any malformed size
+    def walk(from: Long, until: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val sz0 = be32(i.toInt)
+        val typ = tag(i.toInt + 4)
+        var hdr = 8L
+        var sz = sz0
+        if (sz0 == 1L) {
+          if (i + 16 > until) return false
+          sz = be64(i.toInt + 8); hdr = 16L
+        } else if (sz0 == 0L) sz = until - i
+        if (sz < hdr || i + sz > until) return false
+        f(typ, i + hdr, i + sz)
+        i += sz
+      }
+      true
+    }
+    var brand: Option[String] = None
+    var mvhd: Option[(Long, Long)] = None
+    var tracks = 0
+    var wellFormed = true
+    val okTop = walk(0L, bytes.length.toLong) { (typ, ps, pe) =>
+      if (typ == "ftyp" && brand.isEmpty && ps + 4 <= pe)
+        brand = Some(tag(ps.toInt))
+      if (typ == "moov") {
+        val okMoov = walk(ps, pe) { (t2, q, qe) =>
+          if (t2 == "mvhd" && mvhd.isEmpty && q < qe) {
+            val v = u8(q.toInt)
+            if (v == 0 && q + 20 <= qe)
+              mvhd = Some((be32(q.toInt + 12), be32(q.toInt + 16)))
+            else if (v == 1 && q + 32 <= qe)
+              mvhd = Some((be32(q.toInt + 20), be64(q.toInt + 24)))
+          }
+          if (t2 == "trak") tracks += 1
+        }
+        if (!okMoov) wellFormed = false
+      }
+    }
+    if (!okTop || !wellFormed) None
+    else for { b <- brand; (ts, d) <- mvhd } yield (b, ts, d, tracks)
+  }
+
+  /** MP4 movie-header metadata per media record; duration in both mvhd
+    * units and floor milliseconds (`duration * 1000 / timescale`).
+    * Records that do not parse, or declare a zero timescale, are dropped.
+    */
+  def videoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        val bytes = if (m.content == null) Array.empty[Byte] else m.content
+        mp4Meta(bytes).collect {
+          case (b, ts, d, n) if ts > 0L =>
+            VideoMeta(m.media_id, b, ts, d, n, d * 1000L / ts)
+        }
+      }
+    }
+  }
+
   /** Build an opaque-binary media frame from any string column (the test
     * corpus carries no real media; utf-8 bytes stand in for the payload).
     */

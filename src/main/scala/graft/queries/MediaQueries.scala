@@ -92,6 +92,47 @@ object MediaQueries {
         "doc_id", "payload", "media_type", "source")
       Multimodal.audioMeta(media).toDF()
     }),
+
+    // ORACLED video decode: minimal ISO-BMFF files synthesized in-plan
+    // (big-endian hex: ftyp with a fixture-derived brand, moov holding a
+    // version-0 mvhd plus 1-3 empty trak boxes), then Multimodal.mp4Meta
+    // walks the real box tree and recovers brand/timescale/duration/
+    // track count. DuckDB predicts every field from the synthesis
+    // formulas, so a box-walk or endianness bug hash-mismatches.
+    "q_video_meta" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      def be32h(v: Column): Column = lpad(hex(v), 8, "0")
+      val timescale = ((col("doc_id") % 4 + 1) * 600).cast("long")
+      val duration = (coalesce(col("n_chars"), lit(0L)) * 100).cast("long")
+      val nTracks = (col("doc_id") % 3 + 1).cast("int")
+      val brandHex = when(col("doc_id") % 2 === 0, "69736F6D") // isom
+        .otherwise("6D703432")                                 // mp42
+      val ftypHex = concat(
+        lit("00000010" + "66747970"), brandHex, lit("00000200"))
+      val mvhdHex = concat(
+        lit("0000006C" + "6D766864" + "00000000" + // v0, flags
+          "00000000" + "00000000"),                // creation, modification
+        be32h(timescale), be32h(duration),
+        lit("00010000" + "01000000" +              // rate 1.0, volume, pad
+          "0000000000000000" +                     // reserved
+          "000100000000000000000000" +             // identity matrix (36 B)
+          "000000000001000000000000" +
+          "000000000000000040000000" +
+          "000000000000000000000000" +             // pre_defined (24 B)
+          "000000000000000000000000" +
+          "00000003"))                             // next_track_id
+      val trakHex = when(nTracks === 1, "000000087472616B")
+        .when(nTracks === 2, "000000087472616B" * 2)
+        .otherwise("000000087472616B" * 3)
+      val moovHex = concat(
+        be32h(lit(116L) + nTracks * 8), lit("6D6F6F76"), mvhdHex, trakHex)
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents")
+          .withColumn("media_type", lit("video"))
+          .withColumn("payload", unhex(concat(ftypHex, moovHex))),
+        "doc_id", "payload", "media_type", "source")
+      Multimodal.videoMeta(media).toDF()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,6 +164,19 @@ object MediaQueries {
            CAST((coalesce(n_chars, 0) * 4 * 1000) //
              ((doc_id % 5 + 1) * 8000 * (doc_id % 2 + 1) * 2) AS BIGINT)
              AS duration_ms
+         FROM documents""",
+
+    // MP4: every parsed field predicted from the synthesis formulas;
+    // duration_ms is floor(duration*1000/timescale), integer // on both
+    // sides.
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           CAST((doc_id % 4 + 1) * 600 AS BIGINT) AS timescale,
+           CAST(coalesce(n_chars, 0) * 100 AS BIGINT) AS duration,
+           CAST(doc_id % 3 + 1 AS INTEGER) AS n_tracks,
+           CAST((coalesce(n_chars, 0) * 100 * 1000) //
+             ((doc_id % 4 + 1) * 600) AS BIGINT) AS duration_ms
          FROM documents""",
   )
 }

@@ -173,6 +173,84 @@ class MultimodalSpec extends SparkSpec {
       m.data_bytes === 44101L && m.duration_ms === 1000L)
   }
 
+  test("mp4Meta walks the box tree: v0/v1 mvhd, largesize, junk rejected") {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length) // BE by default
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def ftyp(brand: String): Array[Byte] =
+      box("ftyp", brand.getBytes("US-ASCII") ++ new Array[Byte](4))
+    def mvhd0(ts: Int, dur: Int): Array[Byte] = {
+      val p = ByteBuffer.allocate(100)
+      p.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+      box("mvhd", p.array())
+    }
+    val trak = box("trak", Array.empty)
+    val v0 = ftyp("isom") ++ box("free", new Array[Byte](4)) ++
+      box("moov", mvhd0(600, 1234) ++ trak ++ trak)
+    assert(Multimodal.mp4Meta(v0) === Some(("isom", 600L, 1234L, 2)))
+
+    // version-1 mvhd: 64-bit duration past 2^32
+    val bigDur = 5000000000L
+    val p1 = ByteBuffer.allocate(32)
+    p1.putInt(0x01000000).putLong(0L).putLong(0L)
+      .putInt(90000).putLong(bigDur)
+    val v1 = ftyp("mp42") ++ box("moov", box("mvhd", p1.array()) ++ trak)
+    assert(Multimodal.mp4Meta(v1) === Some(("mp42", 90000L, bigDur, 1)))
+
+    // size == 1 → BE64 largesize header on a skipped box
+    val freeBody = new Array[Byte](4)
+    val large = ByteBuffer.allocate(16 + freeBody.length)
+    large.putInt(1).put("free".getBytes("US-ASCII"))
+      .putLong(16L + freeBody.length).put(freeBody)
+    assert(Multimodal.mp4Meta(
+      large.array() ++ ftyp("isom") ++ box("moov", mvhd0(10, 20))) ===
+      Some(("isom", 10L, 20L, 0)))
+
+    // junk, truncation, corrupt sizes: None, no exceptions
+    assert(Multimodal.mp4Meta("not a video file".getBytes) === None)
+    assert(Multimodal.mp4Meta(Array[Byte]()) === None)
+    assert(Multimodal.mp4Meta(v0.take(20)) === None) // moov lost
+    val overrun = ByteBuffer.allocate(16)
+    overrun.putInt(0x7fffffff).put("mdat".getBytes("US-ASCII"))
+      .putInt(0).putInt(0)
+    assert(Multimodal.mp4Meta(ftyp("isom") ++ overrun.array()) === None)
+    val tiny = ByteBuffer.allocate(8)
+    tiny.putInt(3).put("mdat".getBytes("US-ASCII")) // size < header
+    assert(Multimodal.mp4Meta(ftyp("isom") ++ tiny.array()) === None)
+    // malformed moov child poisons the parse, not just the child
+    val badChild = ByteBuffer.allocate(8)
+    badChild.putInt(0x7fffffff).put("trak".getBytes("US-ASCII"))
+    assert(Multimodal.mp4Meta(
+      ftyp("isom") ++ box("moov", mvhd0(10, 20) ++ badChild.array())) === None)
+  }
+
+  test("videoMeta computes floor-millisecond durations from mvhd units") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val p = ByteBuffer.allocate(100)
+    p.putInt(0).putInt(0).putInt(0).putInt(600).putInt(601)
+    val mp4 = box("ftyp", "isom".getBytes ++ new Array[Byte](4)) ++
+      box("moov", box("mvhd", p.array()) ++ box("trak", Array.empty))
+    val docs = Seq((9L, mp4, "video", "s"), (10L, "junk".getBytes, "video", "s"))
+      .toDF("doc_id", "payload", "mt", "source")
+    val out = Multimodal.videoMeta(
+      Multimodal.asMedia(docs, "doc_id", "payload", "mt", "source"))
+      .collect()
+    assert(out.length === 1) // the junk row is dropped
+    val m = out.head
+    // 601 units at 600/s → floor(1001.67 ms) = 1001
+    assert(m.media_id === 9L && m.brand === "isom" && m.timescale === 600L &&
+      m.duration === 601L && m.n_tracks === 1 && m.duration_ms === 1001L)
+  }
+
   test("resizeStub truncates payloads without dropping rows") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 100, "image", "s")).toDF("doc_id", "text", "mt", "source")
