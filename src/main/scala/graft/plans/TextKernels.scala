@@ -137,3 +137,93 @@ case class CmsAtLeast(first: Expression, second: Expression,
       newThird: Expression): CmsAtLeast =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** `graft_strip_lines(text, table)`: remove corpus-boilerplate lines from a
+  * document in one codegen pass — the apply kernel of
+  * [[graft.operators.Boilerplate]]. `table` is a [[ScoreTable]]-serialized
+  * literal whose KEYS are the trimmed boilerplate lines (values unused);
+  * the kernel splits on `\n` (trailing empties kept, like Spark's `split`
+  * and DuckDB's `string_split`), drops every line whose space-trimmed form
+  * is a non-empty key of the set, and rejoins with `\n`. Returns
+  * `struct<clean: string, dropped: int>` so the caller gets the cleaned
+  * text and the per-document drop count from the same pass.
+  *
+  * Blank (trim-empty) lines are NEVER dropped — the empty string is
+  * [[ScoreTable.DefaultKey]] and boilerplate discovery excludes it, so a
+  * document's paragraph structure survives cleaning.
+  *
+  * The set rides the plan as one literal and is parsed once per executor
+  * via the [[MapSumScore]] reference-object pattern; per-row work is one
+  * split + one hash probe per line, inside WholeStageCodegen — no explode,
+  * no join, no shuffle.
+  */
+case class StripLines(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val textOk = left.dataType == StringType
+    val tableOk = right.foldable && right.dataType == StringType &&
+      right.eval() != null
+    if (textOk && tableOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, non-null string literal), got " +
+        s"(${left.dataType.simpleString}, ${right.sql})")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("dropped", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_strip_lines"
+
+  @transient private lazy val lineSet: java.util.HashSet[String] = {
+    val (m, _) = ScoreTable.parse(right.eval().asInstanceOf[UTF8String].toString)
+    new java.util.HashSet[String](m.keySet())
+  }
+
+  /** Space-only trim (ASCII 0x20), matching DuckDB's `trim(s, ' ')` — NOT
+    * Java's `String.trim`, which also strips control characters.
+    */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    if (from == 0 && to == s.length) s else s.substring(from, to)
+  }
+
+  def build(textRaw: Any): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = textRaw.asInstanceOf[UTF8String].toString
+    // limit -1: trailing empty lines survive, like split('a\n','\n')
+    val lines = text.split("\n", -1)
+    val kept = new java.lang.StringBuilder(text.length)
+    var dropped = 0
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val key = trimSpaces(lines(i))
+      if (key.nonEmpty && lineSet.contains(key)) {
+        dropped += 1
+      } else {
+        if (!first) kept.append('\n')
+        kept.append(lines(i))
+        first = false
+      }
+      i += 1
+    }
+    val clean = if (dropped == 0) textRaw.asInstanceOf[UTF8String]
+      else UTF8String.fromString(kept.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](clean, dropped))
+  }
+
+  override protected def nullSafeEval(text: Any, table: Any): Any = build(text)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stripper", this, classOf[StripLines].getName)
+    nullSafeCodeGen(ctx, ev, (text, _) => s"${ev.value} = $ref.build($text);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StripLines =
+    copy(left = newLeft, right = newRight)
+}

@@ -273,6 +273,8 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => ShingleArray(exprs(0), exprs(1))),
     "graft_cms_atleast" ->
       ((exprs: Seq[Expression]) => CmsAtLeast(exprs(0), exprs(1), exprs(2))),
+    "graft_strip_lines" ->
+      ((exprs: Seq[Expression]) => StripLines(exprs(0), exprs(1))),
     "graft_bigram_nll" ->
       ((exprs: Seq[Expression]) =>
         BigramNllSum(exprs(0), exprs(1), exprs(2))),

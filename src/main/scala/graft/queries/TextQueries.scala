@@ -739,6 +739,27 @@ object TextQueries {
       graft.operators.HeavyHitters.heavyTokens(
         t(s, dir, "documents"), "text", minCount = 40L)),
 
+    // Boilerplate line removal, ORACLED: any line appearing
+    // (space-trimmed) in >= 20 distinct documents is stripped from every
+    // document, order preserved. Line structure is synthesized in-query
+    // (the fixture is single-line): one of 7 shared promo headers, the
+    // original text, then a shared newsletter footer on every third doc
+    // or a unique tail otherwise — so discovery must find exactly the
+    // headers + the footer and cleaning must keep the rest intact.
+    "q_boilerplate" -> ((s, dir) => {
+      val src = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("promo header "), (col("doc_id") % 7).cast("string")),
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("subscribe to our newsletter"))
+              .otherwise(concat(lit("unique tail "),
+                col("doc_id").cast("string")))).as("text"))
+      graft.operators.Boilerplate.stripBoilerplate(
+        src, "doc_id", "text", minDocs = 20L)
+    }),
+
     // Snapshot content diff, ORACLED: the corpus vs a simulated next
     // snapshot (doc_id % 10 == 3 dropped, % 10 == 5 edited, fresh ids
     // appended). Both sides reduce to (id, md5 fingerprint) before the
@@ -2110,6 +2131,30 @@ object TextQueries {
            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
            FROM documents WHERE text IS NOT NULL)
          GROUP BY token HAVING count(*) >= 40""",
+
+    // Boilerplate removal: replay discovery (distinct-doc count per
+    // trimmed line, blank + tab-bearing lines excluded) and cleaning
+    // (list_filter keeps blank lines and non-heavy lines; DuckDB lambdas
+    // stay on one line — the parser rejects newline-split lambda bodies).
+    "q_boilerplate" ->
+      """WITH src AS (
+           SELECT doc_id,
+             'promo header ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             text || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+                  ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END AS text
+           FROM documents WHERE text IS NOT NULL),
+         heavy AS (
+           SELECT k FROM (
+             SELECT doc_id, trim(ln, ' ') AS k
+             FROM src, UNNEST(string_split(text, chr(10))) AS t(ln))
+           WHERE k <> '' AND NOT contains(k, chr(9))
+           GROUP BY k HAVING count(DISTINCT doc_id) >= 20),
+         hv AS (SELECT coalesce(list(k), []) AS h FROM heavy)
+         SELECT doc_id,
+           array_to_string(list_filter(string_split(text, chr(10)), x -> trim(x, ' ') = '' OR NOT list_contains(h, trim(x, ' '))), chr(10)) AS clean_text,
+           CAST(len(string_split(text, chr(10))) - len(list_filter(string_split(text, chr(10)), x -> trim(x, ' ') = '' OR NOT list_contains(h, trim(x, ' ')))) AS BIGINT) AS n_dropped
+         FROM src, hv""",
 
     // Repetition fractions: per-(doc, gram) counts, argmax by
     // (count desc, gram asc), integer character numerators, one final

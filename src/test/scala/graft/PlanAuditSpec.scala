@@ -139,6 +139,25 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q_boilerplate: cleaning is shuffle-free (literal line set, one pass per doc)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // discovery (CMS fit + candidate doc-frequency count) runs eagerly
+      // and may shuffle; the returned CLEANING plan must carry no hash
+      // exchange — the fitted set is a plan literal probed by the
+      // graft_strip_lines kernel, no explode, no join. Round-robin
+      // spread of the narrow scan is the one allowed exchange.
+      val plan = SparkEntry.queries("q_boilerplate")(spark, sf)
+        .queryExecution.executedPlan
+      val hashEx = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
+      assert(hashEx.isEmpty, plan.toString)
+      assert(!plan.toString.contains("Join"), plan.toString)
+      assert(plan.toString.contains("graft_strip_lines"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q_decontaminate: train side never shuffles before the final count") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
