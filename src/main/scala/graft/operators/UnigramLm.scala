@@ -155,4 +155,54 @@ object UnigramLm {
             / (size(col("__t")) - 1), 4).as("avg_nll2"),
         (size(col("__t")) - 1).cast("long").as("n_pairs"))
   }
+
+  /** CCNet-style perplexity bucketing ([EXT]): score every document with
+    * the fitted unigram model, fit head/middle/tail thresholds as exact
+    * order statistics of a bounded DETERMINISTIC sample, and label each
+    * document by threshold comparison — the standard quality-tiering step
+    * before mixture sampling (Wenzek et al. 2020 bucket fluent text into
+    * head/middle/tail by LM perplexity and train preferentially on head).
+    *
+    * Scale design (100 TB):
+    *  - scoring is [[scores]] — a narrow literal-map fold, zero shuffles;
+    *  - the threshold fit never sorts the corpus: the sample is the first
+    *    `sampleSize` documents in md5(id) hex order (a per-partition
+    *    top-K merge, no global sort) and its scores are a bounded
+    *    collect, exactly how CCNet fits thresholds on a held-out slice;
+    *  - thresholds become plan LITERALS, so bucket assignment is one
+    *    comparison per row off the scan.
+    *
+    * Determinism: avg_nll is 4-decimal-rounded (cross-engine exact),
+    * quantile ranks use integer ceil arithmetic (`(n·pct + 99) / 100` —
+    * no float frac·n ulp hazard), and the md5 draw is a hex-string order
+    * — every stage replays bit-identically in the DuckDB oracle.
+    *
+    * @param headPct percentile (1-99) of the sample at or below which a
+    *                score is "head"; `headPct + midPct <= 99`.
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 1000, sampleSize: Int = 1000,
+      headPct: Int = 30, midPct: Int = 30): DataFrame = {
+    require(sampleSize >= 1, s"sampleSize must be positive, got $sampleSize")
+    require(headPct >= 1 && midPct >= 1 && headPct + midPct <= 99,
+      s"percent bounds out of range: head $headPct mid $midPct")
+    val scored = scores(docs, textCol, idCol, vocabSize)
+    val sample = scored
+      .orderBy(md5(col(idCol).cast("string")))
+      .limit(sampleSize)
+      .select(col("avg_nll"))
+      .collect().map(_.getDouble(0)).sorted
+    if (sample.isEmpty) {
+      return docs.select(col(idCol), lit(0.0).as("avg_nll"),
+        lit("").as("bucket")).limit(0)
+    }
+    val n = sample.length
+    def at(pct: Int): Double = sample((n * pct + 99) / 100 - 1)
+    val tHead = at(headPct)
+    val tMid = at(headPct + midPct)
+    scored.select(col(idCol), col("avg_nll"),
+      when(col("avg_nll") <= tHead, "head")
+        .when(col("avg_nll") <= tMid, "middle")
+        .otherwise("tail").as("bucket"))
+  }
 }

@@ -301,6 +301,15 @@ object TextQueries {
     // ORACLED unigram-LM scoring: corpus-fit top-1000 vocabulary becomes a
     // literal map, scoring is a narrow per-doc fold (no join/shuffle —
     // see UnigramLm scaladoc); DuckDB refits the same model relationally.
+    // CCNet-style perplexity bucketing, ORACLED through the whole chain:
+    // unigram fit -> narrow scoring -> threshold fit on the first 200
+    // docs in md5(id) order (exact order statistics, integer ceil
+    // ranks) -> literal-comparison bucket labels.
+    "q_ppl_buckets" -> ((s, dir) =>
+      graft.operators.UnigramLm.perplexityBuckets(
+        t(s, dir, "documents"), "text", "doc_id",
+        vocabSize = 1000, sampleSize = 200, headPct = 30, midPct = 30)),
+
     "q_unigram_nll" -> ((s, dir) => {
       graft.operators.UnigramLm.scores(
         t(s, dir, "documents"), "text", "doc_id")
@@ -1358,6 +1367,41 @@ object TextQueries {
              AS n_chunk_tokens,
            list_slice(t, ci*32 + 1, ci*32 + 40)[1] AS head_tok
          FROM c""",
+
+    // Perplexity buckets: refit the unigram model (same CTEs as
+    // q_unigram_nll), replay the md5-ordered 200-doc sample, pick the
+    // 30th/60th percentile thresholds by integer ceil rank, label.
+    "q_ppl_buckets" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+           FROM documents),
+         cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 1000),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt),
+         scored AS (
+           SELECT doc_id,
+             round(avg(-ln(coalesce(v.c, 1) / tot.total)), 4) AS avg_nll
+           FROM tok LEFT JOIN vocab v USING (t), tot
+           GROUP BY doc_id),
+         samp AS (
+           SELECT avg_nll FROM scored
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 200),
+         ord AS (
+           SELECT avg_nll, row_number() OVER (ORDER BY avg_nll) AS rn,
+             count(*) OVER () AS n
+           FROM samp),
+         th AS (SELECT
+           max(CASE WHEN rn = (n * 30 + 99) // 100 THEN avg_nll END)
+             AS t_head,
+           max(CASE WHEN rn = (n * 60 + 99) // 100 THEN avg_nll END)
+             AS t_mid
+           FROM ord)
+         SELECT doc_id, avg_nll,
+           CASE WHEN avg_nll <= t_head THEN 'head'
+                WHEN avg_nll <= t_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM scored, th""",
 
     "q_unigram_nll" ->
       """WITH tok AS (

@@ -610,6 +610,42 @@ class OperatorSpec extends SparkSpec {
     assert(v1.head === "the") // most frequent token wins slot 0
   }
 
+  test("perplexityBuckets: exact sample order statistics, monotone labels") {
+    import graft.operators.UnigramLm
+    import spark.implicits._
+    // 20 docs: 10 fluent (shared vocab), 10 increasingly OOV-laden
+    val docs = (0 until 20).map { i =>
+      val text = if (i < 10) "the cat sat on the mat and the dog ran"
+        else ("the cat " + (0 until i).map(j => s"zq${i}x$j").mkString(" "))
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val out = UnigramLm.perplexityBuckets(docs, "text", "doc_id",
+        vocabSize = 50, sampleSize = 20, headPct = 30, midPct = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.length === 20)
+    // bucket is monotone in avg_nll: every head score <= every middle
+    // score <= every tail score
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // thresholds are the ceil-rank order stats of the full sample here
+    // (sampleSize = corpus): rank ceil(20*.3)=6 → 6 head docs at most
+    // (ties can add more); fluent docs all land in head
+    assert((0 until 10).forall(i =>
+      out.find(_._1 == i.toLong).get._3 == "head"))
+    // deterministic across runs
+    val again = UnigramLm.perplexityBuckets(docs, "text", "doc_id",
+        vocabSize = 50, sampleSize = 20, headPct = 30, midPct = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // bounds enforced
+    intercept[IllegalArgumentException] {
+      UnigramLm.perplexityBuckets(docs, "text", "doc_id",
+        headPct = 60, midPct = 50)
+    }
+  }
+
   test("semanticDedup keeps one representative per cell; identical vectors collapse") {
     import graft.operators.Similarity
     import spark.implicits._
