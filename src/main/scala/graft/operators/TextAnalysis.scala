@@ -262,4 +262,71 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(31L) +
         pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), p), p))
   }
+
+  /** The Gopher rule suite ([EXT]): the seven document-level quality gates
+    * of Rae et al. 2021 (§A1.1) as one narrow pass — word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio, bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and minimum
+    * stopword presence — emitted as a per-rule breakdown plus the
+    * conjunction, so a pipeline can both gate (`pass`) and audit which
+    * rule fired (the per-rule columns feed the data-card rollup).
+    *
+    * Every threshold comparison is INTEGER cross-multiplied (e.g. "mean
+    * word length in [3,10]" is `3·n_words <= n_chars <= 10·n_words`), so
+    * there is no float division anywhere and the gate replays bit-exactly
+    * in any engine. Words are maximal `\S+` runs; alphabetic words are
+    * counted with a single global regex (`\S*[A-Za-z]\S*` — a leftmost-
+    * greedy match consumes the whole run, so matches = runs containing a
+    * letter) instead of a per-word interpreted HOF filter; stopword
+    * presence is eight independent boundary-regex probes. All of it is
+    * codegen expressions off the scan: zero shuffles, zero HOFs.
+    *
+    * Null text is treated as empty (fails the word-count gate). The
+    * stopword probe requires whitespace adjacency ("the," does not
+    * count) — identical on both engines, documented deviation from a
+    * tokenizer-based count.
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"bad word-count bounds [$minWords, $maxWords]")
+    val t = coalesce(col(textCol), lit(""))
+    val nWords = size(regexp_extract_all(t, lit("\\S+"), lit(0))).cast("long")
+    // sum of word lengths = all non-whitespace characters
+    val nChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val nLines = size(split(t, "\n")).cast("long")
+    val hashCnt = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val uellCnt = (length(t) - length(regexp_replace(t, "…", ""))).cast("long")
+    val dellCnt = floor((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val symbolCnt = hashCnt + uellCnt + dellCnt
+    val bulletLines = size(regexp_extract_all(t,
+      lit("(?m)^[ \\t]*[-*•]"), lit(0))).cast("long")
+    val ellLines = size(regexp_extract_all(t,
+      lit("(?m)(\\.\\.\\.|…)[ \\t]*$"), lit(0))).cast("long")
+    val alphaWords = size(regexp_extract_all(t,
+      lit("\\S*[A-Za-z]\\S*"), lit(0))).cast("long")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map { w =>
+      when(lower(t).rlike("(^|\\s)" + w + "(\\s|$)"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val rWords = nWords >= minWords && nWords <= maxWords
+    val rMeanLen = lit(3L) * nWords <= nChars && nChars <= lit(10L) * nWords
+    val rSymbol = symbolCnt * lit(10L) <= nWords
+    val rBullet = bulletLines * lit(10L) <= nLines * lit(9L)
+    val rEllipsis = ellLines * lit(10L) <= nLines * lit(3L)
+    val rAlpha = alphaWords * lit(5L) >= nWords * lit(4L)
+    val rStop = stopHits >= 2L
+    val all = rWords && rMeanLen && rSymbol && rBullet && rEllipsis &&
+      rAlpha && rStop
+    df.select(col(idCol), nWords.as("n_words"), nLines.as("n_lines"),
+      rWords.cast("long").as("r_words"),
+      rMeanLen.cast("long").as("r_mean_len"),
+      rSymbol.cast("long").as("r_symbol"),
+      rBullet.cast("long").as("r_bullet"),
+      rEllipsis.cast("long").as("r_ellipsis"),
+      rAlpha.cast("long").as("r_alpha"),
+      rStop.cast("long").as("r_stop"),
+      all.cast("long").as("pass"))
+  }
 }

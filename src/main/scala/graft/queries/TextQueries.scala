@@ -33,6 +33,26 @@ object TextQueries {
         round(TA.stopwordRatio(toks), 4).as("stop_ratio"))
     }),
 
+    // Gopher rule suite, ORACLED: the seven Rae-et-al document gates as
+    // integer cross-multiplied comparisons (no float thresholds). Line
+    // structure is synthesized in-query (the fixture is single-line): a
+    // bullet header on every 5th doc, an ellipsis footer on every 3rd,
+    // and a stopword-bearing closer on every 2nd (the fixture vocabulary
+    // carries only "the"/"a" from the stopword set, one hit), so every
+    // line/stopword gate actually discriminates.
+    "q_gopher_rules" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("• promo bullet\n"))
+            .otherwise(lit("")),
+          coalesce(col("text"), lit("")),
+          when(col("doc_id") % 2 === 0, lit(" and that is of note"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nread more..."))
+            .otherwise(lit(""))).as("text"))
+      TA.gopherRules(src, "text", "doc_id")
+    }),
+
     // Language ID heuristic vs the labeled lang column.
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1078,6 +1098,65 @@ object TextQueries {
       """SELECT doc_id, substr(strip_accents(text), 1, 30) AS folded30,
            length(strip_accents(text)) AS n_chars_folded
          FROM documents""",
+    // Gopher rules: replay the synthesized line structure, the regex
+    // counts, and the integer cross-multiplied gates. replace() is plain
+    // string replace (the Spark side escapes its regex literals to the
+    // same literal semantics); // is DuckDB floor division.
+    "q_gopher_rules" ->
+      """WITH src AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '• promo bullet' || chr(10)
+                  ELSE '' END ||
+             coalesce(text, '') ||
+             CASE WHEN doc_id % 2 = 0 THEN ' and that is of note'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'read more...'
+                  ELSE '' END AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+               AS n_chars,
+             CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+             CAST(length(t) - length(replace(t, '#', ''))
+               + length(t) - length(replace(t, '…', ''))
+               + (length(t) - length(replace(t, '...', ''))) // 3
+               AS BIGINT) AS symbol_cnt,
+             CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS BIGINT)
+               AS bullet_lines,
+             CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ \t]*$'))
+               AS BIGINT) AS ell_lines,
+             CAST(len(regexp_extract_all(t, '\S*[A-Za-z]\S*')) AS BIGINT)
+               AS alpha_words,
+             (CASE WHEN regexp_matches(lower(t), '(^|\s)the(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\s)be(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\s)to(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\s)of(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\s)and(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\s)that(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\s)have(\s|$)') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(t), '(^|\s)with(\s|$)') THEN 1 ELSE 0 END)
+               AS stop_hits
+           FROM src)
+         SELECT doc_id, n_words, n_lines,
+           CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_words,
+           CAST(3 * n_words <= n_chars AND n_chars <= 10 * n_words
+             AS BIGINT) AS r_mean_len,
+           CAST(symbol_cnt * 10 <= n_words AS BIGINT) AS r_symbol,
+           CAST(bullet_lines * 10 <= n_lines * 9 AS BIGINT) AS r_bullet,
+           CAST(ell_lines * 10 <= n_lines * 3 AS BIGINT) AS r_ellipsis,
+           CAST(alpha_words * 5 >= n_words * 4 AS BIGINT) AS r_alpha,
+           CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+           CAST(n_words >= 50 AND n_words <= 100000
+             AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+             AND symbol_cnt * 10 <= n_words
+             AND bullet_lines * 10 <= n_lines * 9
+             AND ell_lines * 10 <= n_lines * 3
+             AND alpha_words * 5 >= n_words * 4
+             AND stop_hits >= 2 AS BIGINT) AS pass
+         FROM m""",
+
     "q_text_quality" ->
       """SELECT doc_id,
            len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,

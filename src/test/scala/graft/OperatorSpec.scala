@@ -239,7 +239,7 @@ class OperatorSpec extends SparkSpec {
       "graft_vector_avg", "graft_topk", "graft_lsh_bucket",
       "graft_bpe", "graft_bloom_agg", "graft_might_contain",
       "graft_map_sum", "graft_bigram_nll", "graft_shingles",
-      "graft_cms_atleast"))
+      "graft_cms_atleast", "graft_strip_lines"))
     assert(builders("graft_map_sum")(Seq(
       Literal.create(Seq("a"), ArrayType(StringType)),
       Literal.create("\t0.0\na\t1.5"))).isInstanceOf[MapSumScore])

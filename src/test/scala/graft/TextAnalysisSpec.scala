@@ -170,4 +170,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L)._1 === 1.0 && out(3L)._2 === 0.0 && out(3L)._3 === 0.0)
     assert(out(4L) === ((0.0, 0.0, 0.0)))
   }
+
+  test("gopherRules: each gate fires on its own violation") {
+    import spark.implicits._
+    // A base doc that passes everything: 60 prose-like words with
+    // stopwords, mean word length ~4.
+    val good = (("the quick brown fox jumps over that lazy dog area " * 6)
+      .trim)
+    val docs = Seq(
+      (0L, good),                                    // passes all
+      (1L, "the of short"),                          // too few words
+      (2L, ("a b c d e " * 12).trim + " the of"),    // mean len < 3
+      (3L, good.split(" ").map(_ + "###").mkString(" ")), // symbols
+      (4L, good.split(" ").map("• " + _).mkString("\n")), // bullets
+      (5L, good.split(" ").map(_ + "...\n").mkString.trim), // ellipsis
+      (6L, good + " " + (1 to 60).map(_.toString).mkString(" ")), // alpha
+      (7L, ("zq1 wx2 yv3 uk4 " * 15).trim),          // no stopwords
+      (8L, null.asInstanceOf[String])                // null → fails count
+    ).toDF("doc_id", "text")
+    val out = TA.gopherRules(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rules(id: Long): Seq[Long] =
+      (3 to 9).map(i => out(id).getLong(i))
+    assert(rules(0L) === Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    assert(out(0L).getLong(10) === 1L) // pass
+    // each violation flips exactly the targeted rule off
+    assert(out(1L).getLong(3) === 0L)  // r_words
+    assert(out(2L).getLong(4) === 0L)  // r_mean_len
+    assert(out(3L).getLong(5) === 0L)  // r_symbol
+    assert(out(4L).getLong(6) === 0L)  // r_bullet
+    assert(out(5L).getLong(7) === 0L)  // r_ellipsis
+    assert(out(6L).getLong(8) === 0L)  // r_alpha
+    assert(out(7L).getLong(9) === 0L)  // r_stop
+    assert(out(8L).getLong(3) === 0L && out(8L).getLong(1) === 0L)
+    // none of the violating docs passes overall
+    (1L to 8L).foreach(id => assert(out(id).getLong(10) === 0L))
+  }
 }
