@@ -120,11 +120,25 @@ object Packing {
       idCol: String,
       tokenCountCol: String,
       budget: Long,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int): DataFrame =
+    nextFitAssign(docs, idCol, tokenCountCol, budget, nBuckets)
+      .select("doc_id", "bucket", "bin")
+
+  /** [[PackAssign]] plus the doc's clamped token count (internal: lets
+    * [[packStats]] aggregate without re-joining the counts back on id). */
+  final case class PackAssignN(
+      doc_id: Long, bucket: Long, bin: Long, nt: Long)
+
+  private def nextFitAssign(
+      docs: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      budget: Long,
+      nBuckets: Int): Dataset[PackAssignN] = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val bucket = Sampling.md5Mod(col(idCol), "", nBuckets.toLong)
-    implicit val enc = Encoders.product[PackAssign]
+    implicit val enc = Encoders.product[PackAssignN]
     docs
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("nt"),
@@ -142,11 +156,38 @@ object Packing {
           if (b != curBucket) { curBucket = b; bin = 0L; cur = nt }
           else if (cur + nt > budget) { bin += 1L; cur = nt }
           else cur += nt
-          PackAssign(id, b, bin)
+          PackAssignN(id, b, bin, nt)
         }
       }
-      .toDF()
   }
+
+  /** Packing efficiency report over [[packNextFit]]: one row per packed
+    * bin with its doc count, token total, and pad waste (`budget -
+    * total_tokens`, negative exactly when a single oversized doc owns the
+    * bin). This is the audit a training pipeline reads before committing
+    * a budget — fill distribution, waste fraction, oversize count — and
+    * every column is an integer, so it hash-compares cross-engine under
+    * the same recursive-CTE replay that oracles the assignment itself.
+    *
+    * Scale shape: the sequential pass already holds each doc's token
+    * count in-task, so the stats need NO join back to the corpus — just
+    * one aggregation keyed by (bucket, bin), which arrives pre-clustered
+    * from the pack pass's bucket partitioning (partial aggs collapse
+    * nearly everything map-side).
+    */
+  def packStats(
+      docs: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      budget: Long,
+      nBuckets: Int): DataFrame =
+    nextFitAssign(docs, idCol, tokenCountCol, budget, nBuckets)
+      .toDF()
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        (lit(budget) - sum(col("nt"))).as("waste"),
+        max((col("nt") > budget).cast("long")).as("oversized"))
 
   /** Greedy first-fit-by-arrival packing. `docs` needs a long id column
     * and a long token-count column. Documents larger than `budget` get a

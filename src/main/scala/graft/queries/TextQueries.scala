@@ -301,6 +301,19 @@ object TextQueries {
         "doc_id", "n_tokens", budget = 512, nBuckets = 8)
     }),
 
+    // Packing efficiency report, ORACLED: per-bin doc/token/waste/
+    // oversize rollup of the md5-bucketed next-fit assignment — all
+    // integer columns, aggregated in-task from the pack pass (no join
+    // back to the corpus). DuckDB reuses the q_pack_nextfit_md5
+    // recursive replay and GROUPs it.
+    "q_pack_stats" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.packStats(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, nBuckets = 8)
+    }),
+
     // Packing driven by REAL learned-BPE token counts (the composition the
     // BPE operator exists for: budget = actual subword tokens, not regex
     // words). Rows-only like q_pack_bins; the BPE counts themselves are
@@ -1738,6 +1751,37 @@ object TextQueries {
              CASE WHEN a.cur + o.nt > 512 THEN o.nt ELSE a.cur + o.nt END
            FROM acc a JOIN o ON o.bucket = a.bucket AND o.rn = a.rn + 1)
          SELECT doc_id, bucket, bin FROM acc""",
+
+    // Packing stats: the same recursive next-fit replay, grouped per bin.
+    // Sums CAST to BIGINT (DuckDB sum(BIGINT) is HUGEINT → pandas float).
+    "q_pack_stats" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 8 AS bucket,
+             coalesce(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0)
+               AS nt
+           FROM documents),
+         o AS (
+           SELECT doc_id, bucket, nt,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+           FROM d),
+         acc AS (
+           SELECT bucket, rn, doc_id, nt,
+             CAST(0 AS BIGINT) AS bin, nt AS cur
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.bucket, o.rn, o.doc_id, o.nt,
+             CASE WHEN a.cur + o.nt > 512 THEN a.bin + 1 ELSE a.bin END,
+             CASE WHEN a.cur + o.nt > 512 THEN o.nt ELSE a.cur + o.nt END
+           FROM acc a JOIN o ON o.bucket = a.bucket AND o.rn = a.rn + 1)
+         SELECT bucket, bin,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(512 - sum(nt) AS BIGINT) AS waste,
+           CAST(max(CASE WHEN nt > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS oversized
+         FROM acc GROUP BY bucket, bin""",
 
     // Line dedup: same synthesized page; DuckDB's list_filter index lambda
     // is 1-based (Spark's filter index is 0-based), list_position is the

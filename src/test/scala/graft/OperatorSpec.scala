@@ -549,6 +549,38 @@ class OperatorSpec extends SparkSpec {
     assert(binTotals.forall(_ <= 100))
   }
 
+  test("packStats agrees with the assignment it summarizes") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 90) + 1))
+      .toDF("doc_id", "nt")
+    val assign = Packing.packNextFit(docs, "doc_id", "nt", budget = 100,
+      nBuckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nts = (1L to 200L).map(i => i -> ((i * 37 % 90) + 1)).toMap
+    val stats = Packing.packStats(docs, "doc_id", "nt", budget = 100,
+      nBuckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // one stats row per (bucket, bin) of the assignment, and the
+    // aggregates match a reference rollup of the assignment itself
+    val ref = assign.groupBy(r => (r._2, r._3)).map { case (k, rs) =>
+      val tot = rs.map(r => nts(r._1)).sum
+      k -> (rs.length.toLong, tot, 100L - tot,
+        if (rs.exists(r => nts(r._1) > 100)) 1L else 0L)
+    }
+    assert(stats === ref)
+    // no oversized docs in this fixture, so waste is non-negative
+    assert(stats.values.forall(_._3 >= 0L))
+    // an oversized doc gets its own bin and negative waste, flagged
+    val over = Seq((1L, 50L), (2L, 250L), (3L, 60L)).toDF("doc_id", "nt")
+    val os = Packing.packStats(over, "doc_id", "nt", budget = 100,
+      nBuckets = 1).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val overBin = os.find(_._4 == 1L).get
+    assert(overBin._1 === 1L && overBin._2 === 250L && overBin._3 === -150L)
+  }
+
   test("materializeBins concatenates texts in pack order, rejects id drift") {
     import graft.operators.Packing
     import spark.implicits._
