@@ -153,6 +153,23 @@ object Curation {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDupClusters]] with a quality-aware keeper: within each
+    * near-dup cluster the surviving copy is the argmax of `qualityCol`
+    * (ascending-id tie-break) via [[Dedup.canonicalPerCluster]], not the
+    * cluster representative id. Docs outside any cluster pass through
+    * untouched. The cluster frame is computed once and feeds both the
+    * keeper argmax and the loser anti-join.
+    */
+  def dropNearDupClustersKeepBest(docs: DataFrame, textCol: String,
+      idCol: String, threshold: Double, qualityCol: String): DataFrame = {
+    val clusters = Dedup.nearDupClusters(docs, textCol, idCol, threshold)
+    val keepers = Dedup.canonicalPerCluster(clusters, docs, idCol,
+      qualityCol).select(col("keeper_id").as("id"))
+    val losers = clusters.join(keepers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Eval-set decontamination: flag train documents sharing any n-gram
     * shingle with an evaluation set — the standard pre-training hygiene
     * pass that keeps benchmark text out of the corpus.

@@ -402,6 +402,42 @@ object Dedup {
     ConnectedComponents.run(
       nearDupPairs(df, textCol, idCol, threshold, k, bands), "id_a", "id_b")
 
+  /** Quality-aware canonical selection: one keeper per near-dup cluster,
+    * chosen by highest quality with ascending-id tie-break — the policy a
+    * curation pipeline wants when duplicates differ in extraction quality
+    * (keep the cleanest copy, not the lowest id). `clusters` is the
+    * `(id, component)` frame from [[nearDupClusters]] /
+    * [[ConnectedComponents.run]]; quality is looked up from
+    * `docs(idCol, qualityCol)`. Null quality ranks below every real
+    * score (coalesced to -Infinity on both engines, not engine-default
+    * null ordering). Returns one row per component:
+    * `(component, keeper_id, keeper_quality, n_members)`.
+    *
+    * Plan shape: one equi-join on the id (both sides narrow — (id,
+    * component) vs (id, quality)) and one aggregation on the component.
+    * The keeper argmax is a single `max(struct(quality, -id))` — Spark's
+    * lexicographic struct ordering gives exactly "quality DESC, id ASC"
+    * with no window, so skewed giant clusters still collapse map-side.
+    */
+  def canonicalPerCluster(
+      clusters: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      qualityCol: String): DataFrame = {
+    val q = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(qualityCol).cast("double"),
+        lit(Double.NegativeInfinity)).as("__q"))
+    clusters.join(q, "id")
+      .groupBy(col("component"))
+      .agg(
+        max(struct(col("__q"), (-col("id")).as("__negid"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"),
+        (-col("__best.__negid")).cast("long").as("keeper_id"),
+        col("__best.__q").as("keeper_quality"),
+        col("n_members"))
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

@@ -565,6 +565,28 @@ object TextQueries {
           coalesce(col("component"), col("doc_id")).as("component"))
     }),
 
+    // Quality-aware canonical selection, ORACLED: same SQL-expressible
+    // chain components as q_dedup_clusters, but each cluster elects the
+    // argmax-n_chars member (id tie-break) as its keeper — the
+    // keep-the-cleanest-copy policy. One join + one struct-max agg; the
+    // DuckDB replay is a row_number window over the recursive components.
+    "q_canonical_keeper" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val a = d.select(col("doc_id").as("src"), col("lang").as("l1"))
+      val b = d.select((col("doc_id") - 1).as("src"),
+        col("doc_id").as("dst"), col("lang").as("l2"))
+      val edges = a.join(b, "src").filter(col("l1") === col("l2"))
+        .select(col("src"), col("dst"))
+      val comp = graft.operators.ConnectedComponents.run(edges, "src", "dst")
+      val clusters = d.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id").as("id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      Dedup.canonicalPerCluster(clusters, t(s, dir, "documents"),
+        "doc_id", "n_chars")
+    }),
+
     // Transitive near-dup clusters over the REAL LSH pair graph (rows-only:
     // xxhash-based candidates are not SQL-expressible; the CC machinery
     // itself is oracled by q_dedup_clusters and spec-tested vs union-find).
@@ -1710,6 +1732,40 @@ object TextQueries {
            SELECT s.dst AS id, reach.r
            FROM reach JOIN sym s ON s.src = reach.id)
          SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""",
+
+    // Canonical keeper: recursive components + a quality-DESC/id-ASC
+    // window; null quality coalesces to -infinity (matching Spark's
+    // explicit coalesce, not engine-default null ordering).
+    "q_canonical_keeper" ->
+      """WITH RECURSIVE e AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b
+             ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+         sym AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT dst AS src, src AS dst FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.dst AS id, reach.r
+           FROM reach JOIN sym s ON s.src = reach.id),
+         comp AS (
+           SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         j AS (
+           SELECT c.component, d.doc_id,
+             coalesce(CAST(d.n_chars AS DOUBLE),
+               CAST('-infinity' AS DOUBLE)) AS q
+           FROM comp c JOIN documents d USING (doc_id)),
+         r AS (
+           SELECT component, doc_id, q,
+             row_number() OVER (PARTITION BY component
+               ORDER BY q DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS nm
+           FROM j)
+         SELECT component, doc_id AS keeper_id, q AS keeper_quality,
+           CAST(nm AS BIGINT) AS n_members
+         FROM r WHERE rn = 1""",
 
     // BPE lossless invariant: joined BPE tokens == joined word pieces of
     // the same pre-tokenization regex, computed here straight from the raw

@@ -549,6 +549,38 @@ class OperatorSpec extends SparkSpec {
     assert(binTotals.forall(_ <= 100))
   }
 
+  test("canonicalPerCluster: argmax quality, id tie-break, null ranks last") {
+    import graft.operators.{Curation, Dedup}
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1
+      (10L, 10L), (11L, 10L),          // cluster 10: quality tie
+      (20L, 20L), (21L, 20L)           // cluster 20: null vs real
+    ).toDF("id", "component")
+    val docs = Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, 9.0), (3L, 7.0),
+      (10L, 4.0), (11L, 4.0),
+      (20L, null), (21L, 1.0)
+    ).toDF("doc_id", "quality")
+    val out = Dedup.canonicalPerCluster(clusters, docs, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((2L, 3L)))   // highest quality wins, not min id
+    assert(out(10L) === ((10L, 2L))) // tie → lowest id
+    assert(out(20L) === ((21L, 2L))) // null quality loses to any real score
+    // the drop wrapper keeps exactly the keepers and all unclustered docs
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta shared run one"),
+      (2L, "alpha beta gamma delta shared run one two"),
+      (3L, "totally unrelated text about other things")
+    ).toDF("doc_id", "text").withColumn("q",
+      when(col("doc_id") === 2L, 10.0).otherwise(1.0))
+    val kept = Curation.dropNearDupClustersKeepBest(
+      corpus, "text", "doc_id", 0.5, "q")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(2L, 3L)) // best copy of the dup pair + singleton
+  }
+
   test("packStats agrees with the assignment it summarizes") {
     import graft.operators.Packing
     import spark.implicits._
