@@ -74,6 +74,43 @@ object VectorFunctions {
     * Both engines fold the projection left-to-right in list order, so the
     * sign decision is bit-identical too.
     */
+  /** Johnson–Lindenstrauss random projection with Rademacher (±1) signs:
+    * out[j] = dot(v, s_j) / sqrt(outDims), the standard dimensionality
+    * reduction before ANN indexing or clustering when the native
+    * embedding width is too expensive to shuffle (a 64→8 projection cuts
+    * candidate-join bytes 8× while approximately preserving pairwise
+    * distances, by the JL lemma).
+    *
+    * The sign matrix is DETERMINISTIC — sign(j,d) = parity of the first
+    * hex digit of md5("rp j d") (d 1-based) — and is materialized
+    * driver-side as `outDims` literal double arrays, so every projection
+    * component is one codegen `graft_dot` over the scan: no HOFs, no
+    * shuffle, no fit job, reproducible on any cluster size, and
+    * replayable in any engine that has md5 (the oracle recomputes the
+    * same signs in SQL). Division by sqrt(outDims) is a division on both
+    * engines (not a reciprocal multiply — the two round differently).
+    */
+  def randomProjectionMd5(v: Column, inDims: Int, outDims: Int): Column = {
+    require(inDims > 0 && outDims > 0,
+      s"dims must be positive, got in=$inDims out=$outDims")
+    // Column-level helper: no DataFrame in scope, so resolve the kernel
+    // registration against the active session (idempotent, like the
+    // register() calls at every operator entry point).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      val nibble = (md.digest(s"rp $j $d".getBytes("UTF-8"))(0) >> 4) & 0xF
+      if (nibble % 2 == 0) 1.0 else -1.0
+    }
+    val dv = asDouble(v)
+    val comps = (0 until outDims).map { j =>
+      val signs = array((1 to inDims).map(d => lit(sign(j, d))): _*)
+      call_function("graft_dot", dv, signs) / sqrt(lit(outDims.toDouble))
+    }
+    array(comps: _*)
+  }
+
   def lshBucketMd5(v: Column, nBits: Int = 8): Column = {
     val dv = asDouble(v)
     val bits = (0 until nBits).map { j =>

@@ -149,6 +149,19 @@ object VectorQueries {
           lshBucketMd5(col("embedding"), 8).as("bucket8"))
     }),
 
+    // Johnson–Lindenstrauss random projection, ORACLED: 64→4 Rademacher
+    // projection with md5-derived literal sign arrays through the codegen
+    // graft_dot kernel (no HOFs, no shuffle); DuckDB recomputes the same
+    // signs in SQL and replays each dot in list order.
+    "q_random_projection" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val rp = VF.randomProjectionMd5(col("embedding"), 64, 4)
+      graft.operators.Similarity.spreadIfNarrow(t(s, dir, "embeddings"))
+        .select(col("vec_id") +:
+          (0 until 4).map(j =>
+            round(element_at(rp, j + 1), 6).as(s"p$j")): _*)
+    }),
+
     // ORACLED KNN classification: 5-NN majority vote over the labeled
     // embeddings (ties toward the smaller label) — the vector-
     // classification composition of the oracled exact KNN.
@@ -414,6 +427,17 @@ object VectorQueries {
            CAST(list_sum(list_transform(generate_series(0, 7), j ->
              CASE WHEN list_sum(list_transform(generate_series(1, len(e)), d -> e[d] * ((CAST(('0x' || substr(md5(j || ' ' || d), 1, 3)) AS BIGINT) % 2001 - 1000) / 1000.0))) >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
            AS BIGINT) AS bucket8
+         FROM v""",
+
+    // Random projection: same md5-parity signs (d 1-based), dot in list
+    // order, division by sqrt (not reciprocal multiply), 6-decimal round.
+    "q_random_projection" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         SELECT vec_id,
+           round(list_sum(list_transform(generate_series(1, 64), d -> e[d] * CAST(1 - 2 * (CAST(('0x' || substr(md5('rp 0 ' || d), 1, 1)) AS BIGINT) % 2) AS DOUBLE))) / sqrt(CAST(4 AS DOUBLE)), 6) AS p0,
+           round(list_sum(list_transform(generate_series(1, 64), d -> e[d] * CAST(1 - 2 * (CAST(('0x' || substr(md5('rp 1 ' || d), 1, 1)) AS BIGINT) % 2) AS DOUBLE))) / sqrt(CAST(4 AS DOUBLE)), 6) AS p1,
+           round(list_sum(list_transform(generate_series(1, 64), d -> e[d] * CAST(1 - 2 * (CAST(('0x' || substr(md5('rp 2 ' || d), 1, 1)) AS BIGINT) % 2) AS DOUBLE))) / sqrt(CAST(4 AS DOUBLE)), 6) AS p2,
+           round(list_sum(list_transform(generate_series(1, 64), d -> e[d] * CAST(1 - 2 * (CAST(('0x' || substr(md5('rp 3 ' || d), 1, 1)) AS BIGINT) % 2) AS DOUBLE))) / sqrt(CAST(4 AS DOUBLE)), 6) AS p3
          FROM v""",
 
     "q_knn_classify" ->

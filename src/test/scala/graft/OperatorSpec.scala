@@ -549,6 +549,37 @@ class OperatorSpec extends SparkSpec {
     assert(binTotals.forall(_ <= 100))
   }
 
+  test("randomProjectionMd5: md5-parity signs, one-hot recovery, determinism") {
+    import graft.functions.{VectorFunctions => VF}
+    import spark.implicits._
+    // one-hot inputs recover single sign-matrix entries: out[j] of e_d
+    // is sign(j, d) / sqrt(4) = ±0.5
+    val oneHots = (1 to 64).map { d =>
+      (d.toLong, Array.tabulate(64)(i => if (i == d - 1) 1.0f else 0.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = oneHots.select(col("vec_id"),
+        VF.randomProjectionMd5(col("embedding"), 64, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      val nib = (md.digest(s"rp $j $d".getBytes("UTF-8"))(0) >> 4) & 0xF
+      if (nib % 2 == 0) 1.0 else -1.0
+    }
+    for (d <- 1 to 64; j <- 0 until 4)
+      assert(out(d.toLong)(j) === sign(j, d) / 2.0)
+    // signs are balanced enough to be a real Rademacher draw (not all +1)
+    val plus = (for (d <- 1 to 64; j <- 0 until 4) yield sign(j, d))
+      .count(_ > 0)
+    assert(plus > 64 && plus < 192)
+    // linearity: projection of a sum is the sum of projections
+    val two = Seq((1L, Array.tabulate(64)(i =>
+      if (i == 0 || i == 1) 1.0f else 0.0f).toSeq)).toDF("vec_id", "embedding")
+    val p2 = two.select(VF.randomProjectionMd5(col("embedding"), 64, 4))
+      .head().getSeq[Double](0)
+    for (j <- 0 until 4)
+      assert(math.abs(p2(j) - (out(1L)(j) + out(2L)(j))) < 1e-12)
+  }
+
   test("canonicalPerCluster: argmax quality, id tie-break, null ranks last") {
     import graft.operators.{Curation, Dedup}
     import spark.implicits._
