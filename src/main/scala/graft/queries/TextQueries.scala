@@ -608,6 +608,35 @@ object TextQueries {
           element_at(col("bpe_tokens"), 1).as("first_tok"))
     }),
 
+    // Tokenizer fertility report, ORACLED under the fitted merges: per
+    // language, BPE tokens per pre-tokenization unit and characters per
+    // BPE token — the metric that decides whether a tokenizer is
+    // acceptable for a language mix before committing a vocab. One
+    // narrow scoring pass + one small agg; DuckDB re-derives the same
+    // segmentation from the embedded merge list.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val units = regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+      graft.operators.Bpe
+        .tokenize(docs, "text", fittedMerges(s, dir))
+        .filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(col("bpe_tokens")).cast("long").as("nb"),
+          size(units).cast("long").as("nu"),
+          length(concat_ws("", units)).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("n_bpe"),
+          sum(col("nu")).as("n_units"),
+          when(sum(col("nu")) === 0L, lit(0.0))
+            .otherwise(round(sum(col("nb")).cast("double")
+              / sum(col("nu")).cast("double"), 6)).as("fertility"),
+          when(sum(col("nb")) === 0L, lit(0.0))
+            .otherwise(round(sum(col("nc")).cast("double")
+              / sum(col("nb")).cast("double"), 6)).as("chars_per_tok"))
+    }),
+
     // ORACLED BPE invariant: merges only ever concatenate adjacent pieces
     // inside a word, so joining the BPE tokens reconstructs the joined
     // word pieces exactly — which DuckDB can compute independently from
@@ -931,7 +960,7 @@ object TextQueries {
     * SQL, so the merge table is in [[mergeCache]] by then; evaluated cold
     * the entry is simply absent and q_bpe_encode stays rows-only).
     */
-  def oracles: Map[String, String] = staticOracles ++ bpeEncodeOracle
+  def oracles: Map[String, String] = staticOracles ++ bpeFittedOracles
 
   /** DuckDB replay of the BPE APPLY under the fitted merge table: the
     * learned merges ship embedded as a list literal (rank = position);
@@ -943,7 +972,7 @@ object TextQueries {
     * higher and the best pair stays best until its occurrences are
     * exhausted — leftmost-first yields the identical final segmentation.
     */
-  private def bpeEncodeOracle: Map[String, String] =
+  private def bpeFittedOracles: Map[String, String] =
     // exactly-one guard: with multiple fitted dirs in one JVM there is no
     // way to know which one the dump is for — omit rather than guess
     if (mergeCache.size != 1) Map.empty
@@ -954,7 +983,9 @@ object TextQueries {
         def sq(s: String): String = s"'${s.replace("'", "''")}'"
         val mergeList = merges.map { case (a, b) => sq(s"$a $b") }
           .mkString("[", ", ", "]")
-        Map("q_bpe_encode" ->
+        // shared recursive chain: merge-list literal, distinct words,
+        // leftmost-lowest-rank merge loop, final segmentation per word
+        val fitCtes =
           s"""WITH RECURSIVE
              ml AS (SELECT $mergeList AS l),
              words AS (
@@ -979,7 +1010,10 @@ object TextQueries {
              fin AS (
                SELECT w, ps FROM (
                  SELECT w, ps, row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
-                 FROM enc) WHERE rn = 1),
+                 FROM enc) WHERE rn = 1)"""
+        Map(
+          "q_bpe_encode" ->
+            s"""$fitCtes,
              occ AS (
                SELECT doc_id,
                  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w,
@@ -995,7 +1029,38 @@ object TextQueries {
                CASE WHEN d.text IS NULL THEN NULL
                  ELSE coalesce(a.n_bpe, 0) END AS n_bpe,
                a.first_tok
-             FROM documents d LEFT JOIN agg a USING (doc_id)""")
+             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+          "q_bpe_fertility" ->
+            s"""$fitCtes,
+             occ AS (
+               SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+               FROM documents WHERE text IS NOT NULL),
+             perdoc AS (
+               SELECT o.doc_id AS doc_id,
+                 CAST(sum(len(f.ps)) AS BIGINT) AS n_bpe,
+                 count(*) AS n_units,
+                 CAST(sum(len(o.w)) AS BIGINT) AS n_chars
+               FROM occ o JOIN fin f ON o.w = f.w
+               GROUP BY o.doc_id),
+             j AS (
+               SELECT d.lang,
+                 coalesce(p.n_bpe, 0) AS n_bpe,
+                 coalesce(p.n_units, 0) AS n_units,
+                 coalesce(p.n_chars, 0) AS n_chars
+               FROM documents d LEFT JOIN perdoc p USING (doc_id)
+               WHERE d.text IS NOT NULL)
+             SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+               CAST(sum(n_units) AS BIGINT) AS n_units,
+               CASE WHEN sum(n_units) = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE round(CAST(sum(n_bpe) AS DOUBLE)
+                   / CAST(sum(n_units) AS DOUBLE), 6) END AS fertility,
+               CASE WHEN sum(n_bpe) = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE round(CAST(sum(n_chars) AS DOUBLE)
+                   / CAST(sum(n_bpe) AS DOUBLE), 6) END AS chars_per_tok
+             FROM j GROUP BY lang""")
       }
     }
 
