@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -68,6 +69,70 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
     topKPerQuery(scored, k)
+  }
+
+  /** Margin-based bitext mining (the Artetxe & Schwenk 2019 "ratio"
+    * margin): for every source vector, elect the target maximizing
+    * `cos(x,y) / ((avgTopK(x→tgt) + avgTopK(y→src)) / 2)` — raw cosine
+    * normalized by both endpoints' neighborhood density, which demotes
+    * "hub" vectors that are close to everything and is the standard
+    * mined-parallel-corpus scorer (LASER/CCMatrix).
+    *
+    * Cross-engine determinism by the integer micro-unit trick (the
+    * q_lr_quality/MMR pattern): cosines become `floor(cos·1e6)` longs,
+    * the top-k sums are exact integer window sums, and the only float op
+    * is ONE division `ci·2k / (sumA+sumB)` of two exact integers,
+    * rounded to 6 decimals — so the mined pairs hash-compare against a
+    * DuckDB replay.
+    *
+    * Plan shape: this is the EXACT all-pairs baseline (same contract as
+    * [[knnBruteForce]]): the target side must fit a broadcast
+    * ([[requireBroadcastable]] gates it); the margin then needs no joins
+    * at all — four window functions over two partition keys (two
+    * exchanges of the narrow (src, tgt, ci) pair frame, nothing
+    * recomputed). The scale path is LSH/IVF blocking on both sides
+    * before exact margin scoring on the candidates.
+    */
+  def bitextMine(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      maxTargetRows: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    graft.plans.GraftFunctions.register(src.sparkSession)
+    requireBroadcastable(tgt, maxTargetRows, "bitextMine target",
+      "LSH/IVF blocking + margin scoring on candidates")
+    val q = spreadIfNarrow(src.select(col(idCol).as("src_id"),
+      asDouble(col(vecCol)).as("q_vec")))
+    val c = tgt.select(col(idCol).as("tgt_id"),
+      asDouble(col(vecCol)).as("n_vec"))
+    val pairs = q.crossJoin(broadcast(c))
+      .select(col("src_id"), col("tgt_id"),
+        floor(expr("graft_cosine(q_vec, n_vec)") * lit(1000000.0))
+          .cast("long").as("ci"))
+    val wA = Window.partitionBy("src_id")
+      .orderBy(col("ci").desc, col("tgt_id"))
+    val wB = Window.partitionBy("tgt_id")
+      .orderBy(col("ci").desc, col("src_id"))
+    val denom = (col("sumA") + col("sumB")).cast("double")
+    val best = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    pairs
+      .withColumn("rnA", row_number().over(wA))
+      .withColumn("sumA", sum(when(col("rnA") <= k, col("ci")))
+        .over(Window.partitionBy("src_id")))
+      .withColumn("rnB", row_number().over(wB))
+      .withColumn("sumB", sum(when(col("rnB") <= k, col("ci")))
+        .over(Window.partitionBy("tgt_id")))
+      .withColumn("margin",
+        when(col("sumA") + col("sumB") === 0L, lit(0.0))
+          .otherwise(round(
+            col("ci").cast("double") * lit((2 * k).toDouble) / denom, 6)))
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("ci"), col("margin"))
   }
 
   /** Size-gate for the exact all-pairs baselines: they broadcast one side

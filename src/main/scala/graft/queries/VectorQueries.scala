@@ -149,6 +149,18 @@ object VectorQueries {
           lshBucketMd5(col("embedding"), 8).as("bucket8"))
     }),
 
+    // Margin-based bitext mining, ORACLED end to end: even vec_ids are
+    // the source slice, odd the target; ratio margin over floor(cos·1e6)
+    // integer scores with exact integer top-4 neighborhood sums — one
+    // float division per pair, so the mined alignment hash-compares.
+    "q_bitext_margin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.bitextMine(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4)
+    }),
+
     // Johnson–Lindenstrauss random projection, ORACLED: 64→4 Rademacher
     // projection with md5-derived literal sign arrays through the codegen
     // graft_dot kernel (no HOFs, no shuffle); DuckDB recomputes the same
@@ -428,6 +440,43 @@ object VectorQueries {
              CASE WHEN list_sum(list_transform(generate_series(1, len(e)), d -> e[d] * ((CAST(('0x' || substr(md5(j || ' ' || d), 1, 3)) AS BIGINT) % 2001 - 1000) / 1000.0))) >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
            AS BIGINT) AS bucket8
          FROM v""",
+
+    // Bitext margin: same micro-unit cosines, window top-4 sums, one
+    // rounded division, margin-DESC/id-ASC election per source.
+    "q_bitext_margin" ->
+      """WITH p AS (
+           SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+             CAST(floor(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS ci
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         w AS (
+           SELECT src_id, tgt_id, ci,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY ci DESC, tgt_id) AS rna,
+             row_number() OVER (PARTITION BY tgt_id
+               ORDER BY ci DESC, src_id) AS rnb
+           FROM p),
+         s AS (
+           SELECT src_id, tgt_id, ci,
+             sum(CASE WHEN rna <= 4 THEN ci END)
+               OVER (PARTITION BY src_id) AS suma,
+             sum(CASE WHEN rnb <= 4 THEN ci END)
+               OVER (PARTITION BY tgt_id) AS sumb
+           FROM w),
+         m AS (
+           SELECT src_id, tgt_id, ci,
+             CASE WHEN suma + sumb = 0 THEN CAST(0 AS DOUBLE)
+               ELSE round(CAST(ci AS DOUBLE) * 8
+                 / CAST(suma + sumb AS DOUBLE), 6) END AS margin
+           FROM s)
+         SELECT src_id, tgt_id, ci, margin FROM (
+           SELECT src_id, tgt_id, ci, margin,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY margin DESC, tgt_id) AS rn
+           FROM m)
+         WHERE rn = 1""",
 
     // Random projection: same md5-parity signs (d 1-based), dot in list
     // order, division by sqrt (not reciprocal multiply), 6-decimal round.

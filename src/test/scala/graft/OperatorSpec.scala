@@ -549,6 +549,39 @@ class OperatorSpec extends SparkSpec {
     assert(binTotals.forall(_ <= 100))
   }
 
+  test("bitextMine: margin demotes hub targets, raw cosine does not") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // Orthogonal sources. Target 101 is a HUB: highest raw cosine to
+    // source 2 (0.958) but it also picks up 0.20 against the other two
+    // sources, inflating its top-2 neighborhood sum. Target 103 aligns
+    // with source 2 only (cos 0.93, orthogonal to the rest), so its
+    // denominator is smaller and its margin wins.
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Seq(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    val src = Seq(
+      (0L, v(1, 0, 0, 0)),
+      (2L, v(0, 1, 0, 0)),
+      (4L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (101L, v(0.2, 0.95, 0.2, 0)),   // hub
+      (103L, v(0, 0.93, 0, 0.3676)),  // specific to source 2
+      (105L, v(0, 0, 0, 1.0))).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    // raw cosine prefers the hub for source 2 (0.958 > 0.93), but the
+    // hub's dense neighborhood drags its margin below the specific pair's
+    assert(out(2L)._1 === 103L)
+    // every source got exactly one mined target, margins are finite
+    assert(out.size === 3 && out.values.forall(p => !p._2.isNaN))
+    // determinism across reruns
+    val again = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(again === out)
+  }
+
   test("randomProjectionMd5: md5-parity signs, one-hot recovery, determinism") {
     import graft.functions.{VectorFunctions => VF}
     import spark.implicits._
