@@ -53,6 +53,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate")) // graft_topk partial+final
   }
 
+  test("q_random_projection: no hash exchange — literal signs off the scan") {
+    val p = plan("q_random_projection")
+    // the only exchange is spreadIfNarrow's round-robin spread of the
+    // single-file scan; the projection itself never shuffles or joins
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    assert(p.contains("graft_dot")) // the codegen kernel, not a HOF fold
+  }
+
+  test("q_bitext_margin: target broadcast, window exchanges only on the pair keys") {
+    val p = plan("q_bitext_margin")
+    assert(p.contains("BroadcastNestedLoopJoin")) // the gated cross join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // margin needs no joins after scoring: exchanges are exactly the
+    // src_id / tgt_id / src_id window repartitions of the narrow pair
+    // frame (Spark reuses the final src_id sort for the election window)
+    assert(countOf(p, "Exchange hashpartitioning") === 3)
+  }
+
+  test("q_canonical_keeper: keeper argmax is one agg exchange, no window") {
+    val p = plan("q_canonical_keeper")
+    // the CC loop contributes its own bounded exchanges; the keeper stage
+    // itself must aggregate (struct max), never window-sort the members
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("mq_source_scores: single exchange between partial and final agg") {
     val p = plan("mq_source_scores")
     assert(countOf(p, "Exchange hashpartitioning") === 1)
