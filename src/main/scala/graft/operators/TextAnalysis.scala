@@ -263,6 +263,34 @@ object TextAnalysis {
         pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), p), p))
   }
 
+  /** HTML → text extraction ([EXT]): drop non-content blocks (script/
+    * style), comments, and tags, decode the common entities, and collapse
+    * whitespace — the minimal deterministic extraction step before any
+    * text analysis of crawled pages. Chained codegen `regexp_replace`
+    * (patterns in the Java∩RE2 subset, same contract as Redaction), so it
+    * replays identically in the oracle engine. Replacement ORDER is load-
+    * bearing: blocks before tags (a tag pass first would leave script
+    * bodies behind), entities after tags (`&lt;b&gt;` must NOT become a
+    * stripped tag), `&amp;` LAST (double-encoded `&amp;lt;` decodes to
+    * the literal text `&lt;`, not to `<`).
+    */
+  def stripHtml(c: Column): Column = {
+    val noComments = regexp_replace(c, "(?s)<!--.*?-->", " ")
+    // two passes, not one with a </\1> backreference: RE2 (the oracle
+    // engine's regex) has no backreferences
+    val noScript = regexp_replace(noComments,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    // entity strings carry no regex metacharacters, so plain patterns
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** The Gopher rule suite ([EXT]): the seven document-level quality gates
     * of Rae et al. 2021 (§A1.1) as one narrow pass — word-count bounds,
     * mean-word-length bounds, symbol-to-word ratio, bullet-line and

@@ -53,6 +53,25 @@ object TextQueries {
       TA.gopherRules(src, "text", "doc_id")
     }),
 
+    // HTML extraction, ORACLED byte-wise: the fixture text is wrapped in
+    // a synthesized page whose traps exercise the replacement order —
+    // a script body containing bare < and > (must vanish with the block,
+    // not leave fragments), a comment, and a double-encoded &amp;amp;
+    // (must decode to the literal text "&amp;", not to "&").
+    "q_html_strip" -> ((s, dir) => {
+      val page = concat(
+        lit("<!DOCTYPE html><html><head><style>body{color:red}</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;"
+          + "</script></head>"),
+        lit("<body><!-- nav -->\n<h1 class=\"t\">"),
+        substring(col("text"), 1, 40),
+        lit("</h1><p>"), substring(col("text"), 41, 80),
+        lit(" &amp;amp; x &lt;tag&gt; &quot;q&#39;s&quot; &nbsp;done"
+          + "</p></body></html>"))
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TA.stripHtml(page).as("clean"))
+    }),
+
     // Language ID heuristic vs the labeled lang column.
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1198,6 +1217,34 @@ object TextQueries {
       """SELECT doc_id, substr(strip_accents(text), 1, 30) AS folded30,
            length(strip_accents(text)) AS n_chars_folded
          FROM documents""",
+    // HTML strip: identical replacement chain (comments → script → style
+    // → tags → entities with &amp; last → whitespace collapse).
+    "q_html_strip" ->
+      """WITH page AS (
+           SELECT doc_id,
+             '<!DOCTYPE html><html><head><style>body{color:red}</style>' ||
+             '<script type="text/javascript">var x = 1 < 2 && 3 > 2;</script></head>' ||
+             '<body><!-- nav -->' || chr(10) || '<h1 class="t">' ||
+             substr(text, 1, 40) || '</h1><p>' || substr(text, 41, 80) ||
+             ' &amp;amp; x &lt;tag&gt; &quot;q&#39;s&quot; &nbsp;done</p></body></html>'
+               AS h
+           FROM documents WHERE text IS NOT NULL),
+         s1 AS (SELECT doc_id,
+           regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM page),
+         s2 AS (SELECT doc_id,
+           regexp_replace(h, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS h FROM s1),
+         s3 AS (SELECT doc_id,
+           regexp_replace(h, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS h FROM s2),
+         s4 AS (SELECT doc_id,
+           regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s3),
+         s5 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(h,
+             '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+             '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS h FROM s4)
+         SELECT doc_id,
+           trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
+         FROM s5""",
+
     // Gopher rules: replay the synthesized line structure, the regex
     // counts, and the integer cross-multiplied gates. replace() is plain
     // string replace (the Spark side escapes its regex literals to the

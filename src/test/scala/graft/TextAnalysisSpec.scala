@@ -171,6 +171,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((0.0, 0.0, 0.0)))
   }
 
+  test("stripHtml: blocks before tags, entities after tags, &amp; last") {
+    val f = TA.stripHtml(col("s"))
+    // script bodies with bare < > vanish with the block
+    assert(one(f, "<p>a</p><script>if (1 < 2) { x > 3 }</script><p>b</p>")
+      === "a b")
+    assert(one(f, "keep <style media=\"all\">p { color: red }</style> text")
+      === "keep text")
+    // entities decode AFTER tag removal: &lt;b&gt; is text, not a tag
+    assert(one(f, "<b>bold</b> &lt;b&gt;literal&lt;/b&gt;")
+      === "bold <b>literal</b>")
+    // double-encoded &amp;lt; decodes once, to the literal string "&lt;"
+    assert(one(f, "x &amp;lt; y") === "x &lt; y")
+    assert(one(f, "a&nbsp;b &quot;c&#39;d&quot;") === "a b \"c'd\"")
+    // comments, attributes, multiline tags, whitespace collapse
+    assert(one(f, "<!-- hidden -->\n<div\n class='x'>t</div>\n\n u")
+      === "t u")
+  }
+
   test("gopherRules: each gate fires on its own violation") {
     import spark.implicits._
     // A base doc that passes everything: 60 prose-like words with
