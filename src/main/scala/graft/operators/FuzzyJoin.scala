@@ -12,17 +12,28 @@ import org.apache.spark.sql.functions._
   * Candidate generation is the SymSpell deletion-neighborhood property:
   * two strings within edit distance 1 (insert/delete/substitute) share at
   * least one member of their delete-1 neighborhoods (the string itself
-  * plus every single-character deletion). So the plan is the same
-  * two-stage shape as every dedup path here: a NARROW per-row variant
-  * fan-out (len+1 variants per key — pure array expressions, no UDF), an
-  * equi-join on the variant, pair dedup, and an exact Levenshtein verify
-  * on the candidates only. Never all-pairs.
+  * plus every single-character deletion).
   *
-  * Skew: a variant shared by B keys expands to O(B²) candidate pairs
-  * before the verify. `maxBucket` drops variant buckets above the cap
-  * (same recall-bounding posture as the LSH bucket cap); identical keys
-  * always still pair through their other variants unless every shared
-  * variant is capped.
+  * Plan shape — pair KEYS, then fan out to ids. Because every id carries
+  * exactly one key, the id-pair relation factors through the key-pair
+  * relation: (i, j) match iff (key(i), key(j)) match, and each unordered
+  * id pair arises from exactly one unordered key pair. So the quadratic
+  * machinery (variant explode, equi-join, Levenshtein verify, dedup)
+  * runs over the DISTINCT-KEY frame — never larger than the corpus, and
+  * on real id corpora (URLs, titles) orders of magnitude smaller — and
+  * the corpus itself is only touched by two equi-joins at the end that
+  * materialize the output fan-out. No per-candidate Levenshtein on id
+  * pairs, no id-pair `distinct` exchange (uniqueness is structural), no
+  * persisted intermediate: the old plan paid three wide passes over the
+  * exploded id-level variant frame before forming a single pair.
+  *
+  * Skew: a variant shared by B ids expands to O(B²) candidate id pairs.
+  * `maxBucket` drops variants whose ID-level occurrence count (the sum
+  * of key-group sizes over keys sharing the variant) exceeds the cap —
+  * identical semantics to capping the id-level variant buckets directly,
+  * since a variant's id bucket is exactly the union of its key groups.
+  * Identical keys still pair through their other variants unless every
+  * shared variant is capped.
   */
 object FuzzyJoin {
 
@@ -40,7 +51,8 @@ object FuzzyJoin {
 
   /** Pairs (idA, idB, dist) with idA < idB and
     * `levenshtein(key_a, key_b) <= 1`, found via the deletion-
-    * neighborhood equi-join. Output column names: id_a, id_b, dist.
+    * neighborhood equi-join over DISTINCT keys (see object scaladoc).
+    * Output column names: id_a, id_b, dist.
     */
   def pairsWithin1(
       df: DataFrame,
@@ -50,41 +62,42 @@ object FuzzyJoin {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val keyed = df.select(col(idCol).as("__id"), col(keyCol).as("__key"))
       .filter(col("__key").isNotNull)
-    // persisted like lshCandidatePairs' buckets: the cap count and both
-    // join sides read the exploded frame; same cache-lifecycle contract
-    val vars = keyed.select(col("__id"), col("__key"),
+    // distinct keys with their id-group sizes: map-side combine makes the
+    // exchange distinct-key-sized, the only aggregation the corpus pays
+    val keyCounts = keyed.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__kn"))
+    val kvars = keyCounts.select(col("__key"), col("__kn"),
       explode(deleteVariants(col("__key"))).as("__var"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cap degenerate variant buckets BEFORE pair expansion; singleton
-    // buckets can't pair and are dropped in the same pass
-    val kept = vars.groupBy(col("__var"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn").between(2, maxBucket))
+    // the id-level cap, computed without touching id-level rows: a
+    // variant's id bucket is the union of its key groups, so its size is
+    // sum(__kn). Singleton buckets can't pair and drop in the same pass.
+    val kept = kvars.groupBy(col("__var"))
+      .agg(sum(col("__kn")).as("__vn"))
+      .filter(col("__vn").between(2, maxBucket))
       .select(col("__var"))
-    val bounded = vars.join(kept, Seq("__var"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bounded.select(col("__id").as("id_a"), col("__key").as("key_a"),
-      col("__var"))
-    val b = bounded.select(col("__id").as("id_b"), col("__key").as("key_b"),
-      col("__var"))
-    // verify BEFORE the pair dedup: the levenshtein runs codegen'd in
-    // the join stage (paying it per duplicated candidate — a pair
-    // appears once per shared variant), which narrows the distinct's
-    // exchange from (2 longs + both key strings) to 3 longs and drops
-    // non-matching candidates before they shuffle at all. On the sf0.1
-    // fixture (5.3M candidate rows) wall time is unchanged — the
-    // exchange is row-count-bound there, not byte-bound — but at scale
-    // the bytes-per-row saving is the difference between shuffling ids
-    // and shuffling the key corpus; the trade reverses only for very
-    // long keys (O(len²) edit distance × duplication vs shipping the
-    // strings once) — hash such keys first. distinct over (id_a, id_b,
-    // dist) == distinct over the pair: dist is a function of the pair.
-    a.join(b, Seq("__var"))
-      .filter(col("id_a") < col("id_b"))
+    // key-level candidate pairs: tiny frames (distinct keys × ~len+1
+    // variants), verified ONCE per key pair. key_a <= key_b keeps the
+    // same-key (distance-0) pair exactly once.
+    val keyPairs = kvars.select(col("__key").as("key_a"), col("__var"))
+      .join(kept, Seq("__var"))
+      .join(kvars.select(col("__key").as("key_b"), col("__var")), Seq("__var"))
+      .filter(col("key_a") <= col("key_b"))
+      .select(col("key_a"), col("key_b")).distinct()
       .withColumn("dist",
         levenshtein(col("key_a"), col("key_b")).cast("long"))
       .filter(col("dist") <= 1)
-      .select(col("id_a"), col("id_b"), col("dist"))
-      .distinct()
+    // fan out to ids: each unordered id pair appears exactly once (one
+    // key pair per id pair; same-key pairs ordered by the id filter,
+    // cross-key pairs canonicalized by least/greatest) — no distinct.
+    // Catalyst broadcasts whichever side is small: at fixture scale both
+    // joins are broadcasts and the corpus never shuffles.
+    keyed.select(col("__id").as("__ia"), col("__key").as("key_a"))
+      .join(keyPairs, Seq("key_a"))
+      .join(keyed.select(col("__id").as("__ib"), col("__key").as("key_b")),
+        Seq("key_b"))
+      .filter(col("key_a") =!= col("key_b") || col("__ia") < col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("dist"))
   }
 }

@@ -331,18 +331,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") <= 5, p)
   }
 
-  test("q_fuzzy_join: no cartesian, no sort-merge — capped variant equi-join only") {
+  test("q_fuzzy_join: keys pair, ids only fan out — no cache, no id-level dedup") {
     val p = plan("q_fuzzy_join")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // candidates come from the cached bounded frame on both sides
-    assert(p.contains("InMemoryTableScan"), p)
-    // exchange budget: the pair equi-join's two __var partitionings plus
-    // the candidate distinct — a refactor that re-derives the exploded
-    // variant frame (instead of reading the cache) or adds a corpus-wide
-    // sort busts this budget
-    assert(countOf(p, "Exchange hashpartitioning") <= 4, p)
+    // the quadratic machinery runs over the distinct-key frame; nothing
+    // is persisted (the old plan cached the exploded id-level variants
+    // twice and paid three wide passes before forming a pair)
+    assert(!p.contains("InMemoryTableScan"), p)
+    // exchange budget: key-group count agg, variant-cap agg, key-pair
+    // distinct, and the key-pair equi-joins' partitionings — all sized by
+    // distinct keys. The corpus-side fan-out joins must broadcast, so a
+    // refactor that shuffles or dedups the id-level frame busts this.
+    assert(countOf(p, "Exchange hashpartitioning") <= 6, p)
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)
   }
 
   test("q_contamination_report: train side narrow until the broadcast eval join") {
