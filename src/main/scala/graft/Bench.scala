@@ -8,18 +8,41 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** Wall-seconds for a fixed single-thread spin. Between queries our own JVM
-    * is idle, so a slow probe means ANOTHER process holds the cores right now.
-    * This is the contention signal loadavg can't give: the 1-minute EMA is
-    * polluted by our own 32-thread sweep for a minute after every query, while
-    * the probe only sees contention present at the instant it runs. */
-  private def spinProbe(): Double = {
-    val t0 = System.nanoTime()
-    var acc = 0L
-    var i = 0
-    while (i < 40000000) { acc = acc * 31 + i; i += 1 }
-    if (acc == 42) println("")  // defeat dead-code elimination
-    (System.nanoTime() - t0) / 1e9
+  /** (system-wide busy jiffies, this process's busy jiffies). The round-5
+    * verdict showed why a probe can't carry the contention guard: a
+    * single-thread spin runs clean while a co-tenant holds 5 of 32 cores,
+    * because the probe thread always finds a free core — yet the 32-thread
+    * query sweep loses those 5 cores for its whole runtime. And loadavg is a
+    * 1-minute EMA polluted by our own sweep for a minute after every query.
+    * The signal that is immune to both is CPU accounting over the exact run
+    * window: delta(/proc/stat busy) - delta(/proc/self utime+stime) is the
+    * jiffies OTHER processes (plus hypervisor steal) consumed while the query
+    * ran; divided by wall time it is the number of cores we did not get. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val sys = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal ...
+      // busy = user+nice+system+irq+softirq+steal (idle/iowait excluded;
+      // steal is hypervisor-side contention we also did not get to use)
+      val busy = Seq(1, 2, 3, 6, 7, 8).map(i => sys(i).toLong).sum
+      val self = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+        .split("\\s+")
+      // fields 14/15 (1-based) = utime/stime, summed over all our threads
+      (busy, self(13).toLong + self(14).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Average number of cores consumed by processes OTHER than this JVM
+    * between two cpuJiffies() snapshots spanning `wallSec`. -1 if procfs
+    * was unreadable (non-Linux), in which case the guard records but never
+    * flags. USER_HZ is 100 on every mainstream Linux (getconf CLK_TCK). */
+  private def externalCores(before: (Long, Long), after: (Long, Long),
+                            wallSec: Double): Double = {
+    if (before._1 < 0 || after._1 < 0 || wallSec <= 0) return -1.0
+    val ext = (after._1 - before._1) - (after._2 - before._2)
+    math.max(0.0, ext.toDouble / 100.0 / wallSec)
   }
 
   def main(args: Array[String]): Unit = {
