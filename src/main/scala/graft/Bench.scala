@@ -75,29 +75,31 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
-    // Contention guard: calibrate the spin probe (min over a few quiet
-    // samples = the uncontended floor; GC noise can only inflate, never
-    // deflate, a sample, so the min is the right estimator), then require
-    // each kept run to start from a clean probe. A run whose preceding probe
-    // exceeds the floor by contendedFactor was taken while another process
-    // held the cores and is retried rather than recorded.
-    val probeFloor = (1 to 5).map(_ => spinProbe()).min
-    val contendedFactor =
-      sys.env.getOrElse("SPARK_GRAFT_CONTENDED_FACTOR", "1.6").toDouble
-    case class QRes(sec: Double, contended: Boolean,
+    // Contention guard: CPU accounting over the exact run window (see
+    // cpuJiffies above). A run during which other processes consumed more
+    // than contendedCores cores on average was taken on a loaded host and is
+    // retried rather than recorded. Unlike the round-5 spin probe this
+    // detects PARTIAL contention (co-tenant on 5 of 32 cores) and, unlike
+    // loadavg, is not a minute-long EMA polluted by our own sweep.
+    val contendedCores =
+      sys.env.getOrElse("SPARK_GRAFT_CONTENDED_CORES", "2.0").toDouble
+    case class QRes(sec: Double, contended: Boolean, extCores: Double,
                     loadBefore: Double, loadAfter: Double, attempts: Int)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (elapsed, probeWasClean, loadBefore, loadAfter); elapsed -1 = failed
-      def once(): (Double, Boolean, Double, Double) = {
-        val probe = spinProbe()
-        val clean = probe <= probeFloor * contendedFactor
+      // (elapsed, runWasClean, extCores, loadBefore, loadAfter); -1 = failed
+      def once(): (Double, Boolean, Double, Double, Double) = {
         val lb = loadavg()
+        val j0 = cpuJiffies()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val j1 = cpuJiffies()
+        val ext = externalCores(j0, j1, elapsed)
+        // unreadable procfs (ext < 0) records but never flags
+        val clean = ext < 0 || ext <= contendedCores
         val la = loadavg()
         // drop frames the query persisted: carrying them over would (a)
         // hand the rerun a warm cache it didn't pay for and (b) build up
@@ -105,7 +107,7 @@ object Bench {
         // q_embed_neardup_lsh inside the full sweep vs standalone)
         spark.catalog.clearCache()
         // a failed query must not masquerade as a fast one
-        (if (ok) elapsed else -1.0, clean, lb, la)
+        (if (ok) elapsed else -1.0, clean, ext, lb, la)
       }
       // ANY failed run reports -1: a query that fails intermittently must
       // not pass the bench gate on its lucky rerun. Otherwise keep sampling
@@ -121,8 +123,13 @@ object Bench {
         if (failed) -1.0
         else if (cleanRuns.size >= 2) cleanRuns.min
         else runs.map(_._1).min
+      // extCores of the kept (fastest clean, else fastest) run: the number
+      // the committed artifact needs to self-certify its own quietness
+      val kept = runs.filter(r => !failed && (if (cleanRuns.size >= 2) r._2 else true))
+        .sortBy(_._1).headOption.getOrElse(runs.head)
       name -> QRes(sec, contended = !failed && cleanRuns.size < 2,
-        loadBefore = runs.last._3, loadAfter = runs.head._4, runs.size)
+        extCores = kept._3,
+        loadBefore = runs.last._4, loadAfter = runs.head._5, runs.size)
     }.toMap
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.sec }
@@ -143,10 +150,11 @@ object Bench {
     // plus only the ten slowest queries.
     val loads = results.map { case (k, v) =>
       s"\"$k\":{\"sec\":${v.sec},\"contended\":${v.contended}," +
+        s"\"ext_cores\":${v.extCores}," +
         s"\"load_before\":${v.loadBefore},\"load_after\":${v.loadAfter}," +
         s"\"attempts\":${v.attempts}}"
     }.mkString("{", ",", "}")
-    val detail = s"""{"detail":$qs,"runs":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"probe_floor_sec":$probeFloor}"""
+    val detail = s"""{"detail":$qs,"runs":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended_cores_threshold":$contendedCores}"""
     // sidecar path is configurable so launching the bench from an arbitrary
     // cwd can't silently clobber an unrelated bench_detail.json
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
