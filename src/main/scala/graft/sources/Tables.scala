@@ -17,30 +17,45 @@ object Tables {
 
   /** Load one fixture table from a scale-factor directory.
     *
-    * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark 4's
-    * vectorized reader rejects outright. We read it as a long (legacy flag)
-    * and integer-divide down to microseconds — `ts div 1000`, NOT `/ 1000`:
-    * epoch-nanos (~1.7e18) exceed a double's 2^53 integer range, so float
-    * division would corrupt timestamps. DuckDB (the oracle) truncates
-    * NANOS→micros the same way.
+    * `events.ts` has shipped in two encodings across testdata
+    * generations, both normalized here to a session-zoned TIMESTAMP so
+    * every downstream query sees one type:
+    *  - Parquet TIMESTAMP(NANOS), which Spark 4's vectorized reader
+    *    rejects outright: read as a long (legacy flag) and
+    *    integer-divided down to microseconds — `ts div 1000`, NOT
+    *    `/ 1000`: epoch-nanos (~1.7e18) exceed a double's 2^53 integer
+    *    range, so float division would corrupt timestamps. DuckDB (the
+    *    oracle) truncates NANOS→micros the same way.
+    *  - Parquet TIMESTAMP(MICROS) without timezone (TIMESTAMP_NTZ to
+    *    Spark): cast to TIMESTAMP, wall-clock-preserving under the UTC
+    *    session timezone every graft session pins.
     */
-  /** Conf every session reading `events` must carry (set by the graft
-    * session builders — Bench/Verify/Explain and the test harness — at
-    * construction; `table` deliberately does NOT set it, so reading one
-    * table can't silently change parquet semantics session-wide).
+  /** Conf a session reading a NANOS-encoded `events` must carry (set by
+    * the graft session builders — Bench/Verify/Explain and the test
+    * harness — at construction; `table` deliberately does NOT set it, so
+    * reading one table can't silently change parquet semantics
+    * session-wide).
     */
   val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"${dir.stripSuffix("/")}/$name.parquet"
     if (name == "events") {
-      require(spark.conf.getOption(nanosAsLongKey)
-          .exists(_.equalsIgnoreCase("true")),
-        s"reading `events` needs $nanosAsLongKey=true at session build " +
-          "(its ts column is parquet TIMESTAMP(NANOS))")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // NANOS generation, surfaced as long via the legacy flag
+          require(spark.conf.getOption(nanosAsLongKey)
+              .exists(_.equalsIgnoreCase("true")),
+            s"reading `events` needs $nanosAsLongKey=true at session " +
+              "build (its ts column is parquet TIMESTAMP(NANOS))")
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(path)
   }
 }
