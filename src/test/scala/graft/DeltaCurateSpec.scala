@@ -59,6 +59,63 @@ class DeltaCurateSpec extends SparkSpec {
     cleanTables()
   }
 
+  test("compaction: month 3 behaves identically, index shrinks, dead versions are forgotten") {
+    val tablesA = ("dcc_fp_a", "dcc_sig_a") // never compacted
+    val tablesB = ("dcc_fp_b", "dcc_sig_b") // compacted after month 1
+    for (tb <- Seq(tablesA, tablesB); t <- Seq(tb._1, tb._2))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    val m0 = (1 to 6).map(i => (i.toLong, doc(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    // month 1: doc 2 materially rewritten (v0 superseded), doc 6 removed
+    val m1 = Seq((1L, doc(1), "en"), (2L, doc(20), "en"), (3L, doc(3), "en"),
+      (4L, doc(4), "en"), (5L, doc(5), "en")).toDF("doc_id", "text", "lang")
+    for ((fp, sig) <- Seq(tablesA, tablesB)) {
+      DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+        fp, sig, buckets = 4)
+      DeltaCurate.run(m0, m1, "doc_id", "text", "lang", cfg,
+        fp, sig, buckets = 4)
+    }
+    val fpBefore = spark.table(tablesA._1).count()
+    val sigBefore = spark.table(tablesA._2).count()
+    // compact branch B against the current corpus (= m1: every doc's
+    // latest surviving version); doc 2 v0 and doc 6 rows must go
+    val (fpAfter, sigAfter) = DeltaCurate.compact(m1, "doc_id", "text",
+      tablesB._1, tablesB._2, buckets = 4)
+    assert(fpAfter < fpBefore, s"fp index must shrink: $fpAfter vs $fpBefore")
+    assert(sigAfter < sigBefore,
+      s"sig index must shrink: $sigAfter vs $sigBefore")
+
+    // month 2 exercises every suppression path against CURRENT content:
+    // 10 fresh (survives), 11 near-dup of current doc 3 (suppressed),
+    // 12 exact copy of current doc 2 v1 (suppressed)
+    val m2 = m1.unionAll(Seq(
+      (10L, doc(10), "en"),
+      (11L, doc(3) + " tiny tail", "en"),
+      (12L, doc(20), "en")).toDF("doc_id", "text", "lang"))
+    val ids2 = Seq(tablesA, tablesB).map { case (fp, sig) =>
+      DeltaCurate.run(m1, m2, "doc_id", "text", "lang", cfg,
+        fp, sig, buckets = 4)
+        .survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(ids2.head === Set(10L), s"uncompacted month-2: ${ids2.head}")
+    assert(ids2(1) === ids2.head,
+      "month 2 must behave identically with and without compaction")
+
+    // month 3 re-adds doc 2's DEAD v0 text: the uncompacted index still
+    // suppresses it, the compacted one has (by design) forgotten it
+    val m3 = m2.unionAll(Seq((13L, doc(2), "en")).toDF("doc_id", "text", "lang"))
+    val ids3 = Seq(tablesA, tablesB).map { case (fp, sig) =>
+      DeltaCurate.run(m2, m3, "doc_id", "text", "lang", cfg,
+        fp, sig, buckets = 4)
+        .survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(ids3.head === Set.empty[Long])
+    assert(ids3(1) === Set(13L))
+    for (tb <- Seq(tablesA, tablesB); t <- Seq(tb._1, tb._2))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("near-dup delta against the signature index drops tail-edited rewrites") {
     cleanTables()
     val base = (1 to 4).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")
