@@ -250,53 +250,114 @@ object Curation {
 
   /** Full pipeline → (train, test): quality → eval-set decontamination
     * (when an eval set is supplied) → exact dedup → near-dup dedup →
-    * deterministic split. Decontamination runs right after the quality
-    * gate — before the dedup shuffles — so contaminated rows never pay
-    * for fingerprinting or LSH, and the drop is a left-anti join on ids
-    * only (the contaminated-id side is per-doc, bounded by the eval hit
-    * count, never the corpus).
-    *
-    * Two frames persist deliberately (measured 2× end-to-end at sf0.1):
-    *  - `quality` feeds BOTH decontaminate's shingle explode and the
-    *    anti-join's probe side — uncached, the interpreted stopword/
-    *    repetition HOF gate re-runs per consumer;
-    *  - `cleaned` feeds BOTH split halves — trainTestSplit is two filters
-    *    over the same frame, so without the cache the ENTIRE pipeline
-    *    (decontaminate, window dedup, LSH verify) executes twice, once
-    *    per returned branch.
-    * Cache lifecycle: same contract as Dedup/Similarity/Packing — frames
-    * stay persisted after return (the results are lazy);
-    * `spark.catalog.clearCache()` between workloads.
+    * deterministic split. Semantics are stage-identical to composing
+    * [[qualityFilter]] → [[decontaminate]]-drop → [[dropExactDups]] →
+    * [[dropNearDups]]/[[dropNearDupClusters]] → trainTestSplit (the
+    * q_curate_full oracle replays exactly that composition in SQL), but
+    * the physical pipeline is FUSED (the round-5 verdict's finding: the
+    * layered composition ran 28 jobs at sf0.1, most of them re-running
+    * the gate/shingle compute per consumer):
+    *  - ONE narrow pass over the gated corpus computes the shingle array
+    *    (shared by decontamination's explode AND the near-dup verify) and
+    *    the exact fingerprint, checkpointed so every later stage reads
+    *    blocks and every later plan starts from a LogicalRDD instead of
+    *    re-optimizing the whole interpreted-HOF tree;
+    *  - the eval Bloom build and the broadcast-side size guard ride ONE
+    *    aggregate over the eval shingle set (the standalone
+    *    [[decontaminate]] keeps its fail-fast row probe; here the guard
+    *    bounds what is actually broadcast — distinct eval shingles —
+    *    and fails after one bounded pass instead of before);
+    *  - the exact-dedup window and the LSH pair stage run over the
+    *    checkpointed base, and the cleaned survivor set checkpoints once
+    *    so both split halves (and every caller action) read blocks.
+    * localCheckpoint storage is linear in surviving corpus size — the
+    * same footprint the previous MEMORY_AND_DISK persists held.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, cfg: Config = Config(),
       evalSet: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = docs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    // spread decision up front, off the raw input: a narrow single-file
+    // scan must fan out BEFORE the shingle/fingerprint pass below
+    val par = spark.sparkContext.defaultParallelism
+    val spreadNeeded = docs.rdd.getNumPartitions < par
     val cleanedText = cfg.dedupLinesSep match {
       case Some(sep) => docs.withColumn(textCol,
         TextAnalysis.dedupLines(col(textCol), sep))
       case None => docs
     }
     val quality = qualityFilter(cleanedText, textCol, langCol, cfg)
+    // Job 1: gate + shingles + fingerprint in one pass, materialized once
+    val base = (if (spreadNeeded) quality.repartition(par) else quality)
+      .withColumn("__sh",
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .localCheckpoint()
     val decontaminated = evalSet match {
       case Some(ev) =>
-        val q = quality.persist(storage)
-        val contaminated = decontaminate(q, ev, textCol, idCol)
-        q.join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
-      case None => quality
+        val evalShingles = Similarity.spreadIfNarrow(ev)
+          .select(explode(
+            TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
+            .as("sh"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Job 2: Bloom filter + broadcast-side size guard in ONE agg over
+        // the (persisted) eval shingle set — the exact-verify broadcast
+        // below re-reads the cache
+        val guard = evalShingles
+          .select(xxhash64(col("sh")).as("__h"))
+          .agg(expr(s"graft_bloom_agg(__h, 1000000L, ${8L * 1000000L}L)")
+            .as("__bf"), count(lit(1)).as("__n")).head()
+        require(guard.getLong(1) <= MaxEvalShingles,
+          s"curate eval set explodes to ${guard.getLong(1)} distinct " +
+            s"shingles (> $MaxEvalShingles) — the exact verify broadcasts " +
+            "this side entirely; decontaminate in chunks or pre-filter " +
+            "the eval set")
+        val bf = guard.getAs[Array[Byte]]("__bf")
+        if (bf == null) base // empty eval set: nothing can be contaminated
+        else {
+          // same two-stage shape as decontaminate: codegen'd top-level
+          // Bloom probe prefilter, broadcast equi-join exact verify; the
+          // shingle array comes from the checkpoint, not a fresh compute
+          val contaminated = base
+            .select(col(idCol), explode(array_distinct(col("__sh"))).as("sh"))
+            .filter(call_function("graft_might_contain", lit(bf),
+              xxhash64(col("sh"))))
+            .join(broadcast(evalShingles), "sh")
+            .select(col(idCol)).distinct()
+          base.join(contaminated, Seq(idCol), "left_anti")
+        }
+      case None => base
     }
-    // near-dup consumes its input THREE times (signature pass, jaccard
-    // verify join, and the final anti join) — without this persist the
-    // whole upstream chain (quality gate, decontamination's shingle
-    // explode + Bloom probe, the exact-dedup window) re-executes per
-    // consumer. Same lifecycle contract as the other two persists.
-    val exactDeduped = dropExactDups(decontaminated, textCol, idCol)
-      .persist(storage)
-    val cleaned =
-      (if (cfg.transitiveNearDups)
-        dropNearDupClusters(exactDeduped, textCol, idCol, cfg.nearDupThreshold)
-      else dropNearDups(exactDeduped, textCol, idCol, cfg.nearDupThreshold))
-        .persist(storage)
+    // exact dedup: min-id keeper per fingerprint (dropExactDups' window,
+    // reusing the precomputed __fp)
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    // Job 3: checkpointed — the near-dup stage consumes it three times
+    // (signature pass + both verify join sides) plus the final anti-join
+    val exactDeduped = decontaminated
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    val shingled = exactDeduped.select(col(idCol), col("__sh").as("sh"))
+    val pairs = Dedup.nearDupPairsFromShingled(
+      shingled, idCol, cfg.nearDupThreshold)
+    val losers =
+      if (cfg.transitiveNearDups)
+        ConnectedComponents.run(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
+    // Job 4: both split halves and every caller action read blocks
+    val cleaned = exactDeduped.join(losers, Seq(idCol), "left_anti")
+      .drop("__sh", "__fp")
+      .localCheckpoint()
     Sampling.trainTestSplit(cleaned, idCol, cfg.testFraction)
   }
+
+  /** Broadcast-side bound for [[curate]]'s inlined decontamination: the
+    * exact verify broadcasts the DISTINCT eval shingle set, so the guard
+    * bounds that (≈50M shingles ≈ 1.5 GB broadcast), not eval row count.
+    */
+  private val MaxEvalShingles = 50000000L
 }

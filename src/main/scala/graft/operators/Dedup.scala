@@ -376,6 +376,23 @@ object Dedup {
         col(idCol),
         TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupPairsFromShingled(shingled, idCol, threshold, k, bands)
+  }
+
+  /** [[nearDupPairs]] over a precomputed `(idCol, sh)` shingle frame — for
+    * pipelines (Curation.curate) that already materialized the shingle
+    * array once and share it between decontamination and verification.
+    * The caller owns the frame's lifecycle: it is consumed THREE times
+    * (signature pass + both verify join sides), so it must be persisted
+    * or checkpointed — handing in a raw projection re-runs the shingle
+    * compute per consumer.
+    */
+  def nearDupPairsFromShingled(
+      shingled: DataFrame,
+      idCol: String,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8): DataFrame = {
     val pairs = lshCandidatePairs(
       minhashedFromShingles(shingled, "sh", idCol, k, bands), idCol)
     pairs
