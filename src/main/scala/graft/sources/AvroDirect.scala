@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{LogicalTypes, Schema}
-import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileStream, DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -22,11 +22,14 @@ import org.apache.spark.util.SerializableConfiguration
   * (reference `ParquetDump.scala:116`, `SchemaRepair.scala:31,33`).
   *
   * Scale shape:
-  *  - READ parallelism is one task per file (the per-provider snapshot
-  *    layout the reference scans is many bounded files, so file-grain
-  *    splits saturate a cluster; unlike spark-avro this reader does not
-  *    split inside one container file on sync-block boundaries — a single
-  *    multi-TB file would be one task, so keep snapshot files bounded);
+  *  - READ parallelism is one task per `splitSize` byte range, with
+  *    ranges aligned to Avro sync blocks at read time (the spark-avro
+  *    split behavior behind reference `ParquetDump.scala:116`): each
+  *    task seeks to the first sync marker at or after its range start
+  *    and reads every block that STARTS inside its range, so a single
+  *    multi-TB container file fans out across the cluster and no record
+  *    is read twice — the standard Hadoop Avro split contract
+  *    (`sync(start)` / `pastSync(end)`);
   *  - schema resolution is Avro-native: the FIRST file's schema is the
   *    reader schema, and every other file resolves against it (reordered
   *    fields and defaulted additions are fine — the A1 multi-path merge
@@ -42,44 +45,77 @@ object AvroDirect {
   // ---------------------------------------------------------------- read
 
   /** Multi-path Avro scan: every `*.avro` under each path (or the path
-    * itself if it is a file), one task per file, first file's schema as
+    * itself if it is a file), one task per ≤`splitSize` byte range with
+    * sync-block alignment resolved at read time, first file's schema as
     * the reader schema.
     */
-  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  def read(spark: SparkSession, paths: Seq[String],
+      splitSize: Long = DefaultSplitSize): DataFrame = {
     require(paths.nonEmpty, "at least one path required")
+    require(splitSize > 0, s"splitSize must be positive, got $splitSize")
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val files = listAvroFiles(hconf.value, paths)
     require(files.nonEmpty,
       s"no .avro files under ${paths.mkString(", ")}")
-    val readerSchema = fileSchema(hconf.value, files.head)
+    val readerSchema = fileSchema(hconf.value, files.head._1)
     val schemaJson = readerSchema.toString
     val structType = toCatalyst(readerSchema) match {
       case st: StructType => st
       case other => throw new UnsupportedOperationException(
         s"top-level Avro type must be a record, got $other")
     }
+    // Byte-range splits computed from the listing's lengths (no extra
+    // filesystem round-trips); block alignment happens in-task: each
+    // reader syncs FORWARD to the first block at or after `start` and
+    // stops once it passes `end`, so a block is owned by exactly the
+    // split its first byte falls into — records never duplicate or drop
+    // across split boundaries, whatever the block/split size ratio.
+    val splits: Seq[(String, Long, Long)] = files.flatMap { case (f, len) =>
+      if (len == 0) Seq((f, 0L, 0L))
+      else (0L until len by splitSize).map(s => (f, s, math.min(s + splitSize, len)))
+    }
     val rows = spark.sparkContext
-      .parallelize(files, files.size)
-      .flatMap { file =>
+      .parallelize(splits, splits.size)
+      .flatMap { case (file, start, end) =>
         val expected = new Schema.Parser().parse(schemaJson)
-        val fs = new Path(file).getFileSystem(hconf.value)
-        val in = fs.open(new Path(file))
-        val stream = new DataFileStream[GenericRecord](in,
+        val reader = new DataFileReader[GenericRecord](
+          openSeekable(hconf.value, file),
           new GenericDatumReader[GenericRecord](null, expected))
         Option(TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => stream.close()))
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
+        reader.sync(start)
         val convert = avroToRow(expected, structType)
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = stream.hasNext
-            if (!h) stream.close()
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) reader.close()
             h
           }
-          def next(): Row = convert(stream.next()).asInstanceOf[Row]
+          def next(): Row = convert(reader.next()).asInstanceOf[Row]
         }
       }
     spark.createDataFrame(rows, structType)
+  }
+
+  /** Default split grain, matching Spark's files.maxPartitionBytes. */
+  val DefaultSplitSize: Long = 128L * 1024 * 1024
+
+  /** Seekable Hadoop input for [[DataFileReader]] (the split reader needs
+    * seek/tell; avro-mapred's FsInput is not on the core classpath).
+    */
+  private def openSeekable(conf: Configuration, file: String): SeekableInput = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    new SeekableInput {
+      def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+      def seek(p: Long): Unit = in.seek(p)
+      def tell(): Long = in.getPos
+      def length(): Long = len
+      def close(): Unit = in.close()
+    }
   }
 
   /** Driver-side schema peek (also used by SchemaDdl-style divergence
@@ -101,23 +137,25 @@ object AvroDirect {
     * hidden and metadata entries (`_SUCCESS`, `.crc`) are skipped.
     */
   private def listAvroFiles(
-      conf: Configuration, paths: Seq[String]): Seq[String] = {
-    def walk(p: Path, fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+      conf: Configuration, paths: Seq[String]): Seq[(String, Long)] = {
+    def walk(p: Path, fs: org.apache.hadoop.fs.FileSystem): Seq[(String, Long)] = {
       val status = fs.getFileStatus(p)
       if (status.isFile) {
-        if (p.getName.endsWith(".avro")) Seq(p.toString) else Seq.empty
+        if (p.getName.endsWith(".avro")) Seq((p.toString, status.getLen))
+        else Seq.empty
       } else fs.listStatus(p)
         .filterNot(s => s.getPath.getName.startsWith("_") ||
           s.getPath.getName.startsWith("."))
         .toSeq.flatMap(s =>
           if (s.isFile) {
-            if (s.getPath.getName.endsWith(".avro")) Seq(s.getPath.toString)
+            if (s.getPath.getName.endsWith(".avro"))
+              Seq((s.getPath.toString, s.getLen))
             else Seq.empty
           } else walk(s.getPath, fs))
     }
     paths.flatMap { p =>
       val path = new Path(p)
-      walk(path, path.getFileSystem(conf)).sorted
+      walk(path, path.getFileSystem(conf)).sortBy(_._1)
     }
   }
 

@@ -145,4 +145,34 @@ class AvroSpec extends SparkSpec {
     assert(back.rdd.getNumPartitions === 4)
     assert(back.agg(sum("id")).head.getLong(0) === 5050L)
   }
+
+  test("one multi-block container file splits on sync blocks across >1 task") {
+    import spark.implicits._
+    val out = tmpDir()
+    // one partition → ONE container file, with long high-entropy rows
+    // (snappy must not collapse them) so the writer's default ~64 KB
+    // sync interval yields many blocks
+    val df = (1L to 5000L)
+      .map(i => (i, (1 to 25)
+        .map(j => ((i * 31 + j) * 2654435761L).toHexString).mkString))
+      .toDF("id", "pad")
+      .coalesce(1)
+    AvroDirect.write(df, out)
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(file.length === 1)
+    val len = file.head.length()
+    assert(len > 256 * 1024, s"fixture too small for a split test: $len")
+    // split well below the file size: every split must land on a sync
+    // boundary with no duplicated or dropped records
+    val split = AvroDirect.read(spark, Seq(out), splitSize = 64 * 1024)
+    assert(split.rdd.getNumPartitions === (len + 64 * 1024 - 1) / (64 * 1024))
+    assert(split.rdd.getNumPartitions > 1)
+    assert(split.count() === 5000L)
+    assert(split.agg(sum("id")).head.getLong(0) === 5000L * 5001L / 2)
+    // byte-identical row set vs the unsplit read
+    val whole = AvroDirect.read(spark, Seq(out))
+    assert(split.select("id", "pad").except(whole.select("id", "pad")).isEmpty)
+    assert(whole.select("id", "pad").except(split.select("id", "pad")).isEmpty)
+  }
 }
