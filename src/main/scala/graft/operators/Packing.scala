@@ -195,24 +195,69 @@ object Packing {
     * dropped — splitting oversized docs is the caller's chunking concern.
     * Deterministic for a fixed `nPartitions`: the bucket key is
     * xxhash64(id) mod n and arrival order is ascending id.
+    *
+    * `portableDraw` swaps the xxhash64 bucket draw for the md5-derived
+    * one ([[Sampling.md5Mod]], the [[packNextFit]] draw) and keys bin ids
+    * by BUCKET rather than partition id (`(bucket << 32) | local`), which
+    * makes the whole assignment a pure function of (ids, counts, budget,
+    * n) that an independent engine replays exactly — the cross-engine
+    * oracle path. The default stays xxhash64: one codegen'd hash versus
+    * an md5 + hex-decode per row on the hot ingest path.
     */
   def packGreedy(
       docs: DataFrame,
       idCol: String,
       tokenCountCol: String,
       budget: Long,
-      nPartitions: Int = 0): Dataset[PackedBin] = {
+      nPartitions: Int = 0,
+      portableDraw: Boolean = false): Dataset[PackedBin] = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
     val n =
       if (nPartitions > 0) nPartitions
       else spark.sparkContext.defaultParallelism
     implicit val enc = Encoders.product[PackedBin]
-    docs
+    val keyed = docs
       .select(col(idCol).cast("long").as("id"),
         // null-count docs pack as zero-cost rather than NPE-ing the
         // per-partition pass; null ids are a data error and still throw
         coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("nt"))
+    if (portableDraw) {
+      // several buckets may share a partition: the sequential pass resets
+      // its bin state on every bucket boundary (the nextFitAssign rule),
+      // so correctness never depends on n vs partition count
+      keyed
+        .withColumn("bucket", Sampling.md5Mod(col("id"), "", n.toLong))
+        .repartition(n, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("id"))
+        .mapPartitions { rows =>
+          var curBucket = Long.MinValue
+          var localBin = 0L
+          var curDocs = Vector.empty[Long]
+          var curTokens = 0L
+          def emit(): PackedBin = {
+            val b = PackedBin((curBucket << 32) | localBin, curDocs,
+              curDocs.size, curTokens)
+            localBin += 1; curDocs = Vector.empty; curTokens = 0L
+            b
+          }
+          val out = Iterator.newBuilder[PackedBin]
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val nt = math.max(r.getLong(1), 0L)
+            val b = r.getLong(2)
+            if (b != curBucket) {
+              if (curDocs.nonEmpty) out += emit()
+              curBucket = b; localBin = 0L
+            } else if (curDocs.nonEmpty && curTokens + nt > budget)
+              out += emit()
+            curDocs :+= id
+            curTokens += nt
+          }
+          if (curDocs.nonEmpty) out += emit()
+          out.result()
+        }
+    } else keyed
       .repartition(n, pmod(xxhash64(col("id")), lit(n.toLong)))
       .sortWithinPartitions(col("id"))
       .mapPartitions { rows =>

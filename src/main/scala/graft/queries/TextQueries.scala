@@ -296,12 +296,18 @@ object TextQueries {
     // Rows-only: greedy sequence packing (per-partition first-fit is
     // inherently sequential — not SQL-expressible; invariants are
     // spec-tested: exhaustive, budget-bounded, deterministic).
+    // ORACLED since round 7: the portable md5 bucket draw makes the
+    // mapPartitions greedy pass a pure function of (ids, counts, budget,
+    // n) — DuckDB replays each bucket's sequential fill with a recursive
+    // CTE and hash-compares every bin row (the xxhash64 default draw
+    // stays the hot-path option; OperatorSpec covers it).
     "q_pack_bins" -> ((s, dir) => {
       import graft.operators.Packing
       Packing.packGreedy(
         t(s, dir, "documents")
           .select(col("doc_id"), size(toks).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", budget = 2048, nPartitions = 8)
+        "doc_id", "n_tokens", budget = 2048, nPartitions = 8,
+        portableDraw = true)
         .toDF()
         .select(col("bin_id"), col("n_docs").cast("long").as("n_docs"),
           col("total_tokens"))
@@ -337,6 +343,9 @@ object TextQueries {
     // BPE operator exists for: budget = actual subword tokens, not regex
     // words). Rows-only like q_pack_bins; the BPE counts themselves are
     // pinned by BpeSpec + the q_bpe_lossless oracle.
+    // ORACLED since round 7 (via the fitted-merge dynamic oracle): BPE
+    // token counts from the fitted merges feed the portable greedy pass,
+    // so DuckDB re-derives the segmentation AND replays the packing.
     "q_pack_bpe" -> ((s, dir) => {
       import graft.operators.{Bpe, Packing}
       val counted = Bpe
@@ -344,7 +353,7 @@ object TextQueries {
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_tokens"))
       Packing.packGreedy(counted, "doc_id", "n_tokens",
-        budget = 4096, nPartitions = 8)
+        budget = 4096, nPartitions = 8, portableDraw = true)
         .toDF()
         .select(col("bin_id"), col("n_docs").cast("long").as("n_docs"),
           col("total_tokens"))
@@ -606,11 +615,44 @@ object TextQueries {
         "doc_id", "n_chars")
     }),
 
-    // Transitive near-dup clusters over the REAL LSH pair graph (rows-only:
-    // xxhash-based candidates are not SQL-expressible; the CC machinery
-    // itself is oracled by q_dedup_clusters and spec-tested vs union-find).
-    "q_neardup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(t(s, dir, "documents"), "text", "doc_id", 0.8)),
+    // Transitive near-dup clusters over the FULL LSH chain, ORACLED since
+    // round 7 via md5 permutations (the q_incr_neardup trick): md5
+    // signatures (k=8) → baked-band keys (4 bands) → capped candidate
+    // self-join → true-Jaccard verify at 0.8 → connected components.
+    // DuckDB replays signature, banding, cap, verify, AND the component
+    // closure (recursive CTE), so the whole pair-graph → CC → cluster
+    // path hash-checks cross-engine. The xxhash64 fast path keeps its
+    // coverage through q_minhash_lsh and the curation pipeline.
+    "q_neardup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val shingled = graft.operators.Similarity.spreadIfNarrow(docs)
+        .select(col("doc_id"),
+          TA.shingles(TA.tokens(col("text"))).as("sh"))
+        .withColumn("sig", Dedup.minhashSignatureMd5(col("sh"), 8))
+        .withColumn("band_keys",
+          when(coalesce(size(col("sh")), lit(0)) === 0,
+            lit(null).cast("array<string>"))
+            .otherwise(Dedup.lshBandKeysMd5(col("sig"), 4, 2)))
+        // checkpoint BEFORE the candidate join: projection collapse would
+        // otherwise inline the interpreted md5 fold per candidate row
+        .localCheckpoint()
+      val pairs = Dedup.lshCandidatePairs(
+        shingled.select(col("doc_id"), col("band_keys")), "doc_id")
+      val verified = pairs
+        .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          "id_a")
+        .join(shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          "id_b")
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.ConnectedComponents
+        .run(verified, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
 
     // Learned-BPE tokenization (VERDICT r3 item 5): fit a 200-merge table
     // on the corpus (distributed word counts, bounded driver loop), apply
@@ -1079,7 +1121,49 @@ object TextQueries {
                CASE WHEN sum(n_bpe) = 0 THEN CAST(0 AS DOUBLE)
                  ELSE round(CAST(sum(n_chars) AS DOUBLE)
                    / CAST(sum(n_bpe) AS DOUBLE), 6) END AS chars_per_tok
-             FROM j GROUP BY lang""")
+             FROM j GROUP BY lang""",
+          // BPE-counted greedy packing: the fitted segmentation supplies
+          // per-doc token counts (null text → 0, matching the operator's
+          // coalesce), then the same portable-draw recursive replay as
+          // the static q_pack_bins oracle at budget 4096.
+          "q_pack_bpe" ->
+            s"""$fitCtes,
+             poc AS (
+               SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+               FROM documents WHERE text IS NOT NULL),
+             pnb AS (
+               SELECT o.doc_id AS doc_id,
+                 CAST(sum(len(f.ps)) AS BIGINT) AS n_bpe
+               FROM poc o JOIN fin f ON o.w = f.w
+               GROUP BY o.doc_id),
+             pd AS (
+               SELECT d.doc_id,
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 8 AS bucket,
+                 coalesce(p.n_bpe, 0) AS nt
+               FROM documents d LEFT JOIN pnb p USING (doc_id)),
+             po AS (
+               SELECT doc_id, bucket, nt,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                   AS rn
+               FROM pd),
+             pacc AS (
+               SELECT bucket, rn, doc_id, nt,
+                 CAST(0 AS BIGINT) AS bin, nt AS cur
+               FROM po WHERE rn = 1
+               UNION ALL
+               SELECT po.bucket, po.rn, po.doc_id, po.nt,
+                 CASE WHEN a.cur + po.nt > 4096 THEN a.bin + 1
+                   ELSE a.bin END,
+                 CASE WHEN a.cur + po.nt > 4096 THEN po.nt
+                   ELSE a.cur + po.nt END
+               FROM pacc a
+               JOIN po ON po.bucket = a.bucket AND po.rn = a.rn + 1)
+             SELECT bucket * 4294967296 + bin AS bin_id,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens
+             FROM pacc GROUP BY 1""")
       }
     }
 
@@ -1879,6 +1963,62 @@ object TextQueries {
            CAST(nm AS BIGINT) AS n_members
          FROM r WHERE rn = 1""",
 
+    // Near-dup clusters: full md5 LSH chain replay — signatures, baked
+    // band keys, the 2..1000 bucket cap, candidate self-join, set-Jaccard
+    // verify at 0.8 (list_distinct matches Spark's set-semantics
+    // array_intersect/union), then the same recursive component closure
+    // as q_dedup_clusters over the VERIFIED pair graph.
+    "q_neardup_clusters" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         shg AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM d),
+         sg AS (
+           SELECT doc_id, s,
+             list_transform(range(8), i -> list_min(list_transform(s, x -> md5(i || ' ' || x)))) AS sig,
+             len(s) AS ns
+           FROM shg),
+         bk AS (
+           SELECT doc_id,
+             unnest(list_transform(range(4), bb -> md5(bb || '|' || concat_ws(',', list_slice(sig, bb * 2 + 1, bb * 2 + 2))))) AS key
+           FROM sg WHERE ns > 0),
+         okk AS (
+           SELECT key FROM bk GROUP BY key
+           HAVING count(*) BETWEEN 2 AND 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM (SELECT doc_id, key FROM bk JOIN okk USING (key)) a
+           JOIN (SELECT doc_id, key FROM bk JOIN okk USING (key)) b
+             USING (key)
+           WHERE a.doc_id < b.doc_id),
+         ver AS (
+           SELECT id_a, id_b
+           FROM cand
+           JOIN (SELECT doc_id AS id_a, s AS sa FROM sg) USING (id_a)
+           JOIN (SELECT doc_id AS id_b, s AS sb FROM sg) USING (id_b)
+           WHERE CASE WHEN len(list_distinct(sa || sb)) = 0
+               THEN CAST(0 AS DOUBLE)
+             ELSE CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE)
+               / CAST(len(list_distinct(sa || sb)) AS DOUBLE) END
+             >= CAST(0.8 AS DOUBLE)),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM ver
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM ver),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM d
+           UNION
+           SELECT s2.dst AS id, reach.r
+           FROM reach JOIN sym s2 ON s2.src = reach.id)
+         SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""",
+
     // BPE lossless invariant: joined BPE tokens == joined word pieces of
     // the same pre-tokenization regex, computed here straight from the raw
     // text (DuckDB never sees the merge table — that's the point).
@@ -1919,6 +2059,35 @@ object TextQueries {
              CASE WHEN a.cur + o.nt > 512 THEN o.nt ELSE a.cur + o.nt END
            FROM acc a JOIN o ON o.bucket = a.bucket AND o.rn = a.rn + 1)
          SELECT doc_id, bucket, bin FROM acc""",
+
+    // Greedy packing under the portable draw: identical recursive replay
+    // shape as q_pack_nextfit_md5 at budget 2048, rolled up per bin with
+    // the (bucket << 32) | bin id the operator assigns.
+    "q_pack_bins" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 8 AS bucket,
+             coalesce(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0)
+               AS nt
+           FROM documents),
+         o AS (
+           SELECT doc_id, bucket, nt,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+           FROM d),
+         acc AS (
+           SELECT bucket, rn, doc_id, nt,
+             CAST(0 AS BIGINT) AS bin, nt AS cur
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.bucket, o.rn, o.doc_id, o.nt,
+             CASE WHEN a.cur + o.nt > 2048 THEN a.bin + 1 ELSE a.bin END,
+             CASE WHEN a.cur + o.nt > 2048 THEN o.nt ELSE a.cur + o.nt END
+           FROM acc a JOIN o ON o.bucket = a.bucket AND o.rn = a.rn + 1)
+         SELECT bucket * 4294967296 + bin AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens
+         FROM acc GROUP BY 1""",
 
     // Packing stats: the same recursive next-fit replay, grouped per bin.
     // Sums CAST to BIGINT (DuckDB sum(BIGINT) is HUGEINT → pandas float).
