@@ -261,3 +261,25 @@ object DeltaCurateMain {
     }
   }
 }
+
+/** Index maintenance: compact the incremental dedup indexes against the
+  * current curated corpus ([[DeltaCurate.compact]]) — run between
+  * increments (e.g. quarterly) to drop superseded fingerprints and
+  * signatures. Args: corpusParquet [fpIndexTable sigIndexTable buckets].
+  */
+object CompactIndexesMain {
+  def main(args: Array[String]): Unit = {
+    Mains.need(args, 1,
+      "corpusParquet [fpIndexTable sigIndexTable buckets]")
+    val corpusPath = args(0)
+    val fpTable = if (args.length > 1) args(1) else "graft_fp_index"
+    val sigTable = if (args.length > 2) args(2) else "graft_sig_index"
+    val buckets = if (args.length > 3) args(3).toInt else 64
+    Mains.run("graft: compact dedup indexes") { spark =>
+      val corpus = spark.read.parquet(corpusPath)
+      val (fpRows, sigRows) = DeltaCurate.compact(
+        corpus, "doc_id", "text", fpTable, sigTable, buckets)
+      println(s"""{"fp_rows":$fpRows,"sig_rows":$sigRows}""")
+    }
+  }
+}

@@ -282,6 +282,39 @@ class SinkSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS dcm_sig")
   }
 
+  test("CompactIndexesMain: compacts both dedup indexes against a corpus parquet") {
+    import graft.processes.CompactIndexesMain
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS cim_fp")
+    spark.sql("DROP TABLE IF EXISTS cim_sig")
+    def doc(i: Int) = (1 to 35).map(k => s"c${i}w$k").mkString(" ")
+    val m0 = (1 to 4).map(i => (i.toLong, doc(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    // month 1 rewrites doc 2 → its v0 fp/sig rows become superseded
+    val m1 = Seq((1L, doc(1), "en"), (2L, doc(20), "en"), (3L, doc(3), "en"),
+      (4L, doc(4), "en")).toDF("doc_id", "text", "lang")
+    graft.processes.DeltaCurate.run(m0.limit(0), m0, "doc_id", "text",
+      "lang", fpIndexTable = "cim_fp", sigIndexTable = "cim_sig",
+      buckets = 4)
+    graft.processes.DeltaCurate.run(m0, m1, "doc_id", "text", "lang",
+      fpIndexTable = "cim_fp", sigIndexTable = "cim_sig", buckets = 4)
+    val fpBefore = spark.table("cim_fp").count()
+    val corpusDir = tmpDir() + "/corpus"
+    m1.write.parquet(corpusDir)
+    CompactIndexesMain.main(Array(corpusDir, "cim_fp", "cim_sig", "4"))
+    assert(!spark.sparkContext.isStopped)
+    assert(spark.table("cim_fp").count() < fpBefore)
+    // bucket layout survives the swap: another increment still runs
+    val m2 = m1.unionAll(Seq((9L, doc(9), "en")).toDF("doc_id", "text", "lang"))
+    val r = graft.processes.DeltaCurate.run(m1, m2, "doc_id", "text",
+      "lang", fpIndexTable = "cim_fp", sigIndexTable = "cim_sig",
+      buckets = 4)
+    assert(r.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(9L))
+    spark.sql("DROP TABLE IF EXISTS cim_fp")
+    spark.sql("DROP TABLE IF EXISTS cim_sig")
+  }
+
   test("avro adapter falls back to the direct path when the module is absent (A1/H2)") {
     import graft.sources.AvroSource
     // this container ships no spark-avro jar; the adapter must route to
