@@ -991,6 +991,16 @@ object TextQueries {
       graft.operators.QualityClassifier.fitScore(
         t(s, dir, "documents"), "text", "doc_id",
         col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5)),
+
+    // Classifier evaluation, ORACLED end to end through the SAME
+    // unrolled fit: exact-integer midrank AUC (doubled ranks keep tie
+    // midpoints integral) plus the 0.5-threshold confusion metrics —
+    // the report a pipeline reads before trusting a quality gate.
+    "q_lr_auc" -> ((s, dir) =>
+      graft.operators.QualityClassifier.evaluate(
+        graft.operators.QualityClassifier.fitScore(
+          t(s, dir, "documents"), "text", "doc_id",
+          col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5))),
   )
 
   /** Shared fixture for the span queries: the corpus plus character
@@ -1242,12 +1252,13 @@ object TextQueries {
                  / (SELECT CAST(n AS DOUBLE) FROM n) + 0.5) AS BIGINT) AS b)"""
   }
 
-  /** q_lr_quality: the full 2-epoch LR fit unrolled, then the scoring
-    * pass under (w2, b2). Base CTEs mirror QualityClassifier.prep/fit
-    * exactly: all documents (null text → empty token list → bias-only
-    * logit), top-32 vocabulary by (count DESC, token ASC), zero init.
+  /** Shared CTE chain for the LR oracles: the full 2-epoch fit
+    * unrolled, ending at `zf(doc_id, y, z)` — the final logit per doc.
+    * Base CTEs mirror QualityClassifier.prep/fit exactly: all documents
+    * (null text → empty token list → bias-only logit), top-32
+    * vocabulary by (count DESC, token ASC), zero init.
     */
-  private val lrQualityOracle: String =
+  private val lrFitCtes: String =
     s"""WITH d AS (
            SELECT doc_id,
              CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
@@ -1271,7 +1282,11 @@ object TextQueries {
              (SELECT b FROM b2) + coalesce(sum(w2.w), 0) AS z
            FROM d LEFT JOIN vt ON vt.doc_id = d.doc_id
                   LEFT JOIN w2 ON w2.tk = vt.tk
-           GROUP BY d.doc_id, d.y)
+           GROUP BY d.doc_id, d.y)"""
+
+  /** q_lr_quality: the scoring pass under (w2, b2). */
+  private val lrQualityOracle: String =
+    s"""$lrFitCtes
          SELECT doc_id,
            round(1.0/(1.0 + exp(-(z/1000000.0))), 4) AS score,
            CAST(CASE WHEN round(1.0/(1.0 + exp(-(z/1000000.0))), 4) >= 0.5
@@ -1279,8 +1294,58 @@ object TextQueries {
            y
          FROM zf"""
 
+  /** q_lr_auc: midrank AUC + confusion metrics under the same fit —
+    * doubled ranks (2·below + t + 1) keep every pre-division quantity
+    * an exact integer, so a 6-decimal round hash-compares.
+    */
+  private val lrAucOracle: String =
+    s"""$lrFitCtes,
+         sc AS (
+           SELECT doc_id, y,
+             round(1.0/(1.0 + exp(-(z/1000000.0))), 4) AS score,
+             CAST(CASE WHEN round(1.0/(1.0 + exp(-(z/1000000.0))), 4) >= 0.5
+               THEN 1 ELSE 0 END AS BIGINT) AS pred
+           FROM zf),
+         ps AS (
+           SELECT score, CAST(sum(y) AS BIGINT) AS p, count(*) AS t
+           FROM sc GROUP BY score),
+         rk AS (
+           SELECT p, t,
+             2 * coalesce(sum(t) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS rank2
+           FROM ps),
+         ag AS (
+           SELECT CAST(sum(p) AS BIGINT) AS np,
+             CAST(sum(t - p) AS BIGINT) AS nn,
+             CAST(sum(p * rank2) AS BIGINT) AS sr2
+           FROM rk),
+         cm AS (
+           SELECT CAST(sum(y * pred) AS BIGINT) AS tp,
+             CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
+             CAST(sum(y * (1 - pred)) AS BIGINT) AS fn,
+             CAST(sum((1 - y) * (1 - pred)) AS BIGINT) AS tn
+           FROM sc)
+         SELECT np AS n_pos, nn AS n_neg,
+           CASE WHEN np = 0 OR nn = 0 THEN NULL
+             ELSE round(CAST(sr2 - np * (np + 1) AS DOUBLE)
+               / CAST(2 * np * nn AS DOUBLE), 6) END AS auc,
+           round(CAST(tp + tn AS DOUBLE)
+             / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS accuracy,
+           CASE WHEN tp + fp = 0 THEN NULL
+             ELSE round(CAST(tp AS DOUBLE)
+               / CAST(tp + fp AS DOUBLE), 6) END AS prec,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE round(CAST(tp AS DOUBLE)
+               / CAST(tp + fn AS DOUBLE), 6) END AS rec,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+             ELSE round(CAST(2 * tp AS DOUBLE)
+               / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
+         FROM ag, cm"""
+
   private val staticOracles: Map[String, String] = Map(
     "q_lr_quality" -> lrQualityOracle,
+    "q_lr_auc" -> lrAucOracle,
     "q_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,

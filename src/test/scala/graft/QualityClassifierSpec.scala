@@ -83,4 +83,36 @@ class QualityClassifierSpec extends SparkSpec {
         vocabSize = 8, iters = -1)
     }
   }
+
+  test("evaluate: midrank AUC matches brute-force pair counting, metrics exact") {
+    import spark.implicits._
+    // scores with a tie straddling the classes: brute-force AUC =
+    // (concordant + 0.5·tied) / (np·nn)
+    // pairs (pos, neg): (0.9,0.1)=1 (0.9,0.5)=1 (0.5,0.1)=1 (0.5,0.5)=0.5
+    //                   (0.3,0.1)=1 (0.3,0.5)=0  → 4.5 / 6 = 0.75
+    val scored = Seq(
+      (0.9, 1L, 1L), (0.5, 1L, 1L), (0.3, 0L, 1L),
+      (0.5, 1L, 0L), (0.1, 0L, 0L)).toDF("score", "pred", "y")
+    val r = QualityClassifier.evaluate(scored).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.75)
+    // tp=2 (0.9, 0.5-pos), fp=1 (0.5-neg), fn=1 (0.3), tn=1 (0.1)
+    assert(r.getDouble(3) === 0.6)                 // accuracy 3/5
+    assert(r.getDouble(4) === round6(2.0 / 3.0))   // prec 2/3
+    assert(r.getDouble(5) === round6(2.0 / 3.0))   // rec 2/3
+    assert(r.getDouble(6) === round6(2.0 / 3.0))   // f1 4/6
+  }
+
+  test("evaluate: degenerate single-class frame yields null AUC, not a blow-up") {
+    import spark.implicits._
+    val onlyPos = Seq((0.9, 1L, 1L), (0.2, 0L, 1L)).toDF("score", "pred", "y")
+    val r = QualityClassifier.evaluate(onlyPos).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
+    assert(r.isNullAt(2))           // auc undefined
+    assert(r.getDouble(3) === 0.5)  // accuracy still defined
+    assert(r.isNullAt(5) === false) // recall defined (positives exist)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
