@@ -116,6 +116,66 @@ class DeltaCurateSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("one increment runs exactly four actions (fusion gate)") {
+    cleanTables()
+    val m0 = (1 to 6).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")
+    val m1 = Seq((1L, doc(1), "en"), (2L, doc(20), "en"), (3L, doc(3), "en"),
+      (4L, doc(4), "en"), (5L, doc(5) + " tweak", "en"), (7L, doc(7), "en"))
+      .toDF("doc_id", "text", "lang")
+    DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        actions.add(funcName + "::" + qe.logical.getClass.getSimpleName)
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      DeltaCurate.run(m0, m1, "doc_id", "text", "lang", cfg,
+        "dc_fp", "dc_sig", buckets = 4)
+      // listener events are async: wait for the list to settle (1s with
+      // no new events) before asserting
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      var lastChange = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+          (actions.size != last ||
+            System.nanoTime() - lastChange < 1000L * 1000 * 1000)) {
+        if (actions.size != last) {
+          last = actions.size; lastChange = System.nanoTime()
+        }
+        Thread.sleep(50)
+      }
+      import scala.jdk.CollectionConverters._
+      val evs = actions.asScala.toList
+      // The fusion contract, as listener events: the increment
+      // materializes via exactly TWO checkpoints (base pass with the
+      // observe metrics riding it; dedup-flag frame) and writes exactly
+      // TWO bucketed appends (each saveAsTable reports at three command
+      // nesting layers — count the top-level SaveAsV1TableCommand). The
+      // diff/gated counts must cost NO standalone action: any
+      // count/collect/head event is the round-5 seven-action shape
+      // regressing.
+      assert(evs.count(_.startsWith("localCheckpoint::")) === 2, evs)
+      assert(evs.count(_.endsWith("::SaveAsV1TableCommand")) === 2, evs)
+      val standalone = evs.filter(e => Seq("count", "collect", "head",
+        "take", "foreach").exists(p => e.startsWith(p + "::")))
+      assert(standalone.isEmpty,
+        s"counts must ride the observe metrics, found: $standalone")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      cleanTables()
+    }
+  }
+
   test("near-dup delta against the signature index drops tail-edited rewrites") {
     cleanTables()
     val base = (1 to 4).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")
