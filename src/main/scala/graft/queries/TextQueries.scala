@@ -1001,6 +1001,15 @@ object TextQueries {
         graft.operators.QualityClassifier.fitScore(
           t(s, dir, "documents"), "text", "doc_id",
           col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5))),
+
+    // Calibration curve under the same fit, ORACLED: per score decile
+    // the doc count, exact-integer mean score, and empirical positive
+    // rate — the probabilities-or-not read on a quality gate.
+    "q_lr_calibration" -> ((s, dir) =>
+      graft.operators.QualityClassifier.evaluateCalibration(
+        graft.operators.QualityClassifier.fitScore(
+          t(s, dir, "documents"), "text", "doc_id",
+          col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5))),
   )
 
   /** Shared fixture for the span queries: the corpus plus character
@@ -1343,9 +1352,29 @@ object TextQueries {
                / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
          FROM ag, cm"""
 
+  /** q_lr_calibration: decile buckets under the same fit; the mean
+    * score sums exact `floor(score·10⁴ + 0.5)` integer units (a double
+    * sum would be order-dependent), divisions are identical IEEE.
+    */
+  private val lrCalibrationOracle: String =
+    s"""$lrFitCtes,
+         sc AS (
+           SELECT doc_id, y,
+             round(1.0/(1.0 + exp(-(z/1000000.0))), 4) AS score
+           FROM zf)
+         SELECT CAST(least(floor(score * 10), 9.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(CAST(sum(CAST(floor(score * 10000 + 0.5) AS BIGINT))
+               AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE), 6)
+             AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS pos_rate
+         FROM sc GROUP BY 1"""
+
   private val staticOracles: Map[String, String] = Map(
     "q_lr_quality" -> lrQualityOracle,
     "q_lr_auc" -> lrAucOracle,
+    "q_lr_calibration" -> lrCalibrationOracle,
     "q_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,

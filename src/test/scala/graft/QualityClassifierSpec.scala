@@ -115,4 +115,20 @@ class QualityClassifierSpec extends SparkSpec {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("evaluateCalibration: bins, means, rates; 1.0 joins the top bin") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, 0L, 0L), (0.08, 0L, 1L),  // bin 0: n=2, rate 0.5
+      (0.55, 1L, 1L),                  // bin 5: n=1, rate 1.0
+      (0.95, 1L, 1L), (1.0, 1L, 0L)    // bin 9 (1.0 clamps): n=2, rate 0.5
+    ).toDF("score", "pred", "y")
+    val out = QualityClassifier.evaluateCalibration(scored)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 0.065, 0.5),
+      (5L, 1L, 0.55, 1.0),
+      (9L, 2L, 0.975, 0.5)))
+  }
 }
