@@ -77,6 +77,9 @@ object DeltaCurate {
       maxBucket: Int = 1000): Result = {
     require(buckets > 0 && maxBucket > 0, "buckets/maxBucket must be positive")
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(cfg.nearDupThreshold > 0.0 && cfg.nearDupThreshold <= 1.0,
+      s"nearDupThreshold=${cfg.nearDupThreshold} must be in (0, 1] " +
+        "(incrementalNearDupMd5 parity: <=0 would drop every candidate)")
     val reserved = Seq("__fp", "__sig", "__bk", "__sh", "__keep", "__nd")
     require(!newSnap.columns.exists(reserved.contains),
       s"input must not already contain ${reserved.mkString("/")} columns")
@@ -142,25 +145,40 @@ object DeltaCurate {
         firsts.join(spark.table(fpIndexTable)
           .select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       else firsts
-    val dropIds =
+    val (dropIds, matchedCache) =
       if (sigExists) {
         val idx = spark.table(sigIndexTable)
-        // shuffle-free thanks to bucketBy(key): degenerate boilerplate
-        // bands are excluded before candidate generation
-        val okKeys = idx.groupBy(col("key"))
+        // The bucket-cap counts do NOT aggregate the whole index: index
+        // rows are first semi-joined to the increment's band keys (taken
+        // from `base`, a superset of exactFresh's keys — extra keys can
+        // never match a candidate, so the cap decisions are identical to
+        // counting the full index), and that ONE filtered scan — persisted
+        // so it materializes once inside the flagged-checkpoint action —
+        // feeds both the degenerate-bucket cap and the candidate join.
+        // Per-increment aggregate work is O(index rows matching delta
+        // keys), not O(index): the full-index groupBy this replaces was
+        // shuffle-free (bucketBy(key)) but still touched every row every
+        // month. A key's matched rows are ALL of its index rows, so the
+        // per-key counts equal the full-index counts exactly.
+        val deltaKeys = base
+          .select(explode(col("__bk")).as("key")).distinct()
+        val matched = idx.join(deltaKeys, Seq("key"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val okKeys = matched.groupBy(col("key"))
           .agg(count(lit(1)).as("__kn"))
           .filter(col("__kn") <= maxBucket)
           .select(col("key"))
         val est = size(filter(
           zip_with(col("__bsig"), col("sig"), (a, b) => a === b),
           m => m)).cast("double") / lit(k.toDouble)
-        exactFresh
+        (exactFresh
           .select(col(idCol).as("__bid"), col("__sig").as("__bsig"),
             explode(col("__bk")).as("key"))
-          .join(idx.join(okKeys, Seq("key")), Seq("key"))
+          .join(matched.join(okKeys, Seq("key")), Seq("key"))
           .filter(est >= lit(cfg.nearDupThreshold))
-          .select(col("__bid").as(idCol)).distinct()
-      } else exactFresh.limit(0).select(col(idCol))
+          .select(col("__bid").as(idCol)).distinct(),
+          Some(matched))
+      } else (exactFresh.limit(0).select(col(idCol)), None)
     // Job 2: near-dup drops are FLAGGED, not filtered — the fingerprint
     // append needs ALL exact survivors (sequential-composition parity)
     // while the signature append and the returned frame need only the
@@ -169,6 +187,8 @@ object DeltaCurate {
     val flagged = exactFresh
       .join(dropIds.withColumn("__nd", lit(true)), Seq(idCol), "left")
       .localCheckpoint()
+    // every consumer of the shared matched-index scan has now run
+    matchedCache.foreach { m => m.unpersist(); () }
     // Jobs 3+4: bucketed appends (saveAsTable validates the bucket spec
     // against an existing table; plain insertInto would not)
     flagged.select(col("__fp").as("fp"))
@@ -260,8 +280,13 @@ object DeltaCurate {
   }
 
   /** Rewrite a bucketed index table through `keep`, preserving the bucket
-    * spec (write to a sibling, then drop+rename swap — saveAsTable cannot
-    * overwrite a table its own plan reads).
+    * spec (write to a sibling, then a rename-aside swap — saveAsTable
+    * cannot overwrite a table its own plan reads). The swap never drops
+    * the live table first: `table` → `table__old`, `table__compact` →
+    * `table`, then drop `table__old` — so at every instant either the old
+    * or the new index exists under a recoverable name, and a crash
+    * mid-swap loses nothing (restart finds either the live table or
+    * `table__old` to rename back).
     */
   private def rewriteBucketed(
       spark: org.apache.spark.sql.SparkSession,
@@ -269,14 +294,17 @@ object DeltaCurate {
       buckets: Int,
       bucketCol: String)(keep: DataFrame => DataFrame): Long = {
     val tmp = table + "__compact"
+    val aside = table + "__old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $aside")
     keep(spark.table(table))
       .write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(tmp)
     val n = spark.table(tmp).count()
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $aside")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $aside")
     n
   }
 }

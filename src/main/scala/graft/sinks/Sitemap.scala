@@ -38,12 +38,15 @@ object Sitemap {
   def partitionCount(idCount: Long, maxRows: Long = MaxUrlsPerFile): Int =
     math.max(((idCount + maxRows - 1) / maxRows).toInt, 1)
 
-  /** One <url> entry (Sitemap.scala:61-80 shape). */
+  /** One <url> entry (Sitemap.scala:61-71 shape: loc, lastmod, and the
+    * fixed `<changefreq>monthly</changefreq>` of Sitemap.scala:70).
+    */
   def urlXml(baseUrl: String, id: String, lastmod: String): String =
     Utility.trim(
       <url>
         <loc>{s"$baseUrl$id"}</loc>
         <lastmod>{lastmod}</lastmod>
+        <changefreq>monthly</changefreq>
       </url>).buildString(stripComments = true)
 
   /** Render one subfile body. */

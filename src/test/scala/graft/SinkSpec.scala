@@ -101,6 +101,10 @@ class SinkSpec extends SparkSpec {
     assert(body.startsWith("""<?xml version="1.0" encoding="UTF-8"?>"""))
     assert(body.contains("<loc>https://dp.la/item/abc</loc>"))
     assert(body.contains("x&amp;y")) // escaping
+    // reference render parity: every <url> carries the fixed changefreq
+    // element (ref Sitemap.scala:70)
+    assert(body.contains(
+      "<lastmod>2026-08-12</lastmod><changefreq>monthly</changefreq></url>"))
     assert(body.endsWith("</urlset>"))
     val idx = Sitemap.buildIndex(Seq("https://dp.la/sitemap00000.xml.gz"), "2026-08-12")
     assert(idx.contains("<sitemap><loc>https://dp.la/sitemap00000.xml.gz</loc>"))
