@@ -119,17 +119,40 @@ object DeltaCurate {
     // interpreted minhash HOF tree is never inlined into a join filter
     // (the incrementalNearDupMd5 rule) and (b) the keeper self-join below
     // reads blocks, not a recomputed diff+gate pipeline.
-    val base = (if (spreadNeeded) gated.repartition(par) else gated)
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("__sh",
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
-      .withColumn("__sig", Dedup.minhashSignatureMd5(col("__sh"), k))
-      .withColumn("__bk",
-        when(coalesce(size(col("__sh")), lit(0)) === 0,
-          lit(null).cast("array<string>"))
-          .otherwise(Dedup.lshBandKeysMd5(col("__sig"), bands, r)))
-      .drop("__sh")
-      .localCheckpoint()
+    //
+    // AQEPropagateEmptyRelation is excluded for EXACTLY this action: on a
+    // no-change increment the delta semi-join's right side is empty at
+    // runtime, and the rule would replace the join with an empty relation
+    // — cutting the CollectMetrics nodes out of the executed plan, so
+    // both Observations fulfill with an EMPTY metric map (no keys) and
+    // the counts below crash (or, with defaults, would silently report
+    // removed=0 on a removal-only month). The rule only prunes degenerate
+    // plans, so excluding it costs nothing on real increments.
+    val aqeExcludeKey = "spark.sql.adaptive.optimizer.excludedRules"
+    val prevExcluded = spark.conf.getOption(aqeExcludeKey)
+    val emptyRelRule =
+      "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+    spark.conf.set(aqeExcludeKey,
+      (prevExcluded.toSeq :+ emptyRelRule).mkString(","))
+    val base =
+      try {
+        (if (spreadNeeded) gated.repartition(par) else gated)
+          .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+          .withColumn("__sh",
+            TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
+          .withColumn("__sig", Dedup.minhashSignatureMd5(col("__sh"), k))
+          .withColumn("__bk",
+            when(coalesce(size(col("__sh")), lit(0)) === 0,
+              lit(null).cast("array<string>"))
+              .otherwise(Dedup.lshBandKeysMd5(col("__sig"), bands, r)))
+          .drop("__sh")
+          .localCheckpoint()
+      } finally {
+        prevExcluded match {
+          case Some(v) => spark.conf.set(aqeExcludeKey, v)
+          case None => spark.conf.unset(aqeExcludeKey)
+        }
+      }
     // table existence BEFORE either append mutates the catalog
     val fpExists = spark.catalog.tableExists(fpIndexTable)
     val sigExists = spark.catalog.tableExists(sigIndexTable)

@@ -242,22 +242,43 @@ object MonthlyBatchMain {
   * the new snapshot against the previous one and curate only the delta
   * against the persisted dedup indexes — the monthly-churn-sized job.
   * Writes the surviving delta as parquet under outPath.
+  *
+  * `--compact corpusParquet` additionally runs [[DeltaCurate.compact]]
+  * against the given curated corpus AFTER the increment — the maintenance
+  * pass [[DeltaCurate.run]]'s scaladoc defers, reachable from the same
+  * chained invocation (a typical deployment passes it every Nth month).
+  * The corpus argument is explicit rather than defaulted to the new
+  * snapshot because the curated corpus keeps the PRIOR version of a
+  * suppressed cosmetic edit; only the caller knows where that corpus
+  * lives.
   */
 object DeltaCurateMain {
   def main(args: Array[String]): Unit = {
-    Mains.need(args, 3, "prevSnapshotParquet newSnapshotParquet outPath " +
-      "[fpIndexTable sigIndexTable]")
-    val Array(prevPath, newPath, outPath) = args.take(3)
-    val fpTable = if (args.length > 3) args(3) else "graft_fp_index"
-    val sigTable = if (args.length > 4) args(4) else "graft_sig_index"
+    val (flags, positional) = args.partition(_.startsWith("--compact="))
+    Mains.need(positional, 3,
+      "prevSnapshotParquet newSnapshotParquet outPath " +
+        "[fpIndexTable sigIndexTable] [--compact=corpusParquet]")
+    val Array(prevPath, newPath, outPath) = positional.take(3)
+    val fpTable = if (positional.length > 3) positional(3) else "graft_fp_index"
+    val sigTable = if (positional.length > 4) positional(4) else "graft_sig_index"
+    val compactCorpus = flags.headOption.map(_.stripPrefix("--compact="))
+    require(compactCorpus.forall(_.nonEmpty),
+      "--compact= requires a corpus parquet path")
     Mains.run("graft: delta curate") { spark =>
       val prev = spark.read.parquet(prevPath)
       val next = spark.read.parquet(newPath)
       val r = DeltaCurate.run(prev, next, "doc_id", "text", "lang",
         fpIndexTable = fpTable, sigIndexTable = sigTable)
       r.survivors.write.mode("overwrite").parquet(outPath)
+      val compacted = compactCorpus.map { corpusPath =>
+        DeltaCurate.compact(spark.read.parquet(corpusPath),
+          "doc_id", "text", fpTable, sigTable)
+      }
+      val compactJson = compacted
+        .map { case (fp, sig) => s""","fp_rows":$fp,"sig_rows":$sig""" }
+        .getOrElse("")
       println(s"""{"added":${r.added},"changed":${r.changed},""" +
-        s""""removed":${r.removed},"gated":${r.gated}}""")
+        s""""removed":${r.removed},"gated":${r.gated}$compactJson}""")
     }
   }
 }

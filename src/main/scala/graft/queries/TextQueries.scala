@@ -425,12 +425,19 @@ object TextQueries {
         .select(col("doc_id"), Dedup.simhashMd5(toks).as("simhash16"))
     }),
 
-    // Rows-only: order-sensitive signatures (SimHash + rolling hash).
+    // ORACLED document-fingerprint frame: BOTH order-sensitive signatures
+    // (SimHash + rolling hash) computed in one narrow pass, in their
+    // md5-permutation forms so the frame hash-compares cross-engine
+    // (md5 is bit-identical on both engines; the 64-bit xxhash64
+    // production kernels are covered by OperatorSpec/StreamingSpec and
+    // stay the fast path inside Dedup/StreamingScores). Compute-heavy
+    // narrow map ⇒ spread the single-file scan first.
     "q_text_signatures" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        Dedup.simhash(toks).as("simhash"),
-        TA.rollingHash(toks).as("rolling_hash"))
+      graft.operators.Similarity.spreadIfNarrow(t(s, dir, "documents"))
+        .select(
+          col("doc_id"),
+          Dedup.simhashMd5(toks).as("simhash16"),
+          TA.rollingHashMd5(toks).as("rolling_md5"))
     }),
 
     // ORACLED rolling hash: md5-prefix token hashes (cross-engine
@@ -1880,6 +1887,31 @@ object TextQueries {
            round(CASE WHEN len(list_distinct(b.s)) = 0 THEN 0
              ELSE (len(list_distinct(a.s)) + len(list_distinct(b.s)) - len(list_distinct(a.s || b.s))) / CAST(len(list_distinct(b.s)) AS DOUBLE) END, 4) AS cont_ba
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+
+    "q_text_signatures" ->
+      """WITH hs AS (
+           SELECT doc_id, text,
+             list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> md5(t)) AS h
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             CAST(list_sum(list_transform(generate_series(0, 15), i ->
+               CASE WHEN list_sum(list_transform(h, x ->
+                   CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(x, (i // 4) + 1, 1)) - 1)
+                              >> (3 - (i % 4))) & 1 = 1
+                     THEN 1 ELSE -1 END)) > 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT)
+           END AS simhash16,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1000000007)),
+               (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS rolling_md5
+         FROM hs""",
 
     "q_simhash_md5" ->
       """WITH hs AS (

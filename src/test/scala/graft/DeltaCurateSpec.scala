@@ -176,6 +176,30 @@ class DeltaCurateSpec extends SparkSpec {
     }
   }
 
+  test("a no-change increment reports zero counts instead of crashing " +
+      "(AQE empty-relation pruning must not eat the observe metrics)") {
+    cleanTables()
+    val m0 = (1 to 4).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")
+    DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    // identical snapshot: the delta semi-join's right side is EMPTY at
+    // runtime, which AQE would fold to an empty relation — pruning the
+    // CollectMetrics nodes and fulfilling the Observations with an empty
+    // map (observed: NoSuchElementException on a no-change month)
+    val r = DeltaCurate.run(m0, m0, "doc_id", "text", "lang", cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    assert(r.added === 0L && r.changed === 0L && r.removed === 0L)
+    assert(r.gated === 0L)
+    assert(r.survivors.count() === 0L)
+    // a removal-only month: delta still empty, removed must NOT be zero
+    val m1 = m0.filter(col("doc_id") =!= 4L)
+    val r2 = DeltaCurate.run(m0, m1, "doc_id", "text", "lang", cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    assert(r2.added === 0L && r2.changed === 0L && r2.removed === 1L)
+    assert(r2.survivors.count() === 0L)
+    cleanTables()
+  }
+
   test("near-dup delta against the signature index drops tail-edited rewrites") {
     cleanTables()
     val base = (1 to 4).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")

@@ -282,6 +282,21 @@ class SinkSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // 2 (material rewrite) and 5 (fresh) survive; 6 hits the exact index
     assert(ids === Set(2L, 5L))
+    // chained maintenance leg: a second increment (no changes) with
+    // --compact against the current corpus drops doc 2's superseded v0
+    // fingerprint from the index in the SAME invocation
+    val fpBefore = spark.table("dcm_fp").count()
+    val corpusDir = tmpDir() + "/corpus"
+    val out2 = tmpDir() + "/delta2"
+    // current curated corpus: latest surviving version per id
+    (Seq((1L, doc(1), "en"), (2L, doc(20), "en"), (3L, doc(3), "en"),
+      (4L, doc(4), "en"), (5L, doc(5), "en")))
+      .toDF("doc_id", "text", "lang").write.parquet(corpusDir)
+    DeltaCurateMain.main(Array(newDir, newDir, out2, "dcm_fp", "dcm_sig",
+      s"--compact=$corpusDir"))
+    assert(!spark.sparkContext.isStopped)
+    assert(spark.table("dcm_fp").count() < fpBefore,
+      "compaction leg must drop the superseded fingerprint")
     spark.sql("DROP TABLE IF EXISTS dcm_fp")
     spark.sql("DROP TABLE IF EXISTS dcm_sig")
   }
