@@ -28,8 +28,10 @@ import graft.operators.{Curation, Dedup, SnapshotDiff, TextAnalysis}
   * checkpoint the dedup verdicts (in-increment keeper self-join + both
   * one-sided index joins, with near-dup drops FLAGGED rather than
   * filtered so both appends read the same blocks), (3) append new
-  * fingerprints, (4) append surviving signatures. The sequential
-  * composition of the two public incremental operators costs seven.
+  * fingerprints, (4) append surviving signatures — 3 and 4 on
+  * concurrent action threads (different tables, same source blocks).
+  * The sequential composition of the two public incremental operators
+  * costs seven.
   *
   * Changed documents re-enter curation under their (unchanged) ids; their
   * superseded fingerprints/signatures remain in the index, which gives
@@ -212,18 +214,31 @@ object DeltaCurate {
       .localCheckpoint()
     // every consumer of the shared matched-index scan has now run
     matchedCache.foreach { m => m.unpersist(); () }
-    // Jobs 3+4: bucketed appends (saveAsTable validates the bucket spec
-    // against an existing table; plain insertInto would not)
-    flagged.select(col("__fp").as("fp"))
-      .write.mode(if (fpExists) "append" else "overwrite")
-      .bucketBy(buckets, "fp").sortBy("fp")
-      .saveAsTable(fpIndexTable)
+    // Jobs 3+4, CONCURRENT: both bucketed appends read the same flagged
+    // checkpoint blocks and write DIFFERENT tables (independent catalog
+    // entries, per-table Hadoop commit dirs), so they run on two action
+    // threads and overlap instead of paying two sequential job+commit
+    // floors. saveAsTable (not insertInto) so the bucket spec is
+    // validated against an existing table.
     val survivors = flagged.filter(col("__nd").isNull)
-    survivors.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
-        col("__sig").as("sig"))
-      .write.mode(if (sigExists) "append" else "overwrite")
-      .bucketBy(buckets, "key").sortBy("key")
-      .saveAsTable(sigIndexTable)
+    val ec = scala.concurrent.ExecutionContext.global
+    val fpWrite = scala.concurrent.Future {
+      flagged.select(col("__fp").as("fp"))
+        .write.mode(if (fpExists) "append" else "overwrite")
+        .bucketBy(buckets, "fp").sortBy("fp")
+        .saveAsTable(fpIndexTable)
+    }(ec)
+    val sigWrite = scala.concurrent.Future {
+      survivors.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
+          col("__sig").as("sig"))
+        .write.mode(if (sigExists) "append" else "overwrite")
+        .bucketBy(buckets, "key").sortBy("key")
+        .saveAsTable(sigIndexTable)
+    }(ec)
+    scala.concurrent.Await.result(fpWrite,
+      scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(sigWrite,
+      scala.concurrent.duration.Duration.Inf)
     // the checkpoints above have run, so the observation results are in
     val sm = statusObs.get
     Result(
