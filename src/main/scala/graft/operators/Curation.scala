@@ -339,10 +339,19 @@ object Curation {
         val bf = guard.getAs[Array[Byte]]("__bf")
         if (bf == null) base // empty eval set: nothing can be contaminated
         else {
-          // same two-stage shape as decontaminate: codegen'd top-level
-          // Bloom probe prefilter, broadcast equi-join exact verify; the
-          // shingle array comes from the checkpoint, not a fresh compute
+          // three stages: a DOCUMENT-level codegen Bloom scan
+          // (graft_bloom_any) drops docs with no eval-shared shingle
+          // before anything explodes, then survivors re-probe
+          // per-shingle and exact-verify against the broadcast eval
+          // set; the shingle array comes from the checkpoint, not a
+          // fresh compute. On a real corpus the prefilter eliminates
+          // almost every document pre-explode; on the templated bench
+          // fixture (where most docs share some shingle with the eval
+          // slice) it measured neutral — the scan costs what the
+          // explode-side probe saved. Never wrong, only unneeded when
+          // contamination is dense.
           val contaminated = base
+            .filter(call_function("graft_bloom_any", lit(bf), col("__sh")))
             .select(col(idCol), explode(array_distinct(col("__sh"))).as("sh"))
             .filter(call_function("graft_might_contain", lit(bf),
               xxhash64(col("sh"))))

@@ -227,3 +227,81 @@ case class StripLines(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): StripLines =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_bloom_any(bloom, arr)`: true iff ANY element of the string
+  * array might be in the Bloom filter (probes `xxhash64(element)`, seed
+  * 42 — byte-identical to the `xxhash64(col)` values a
+  * `graft_bloom_agg` fit consumed). The document-level prefilter of
+  * decontamination: a corpus document with NO eval-shared shingle — the
+  * overwhelming majority — is eliminated by one in-task array scan,
+  * WITHOUT materializing its exploded shingle rows through
+  * Generate/array_distinct/join machinery. Null or empty arrays (and a
+  * null filter from an empty fit) are `false`, never null: "cannot be
+  * contaminated", so the predicate composes under `filter` without
+  * null-stripping surprises.
+  *
+  * False positives are fine by construction — survivors re-probe
+  * per-shingle and exact-verify against the broadcast eval set; this
+  * predicate only needs to never produce a false NEGATIVE, which the
+  * Bloom contract guarantees.
+  */
+case class BloomAnyContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bloomOk = left.foldable && left.dataType == BinaryType
+    val arrOk = right.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (bloomOk && arrOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (foldable binary, array<string>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_any"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = left.eval().asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+  }
+
+  def probe(arrRaw: Any): Boolean = {
+    if (bloom == null || arrRaw == null) return false
+    val arr = arrRaw.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && bloom.mightContainLong(
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(arr.getUTF8String(i), 42L)))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    probe(right.eval(input))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("bloomAny", this,
+      classOf[BloomAnyContain].getName)
+    val rightGen = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${rightGen.code}
+        final boolean ${ev.value} = $ref.probe(
+          ${rightGen.isNull} ? null : ${rightGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomAnyContain =
+    copy(left = newLeft, right = newRight)
+}

@@ -288,7 +288,9 @@ object GraftFunctions {
     "graft_might_contain" ->
       ((exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(exprs(0), exprs(1))))
+          .BloomFilterMightContain(exprs(0), exprs(1))),
+    "graft_bloom_any" ->
+      ((exprs: Seq[Expression]) => BloomAnyContain(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -239,7 +239,7 @@ class OperatorSpec extends SparkSpec {
       "graft_vector_avg", "graft_topk", "graft_lsh_bucket",
       "graft_bpe", "graft_bloom_agg", "graft_might_contain",
       "graft_map_sum", "graft_bigram_nll", "graft_shingles",
-      "graft_cms_atleast", "graft_strip_lines"))
+      "graft_cms_atleast", "graft_strip_lines", "graft_bloom_any"))
     assert(builders("graft_map_sum")(Seq(
       Literal.create(Seq("a"), ArrayType(StringType)),
       Literal.create("\t0.0\na\t1.5"))).isInstanceOf[MapSumScore])
@@ -260,6 +260,36 @@ class OperatorSpec extends SparkSpec {
       .asInstanceOf[AggregateExpression].aggregateFunction.isInstanceOf[VectorAvg])
     assert(builders("graft_topk")(Seq(Literal(1L), Literal(0.5), Literal(3)))
       .asInstanceOf[AggregateExpression].aggregateFunction.isInstanceOf[TopKByScore])
+  }
+
+  test("graft_bloom_any: doc-level bloom prefilter agrees with per-element probes") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val bf = Seq("alpha beta", "gamma delta").toDF("sh")
+      .agg(expr("graft_bloom_agg(xxhash64(sh), 100L, 8000L)"))
+      .head().getAs[Array[Byte]](0)
+    val docs = Seq(
+      (1L, Seq("alpha beta", "zzz")), // shared shingle -> hit
+      (2L, Seq("nope", "nada")), // no overlap (8000-bit filter: FP ~1e-7)
+      (3L, Seq[String]("qq", null)), // null element skipped -> miss
+      (4L, Seq.empty[String]), // empty -> false, not null
+      (5L, null) // null array -> false, not null
+    ).toDF("id", "arr")
+    val got = docs
+      .filter(call_function("graft_bloom_any", lit(bf), col("arr")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L))
+    // parity with the exploded per-element probe shape it replaces
+    val perElem = docs.filter(col("arr").isNotNull)
+      .select(col("id"), explode(col("arr")).as("sh"))
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("sh"))))
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(perElem === got)
+    // predicate is non-null even on null input rows (composability under &&)
+    val nulls = docs.select(
+      call_function("graft_bloom_any", lit(bf), col("arr")).as("p"))
+      .collect().map(_.isNullAt(0))
+    assert(nulls.forall(_ == false))
   }
 
   test("graft_topk rejects non-positive or non-literal k at analysis time") {
