@@ -157,29 +157,41 @@ object Dedup {
       .localCheckpoint()
     val batchBands = withSig.select(col(idCol).as("__bid"),
       col("__sig").as("__bsig"), explode(col("__bk")).as("key"))
-    val dropIds =
+    val (dropIds, matchedCache) =
       (if (spark.catalog.tableExists(indexTable)) {
         val idx = spark.table(indexTable)
-        // shuffle-free thanks to bucketBy(key): the scan satisfies the
-        // groupBy distribution, so the cap costs one pass, no exchange
-        val okKeys = idx.groupBy(col("key"))
+        // The bucket-cap counts do NOT aggregate the whole index (the
+        // DeltaCurate.run shape): index rows are first semi-joined to
+        // the batch's band keys, and that ONE filtered scan — persisted,
+        // materialized inside the survivor-checkpoint action — feeds
+        // both the degenerate-bucket cap and the candidate join. A key's
+        // matched rows are ALL of its index rows, so the per-key counts
+        // equal full-index counts exactly; per-batch aggregate work is
+        // O(index rows matching batch keys), not O(index).
+        val batchKeys = withSig
+          .select(explode(col("__bk")).as("key")).distinct()
+        val matched = idx.join(batchKeys, Seq("key"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val okKeys = matched.groupBy(col("key"))
           .agg(count(lit(1)).as("__kn"))
           .filter(col("__kn") <= maxBucket)
           .select(col("key"))
         val est = size(filter(
           zip_with(col("__bsig"), col("sig"), (a, b) => a === b),
           m => m)).cast("double") / lit(k.toDouble)
-        batchBands
-          .join(idx.join(okKeys, Seq("key")), Seq("key"))
+        (batchBands
+          .join(matched.join(okKeys, Seq("key")), Seq("key"))
           .filter(est >= lit(threshold))
           .select(col("__bid").as(idCol))
-          .distinct()
-      } else batchBands.limit(0).select(col("__bid").as(idCol)))
+          .distinct(), Some(matched))
+      } else (batchBands.limit(0).select(col("__bid").as(idCol)), None))
     // materialize the survivor set ONCE: the index append below and every
     // caller action read these blocks, and the checkpoint (not the
     // dropIds subtree) severs the index-table lineage so the returned
     // frame stays stable across the append
     val out = withSig.join(dropIds, Seq(idCol), "left_anti").localCheckpoint()
+    // every consumer of the shared matched-index scan has now run
+    matchedCache.foreach { m => m.unpersist(); () }
     out.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
         col("__sig").as("sig"))
       .write.mode(if (spark.catalog.tableExists(indexTable)) "append"
