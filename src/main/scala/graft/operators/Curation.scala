@@ -339,22 +339,27 @@ object Curation {
         val bf = guard.getAs[Array[Byte]]("__bf")
         if (bf == null) base // empty eval set: nothing can be contaminated
         else {
-          // three stages: a DOCUMENT-level codegen Bloom scan
+          // two stages: a DOCUMENT-level codegen Bloom scan
           // (graft_bloom_any) drops docs with no eval-shared shingle
-          // before anything explodes, then survivors re-probe
-          // per-shingle and exact-verify against the broadcast eval
-          // set; the shingle array comes from the checkpoint, not a
-          // fresh compute. On a real corpus the prefilter eliminates
-          // almost every document pre-explode; on the templated bench
-          // fixture (where most docs share some shingle with the eval
-          // slice) it measured neutral — the scan costs what the
-          // explode-side probe saved. Never wrong, only unneeded when
-          // contamination is dense.
+          // before anything explodes (on a real sparse-overlap corpus
+          // that is almost every document; on the templated fixture,
+          // few — but the scan early-exits at the first hit, so dense
+          // overlap costs little), then survivors' shingles exact-verify
+          // directly against the BROADCAST eval set. No per-shingle
+          // Bloom re-probe and no array_distinct: under a broadcast
+          // hash join a Bloom prefilter is redundant CPU (both are
+          // in-task hash probes per row and the join decides exactly —
+          // measured 1.18 s → 0.52 s for this subtree at sf0.1), and
+          // duplicate in-doc shingles collapse in the final id-distinct
+          // anyway. The standalone decontaminate() KEEPS its per-shingle
+          // Bloom: there the eval set may be near the broadcast bound
+          // (~GB relation, cache-hostile probes) where the 8 MB
+          // cache-resident filter pays; here the guard already bounded
+          // what is broadcast. The shingle array comes from the
+          // checkpoint, not a fresh compute.
           val contaminated = base
             .filter(call_function("graft_bloom_any", lit(bf), col("__sh")))
-            .select(col(idCol), explode(array_distinct(col("__sh"))).as("sh"))
-            .filter(call_function("graft_might_contain", lit(bf),
-              xxhash64(col("sh"))))
+            .select(col(idCol), explode(col("__sh")).as("sh"))
             .join(broadcast(evalShingles), "sh")
             .select(col(idCol)).distinct()
           base.join(contaminated, Seq(idCol), "left_anti")
