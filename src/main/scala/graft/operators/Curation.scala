@@ -185,17 +185,21 @@ object Curation {
     *
     * Scale design (train = the 100 TB side, eval = benchmarks, tiny):
     * neither stage shuffles the train side.
-    *  1. Bloom prefilter: the distinct eval shingle hashes fold into one
-    *     Bloom filter (one small agg job over eval), inlined as a binary
-    *     literal. Train shingles fan out in-task (Generate, no shuffle,
-    *     no materialization) and each one is probed by a TOP-LEVEL
-    *     `might_contain` filter — a codegen'd scalar predicate, the same
-    *     shape Spark's own runtime bloom joins emit. (Probing inside an
-    *     `exists(...)` array lambda instead looks tidier but runs the
-    *     bloom probe in the INTERPRETED higher-order-function path —
-    *     measured ~25µs/probe vs nanoseconds codegen'd, 30× slower
-    *     end-to-end — and the array expression gets re-inlined into both
-    *     Filter and Generate.)
+    *  1. Bloom prefilter, SIZE-ADAPTIVE: the distinct eval shingle
+    *     hashes fold into one Bloom filter (one small agg job over eval,
+    *     which also yields the distinct count), inlined as a binary
+    *     literal. The per-shingle probe filter is applied ONLY when the
+    *     eval shingle set is large (> ~2M entries): under the broadcast
+    *     exact verify both the Bloom probe and the join probe are
+    *     in-task hash lookups per exploded row, so for a
+    *     benchmark-sized eval set the Bloom pass is redundant CPU
+    *     (measured ~2× the subtree cost at sf0.1) — it pays only when
+    *     the broadcast relation is cache-hostile (hundreds of MB) and
+    *     the 8 MB cache-resident filter screens the ~all-miss stream.
+    *     When applied, it is a TOP-LEVEL codegen'd `might_contain`
+    *     filter — never inside an `exists(...)` lambda, which runs the
+    *     probe in the INTERPRETED higher-order-function path
+    *     (~25µs/probe vs nanoseconds, 30× slower end-to-end).
     *  2. Exact verify: surviving shingle rows broadcast-hash-join the
     *     eval shingle set, so Bloom false positives cost wasted verify
     *     work, never a wrong row; the only exchange is the final per-doc
@@ -235,27 +239,38 @@ object Curation {
     val evalShingles = Similarity.spreadIfNarrow(eval)
       .select(explode(sh(col(textCol))).as("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bfBytes: Array[Byte] = evalShingles
+    val guard = evalShingles
       .select(xxhash64(col("sh")).as("__h"))
       .agg(expr(s"graft_bloom_agg(__h, ${expectedItems}L, ${numBits}L)")
-        .as("__bf"))
-      .head().getAs[Array[Byte]]("__bf")
+        .as("__bf"), count(lit(1)).as("__n"))
+      .head()
+    val bfBytes: Array[Byte] = guard.getAs[Array[Byte]]("__bf")
     if (bfBytes == null) {
       // empty eval set: nothing can be contaminated
       return train.select(col(idCol), lit(0L).as("n_shared")).limit(0)
     }
+    val bloomPays = guard.getLong(1) > BloomWorthwhileEvalShingles
     // spread BEFORE the heavy projection: a single-file batch scan would
     // otherwise shingle every document in ONE task
     val trainShingles = Similarity.spreadIfNarrow(train)
       .select(col(idCol),
         explode(array_distinct(sh(col(textCol)))).as("sh"))
-    trainShingles
-      .filter(call_function("graft_might_contain", lit(bfBytes),
-        xxhash64(col("sh"))))
+    (if (bloomPays)
+      trainShingles.filter(call_function("graft_might_contain",
+        lit(bfBytes), xxhash64(col("sh"))))
+    else trainShingles)
       .join(broadcast(evalShingles), "sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Distinct-eval-shingle count above which [[decontaminate]]'s
+    * per-shingle Bloom prefilter pays: below it the broadcast hash
+    * relation is cache-friendly and the Bloom pass is redundant probe
+    * work; above it (~100+ MB relation) the cache-resident filter
+    * screens the miss stream cheaper than the relation can.
+    */
+  private val BloomWorthwhileEvalShingles = 2000000L
 
   /** Full pipeline → (train, test): quality → eval-set decontamination
     * (when an eval set is supplied) → exact dedup → near-dup dedup →
