@@ -46,12 +46,23 @@ object ConnectedComponents {
     *                O(log² n) rounds, so hitting this indicates a bug or an
     *                adversarial graph — fail loudly rather than return a
     *                silently-partial clustering.
+    * @param driverMaxEdges edge count at or below which the closure runs as
+    *                a driver-side union-find instead of star rounds — the
+    *                same adaptive move as a broadcast-join threshold. The
+    *                count comes FREE from the convergence signature the
+    *                distributed loop needs anyway, the collect is bounded
+    *                (default 1M edges ≈ 16 MB of longs), and near-dup pair
+    *                graphs are tiny relative to their corpus, so in
+    *                practice this replaces ~2 jobs × O(log² n) rounds with
+    *                one collect. At real scale the count exceeds the bound
+    *                and the star loop runs unchanged. 0 forces distributed.
     */
   def run(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     var e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -61,6 +72,7 @@ object ConnectedComponents {
       .localCheckpoint()
 
     var sig = signature(e)
+    if (sig._1 > 0L && sig._1 <= driverMaxEdges) return driverClosure(e)
     var iter = 0
     var converged = sig._1 == 0L // empty edge set is already done
     while (!converged && iter < maxIter) {
@@ -80,6 +92,41 @@ object ConnectedComponents {
     e.select(col("src").as("id"), col("dst").as("component"))
       .union(e.select(col("dst").as("id"), col("dst").as("component")))
       .distinct()
+  }
+
+  /** Small-graph fast path: collect the (deduped, checkpointed) edge list
+    * and run union-find with union-by-min — attaching the larger root
+    * under the smaller keeps every tree's root equal to the minimum member
+    * id by induction, so the final `find` of each node IS its component's
+    * min, exactly the star loop's fixpoint. Deterministic (no ordering
+    * sensitivity: the merged root is min() regardless of edge order), and
+    * the output row set — every node mapped to its component min — is
+    * identical to the distributed path's.
+    */
+  private def driverClosure(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      parent.size())
+    parent.keySet().forEach(k => out += ((k, find(k))))
+    out.toSeq.toDF("id", "component")
   }
 
   /** Canonical-form signature for convergence detection: count plus two

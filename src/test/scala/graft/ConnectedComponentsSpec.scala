@@ -12,9 +12,21 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst")
+  /** Runs BOTH execution paths — the driver-side union-find fast path
+    * (default threshold; every graph here is under it) and the
+    * distributed star loop (`driverMaxEdges = 0` forces it) — and asserts
+    * they agree before returning the result, so every golden/property
+    * case in this spec pins both.
+    */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val driver = ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst",
+      driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === dist, "driver union-find vs distributed star loop")
+    driver
+  }
 
   /** Driver-side union-find, the oracle. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
