@@ -1,0 +1,79 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Per-job wall-time profiler for a registered query — the tool that
+  * answers "where do a composed pipeline's seconds actually go" (the
+  * per-round bench totals can say only WHICH query is slow, not which of
+  * its jobs). Runs one warmup pass, then one measured pass with a
+  * listener that records every Spark job's wall time and call site.
+  *
+  * Usage: `runMain graft.JobProfile <queryName> [sfDir]`
+  * Prints one line per job (duration, call site) plus the timed total;
+  * diagnostic only — the driver contract mains are Verify and Bench.
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: JobProfile <queryName> [sfDir]")
+    val name = args(0)
+    val sfDir =
+      if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.nanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+    // A/B experiment hook: GRAFT_PROFILE_CONF="key=value;key=value"
+    sys.env.get("GRAFT_PROFILE_CONF").foreach {
+      _.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name"))
+
+    // warmup: JIT + codegen + scan caches
+    q(spark, sfDir).collect()
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(200)
+
+    final case class J(id: Int, start: Long, var end: Long, site: String)
+    val jobs = ArrayBuffer.empty[J]
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.synchronized {
+          val stages = e.stageInfos
+            .map(s => s"${s.name.takeWhile(_ != ':')}(${s.numTasks})")
+            .mkString(",")
+          jobs += J(e.jobId, e.time, -1L, stages)
+        }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobs.synchronized {
+          jobs.find(_.id == e.jobId).foreach(_.end = e.time)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    q(spark, sfDir).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+
+    val t00 = jobs.headOption.map(_.start).getOrElse(0L)
+    jobs.foreach { j =>
+      val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
+      println(f"[job ${j.id}%3d] +${(j.start - t00) / 1e3}%7.3fs ${dur}%7.3fs  ${j.site}")
+    }
+    println(f"[total] $wall%.3f s over ${jobs.size} jobs")
+    spark.stop()
+  }
+}

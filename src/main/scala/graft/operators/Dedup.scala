@@ -84,7 +84,12 @@ object Dedup {
     // write unbucketed files into a bucketed layout (silent corruption of
     // the one property the index exists for); saveAsTable validates the
     // spec against the existing table
-    newFps.write.mode(if (spark.catalog.tableExists(indexTable)) "append"
+    // repartition on the bucket expression first: repartition(n, c) is
+    // the SAME murmur3-pmod mapping as the bucket id, so each task holds
+    // one bucket and writes ONE file (instead of a file per bucket per
+    // input partition — a small-files tax every later index scan pays)
+    newFps.repartition(buckets, col("fp"))
+      .write.mode(if (spark.catalog.tableExists(indexTable)) "append"
         else "overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
       .saveAsTable(indexTable)
@@ -194,6 +199,8 @@ object Dedup {
     matchedCache.foreach { m => m.unpersist(); () }
     out.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
         col("__sig").as("sig"))
+      // one file per bucket per append (see incrementalExact)
+      .repartition(buckets, col("key"))
       .write.mode(if (spark.catalog.tableExists(indexTable)) "append"
         else "overwrite")
       .bucketBy(buckets, "key").sortBy("key")

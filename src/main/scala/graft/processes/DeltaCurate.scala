@@ -220,10 +220,21 @@ object DeltaCurate {
     // threads and overlap instead of paying two sequential job+commit
     // floors. saveAsTable (not insertInto) so the bucket spec is
     // validated against an existing table.
+    // repartition ON THE BUCKET EXPRESSION before each bucketed write:
+    // `repartition(n, c)` is HashPartitioning(murmur3(c) pmod n) — the
+    // SAME mapping as the bucket id — so every task holds exactly one
+    // bucket and writes exactly ONE file. Without it each of the ~32
+    // checkpoint partitions opens a file per bucket it touches (up to
+    // 32 × 64 files per append): slow at toy scale (file-create bound,
+    // measured 1.1 s → 0.35 s for the bootstrap append pair at sf0.1)
+    // and an accumulating small-files tax on every later index SCAN at
+    // real scale. Write parallelism becomes `buckets` — which is already
+    // the index's scale knob (more data ⇒ more buckets).
     val survivors = flagged.filter(col("__nd").isNull)
     val ec = scala.concurrent.ExecutionContext.global
     val fpWrite = scala.concurrent.Future {
       flagged.select(col("__fp").as("fp"))
+        .repartition(buckets, col("fp"))
         .write.mode(if (fpExists) "append" else "overwrite")
         .bucketBy(buckets, "fp").sortBy("fp")
         .saveAsTable(fpIndexTable)
@@ -231,6 +242,7 @@ object DeltaCurate {
     val sigWrite = scala.concurrent.Future {
       survivors.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
           col("__sig").as("sig"))
+        .repartition(buckets, col("key"))
         .write.mode(if (sigExists) "append" else "overwrite")
         .bucketBy(buckets, "key").sortBy("key")
         .saveAsTable(sigIndexTable)
@@ -336,6 +348,9 @@ object DeltaCurate {
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.sql(s"DROP TABLE IF EXISTS $aside")
     keep(spark.table(table))
+      // one file per bucket (same murmur3-pmod mapping as the bucket id;
+      // see the append sites) — compaction's whole point is fewer files
+      .repartition(buckets, col(bucketCol))
       .write.mode("overwrite")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(tmp)
