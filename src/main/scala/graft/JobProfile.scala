@@ -49,17 +49,29 @@ object JobProfile {
 
     final case class J(id: Int, start: Long, var end: Long, site: String)
     val jobs = ArrayBuffer.empty[J]
+    val stages = ArrayBuffer.empty[String]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
-          val stages = e.stageInfos
+          val st = e.stageInfos
             .map(s => s"${s.name.takeWhile(_ != ':')}(${s.numTasks})")
             .mkString(",")
-          jobs += J(e.jobId, e.time, -1L, stages)
+          jobs += J(e.jobId, e.time, -1L, st)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized {
           jobs.find(_.id == e.jobId).foreach(_.end = e.time)
+        }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.synchronized {
+          val s = e.stageInfo
+          val dur = (for {
+            a <- s.completionTime; b <- s.submissionTime
+          } yield (a - b) / 1e3).getOrElse(-1.0)
+          val cpu = s.taskMetrics.executorCpuTime / 1e9
+          val run = s.taskMetrics.executorRunTime / 1e3
+          stages += f"[stage ${s.stageId}%3d] $dur%7.3fs wall ${run}%8.3fs taskrun ${cpu}%8.3fs cpu ${s.numTasks}%4d tasks  ${s.name.takeWhile(_ != ':')} ${s.details.linesIterator.find(l => l.contains("graft") && !l.contains("JobProfile")).getOrElse("").trim}"
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -73,6 +85,7 @@ object JobProfile {
       val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
       println(f"[job ${j.id}%3d] +${(j.start - t00) / 1e3}%7.3fs ${dur}%7.3fs  ${j.site}")
     }
+    stages.foreach(println)
     println(f"[total] $wall%.3f s over ${jobs.size} jobs")
     spark.stop()
   }

