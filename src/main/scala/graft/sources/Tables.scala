@@ -38,7 +38,33 @@ object Tables {
     */
   val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Analyzed-DataFrame cache, weak-keyed by session so stopped sessions
+    * (the test harness creates many) release their entries. Constructing
+    * a reader is NOT free: `spark.read.parquet` lists the path and reads
+    * the footer for schema inference on every call (~0.1 s per call
+    * locally), and the 138-query sweep calls `table` several hundred
+    * times. A DataFrame is immutable and reusable across queries in its
+    * session, and self-joins of the SAME instance are resolved by
+    * Spark's DeduplicateRelations, so handing the cached frame back is
+    * semantics-neutral.
+    */
+  private val dfCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = dfCache.synchronized {
+      var m = dfCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        dfCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(s"$dir/$name", load(spark, dir, name))
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"${dir.stripSuffix("/")}/$name.parquet"
     if (name == "events") {
       val df = spark.read.parquet(path)

@@ -428,35 +428,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") === 1, p)
   }
 
-  test("q_shared_spans: seed build is a zero-exchange codegen map; match-side joins only") {
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  test("q_shared_spans: checkpointed seeds, one broadcast df-cap, groupBy pairing") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = SparkEntry.queries("q_shared_spans")(spark, sf)
       val p = df.queryExecution.executedPlan
       val ps = p.toString
-      // never all-pairs: candidate pairing is an equi-join on the seed gram
+      // never all-pairs: pairing is a groupBy(gram) + in-task explode —
+      // no join fan-out machinery at all beyond the broadcast cap filter
       assert(!ps.contains("CartesianProduct") &&
-        !ps.contains("BroadcastNestedLoopJoin"), ps)
-      // the persisted seed frame: union scan → tokenize → shingle kernel →
-      // posexplode → md5. Pure map stage — no exchange of any kind below it.
-      val cached = p.collect {
-        case s: InMemoryTableScanExec => s.relation.cachedPlan
-      }.map {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.inputPlan
-        case q => q
-      }
-      assert(cached.nonEmpty, ps)
-      cached.foreach { c =>
-        val cs = c.toString
-        assert(cs.toLowerCase.contains("graft_shingles"), cs)
-        val roundRobinOk = c.collect { case e: ShuffleExchangeExec => e }
-          .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
-        // spreadIfNarrow's round-robin spread is the only allowed exchange
-        assert(roundRobinOk.isEmpty, cs)
-      }
+        !ps.contains("BroadcastNestedLoopJoin") &&
+        !ps.contains("SortMergeJoin"), ps)
+      // the seed base is localCheckpoint'ed (LogicalRDD leaves), so the
+      // expensive tokenize+shingle map ran exactly once, upstream
+      assert(ps.contains("ExistingRDD"), ps)
+      // exactly one equi-join: seeds pruned by the BROADCAST df-cap keys
+      val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.size === 1, ps)
+      // every shuffle is a hash exchange on real keys (gram grouping,
+      // run window, final rollups) — no round-robin respread of the
+      // already-spread checkpoint, and none below the checkpoint leaves
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty &&
+        shuffles.forall(_.outputPartitioning.toString.contains("hashpartitioning")),
+        ps)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
