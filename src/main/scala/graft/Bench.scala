@@ -60,6 +60,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.nanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
+      // the listener bus renders an explain string per action even with
+      // the UI off; simple mode + a cap keeps that tax off the driver
+      // path (measured via JobProfile stack samples: Literal.toString /
+      // truncatedString frames during job gaps)
+      .config("spark.sql.ui.explainMode", "simple")
+      .config("spark.sql.maxPlanStringLength", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/scheduler spin-up otherwise lands on

@@ -75,9 +75,30 @@ object JobProfile {
         }
     }
     spark.sparkContext.addSparkListener(listener)
+    // Poor-man's driver profiler: sample the main thread's stack every
+    // 10 ms during the measured pass and report the hottest frames —
+    // job gaps in the timeline are driver-side (analysis/optimizer/
+    // codegen) time, and this says which.
+    val mainThread = Thread.currentThread()
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val st = mainThread.getStackTrace
+        // first frame inside org.apache.spark that is not Thread/self
+        val frame = st.find(f => f.getClassName.startsWith("org.apache.spark"))
+          .map(f => s"${f.getClassName.split('.').takeRight(2).mkString(".")}.${f.getMethodName}")
+          .getOrElse(if (st.isEmpty) "?" else s"${st.head.getClassName}.${st.head.getMethodName}")
+        samples.merge(frame, 1, (a, b) => a + b)
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val t0 = System.nanoTime()
     q(spark, sfDir).collect()
     val wall = (System.nanoTime() - t0) / 1e9
+    sampling = false
     spark.sparkContext.removeSparkListener(listener)
 
     val t00 = jobs.headOption.map(_.start).getOrElse(0L)
@@ -86,6 +107,10 @@ object JobProfile {
       println(f"[job ${j.id}%3d] +${(j.start - t00) / 1e3}%7.3fs ${dur}%7.3fs  ${j.site}")
     }
     stages.foreach(println)
+    import scala.jdk.CollectionConverters._
+    samples.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (f, n) =>
+      println(f"[driver] ${n * 10}%5d ms  $f")
+    }
     println(f"[total] $wall%.3f s over ${jobs.size} jobs")
     spark.stop()
   }
