@@ -148,7 +148,7 @@ object Bench {
         extCores = kept._3,
         loadBefore = runs.last._4, loadAfter = runs.head._5, runs.size)
     }.toMap
-    // End-of-sweep replay of the ten slowest queries: even with the
+    // End-of-sweep replay of the fifteen slowest queries: even with the
     // per-query GC, 130+ queries of sweep state (JIT recompilation, heap
     // fragmentation, metaspace growth) can inflate the heavy tail vs a
     // quiet standalone run (the round-7 evidence gap). Each replay runs
@@ -158,7 +158,7 @@ object Bench {
     // artifact carries its own sweep-state error bar.
     val replayed: Map[String, Double] = results.toSeq
       .filter(_._2.sec >= 0)
-      .sortBy(-_._2.sec).take(10)
+      .sortBy(-_._2.sec).take(15)
       .map { case (name, _) =>
         val r = once(name, selected(name))
         name -> r._1

@@ -203,7 +203,12 @@ object Similarity {
     // persist a derivative of this frame themselves (annIvf caches the
     // normalized cells) pass persistInput = false: one extra columnar
     // scan beats holding the vectors in cache twice.
-    val base = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    // spread FIRST: the assignment argmax below is CPU-bound per row
+    // (nCells dot products over an interpreted fold), and the embeddings
+    // fixture is a single-file scan — unspread it runs in one task
+    // (measured 0.8 s of the sf0.1 IVF wall in one core)
+    val base = spreadIfNarrow(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__seed_cell", pmod(xxhash64(col(idCol)), lit(nCells.toLong)))
     val v =
       if (persistInput) base.persist(StorageLevel.MEMORY_AND_DISK) else base
@@ -287,15 +292,21 @@ object Similarity {
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     // (id, cell, unit vector) is the IVF index itself, read three times
-    // below (cap count + both self-join sides) — persist it so the
-    // assignment argmax scan runs once, not 3x. MEMORY_AND_DISK: at
-    // cluster scale this is exactly the frame an index build would
-    // materialize anyway, and eviction degrades to recompute, not failure.
-    // persistInput = false: caching BOTH the raw projection and this
-    // derived frame would hold the vectors twice.
+    // below (cap count + both self-join sides) — materialize it ONCE,
+    // eagerly, as a localCheckpoint rather than a lazy persist: AQE
+    // launches the independent consumer stages concurrently, and with a
+    // lazy cache they all race the block lock of the first-touch
+    // materialization — JobProfile showed three 0.7 s zero-CPU stages
+    // convoyed behind the one computing the cache. Checkpoint blocks are
+    // computed once up front, every consumer reads bytes, and downstream
+    // plans start from a LogicalRDD (AQE can size/broadcast them). On a
+    // real cluster prefer reliable checkpoint dirs for executor-loss
+    // recovery; the storage footprint matches what an index build would
+    // materialize anyway. persistInput = false: materializing BOTH the
+    // raw projection and this derived frame would hold the vectors twice.
     val cells = ivfCells(df, idCol, vecCol, nCells, persistInput = false)
       .withColumn("__v", normalize(col("__v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val keptCells = cells.groupBy(col("cell"))
       .agg(count(lit(1)).as("__csize"))
       .filter(col("__csize") <= maxCellSize)
@@ -363,9 +374,11 @@ object Similarity {
     // spread FIRST — normalize is an interpreted HOF fold, and a
     // single-file scan would run it for the whole corpus in one task
     // (measured 4.3s of a 5.6s query at sf0.1)
+    // eager localCheckpoint, not lazy persist: concurrent consumer stages
+    // convoy on a lazy cache's first-touch block lock (see annIvf)
     val vecs = spreadIfNarrow(df)
       .select(col(idCol), normalize(col(vecCol)).as("__v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val banded = vecs
       .withColumn("__sketch",
         call_function("graft_lsh_bucket", col("__v"), lit(nBits * nTables)))
@@ -409,13 +422,14 @@ object Similarity {
       nBits: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    // same persist rationale as annIvf: the sketch+normalize projection
-    // feeds the cap count and both self-join sides — compute it once.
-    // spread first: normalize is an interpreted HOF fold and a
+    // same materialize-once rationale as annIvf (eager checkpoint, not a
+    // lazy cache the concurrent consumers would convoy on): the
+    // sketch+normalize projection feeds the cap count and both self-join
+    // sides. spread first: normalize is an interpreted HOF fold and a
     // single-file scan would pay it all in one task.
     val s = sketched(spreadIfNarrow(df), idCol, vecCol, nBits)
       .select(col(idCol), normalize(col(vecCol)).as(vecCol), col("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val keptBuckets = s.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__bsize"))
       .filter(col("__bsize") <= maxBucketSize)
