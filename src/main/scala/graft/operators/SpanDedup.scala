@@ -65,6 +65,10 @@ object SpanDedup {
     require(l >= 2 && l <= 50, s"seed length l must be in [2, 50], got $l")
     require(minSpan >= l, s"minSpan ($minSpan) must be >= l ($l)")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    // eager localCheckpoint, not lazy persist: downstream plans start
+    // from a LogicalRDD (AQE coalescing applies — the cached-relation
+    // variant kept 32-task stages on megabytes), and the pair join's two
+    // sides read blocks instead of racing the cache's first-touch lock
     val s = seeds(df, textCol, idCol, l).localCheckpoint()
     // document-frequency cap BEFORE pairing: a gram in > maxDf docs is
     // boilerplate and would contribute O(df²) pair rows. The lower bound
@@ -75,25 +79,26 @@ object SpanDedup {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df").between(2, maxDf))
       .select(col("__g"))
-    // pair expansion as ONE groupBy + in-task double explode, not a
-    // self-join: the a/b join sides would each re-evaluate the unpersisted
-    // df-capped join (two extra exchanges + duplicate probe work; the
-    // round-5 self-union lesson, join flavor). Aggregate state is bounded
-    // by the df cap above — only grams already known to touch ≤ maxDf
-    // documents collect their occurrence lists. One row per (instance in
-    // a, instance in b) as before: positions are unique per document, so
-    // the expansion feeds the run window directly with no distinct.
-    val occ = s.join(ok, Seq("__g"))
-      .groupBy(col("__g"))
-      .agg(collect_list(
-        struct(col(idCol).as("id"), col("__p").as("p"))).as("__occ"))
-    val hits = occ
-      .select(explode(col("__occ")).as("a"), col("__occ"))
-      .select(col("a"), explode(col("__occ")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.p").as("__pa"), col("b.p").as("__pb"),
-        (col("a.p") - col("b.p")).as("__d"))
+    // pair expansion as an a/b equi-join over the CHECKPOINTED df-capped
+    // seeds. A groupBy(gram) + collect_list + double-explode variant was
+    // built and measured BOTH ways (round 8): it wins at sf0.1 (fewer
+    // exchanges) but loses ~2x at the 10x rehearsal — collect_list is an
+    // ObjectHashAggregate whose many-group workload degenerates to
+    // sort-based aggregation with per-group array buffers, while the
+    // self-join streams through a shared-sort SMJ and spills gracefully.
+    // The join sides read checkpoint blocks (no recompute, no cache-lock
+    // race). One row per (instance in a, instance in b): positions are
+    // unique per document, so the join output feeds the run window
+    // directly with no distinct.
+    val bounded = s.join(ok, Seq("__g"))
+    val a = bounded.select(col("__g"), col(idCol).as("id_a"),
+      col("__p").as("__pa"))
+    val b = bounded.select(col("__g"), col(idCol).as("id_b"),
+      col("__p").as("__pb"))
+    val hits = a.join(b, Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__pa"), col("__pb"),
+        (col("__pa") - col("__pb")).as("__d"))
     val w = Window.partitionBy(col("id_a"), col("id_b"), col("__d"))
       .orderBy(col("__pa"))
     val runs = hits
