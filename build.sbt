@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 138-query sweep generates thousands of whole-stage-codegen
+  // classes; the JVM's default 240 MB code cache fills mid-sweep, the
+  // JIT compiler shuts off, and everything after runs interpreted —
+  // observed as end-of-sweep replays measuring SLOWER than the same
+  // query in-sweep (q_lr_auc 2.2 s in-sweep vs 6.3 s replayed).
+  "-XX:ReservedCodeCacheSize=1g",
 )
