@@ -65,7 +65,7 @@ object Bench {
       // path (measured via JobProfile stack samples: Literal.toString /
       // truncatedString frames during job gaps)
       .config("spark.sql.ui.explainMode", "simple")
-      .config("spark.sql.maxPlanStringLength", "8192")
+      .config("spark.sql.maxPlanStringLength", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/scheduler spin-up otherwise lands on

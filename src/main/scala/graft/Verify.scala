@@ -21,7 +21,7 @@ object Verify {
       // path (measured via JobProfile stack samples: Literal.toString /
       // truncatedString frames during job gaps)
       .config("spark.sql.ui.explainMode", "simple")
-      .config("spark.sql.maxPlanStringLength", "8192")
+      .config("spark.sql.maxPlanStringLength", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

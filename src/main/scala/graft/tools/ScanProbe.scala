@@ -31,6 +31,21 @@ object ScanProbe {
       graft.sources.Tables.table(spark, sfDir, "documents"))
     val pinned = docs
     time("count on pinned DF")(pinned.count())
+    def timeN(label: String, n: Int)(f: => Unit): Unit = {
+      f
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => f)
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9 / n}%.4f s/op over $n")
+    }
+    timeN("repeated count, AQE on", 20)(pinned.count())
+    spark.conf.set("spark.sql.ui.explainMode", "simple")
+    spark.conf.set("spark.sql.maxPlanStringLength", "1024")
+    timeN("repeated count, AQE on + simple explain", 20)(pinned.count())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timeN("repeated count, AQE off", 20)(pinned.count())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val rdd = pinned.queryExecution.toRdd
+    timeN("bare RDD count (no SQL layer)", 20)(rdd.count())
     time("count only")(docs.count())
     time("decode text (sum length)")(
       docs.agg(sum(length(col("text")))).head())
