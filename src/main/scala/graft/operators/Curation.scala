@@ -319,22 +319,27 @@ object Curation {
     // measured ~0.4 s off the sf0.1 wall clock). The require and every
     // downstream consumer stay on the caller's thread.
     val guardF = evalSet.map { ev =>
-      val evalShingles = Similarity.spreadIfNarrow(ev)
-        .select(explode(
-          TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
-          .as("sh"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Bloom filter + broadcast-side size guard in ONE agg over the
-      // (persisted) eval shingle set — the exact-verify broadcast below
-      // re-reads the cache
-      val fut = scala.concurrent.Future {
-        evalShingles
+      // BOTH eval-side jobs live on the future thread: the eager
+      // checkpoint (so the shingle set materializes once as blocks —
+      // a lazy persist kept the distinct's 32 shuffle partitions alive
+      // into the Bloom agg, allocating a 1 MB partial Bloom buffer per
+      // partition; over checkpoint blocks AQE coalesces the tiny frame
+      // first and the agg builds ~one partial) and the combined Bloom +
+      // broadcast-size-guard agg over it. The exact-verify broadcast
+      // below reads the same blocks.
+      scala.concurrent.Future {
+        val evalShingles = Similarity.spreadIfNarrow(ev)
+          .select(explode(
+            TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
+            .as("sh"))
+          .distinct()
+          .localCheckpoint()
+        val guard = evalShingles
           .select(xxhash64(col("sh")).as("__h"))
           .agg(expr(s"graft_bloom_agg(__h, 1000000L, ${8L * 1000000L}L)")
             .as("__bf"), count(lit(1)).as("__n")).head()
+        (evalShingles, guard)
       }(scala.concurrent.ExecutionContext.global)
-      (evalShingles, fut)
     }
     // Job 1: gate + shingles + fingerprint in one pass, materialized once
     val base = (if (spreadNeeded) quality.repartition(par) else quality)
@@ -343,8 +348,8 @@ object Curation {
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .localCheckpoint()
     val decontaminated = guardF match {
-      case Some((evalShingles, fut)) =>
-        val guard = scala.concurrent.Await.result(
+      case Some(fut) =>
+        val (evalShingles, guard) = scala.concurrent.Await.result(
           fut, scala.concurrent.duration.Duration.Inf)
         require(guard.getLong(1) <= MaxEvalShingles,
           s"curate eval set explodes to ${guard.getLong(1)} distinct " +
