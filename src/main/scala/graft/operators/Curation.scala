@@ -233,12 +233,17 @@ object Curation {
       "swapping the sides (treat the smaller set as eval) or a shuffle " +
         "join over pre-computed shingle tables")
     def sh(c: Column) = TextAnalysis.shingles(TextAnalysis.tokens(c), shingleN)
-    // persisted: the bloom build (eager, below) materializes it and the
-    // exact-verify broadcast reuses it — without the cache the eval-side
-    // tokenize/shingle/distinct pipeline would run twice
+    // eagerly checkpointed: the Bloom build below and the exact-verify
+    // broadcast both reuse it (without materialization the eval-side
+    // tokenize/shingle/distinct pipeline would run twice), and over
+    // checkpoint blocks AQE coalesces the frame before the Bloom agg —
+    // a lazy persist kept the distinct's full shuffle-partition count
+    // alive into the agg, allocating and shuffling one numBits/8-byte
+    // partial Bloom buffer PER PARTITION (measured on curate's inlined
+    // twin: ~0.3 s of its eval agg was exactly this)
     val evalShingles = Similarity.spreadIfNarrow(eval)
       .select(explode(sh(col(textCol))).as("sh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val guard = evalShingles
       .select(xxhash64(col("sh")).as("__h"))
       .agg(expr(s"graft_bloom_agg(__h, ${expectedItems}L, ${numBits}L)")
