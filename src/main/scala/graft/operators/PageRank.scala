@@ -18,10 +18,11 @@ import org.apache.spark.storage.StorageLevel
   *    each round, the standard correction, computed as one bounded
   *    scalar aggregate.
   *
-  * Scale shape per round: one join of the rank frame with the
-  * (pre-persisted) degree-annotated edge list keyed on src, one
-  * map-side-combined sum keyed on dst, one broadcast-size scalar agg for
-  * the dangling mass. Rank state is 16 bytes per node; lineage is
+  * Scale shape per round — ONE job: a join of the rank frame with the
+  * (pre-persisted) degree-annotated edge list keyed on src, a
+  * map-side-combined sum keyed on dst, and the dangling-mass sum riding
+  * the same plan as a broadcast 1-row cross join (not a separate
+  * driver-side scalar action). Rank state is 16 bytes per node; lineage is
   * truncated per round with localCheckpoint (the [[ConnectedComponents]]
   * contract: single-job batch fits — streaming-recovery jobs should
   * checkpoint to reliable storage instead).
@@ -71,22 +72,27 @@ object PageRank {
       .localCheckpoint()
     var it = 0
     while (it < iters) {
-      // mass sitting on dangling nodes this round (no out-edges)
-      val dangling =
-        if (!hasDangling) 0.0
-        else ranks.join(danglingNodes,
-            ranks("node") === col("__dn"))
-          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      val next = nodes
+      // dangling mass rides the round's ONE job as a broadcast 1-row
+      // cross join instead of a separate driver-side scalar agg — same
+      // arithmetic ((__in + dm/n) with dm summed over dangling ranks,
+      // identically rounded), half the jobs per round. Both subtrees
+      // read the checkpointed `ranks` blocks.
+      val next0 = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
+      val withMass =
+        if (!hasDangling) next0.withColumn("__dm", lit(0.0))
+        else next0.crossJoin(broadcast(
+          ranks.join(danglingNodes, ranks("node") === col("__dn"))
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))))
+      val next = withMass
         .select(col("node"),
           round(lit(base) +
             lit(damping) * (coalesce(col("__in"), lit(0.0)) +
-              lit(dangling / n)), 8).as("rank"))
+              col("__dm") / lit(n.toDouble)), 8).as("rank"))
         .localCheckpoint()
       ranks.unpersist()
       ranks = next
