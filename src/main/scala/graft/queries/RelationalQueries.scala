@@ -60,6 +60,26 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Salted skew join, ORACLED: the salting is PHYSICAL (left rows get a
+    // deterministic salt, the dim replicates buckets x, pairs meet on
+    // (key, salt)), so the result is row-identical to the plain equi-join
+    // DuckDB runs — which is exactly what makes the skew remedy safe to
+    // drop into a pipeline. The rollup keys on the dim attribute so the
+    // oracle hash proves every fact row met its dim row exactly once
+    // (a salting bug — wrong modulus, missed replica — breaks the count).
+    "q_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), col("o_totalprice"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(fact, dim, "k", buckets = 8,
+          saltCols = Seq(col("o_totalprice")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total_price"))
+    }),
+
     // TPC-H Q6 shape: pure scan+filter+sum — the predicate-pushdown probe
     // (all four predicates reach the parquet reader as PushedFilters).
     "q_filter_sum" -> ((s, dir) => {
@@ -603,6 +623,13 @@ object RelationalQueries {
          SELECT source, 'avg_chars' AS metric, avg_chars AS value FROM wide
          UNION ALL
          SELECT source, 'avg_len' AS metric, avg_len AS value FROM wide""",
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
 
     "q_join_region_revenue" ->
       """SELECT n_name,
