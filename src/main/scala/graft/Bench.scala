@@ -91,7 +91,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CONTENDED_CORES", "2.0").toDouble
     case class QRes(sec: Double, contended: Boolean, extCores: Double,
                     loadBefore: Double, loadAfter: Double, attempts: Int,
-                    replaySec: Double = -1.0)
+                    replaySec: Double = -1.0, replayExt: Double = -1.0)
     // (elapsed, runWasClean, extCores, loadBefore, loadAfter); -1 = failed
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -156,17 +156,20 @@ object Bench {
     // standalone measurement one JVM can produce. Both numbers are
     // committed (sec = best of all runs, replay_sec = the replay), so the
     // artifact carries its own sweep-state error bar.
-    val replayed: Map[String, Double] = results.toSeq
+    val replayed: Map[String, (Double, Double)] = results.toSeq
       .filter(_._2.sec >= 0)
       .sortBy(-_._2.sec).take(15)
       .map { case (name, _) =>
         val r = once(name, selected(name))
-        name -> r._1
+        // the replay's own run-window ext_cores is recorded too: a slow
+        // replay with ext ~0 is genuine sweep-end JVM state, a slow
+        // replay with ext >> 0 is a contended window and says nothing
+        name -> (r._1, r._3)
       }.toMap
     val results2 = results.map { case (name, q) =>
-      val rep = replayed.getOrElse(name, -1.0)
+      val (rep, repExt) = replayed.getOrElse(name, (-1.0, -1.0))
       val best = if (rep >= 0 && q.sec >= 0) math.min(q.sec, rep) else q.sec
-      name -> q.copy(sec = best, replaySec = rep)
+      name -> q.copy(sec = best, replaySec = rep, replayExt = repExt)
     }
     val loadEnd = loadavg()
     val qs = results2.map { case (k, v) => s"\"" + k + "\":" + v.sec }
@@ -189,7 +192,8 @@ object Bench {
       s"\"$k\":{\"sec\":${v.sec},\"contended\":${v.contended}," +
         s"\"ext_cores\":${v.extCores}," +
         s"\"load_before\":${v.loadBefore},\"load_after\":${v.loadAfter}," +
-        s"\"attempts\":${v.attempts},\"replay_sec\":${v.replaySec}}"
+        s"\"attempts\":${v.attempts},\"replay_sec\":${v.replaySec}," +
+        s"\"replay_ext_cores\":${v.replayExt}}"
     }.mkString("{", ",", "}")
     val detail = s"""{"detail":$qs,"runs":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended_cores_threshold":$contendedCores}"""
     // sidecar path is configurable so launching the bench from an arbitrary
