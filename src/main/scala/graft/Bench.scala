@@ -45,6 +45,34 @@ object Bench {
     math.max(0.0, ext.toDouble / 100.0 / wallSec)
   }
 
+  /** Single-thread host-speed stamp (million mix-ops/sec over ~250 ms of
+    * a fixed integer-mixing loop). ext_cores catches co-tenant CPU theft
+    * but NOT a host that is simply running slower (frequency scaling,
+    * hypervisor throttling — observed this round: the same-code sweep
+    * and the DuckDB oracle both slowed ~1.7× together for a stretch, with
+    * ext ≈ 0). Recording the stamp at sweep start and end makes every
+    * committed number interpretable across rounds: divide by the stamp
+    * ratio before comparing hosts.
+    */
+  private def hostSpeedMops(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var ops = 0L
+    val t0 = System.nanoTime()
+    val deadline = t0 + 250000000L
+    while (System.nanoTime() < deadline) {
+      var i = 0
+      while (i < 1000000) {
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        i += 1
+      }
+      ops += 1000000L
+    }
+    if (x == 42L) println("") // keep the loop un-eliminable
+    val took = (System.nanoTime() - t0).toDouble
+    math.round(ops / (took / 1e9) / 1e6 * 10.0) / 10.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the harness environment (local[32], 32 shuffle
@@ -54,6 +82,7 @@ object Bench {
     // high reading here is external contention (the round-3 bench record was
     // poisoned by exactly such a window — load ~10 from a co-tenant).
     val loadStart = loadavg()
+    val speedStart = hostSpeedMops()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -172,6 +201,7 @@ object Bench {
       name -> q.copy(sec = best, replaySec = rep, replayExt = repExt)
     }
     val loadEnd = loadavg()
+    val speedEnd = hostSpeedMops()
     val qs = results2.map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
     // a failed query poisons the TOTAL too: silently dropping its seconds
@@ -195,7 +225,7 @@ object Bench {
         s"\"attempts\":${v.attempts},\"replay_sec\":${v.replaySec}," +
         s"\"replay_ext_cores\":${v.replayExt}}"
     }.mkString("{", ",", "}")
-    val detail = s"""{"detail":$qs,"runs":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended_cores_threshold":$contendedCores}"""
+    val detail = s"""{"detail":$qs,"runs":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"host_speed_mops_start":$speedStart,"host_speed_mops_end":$speedEnd,"contended_cores_threshold":$contendedCores}"""
     // sidecar path is configurable so launching the bench from an arbitrary
     // cwd can't silently clobber an unrelated bench_detail.json
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
@@ -211,7 +241,7 @@ object Bench {
       .take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries_truncated":${results.size > 10},"queries":$slowest,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contendedNames,"detail_file":"$detailPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries_truncated":${results.size > 10},"queries":$slowest,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"host_speed_mops":$speedEnd,"contended":$contendedNames,"detail_file":"$detailPath"}""")
     spark.stop()
   }
 }
