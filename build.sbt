@@ -3,6 +3,15 @@ ThisBuild / version := "0.1.0"
 name := "batchprocessdplaindexspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// spark-avro is NOT in that directory (the one Spark module absent from
+// this image). The engine carries a two-legged Avro source: the module
+// path (sources/AvroSource) used when spark-avro is on the classpath, and
+// a self-contained container reader/writer fallback (sources/AvroDirect).
+// To arm the module leg, drop the matching jar into the unmanaged dir —
+//   cp spark-avro_2.13-4.1.2.jar /opt/spark/jars/
+// — and the conditional parity spec (AvroSpec "module path matches
+// AvroDirect"), which reports `canceled` on a jar-less classpath, runs
+// automatically. No build change needed beyond the file copy.
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -207,10 +207,13 @@ object Curation {
     *
     * Returns (idCol, n_shared) for contaminated train docs only.
     *
-    * Cache lifecycle: the eval shingle frame stays persisted after return
-    * (the returned plan re-reads it through the broadcast). Long-running
-    * sessions chaining many workloads should `spark.catalog.clearCache()`
-    * between them — the same contract as Dedup/Similarity/Packing.
+    * Cache lifecycle: the eval shingle frame is materialized as an eager
+    * `localCheckpoint`, so its blocks are RDD checkpoint blocks — NOT
+    * catalog cache entries; `spark.catalog.clearCache()` does not free
+    * them. They are released by the ContextCleaner once the returned plan
+    * (which holds the only reference to the checkpointed RDD) becomes
+    * unreachable and is GC'd. Long-running sessions should simply drop
+    * their reference to the returned DataFrame when done with it.
     */
   def decontaminate(
       train: DataFrame,

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * (a, b, diagonal) is constant exactly along a consecutive run.
   *
   * Scale shape: the L-gram seed stream is a narrow posexplode (one row
-  * per token, same bytes as the tokenized corpus); seeds are md5-hashed
-  * so the join key is 16 bytes regardless of L. The document-frequency
+  * per token, same bytes as the tokenized corpus); the RAW gram string
+  * is the join key (collision-free, zero hashing CPU, and with L=5
+  * short tokens barely wider than an md5 digest). The document-frequency
   * cap drops boilerplate grams BEFORE the pair join (the standard guard
   * that keeps a viral license paragraph from going quadratic), and every
   * downstream window partitions by (a, b, diagonal) — match rows only,
@@ -30,8 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Positioned seed grams: (idCol, __p 1-based, __g md5 of the L
-    * consecutive tokens). Documents shorter than `l` yield nothing.
+  /** Positioned seed grams: (idCol, __p 1-based, __g = the L consecutive
+    * tokens joined as one raw string — the key itself, not a hash of
+    * it). Documents shorter than `l` yield nothing.
     * A zero-exchange map stage: the codegen shingle kernel builds the
     * gram array in one pass and posexplode numbers the positions —
     * no window, so the token stream never shuffles by document.

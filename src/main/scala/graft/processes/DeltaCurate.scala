@@ -63,6 +63,22 @@ object DeltaCurate {
     * signature reaches `cfg.nearDupThreshold`, and only near-dup
     * survivors' band rows enter the signature index. Documents with no
     * shingles have null band keys: never candidates, never indexed.
+    *
+    * Concurrency contract (single writer): `run` briefly mutates the
+    * SESSION-global `spark.sql.adaptive.optimizer.excludedRules` conf
+    * around the base-checkpoint action (see the comment at the mutation
+    * site) and restores it in `finally`. A caller must not run concurrent
+    * actions on the SAME session while `run` is executing — they would
+    * plan under the exclusion (harmless today: the excluded rule only
+    * prunes degenerate empty-relation plans, so the worst case is a
+    * missed no-op optimization, never a wrong result), and a JVM death
+    * inside the window leaves the conf set for nobody (a fresh session
+    * starts clean). `run`'s OWN concurrent action threads (the two
+    * bucketed index appends) are spawned after the `finally` restores the
+    * conf, so the contract binds external callers only. Callers needing
+    * concurrent foreign actions should give `run` a dedicated session
+    * (`spark.newSession()` shares the context and catalog but isolates
+    * the conf).
     */
   def run(
       prevSnap: DataFrame,

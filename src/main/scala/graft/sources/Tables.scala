@@ -38,26 +38,59 @@ object Tables {
     */
   val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** Analyzed-DataFrame cache, weak-keyed by session so stopped sessions
-    * (the test harness creates many) release their entries. Constructing
-    * a reader is NOT free: `spark.read.parquet` lists the path and reads
-    * the footer for schema inference on every call (~0.1 s per call
-    * locally), and the 138-query sweep calls `table` several hundred
-    * times. A DataFrame is immutable and reusable across queries in its
-    * session, and self-joins of the SAME instance are resolved by
-    * Spark's DeduplicateRelations, so handing the cached frame back is
+  /** Analyzed-DataFrame cache, keyed by `spark.sessionUUID` and bounded
+    * (LRU, 32 sessions). Constructing a reader is NOT free:
+    * `spark.read.parquet` lists the path and reads the footer for schema
+    * inference on every call (~0.1 s per call locally), and the
+    * 138-query sweep calls `table` several hundred times. A DataFrame is
+    * immutable and reusable across queries in its session, and
+    * self-joins of the SAME instance are resolved by Spark's
+    * DeduplicateRelations, so handing the cached frame back is
     * semantics-neutral.
+    *
+    * Why not a WeakHashMap keyed by SparkSession (the pre-round-9
+    * shape): the cached DataFrames strongly reference their session, so
+    * the keys were never weakly reachable and stopped test-harness
+    * sessions were never released. A String key breaks that value→key
+    * edge, and the LRU bound caps the worst case (a harness that builds
+    * hundreds of sessions) at 32 sessions' worth of analyzed plans.
     */
   private val dfCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.LinkedHashMap[String,
+        scala.collection.concurrent.TrieMap[String, DataFrame]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            scala.collection.concurrent.TrieMap[String, DataFrame]]): Boolean =
+        size() > 32
+    }
+
+  /** Minted string identity per session (Spark 4's own `sessionUUID` is
+    * private[sql]). The values here are plain Strings, so — unlike the
+    * old DataFrame-valued map — nothing reachable from a value references
+    * the key, the weak keys really are collected with their sessions, and
+    * the dfCache entry for a dead session is then unreachable by lookup
+    * and ages out of the LRU.
+    */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+      }
+      id
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = sessionKey(spark)
     val perSession = dfCache.synchronized {
-      var m = dfCache.get(spark)
+      var m = dfCache.get(key)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        dfCache.put(spark, m)
+        dfCache.put(key, m)
       }
       m
     }

@@ -200,6 +200,32 @@ class DeltaCurateSpec extends SparkSpec {
     cleanTables()
   }
 
+  test("run restores the session AQE excludedRules conf (single-writer " +
+      "contract: foreign concurrent actions would plan under the exclusion)") {
+    // `run` mutates session-global spark.sql.adaptive.optimizer.excludedRules
+    // around the base-checkpoint action; the documented contract (run's
+    // scaladoc) is single writer per session, with the conf restored on
+    // every exit. Pin the restore for both the unset and pre-set cases.
+    cleanTables()
+    val key = "spark.sql.adaptive.optimizer.excludedRules"
+    val m0 = (1 to 4).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")
+    spark.conf.unset(key)
+    DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    assert(spark.conf.getOption(key).isEmpty,
+      "unset before run must be unset after run")
+    cleanTables()
+    val preset = "org.apache.spark.sql.execution.adaptive.AQEOptimizeOneRowPlan"
+    spark.conf.set(key, preset)
+    try {
+      DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+        "dc_fp", "dc_sig", buckets = 4)
+      assert(spark.conf.get(key) === preset,
+        "a caller's own exclusion list must survive run unchanged")
+    } finally spark.conf.unset(key)
+    cleanTables()
+  }
+
   test("near-dup delta against the signature index drops tail-edited rewrites") {
     cleanTables()
     val base = (1 to 4).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")

@@ -428,7 +428,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") === 1, p)
   }
 
-  test("q_shared_spans: checkpointed seeds, one broadcast df-cap, groupBy pairing") {
+  test("q_shared_spans: checkpointed seeds, broadcast df-cap, equi-join pairing") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
