@@ -130,21 +130,33 @@ object QualityClassifier {
         when(col("score") >= 0.5, 1L).otherwise(0L).as("pred"))
   }
 
+  /** Score a labeled frame under an ALREADY-fitted model — the
+    * evaluation shape (`score`, `pred`, `y`). One narrow codegen pass;
+    * the model rides the plan as a literal map, the label rides the
+    * projection, no join. Split out from [[fitScore]] so callers running
+    * several evaluations of one gate (scores, AUC, calibration) pay the
+    * fit's driver-collect loop once, not once per report.
+    */
+  def scoreLabeled(docs: DataFrame, textCol: String, idCol: String,
+      label: Column, model: Model): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    Similarity.spreadIfNarrow(prep(docs, textCol, idCol, label))
+      .select(col("__id").as(idCol),
+        round(sigmoid(logitInt(model.weights, model.biasInt)), 4).as("score"),
+        col("__y").as("y"))
+      .select(col(idCol), col("score"),
+        when(col("score") >= 0.5, 1L).otherwise(0L).as("pred"), col("y"))
+  }
+
   /** Fit on `docs` and score the same frame (the registry shape —
     * `q_lr_quality` oracles the WHOLE fit, the q_kmeans posture). One
     * narrow pass for the output — the label rides the projection, no join.
     */
   def fitScore(docs: DataFrame, textCol: String, idCol: String,
       label: Column, vocabSize: Int = 32, iters: Int = 2,
-      lr: Double = 0.5): DataFrame = {
-    val m = fit(docs, textCol, idCol, label, vocabSize, iters, lr)
-    Similarity.spreadIfNarrow(prep(docs, textCol, idCol, label))
-      .select(col("__id").as(idCol),
-        round(sigmoid(logitInt(m.weights, m.biasInt)), 4).as("score"),
-        col("__y").as("y"))
-      .select(col(idCol), col("score"),
-        when(col("score") >= 0.5, 1L).otherwise(0L).as("pred"), col("y"))
-  }
+      lr: Double = 0.5): DataFrame =
+    scoreLabeled(docs, textCol, idCol, label,
+      fit(docs, textCol, idCol, label, vocabSize, iters, lr))
 
   /** Calibration curve (reliability diagram) over a scored+labeled
     * frame: per score decile (or `bins`-tile), the doc count, mean

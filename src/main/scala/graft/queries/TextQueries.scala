@@ -995,9 +995,9 @@ object TextQueries {
     // accumulation order). DuckDB unrolls the IDENTICAL fit as CTEs (the
     // q_kmeans trick), so the hash gate covers the whole training loop.
     "q_lr_quality" -> ((s, dir) =>
-      graft.operators.QualityClassifier.fitScore(
+      graft.operators.QualityClassifier.scoreLabeled(
         t(s, dir, "documents"), "text", "doc_id",
-        col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5)),
+        col("lang") === "en", lrModel(s, dir))),
 
     // Classifier evaluation, ORACLED end to end through the SAME
     // unrolled fit: exact-integer midrank AUC (doubled ranks keep tie
@@ -1005,19 +1005,38 @@ object TextQueries {
     // the report a pipeline reads before trusting a quality gate.
     "q_lr_auc" -> ((s, dir) =>
       graft.operators.QualityClassifier.evaluate(
-        graft.operators.QualityClassifier.fitScore(
+        graft.operators.QualityClassifier.scoreLabeled(
           t(s, dir, "documents"), "text", "doc_id",
-          col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5))),
+          col("lang") === "en", lrModel(s, dir)))),
 
     // Calibration curve under the same fit, ORACLED: per score decile
     // the doc count, exact-integer mean score, and empirical positive
     // rate — the probabilities-or-not read on a quality gate.
     "q_lr_calibration" -> ((s, dir) =>
       graft.operators.QualityClassifier.evaluateCalibration(
-        graft.operators.QualityClassifier.fitScore(
+        graft.operators.QualityClassifier.scoreLabeled(
           t(s, dir, "documents"), "text", "doc_id",
-          col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5))),
+          col("lang") === "en", lrModel(s, dir)))),
   )
+
+  /** One LR fit per (sfDir) per JVM, shared by the three classifier
+    * queries (round-8 verdict #3: each re-ran the identical deterministic
+    * 2-epoch fit — ~4 driver-collect jobs — before its own evaluation
+    * pass). The fitted Model is pure data (token→weight map + bias, no
+    * session references), and the fit is a deterministic function of the
+    * fixture dir + the config pinned here, so a JVM-wide dir-keyed memo
+    * is semantics-neutral: every query still scores/evaluates with its
+    * own distributed pass. A concurrent double-fit computes the same
+    * model twice — harmless.
+    */
+  private val lrFitCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.QualityClassifier.Model]
+  private def lrModel(s: SparkSession, dir: String)
+      : graft.operators.QualityClassifier.Model =
+    lrFitCache.getOrElseUpdate(dir,
+      graft.operators.QualityClassifier.fit(
+        t(s, dir, "documents"), "text", "doc_id",
+        col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5))
 
   /** Shared fixture for the span queries: the corpus plus character
     * substrings of the first 50 docs (partial-overlap partners).
