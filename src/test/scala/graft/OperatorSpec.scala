@@ -1130,6 +1130,63 @@ class OperatorSpec extends SparkSpec {
     assert(recall(ivf) >= 0.15, s"ivf recall ${recall(ivf)}")
   }
 
+  test("ANN recall floors at BENCH scale (sf0.1, registry params): ivf/lsh/pq + banded near-dup") {
+    // The four permanently-unhashable surfaces (q_ann_ivf/lsh/pq,
+    // q_embed_neardup_lsh) get their quality signal from recall vs the
+    // exact baseline; the sf0.01 floor test above pins params, this one
+    // pins the BENCH scale (sf0.1, 2000 vectors) with the registry's
+    // exact parameters, so the number the bench times is the number whose
+    // quality is tracked (round-8 verdict #4).
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.1", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnBruteForce(e, e, "vec_id", "embedding", 3))
+    // registry defaults: annLsh nBits=8, annIvf nCells=16 (VectorQueries)
+    val lsh = pairs(Similarity.annLsh(e, "vec_id", "embedding", 3))
+    val ivf = pairs(Similarity.annIvf(e, "vec_id", "embedding", 3))
+    // q_ann_pq's fit config: m=4, k=8, iters=2 (fittedPq)
+    val pq = pairs(graft.operators.Pq.annPq(e, e, "vec_id", "embedding",
+      graft.operators.Pq.fit(e, "vec_id", "embedding", m = 4, k = 8, iters = 2),
+      k = 3))
+    def recall(ann: Set[(Long, Long)]) =
+      ann.intersect(exact).size.toDouble / exact.size
+    info(f"sf0.1 recall@3: lsh=${recall(lsh)}%.4f ivf=${recall(ivf)}%.4f " +
+      f"pq=${recall(pq)}%.4f (random-candidate chance ~ k/n = 0.0015)")
+    // measured 0.0223 / 0.1878 / 0.0270 on the pinned fixture+params
+    // (lsh's 256 buckets over 2000 near-random vectors yield ~8
+    // candidates/query, so its absolute recall is small but still 15x
+    // chance; ivf's 16 trained cells give ~125). Floors sit ~30% under
+    // measurement — above them a broken sketch cannot hide, below them
+    // fixture noise cannot flake.
+    assert(recall(lsh) >= 0.015, s"lsh recall ${recall(lsh)}")
+    assert(recall(ivf) >= 0.13, s"ivf recall ${recall(ivf)}")
+    assert(recall(pq) >= 0.018, s"pq recall ${recall(pq)}")
+    // q_embed_neardup_lsh's banded recall vs the exact threshold pairs
+    // (same scoring as the operator: normalize + dot, rounded, >= 0.4)
+    graft.plans.GraftFunctions.register(spark)
+    import graft.functions.VectorFunctions._
+    val v = e.select(col("vec_id"), normalize(col("embedding")).as("v"))
+    val exactPairs = v.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .crossJoin(broadcast(v.select(col("vec_id").as("id_b"), col("v").as("vb"))))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("graft_dot(va, vb)"), 4).as("sim4"))
+      .filter(col("sim4") >= 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exactPairs), "verify step must kill false positives")
+    val bandedRecall = banded.size.toDouble / exactPairs.size
+    info(f"sf0.1 banded near-dup recall = $bandedRecall%.4f " +
+      s"(${banded.size}/${exactPairs.size})")
+    // measured 0.9359 (861/920) with the registry's 15 tables; floor
+    // well under, yet far above the ~0.16 single-table compounding base
+    assert(bandedRecall >= 0.6, s"banded recall $bandedRecall")
+  }
+
   test("embeddingNearDupPairs: subset of exact pairs, recall compounds with tables") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     import graft.functions.VectorFunctions._
