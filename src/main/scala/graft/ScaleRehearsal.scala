@@ -90,6 +90,8 @@ object ScaleRehearsal {
     val nHeavy = graft.operators.HeavyHitters.heavyTokens(
       blown, "text", minCount = 40L * blowup).count()
     val tHeavy = (System.nanoTime() - t3) / 1e9
+
+    val deltaJson = deltaLeg(spark, docs0, blowup, cfg)
     sampling = false
 
     // plain Double interpolation (the Bench contract): an f"%.1f" render
@@ -106,7 +108,158 @@ object ScaleRehearsal {
       s""""spans_sec":${r1(tSpans)},"span_pairs":$nSpanPairs,""" +
       s""""heavy_sec":${r1(tHeavy)},"heavy_tokens":$nHeavy,""" +
       s""""peak_cache_bytes":$peakCache,""" +
-      s""""cc_converged":true}""")
+      s""""cc_converged":true$deltaJson}""")
     spark.stop()
+  }
+
+  /** Incremental-index rehearsal at the blowup (round-8 verdict #1: the
+    * one 100 TB claim that rested on sf0.1 evidence). The blown corpus is
+    * replayed as FOUR monthly snapshots — a 4-copy bootstrap, two equal
+    * all-add increments, and a final increment that also edits ~1% of the
+    * oldest copy (status `changed` → version suppression) and removes
+    * ~1% of another (status `removed`) — through `DeltaCurate.run`, twice:
+    * sequence A uncompacted, sequence B with `DeltaCurate.compact` after
+    * increment 2, so B's later increments run against a compacted index.
+    *
+    * Asserted (the run THROWS on violation, so a green line is the proof):
+    *  (a) survivor id-sets and diff counts of every increment are
+    *      BIT-IDENTICAL between A and B — compaction against the curated
+    *      corpus forgets nothing a future increment needs;
+    *  (b) each append adds AT MOST ONE file per bucket per table (the r8
+    *      one-file-per-bucket invariant — the accumulating small-files
+    *      tax stays killed under a multi-increment sequence), and after
+    *      compaction each bucket holds at most one file;
+    *  (c) per-increment wall stays sublinear in index size: increment 4
+    *      (same delta size as increment 2, index ~2× larger) is gated at
+    *      ≤2.5× increment 2's wall — a linear-in-index regression (the
+    *      full-index scans the one-sided joins and O(matched) caps
+    *      replaced) would blow through it at this ratio.
+    */
+  private def deltaLeg(spark: SparkSession,
+      docs0: org.apache.spark.sql.DataFrame, blowup: Int,
+      cfg: graft.operators.Curation.Config): String = {
+    if (blowup < 5) return "" // the 4-snapshot split needs ≥5 copies
+    val cuts = Seq(2 * blowup / 5, 3 * blowup / 5, 4 * blowup / 5, blowup)
+    def copies(hi: Int) = (0 until hi).map { k =>
+      docs0.select(
+        (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copysalt$k")).as("text"),
+        col("lang"), col("source"))
+    }.reduce(_.union(_))
+    // month 3 edits ~1% of copy-0 (cosmetic near-dup rewrites: suppressed,
+    // prior version stays canonical); month 4 removes ~1% of copy-1
+    def edited(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      when(col("doc_id") < 10000000L && col("doc_id") % 97 === 0,
+        concat(col("text"), lit(" editv2"))).otherwise(col("text")))
+    val snaps = Seq(
+      copies(cuts(0)),
+      copies(cuts(1)),
+      edited(copies(cuts(2))),
+      edited(copies(cuts(3))).filter(!(col("doc_id") >= 10000000L &&
+        col("doc_id") < 20000000L && col("doc_id") % 89 === 0)))
+
+    // files per bucket of a managed bucketed table, via its catalog
+    // location (bucket id is encoded in the file name: ..._00007.c000...)
+    def bucketFiles(table: String): Map[Int, Int] = {
+      val loc = spark.sql(s"DESC FORMATTED $table")
+        .filter(col("col_name") === "Location").head.getString(1)
+      val dir = new java.io.File(new java.net.URI(loc))
+      val rx = "_(\\d{5})\\.".r
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val buckets = 16
+
+    final case class SeqResult(walls: Seq[Double], survivors: Seq[Set[Long]],
+      counts: Seq[(Long, Long, Long, Long)], compactRows: Option[(Long, Long)])
+    def runSeq(tag: String, compactAfter: Int): SeqResult = {
+      val fp = s"dl_${tag}_fp"; val sig = s"dl_${tag}_sig"
+      // DROP only reaches tables this JVM's catalog knows; a previous
+      // run's warehouse dirs survive and would fail the managed-table
+      // create with LOCATION_ALREADY_EXISTS — remove them too
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")))
+      Seq(fp, sig).foreach { t =>
+        Seq(t, s"${t}__compact", s"${t}__old").foreach { n =>
+          spark.sql(s"DROP TABLE IF EXISTS $n")
+          val dir = new java.io.File(wh, n)
+          if (dir.exists()) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir.toPath).sorted(
+                java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
+          }
+        }
+      }
+      var prevFiles = Map.empty[String, Map[Int, Int]]
+      def auditAppend(): Unit = Seq(fp, sig).foreach { t =>
+        val now = bucketFiles(t)
+        val before = prevFiles.getOrElse(t, Map.empty)
+        now.foreach { case (b, n) =>
+          require(n - before.getOrElse(b, 0) <= 1,
+            s"$t bucket $b grew by ${n - before.getOrElse(b, 0)} files in one append")
+        }
+        prevFiles += t -> now
+      }
+      var prev = snaps.head.limit(0)
+      var acc: Option[org.apache.spark.sql.DataFrame] = None
+      val walls = Seq.newBuilder[Double]
+      val ids = Seq.newBuilder[Set[Long]]
+      val counts = Seq.newBuilder[(Long, Long, Long, Long)]
+      var compactRows: Option[(Long, Long)] = None
+      snaps.zipWithIndex.foreach { case (snap, i) =>
+        val t0 = System.nanoTime()
+        val r = graft.processes.DeltaCurate.run(prev, snap,
+          "doc_id", "text", "lang", cfg, fp, sig, buckets = buckets)
+        val inc = r.survivors.localCheckpoint()
+        ids += inc.select("doc_id").collect().map(_.getLong(0)).toSet
+        walls += (System.nanoTime() - t0) / 1e9
+        counts += ((r.added, r.changed, r.removed, r.gated))
+        auditAppend()
+        // curated corpus so far: latest surviving version per id
+        acc = Some(acc match {
+          case None => inc
+          case Some(a) => inc.unionByName(
+            a.join(inc.select("doc_id"), Seq("doc_id"), "left_anti"))
+        })
+        if (i == compactAfter) {
+          compactRows = Some(graft.processes.DeltaCurate.compact(
+            acc.get, "doc_id", "text", fp, sig, buckets = buckets))
+          Seq(fp, sig).foreach { t =>
+            val now = bucketFiles(t)
+            now.foreach { case (b, n) =>
+              require(n <= 1, s"$t bucket $b has $n files after compaction")
+            }
+            prevFiles += t -> now
+          }
+        }
+        prev = snap
+      }
+      SeqResult(walls.result(), ids.result(), counts.result(), compactRows)
+    }
+
+    val a = runSeq("a", compactAfter = -1)
+    val b = runSeq("b", compactAfter = 1)
+    require(a.survivors == b.survivors,
+      "survivor sets diverged between the uncompacted and compacted sequences: " +
+        a.survivors.map(_.size) + " vs " + b.survivors.map(_.size))
+    require(a.counts == b.counts,
+      s"diff counts diverged: ${a.counts} vs ${b.counts}")
+    val w2 = a.walls(1); val w4 = a.walls(3)
+    require(w4 <= 2.5 * math.max(w2, 0.5),
+      s"increment-4 wall $w4 s vs increment-2 $w2 s: index growth is leaking " +
+        "into per-increment cost")
+    def arr(xs: Seq[Double]) =
+      xs.map(x => math.round(x * 100.0) / 100.0).mkString("[", ",", "]")
+    s""","delta_inc_sec":${arr(a.walls)}""" +
+      s""","delta_inc_sec_compacted":${arr(b.walls)}""" +
+      s""","delta_survivors":${a.survivors.map(_.size).mkString("[", ",", "]")}""" +
+      s""","delta_counts":"${a.counts.mkString(";")}"""" +
+      s""","delta_parity":true,"delta_files_ok":true""" +
+      b.compactRows.map { case (f, s) =>
+        s""","delta_compact_fp_rows":$f,"delta_compact_sig_rows":$s"""
+      }.getOrElse("")
   }
 }
