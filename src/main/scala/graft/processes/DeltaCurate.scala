@@ -363,13 +363,38 @@ object DeltaCurate {
     val aside = table + "__old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.sql(s"DROP TABLE IF EXISTS $aside")
-    keep(spark.table(table))
-      // one file per bucket (same murmur3-pmod mapping as the bucket id;
-      // see the append sites) — compaction's whole point is fewer files
-      .repartition(buckets, col(bucketCol))
-      .write.mode("overwrite")
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(tmp)
+    // The rewrite is a ZERO-shuffle pass when the old table's bucketed
+    // layout is honored: the scan's HashPartitioning(bucketCol, buckets)
+    // is exactly the writer's bucket-id mapping, so the planner elides
+    // the repartition below as redundant and task i holds precisely
+    // bucket i — one output file per bucket, no exchange. But with the
+    // default autoBucketedScan the planner then DISABLES the bucketed
+    // scan (nothing left in this query requires its partitioning — the
+    // write is a separate execution), leaving the elided repartition
+    // pointing at an arbitrarily-coalesced scan: tasks hold mixed
+    // buckets and every bucket fragments into multiple files (caught by
+    // the DeltaCurateSpec file audit). Pinning the bucketed scan for the
+    // one write keeps both halves consistent. Session-global conf,
+    // restored in finally — same single-writer contract as `run`'s AQE
+    // exclusion (see run's scaladoc).
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.getOption(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      keep(spark.table(table))
+        // one file per bucket (same murmur3-pmod mapping as the bucket
+        // id; see the append sites) — elided against the pinned bucketed
+        // scan, a real exchange only if `keep` broke the partitioning
+        .repartition(buckets, col(bucketCol))
+        .write.mode("overwrite")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(tmp)
+    } finally {
+      prevAuto match {
+        case Some(v) => spark.conf.set(autoKey, v)
+        case None => spark.conf.unset(autoKey)
+      }
+    }
     val n = spark.table(tmp).count()
     spark.sql(s"ALTER TABLE $table RENAME TO $aside")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")

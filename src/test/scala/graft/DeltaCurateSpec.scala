@@ -20,8 +20,8 @@ class DeltaCurateSpec extends SparkSpec {
     langs = Seq("en"))
 
   private def cleanTables(): Unit = {
-    spark.sql("DROP TABLE IF EXISTS dc_fp")
-    spark.sql("DROP TABLE IF EXISTS dc_sig")
+    dropTable("dc_fp")
+    dropTable("dc_sig")
   }
 
   test("two increments: delta-only processing, cross-month index dedup") {
@@ -63,7 +63,7 @@ class DeltaCurateSpec extends SparkSpec {
     val tablesA = ("dcc_fp_a", "dcc_sig_a") // never compacted
     val tablesB = ("dcc_fp_b", "dcc_sig_b") // compacted after month 1
     for (tb <- Seq(tablesA, tablesB); t <- Seq(tb._1, tb._2))
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+      dropTable(t)
 
     val m0 = (1 to 6).map(i => (i.toLong, doc(i), "en"))
       .toDF("doc_id", "text", "lang")
@@ -113,7 +113,7 @@ class DeltaCurateSpec extends SparkSpec {
     assert(ids3.head === Set.empty[Long])
     assert(ids3(1) === Set(13L))
     for (tb <- Seq(tablesA, tablesB); t <- Seq(tb._1, tb._2))
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+      dropTable(t)
   }
 
   test("one increment runs exactly four actions (fusion gate)") {
@@ -174,6 +174,58 @@ class DeltaCurateSpec extends SparkSpec {
       spark.listenerManager.unregister(listener)
       cleanTables()
     }
+  }
+
+  test("each append adds at most one file per bucket; compaction leaves one") {
+    // The r8 one-file-per-bucket invariant (the repartition-on-the-bucket-
+    // expression before each bucketed write), pinned in CI across a
+    // MULTI-append sequence — the shape the 10x rehearsal's delta leg
+    // audits at scale. Regressing it re-opens the accumulating
+    // small-files tax on every later index scan.
+    def bucketFiles(table: String): Map[Int, Int] = {
+      val loc = spark.sql(s"DESC FORMATTED $table")
+        .filter(col("col_name") === "Location").head.getString(1)
+      val rx = "_(\\d{5})\\.".r
+      Option(new java.io.File(new java.net.URI(loc)).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }
+    cleanTables()
+    val snaps = Seq(
+      (1 to 6).map(i => (i.toLong, doc(i), "en")),
+      (1 to 12).map(i => (i.toLong, doc(i), "en")),
+      (1 to 18).map(i => (i.toLong, doc(i), "en"))
+    ).map(_.toDF("doc_id", "text", "lang"))
+    var prev = snaps.head.limit(0)
+    var before = Map.empty[String, Map[Int, Int]]
+    snaps.foreach { snap =>
+      DeltaCurate.run(prev, snap, "doc_id", "text", "lang", cfg,
+        "dc_fp", "dc_sig", buckets = 4)
+      Seq("dc_fp", "dc_sig").foreach { t =>
+        val now = bucketFiles(t)
+        now.foreach { case (b, n) =>
+          val grew = n - before.getOrElse(t, Map.empty).getOrElse(b, 0)
+          assert(grew <= 1, s"$t bucket $b grew by $grew files in one append")
+        }
+        before += t -> now
+      }
+      prev = snap
+    }
+    // 18 docs over 4 buckets after 3 appends: at least one bucket must
+    // actually hold >1 file, or the ≤1-per-append assertion above was
+    // vacuous (everything landed in files the regex didn't see)
+    assert(bucketFiles("dc_fp").values.sum >= 3,
+      "expected at least one file per append in the fp index")
+    DeltaCurate.compact(snaps.last, "doc_id", "text",
+      "dc_fp", "dc_sig", buckets = 4)
+    Seq("dc_fp", "dc_sig").foreach { t =>
+      bucketFiles(t).foreach { case (b, n) =>
+        assert(n <= 1, s"$t bucket $b has $n files after compaction")
+      }
+    }
+    cleanTables()
   }
 
   test("a no-change increment reports zero counts instead of crashing " +

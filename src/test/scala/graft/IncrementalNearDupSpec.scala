@@ -13,7 +13,7 @@ class IncrementalNearDupSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    dropTable(name)
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

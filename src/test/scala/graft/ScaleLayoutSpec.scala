@@ -32,8 +32,8 @@ class ScaleLayoutSpec extends SparkSpec {
         s"bucketed join still shuffles:\n$physical")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS b_customer")
-      spark.sql("DROP TABLE IF EXISTS b_orders")
+      dropTable("b_customer")
+      dropTable("b_orders")
     }
   }
 
@@ -42,7 +42,7 @@ class ScaleLayoutSpec extends SparkSpec {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.sql("DROP TABLE IF EXISTS inc_fp_test")
+    dropTable("inc_fp_test")
     try {
       // batch 1: doc 3 normalizes to doc 1's fingerprint → keeper 1
       val b1 = Seq((1L, "alpha text"), (2L, "beta text"),
@@ -80,7 +80,7 @@ class ScaleLayoutSpec extends SparkSpec {
       assert(probe.contains("Bucketed: true"), probe)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS inc_fp_test")
+      dropTable("inc_fp_test")
     }
   }
 
@@ -89,7 +89,7 @@ class ScaleLayoutSpec extends SparkSpec {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.sql("DROP TABLE IF EXISTS inc_nd_test")
+    dropTable("inc_nd_test")
     try {
       val doc = (s: Int) => (0 until 40).map(i => s"v${s}w$i").mkString(" ")
       val b1 = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
@@ -121,7 +121,7 @@ class ScaleLayoutSpec extends SparkSpec {
       assert(probe.contains("Bucketed: true"), probe)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS inc_nd_test")
+      dropTable("inc_nd_test")
     }
   }
 

@@ -260,8 +260,8 @@ class SinkSpec extends SparkSpec {
   test("DeltaCurateMain: delta-curates two parquet snapshots end to end") {
     import graft.processes.DeltaCurateMain
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS dcm_fp")
-    spark.sql("DROP TABLE IF EXISTS dcm_sig")
+    dropTable("dcm_fp")
+    dropTable("dcm_sig")
     def doc(i: Int) = (1 to 35).map(k => s"m${i}v$k").mkString(" ")
     val prevDir = tmpDir() + "/prev"; val newDir = tmpDir() + "/next"
     val outDir = tmpDir() + "/delta"
@@ -297,15 +297,15 @@ class SinkSpec extends SparkSpec {
     assert(!spark.sparkContext.isStopped)
     assert(spark.table("dcm_fp").count() < fpBefore,
       "compaction leg must drop the superseded fingerprint")
-    spark.sql("DROP TABLE IF EXISTS dcm_fp")
-    spark.sql("DROP TABLE IF EXISTS dcm_sig")
+    dropTable("dcm_fp")
+    dropTable("dcm_sig")
   }
 
   test("CompactIndexesMain: compacts both dedup indexes against a corpus parquet") {
     import graft.processes.CompactIndexesMain
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS cim_fp")
-    spark.sql("DROP TABLE IF EXISTS cim_sig")
+    dropTable("cim_fp")
+    dropTable("cim_sig")
     def doc(i: Int) = (1 to 35).map(k => s"c${i}w$k").mkString(" ")
     val m0 = (1 to 4).map(i => (i.toLong, doc(i), "en"))
       .toDF("doc_id", "text", "lang")
@@ -330,8 +330,8 @@ class SinkSpec extends SparkSpec {
       buckets = 4)
     assert(r.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(9L))
-    spark.sql("DROP TABLE IF EXISTS cim_fp")
-    spark.sql("DROP TABLE IF EXISTS cim_sig")
+    dropTable("cim_fp")
+    dropTable("cim_sig")
   }
 
   test("avro adapter falls back to the direct path when the module is absent (A1/H2)") {

@@ -10,6 +10,27 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** DROP a managed table AND its warehouse dir. DROP alone only reaches
+    * tables this JVM's in-memory catalog knows: a test that failed
+    * mid-way in a PREVIOUS run leaves its warehouse dir behind, and the
+    * next run's managed-table create dies with LOCATION_ALREADY_EXISTS.
+    */
+  def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // the conf value may or may not carry a file: scheme depending on how
+    // Spark normalized it — strip it textually rather than URI-parse
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file://").stripPrefix("file:")
+    val dir = new java.io.File(new java.io.File(wh),
+      name.toLowerCase(java.util.Locale.ROOT))
+    if (dir.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   override def afterAll(): Unit = {
     // keep the session alive across suites; sbt's forked JVM exits at the end
     super.afterAll()
