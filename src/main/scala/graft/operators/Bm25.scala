@@ -64,11 +64,23 @@ object Bm25 {
     // avoid a second corpus scan / self-join. Spread first: a single-file
     // corpus scan would tokenize everything in one task before the
     // explode's shuffle fans out.
+    //
+    // The token array is MATERIALIZED in its own projection before the
+    // explode. Putting `size(toks)` and `explode(toks)` in one select
+    // plants two copies of the tokenize tree, and the projection carrying
+    // `size` lands ABOVE the generator — re-running the full regex
+    // tokenize once per OUTPUT TOKEN, not per document (profiled: the
+    // scoring stage burned 26 s CPU at sf0.1, ~17 µs/token; 4 s after
+    // this split). With `__toks` referenced twice from a lower
+    // projection, CollapseProject keeps the non-cheap alias
+    // unduplicated, so the regex runs once per doc and `size` reads the
+    // materialized array.
     val spread = Similarity.spreadIfNarrow(docs)
-    val pairs = spread.select(
-      col(docIdCol).as("__doc"),
-      size(toks).cast("long").as("__dl"),
-      explode(toks).as("__tok"))
+    val pairs = spread
+      .select(col(docIdCol).as("__doc"), toks.as("__toks"))
+      .select(col("__doc"),
+        size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("__tok"))
 
     // Prune the exploded stream to query tokens while the plan is still
     // narrow: a broadcast LEFT SEMI join runs inside the scan task, so
@@ -90,19 +102,22 @@ object Bm25 {
       count(lit(1)).as("__n"),
       round(avg(size(toks)), 6).as("__avgdl"))
 
-    // Attach query ids to the (already query-pruned) tf stream and persist:
-    // df and the scoring both read it, and without the cache Catalyst
-    // re-derives the corpus tokenize+aggregate subtree for the df branch —
-    // a second full-corpus pass. `matched` is O(matching doc-terms), tiny
-    // relative to the corpus. Cache lifecycle: stays persisted after return
-    // (result is lazy); long-running sessions should clearCache between
-    // workloads, same contract as Dedup/Curation/Packing.
-    val matched = tf.join(broadcast(qterms), "__tok")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = matched.select(col("__tok"), col("__doc")).distinct()
-      .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // Persist the query-pruned tf frame: df and the scoring both read it,
+    // and without the cache Catalyst re-derives the corpus
+    // tokenize+aggregate subtree for the df branch — a second full-corpus
+    // pass. `tf` is O(matching doc-terms), tiny relative to the corpus,
+    // and is persisted BEFORE the query-id fan-out so (a) the cached rows
+    // are not multiplied per matching query and (b) df needs no
+    // distinct — tf is already unique per (doc, term), so one count per
+    // term IS the document frequency (the previous post-fan-out shape
+    // paid an extra dedup exchange). Cache lifecycle: stays persisted
+    // after return (result is lazy); long-running sessions should
+    // clearCache between workloads, same contract as Dedup/Curation.
+    val tfCached = tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tfCached.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
 
-    val contrib = matched
+    val contrib = tfCached
+      .join(broadcast(qterms), "__tok")
       .join(broadcast(dfreq), "__tok")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
