@@ -94,8 +94,15 @@ object QualityClassifier {
         val g = floor(
           (sigmoid(logitInt(weights, biasInt)) - col("__y")) * lit(1e6)
             + lit(0.5)).cast("long")
+        // `__g` (an O(tokens) scoring fold) is materialized in its OWN
+        // projection below the explode: in one select with the generator
+        // it would land in the projection ABOVE it and re-run once per
+        // emitted token — O(tokens²) per document per epoch (the Bm25
+        // size(toks)/explode(toks) lesson; the Generate node between the
+        // two Projects keeps CollapseProject from re-inlining it)
         val gradRows = d
-          .select(g.as("__g"),
+          .select(g.as("__g"), col("__t"))
+          .select(col("__g"),
             explode(concat(array(lit(BiasTok)), col("__t"))).as("t"))
           .where(col("t").isin((BiasTok +: vocab.toSeq): _*))
           .groupBy(col("t")).agg(sum(col("__g")).as("grad"))
