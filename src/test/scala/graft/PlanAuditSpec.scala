@@ -18,6 +18,49 @@ class PlanAuditSpec extends SparkSpec {
   private def countOf(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  test("no expensive expression rides a projection directly above a generator") {
+    // The analyzer's ExtractGenerator moves every non-generator expression
+    // of a select into the Project ABOVE the Generate node, where it
+    // re-evaluates once per EMITTED row. size(tokens) beside
+    // explode(tokens) re-ran the full regex tokenize per token (26 s CPU
+    // at sf0.1 in q_bm25_topk); the LR gradient fold was O(tokens²) per
+    // doc. The fix is a lower select materializing the expensive value —
+    // this gate pins the shape for the generator-bearing registry
+    // queries: no regex/split/higher-order/custom-kernel expression in a
+    // ProjectExec whose child is a GenerateExec.
+    import org.apache.spark.sql.execution.{ProjectExec, GenerateExec, SparkPlan}
+    import org.apache.spark.sql.catalyst.expressions._
+    def expensive(e: Expression): Boolean = e.exists {
+      case _: StringSplit | _: RegExpReplace | _: RegExpExtractBase => true
+      case _: HigherOrderFunction => true
+      case x if x.getClass.getName.startsWith("graft.plans.") => true
+      case _ => false
+    }
+    def offenders(p: SparkPlan): Seq[String] = p.collect {
+      case proj: ProjectExec if proj.child.isInstanceOf[GenerateExec] =>
+        proj.projectList.filter(expensive).map(_.sql)
+    }.flatten
+    // canary: the detector must actually flag the broken shape, or the
+    // green assertions below are vacuous
+    import org.apache.spark.sql.functions.{col, size, explode}
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val broken = docs.select(size(toks).as("n"), explode(toks).as("t"))
+    assert(offenders(broken.queryExecution.sparkPlan).nonEmpty,
+      "detector failed to flag size(tokens) above explode(tokens)")
+    val generatorQueries = Seq(
+      "q_bm25_topk", "q_chunk_tokens", "q_heavy_tokens", "q_vocab_topk",
+      "q_tfidf_top_term", "q_shared_spans", "q_span_contamination",
+      "q_minhash_md5", "q_unigram_nll", "q_bigram_nll", "q_dsir_weights",
+      "q_ngram_jaccard", "q_shingle_stats", "q_lr_quality", "q_nb_lang")
+    generatorQueries.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, sf).queryExecution.sparkPlan
+      val bad = offenders(p)
+      assert(bad.isEmpty,
+        s"$n evaluates per-generated-row: ${bad.mkString("; ").take(400)}")
+    }
+  }
+
   test("q_join_region_revenue: all four dims broadcast, fact never shuffles pre-agg") {
     val p = plan("q_join_region_revenue")
     assert(countOf(p, "BroadcastHashJoin") === 4)
