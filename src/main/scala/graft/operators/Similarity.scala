@@ -112,20 +112,36 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"),
         floor(expr("graft_cosine(q_vec, n_vec)") * lit(1000000.0))
           .cast("long").as("ci"))
+    // Target-side neighborhood sums as a partial-aggregable graft_topk —
+    // NOT a window: a window partitioned by tgt_id exchanges and sorts
+    // the whole pair frame a second time (profiled 3.7 s taskrun on 10
+    // AQE-coalesced tasks at sf0.1), while the aggregate forwards at most
+    // k entries per target from each map task and the result is one row
+    // per target — broadcastable by the same contract that already
+    // broadcasts the target vectors. graft_topk keeps (score desc, id
+    // asc), exactly the window's (ci desc, src_id asc) tie-break, and
+    // ci values are integers (< 2^53), so the double sum is exact.
+    // Costs one extra cosine pass over the pairs (map-parallel, cheap)
+    // in exchange for dropping an O(pairs) exchange+sort — the right
+    // trade at any scale where pairs >> targets.
+    val sumB = pairs.groupBy(col("tgt_id"))
+      .agg(aggregate(
+        expr(s"graft_topk(src_id, cast(ci as double), $k)"),
+        lit(0L), (acc, x) => acc + x.getField("score").cast("long"))
+        .as("sumB"))
+    // One exchange by src_id serves all three source-side steps: the
+    // top-k rank, the group sum, and the final best-by-margin pick (its
+    // window partitions by src_id too, so it adds a sort, not a shuffle).
     val wA = Window.partitionBy("src_id")
       .orderBy(col("ci").desc, col("tgt_id"))
-    val wB = Window.partitionBy("tgt_id")
-      .orderBy(col("ci").desc, col("src_id"))
     val denom = (col("sumA") + col("sumB")).cast("double")
     val best = Window.partitionBy("src_id")
       .orderBy(col("margin").desc, col("tgt_id"))
     pairs
+      .join(broadcast(sumB), "tgt_id")
       .withColumn("rnA", row_number().over(wA))
       .withColumn("sumA", sum(when(col("rnA") <= k, col("ci")))
         .over(Window.partitionBy("src_id")))
-      .withColumn("rnB", row_number().over(wB))
-      .withColumn("sumB", sum(when(col("rnB") <= k, col("ci")))
-        .over(Window.partitionBy("tgt_id")))
       .withColumn("margin",
         when(col("sumA") + col("sumB") === 0L, lit(0.0))
           .otherwise(round(

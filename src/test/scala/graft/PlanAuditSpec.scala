@@ -105,14 +105,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_dot")) // the codegen kernel, not a HOF fold
   }
 
-  test("q_bitext_margin: target broadcast, window exchanges only on the pair keys") {
+  test("q_bitext_margin: target broadcast, ONE pair-frame exchange") {
     val p = plan("q_bitext_margin")
     assert(p.contains("BroadcastNestedLoopJoin")) // the gated cross join
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
-    // margin needs no joins after scoring: exchanges are exactly the
-    // src_id / tgt_id / src_id window repartitions of the narrow pair
-    // frame (Spark reuses the final src_id sort for the election window)
-    assert(countOf(p, "Exchange hashpartitioning") === 3)
+    // round-9 shape: the tgt-side neighborhood sums are a
+    // partial-aggregable graft_topk broadcast back (one tiny tgt_id
+    // exchange of ≤ k entries per target per task), so the O(pairs)
+    // frame is exchanged exactly ONCE — by src_id, shared by the top-k
+    // rank, the group sum, and the best-by-margin election windows.
+    // The old 3-window shape exchanged-and-sorted the pair frame three
+    // times.
+    assert(p.contains("graft_topk"), p)
+    assert(countOf(p, "Exchange hashpartitioning") === 2)
   }
 
   test("q_canonical_keeper: keeper argmax is one agg exchange, no window") {
