@@ -114,12 +114,13 @@ object ScaleRehearsal {
 
   /** Incremental-index rehearsal at the blowup (round-8 verdict #1: the
     * one 100 TB claim that rested on sf0.1 evidence). The blown corpus is
-    * replayed as FOUR monthly snapshots — a 4-copy bootstrap, two equal
-    * all-add increments, and a final increment that also edits ~1% of the
-    * oldest copy (status `changed` → version suppression) and removes
-    * ~1% of another (status `removed`) — through `DeltaCurate.run`, twice:
-    * sequence A uncompacted, sequence B with `DeltaCurate.compact` after
-    * increment 2, so B's later increments run against a compacted index.
+    * replayed as FOUR monthly snapshots — a 4-copy bootstrap, one
+    * all-add increment, an increment that also edits ~1% of the oldest
+    * copy (status `changed` → version suppression, month 3), and a final
+    * increment that removes ~1% of another copy (status `removed`,
+    * month 4) — through `DeltaCurate.run`, twice: sequence A uncompacted,
+    * sequence B with `DeltaCurate.compact` after increment 2, so B's
+    * later increments run against a compacted index.
     *
     * Asserted (the run THROWS on violation, so a green line is the proof):
     *  (a) survivor id-sets and diff counts of every increment are
@@ -159,13 +160,17 @@ object ScaleRehearsal {
         col("doc_id") < 20000000L && col("doc_id") % 89 === 0)))
 
     // files per bucket of a managed bucketed table, via its catalog
-    // location (bucket id is encoded in the file name: ..._00007.c000...)
+    // location (bucket id is encoded in the file name: ..._00007.c000...).
+    // The location string may or may not carry a file: scheme depending
+    // on how Spark normalized it — strip textually rather than URI-parse
+    // (a scheme-less value or a space would make `new URI` throw; the
+    // SparkSpec.dropTable lesson).
     def bucketFiles(table: String): Map[Int, Int] = {
       val loc = spark.sql(s"DESC FORMATTED $table")
         .filter(col("col_name") === "Location").head.getString(1)
-      val dir = new java.io.File(new java.net.URI(loc))
+        .stripPrefix("file://").stripPrefix("file:")
       val rx = "_(\\d{5})\\.".r
-      Option(dir.listFiles()).getOrElse(Array.empty)
+      Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
         .groupBy(identity).view.mapValues(_.length).toMap
@@ -179,8 +184,8 @@ object ScaleRehearsal {
       // DROP only reaches tables this JVM's catalog knows; a previous
       // run's warehouse dirs survive and would fail the managed-table
       // create with LOCATION_ALREADY_EXISTS — remove them too
-      val wh = new java.io.File(new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")))
+      val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file://").stripPrefix("file:"))
       Seq(fp, sig).foreach { t =>
         Seq(t, s"${t}__compact", s"${t}__old").foreach { n =>
           spark.sql(s"DROP TABLE IF EXISTS $n")
@@ -196,6 +201,13 @@ object ScaleRehearsal {
       var prevFiles = Map.empty[String, Map[Int, Int]]
       def auditAppend(): Unit = Seq(fp, sig).foreach { t =>
         val now = bucketFiles(t)
+        // non-vacuousness guard: every append writes at least one file,
+        // so an empty map means the location resolution or the filename
+        // regex broke — the ≤1-per-bucket requires below would then
+        // iterate zero times and "pass" having audited nothing
+        require(now.values.sum > prevFiles.getOrElse(t, Map.empty).values.sum,
+          s"$t file audit saw no new files after an append — " +
+            "bucketFiles is resolving the wrong directory")
         val before = prevFiles.getOrElse(t, Map.empty)
         now.foreach { case (b, n) =>
           require(n - before.getOrElse(b, 0) <= 1,
@@ -229,6 +241,9 @@ object ScaleRehearsal {
             acc.get, "doc_id", "text", fp, sig, buckets = buckets))
           Seq(fp, sig).foreach { t =>
             val now = bucketFiles(t)
+            require(now.nonEmpty,
+              s"$t file audit saw nothing after compaction — " +
+                "bucketFiles is resolving the wrong directory")
             now.foreach { case (b, n) =>
               require(n <= 1, s"$t bucket $b has $n files after compaction")
             }

@@ -36,10 +36,28 @@ class PlanAuditSpec extends SparkSpec {
       case x if x.getClass.getName.startsWith("graft.plans.") => true
       case _ => false
     }
-    def offenders(p: SparkPlan): Seq[String] = p.collect {
-      case proj: ProjectExec if proj.child.isInstanceOf[GenerateExec] =>
-        proj.projectList.filter(expensive).map(_.sql)
-    }.flatten
+    // A Project above a Generate evaluates per emitted row even with
+    // row-preserving nodes (Filter) in between — Project→Filter→Generate
+    // is exactly how a .select(expensive, explode(...)).where(...) plans,
+    // so the walk carries pending expensive projections down through
+    // per-row nodes until it meets the generator (or a
+    // cardinality-changing boundary, which resets them).
+    def offenders(p: SparkPlan): Seq[String] = {
+      val bad = Seq.newBuilder[String]
+      def walk(node: SparkPlan, pending: Seq[String]): Unit = node match {
+        case proj: ProjectExec =>
+          walk(proj.child,
+            pending ++ proj.projectList.filter(expensive).map(_.sql))
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          walk(f.child, pending)
+        case g: GenerateExec =>
+          bad ++= pending
+          g.children.foreach(walk(_, Nil))
+        case other => other.children.foreach(walk(_, Nil))
+      }
+      walk(p, Nil)
+      bad.result()
+    }
     // canary: the detector must actually flag the broken shape, or the
     // green assertions below are vacuous
     import org.apache.spark.sql.functions.{col, size, explode}
@@ -48,6 +66,14 @@ class PlanAuditSpec extends SparkSpec {
     val broken = docs.select(size(toks).as("n"), explode(toks).as("t"))
     assert(offenders(broken.queryExecution.sparkPlan).nonEmpty,
       "detector failed to flag size(tokens) above explode(tokens)")
+    // second canary: a filter AFTER the explode interposes a FilterExec
+    // between the Project and the Generate (the QualityClassifier
+    // gradRows shape) — the detector must see through it
+    val brokenFiltered = docs
+      .select(size(toks).as("n"), explode(toks).as("t"))
+      .where(col("t") =!= "zzz")
+    assert(offenders(brokenFiltered.queryExecution.sparkPlan).nonEmpty,
+      "detector failed to see through Project->Filter->Generate")
     val generatorQueries = Seq(
       "q_bm25_topk", "q_chunk_tokens", "q_heavy_tokens", "q_vocab_topk",
       "q_tfidf_top_term", "q_shared_spans", "q_span_contamination",
