@@ -218,10 +218,12 @@ object StreamingScores {
   }
 
   /** Streaming NEAR-dup suppression ([EXT]): drop documents whose SimHash is
-    * within `maxHamming` bits of a document already seen in the same bucket
-    * inside the watermark horizon — the ingest-time analogue of
-    * `Dedup.nearDupPairs`, where `dedupedStream` is the exact-match
-    * analogue of `Dedup.exactGroups`.
+    * within `maxHamming` bits of a KEPT document seen in the same bucket
+    * within the preceding watermark horizon (greedy, survivor-anchored:
+    * every drop has a retained representative within `maxHamming` — the
+    * banded variant makes the opposite, transitive-chain choice) — the
+    * ingest-time analogue of `Dedup.nearDupPairs`, where `dedupedStream`
+    * is the exact-match analogue of `Dedup.exactGroups`.
     *
     * Plan shape: the 64-bit SimHash is computed scan-side (narrow, no
     * shuffle); the only exchange is the groupByKey on the bucket key. State
@@ -295,14 +297,20 @@ object StreamingScores {
             Iterator.empty
           } else {
             val wm = state.getCurrentWatermarkMs()
-            // prune: an entry at ts e can only suppress arrivals with event
-            // time ≤ e + horizon, and the watermark admits only ts ≥ wm
+            // prune: entries that can no longer suppress ANY admissible
+            // arrival (the watermark admits only ts ≥ wm) drop out. The
+            // prune alone is NOT the horizon bound — wm lags max event
+            // time by the watermark delay, so a surviving entry can be up
+            // to TWO horizons older than a fresh arrival; the per-row
+            // time term below enforces the actual contract ("an entry at
+            // ts e only suppresses arrivals with event time ≤ e + horizon")
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
               .filter(_.ts_ms + horizonMs >= wm)
             val kept = List.newBuilder[KeptDoc]
             rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
               val dup = entries.exists(e =>
-                java.lang.Long.bitCount(e.simhash ^ r.simhash) <= maxHamming)
+                r.ts.getTime <= e.ts_ms + horizonMs &&
+                  java.lang.Long.bitCount(e.simhash ^ r.simhash) <= maxHamming)
               if (!dup) {
                 entries ::= SketchEntry(r.ts.getTime, r.simhash)
                 kept += KeptDoc(r.doc_id, r.ts, r.simhash)
@@ -347,12 +355,17 @@ object StreamingScores {
     * inside the caller's `foreachBatch` (all of a doc's band rows ride the
     * same batch, so the fold never splits a doc).
     *
-    * Transitive-suppression semantics: a band adds every doc IT didn't
-    * suppress to its state, including docs another band suppressed — a
-    * later doc matching such an entry is still a near-dup of the chain
-    * that suppressed it (the same approximation batch LSH clustering
-    * makes), so precision stays "within maxHamming of something earlier",
-    * not "of a surviving doc".
+    * Transitive-suppression semantics: every doc enters every band's
+    * state, INCLUDING docs the band itself suppressed — the pigeonhole
+    * argument requires it (a doc suppressed in one band may share only
+    * its other bands with a later near-dup; those bands can only compare
+    * against it if they hold it; see the chain counterexample pinned in
+    * the drift-chain regression test). A later doc matching a suppressed
+    * entry is a near-dup of the chain that suppressed it (the same
+    * approximation batch LSH clustering makes), so precision is "within
+    * maxHamming of something earlier", not "of a surviving doc" — the
+    * single-band operator makes the opposite (greedy, survivor-anchored)
+    * choice.
     */
   def nearDupStreamBanded(
       docs: DataFrame,
@@ -408,9 +421,17 @@ object StreamingScores {
               .filter(_.ts_ms + horizonMs >= wm)
             val out = List.newBuilder[BandVerdict]
             rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              // same per-row horizon bound as nearDupStream (the prune
+              // alone admits entries up to two horizons old)
               val dup = entries.exists(e =>
-                java.lang.Long.bitCount(e.simhash ^ r.simhash) <= maxHamming)
-              if (!dup) entries ::= SketchEntry(r.ts.getTime, r.simhash)
+                r.ts.getTime <= e.ts_ms + horizonMs &&
+                  java.lang.Long.bitCount(e.simhash ^ r.simhash) <= maxHamming)
+              // EVERY doc enters this band's state, suppressed or not —
+              // the pigeonhole guarantee needs it: a doc suppressed here
+              // may share only its OTHER bands with a later near-dup, and
+              // those bands can only compare against it if they hold it
+              // (the drift-chain regression test pins the counterexample).
+              entries ::= SketchEntry(r.ts.getTime, r.simhash)
               out += BandVerdict(r.doc_id, r.ts, r.simhash, bk.band, dup)
             }
             if (entries.size > maxBucketState)

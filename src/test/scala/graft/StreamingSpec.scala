@@ -18,6 +18,105 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  private def tsAt(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  test("banded near-dup suppresses drift chains (suppressed docs stay in band state)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    // Chain counterexample to the add-only-if-kept state rule: with
+    // bands=4 / maxHamming=1, find texts A, B=A±1 token, C=B±1 token
+    // whose sketches satisfy hamming(A,B)=1, hamming(B,C)=1,
+    // hamming(A,C)=2 — then C is within maxHamming of (suppressed) B but
+    // beyond it from (kept) A, and C differs from B by one bit that lies
+    // entirely inside ONE band, so B and C share their other three band
+    // keys. Recall 1.0 (the scaladoc's pigeonhole claim) requires C to be
+    // suppressed; a band that forgets the docs it suppressed keeps C.
+    def sk(t: String): Long =
+      Seq(t).toDF("text").select(graft.operators.Dedup.simhash(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("s"))
+        .head().getLong(0)
+    def base(i: Int) = (0 until 40).map(j => s"c${i}q$j").mkString(" ")
+    def edit(t: String, pos: Int, tag: String) = {
+      val xs = t.split(" "); xs(pos) = s"ed$tag${xs(pos)}"; xs.mkString(" ")
+    }
+    // both flipped bits must lie in the SAME 16-bit band: if C's flip is
+    // in a different band, C shares B's key in B's fresh-key band and
+    // even the broken state rule catches it there — only the same-band
+    // chain exposes the defect
+    def band(bit: Long): Int = java.lang.Long.numberOfTrailingZeros(bit) / 16
+    val found = (0 until 60).iterator.flatMap { i =>
+      val a = base(i); val sa = sk(a)
+      (0 until 8).iterator.flatMap { j =>
+        val b = edit(a, j, "x"); val sb = sk(b)
+        if (java.lang.Long.bitCount(sa ^ sb) != 1) Iterator.empty
+        else (8 until 20).iterator.map { k => (a, b, edit(b, k, "y"), sa, sb) }
+          .filter { case (_, _, c, s0, s1) =>
+            val s2 = sk(c)
+            java.lang.Long.bitCount(s1 ^ s2) == 1 &&
+              java.lang.Long.bitCount(s0 ^ s2) == 2 &&
+              band(s0 ^ s1) == band(s1 ^ s2)
+          }
+      }
+    }.take(1).toList
+    assume(found.nonEmpty, "fixture search found no same-band 1-bit edit chain")
+    val (a, b, c, _, _) = found.head
+
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val docs = mem.toDF().toDF("ts", "text", "doc_id")
+    val q = StreamingScores.nearDupStreamBanded(docs, "ts", "text", "doc_id",
+      maxHamming = 1, bands = 4, watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_chain")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), a, 1L)); q.processAllAvailable()
+      mem.addData((ts(2), b, 2L)); q.processAllAvailable()
+      mem.addData((ts(3), c, 3L)); q.processAllAvailable()
+    } finally q.stop()
+    val kept = StreamingScores
+      .keptFromBandVerdicts(sq.table("neardup_chain"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L), "chain head must survive")
+    assert(!kept.contains(2L), "B is hamming-1 from kept A")
+    assert(!kept.contains(3L),
+      "C is hamming-1 from in-horizon B — a band must remember the docs " +
+        "it suppressed or the pigeonhole recall guarantee fails")
+  }
+
+  test("near-dup suppression respects the horizon: an entry cannot suppress arrivals more than one horizon later") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    // Watermark = maxEvent - horizon, and state pruning keeps entries
+    // while e + horizon >= wm — so an entry survives until arrivals TWO
+    // horizons later are admitted. Without a per-row time bound the
+    // match predicate would suppress a doc 1.5 horizons after its only
+    // matching entry, violating the operator's stated contract.
+    val text = (0 until 60).map("hz" + _).mkString(" ")
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val docs = mem.toDF().toDF("ts", "text", "doc_id")
+    val q = StreamingScores.nearDupStream(docs, "ts", "text", "doc_id",
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_horizon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((tsAt(10, 0), text, 1L)); q.processAllAvailable()
+      // 30 min later: inside the horizon -> suppressed
+      mem.addData((tsAt(10, 30), text, 2L)); q.processAllAvailable()
+      // 90 min after the only entry (wm is 9:30, so the row is admitted
+      // and the 10:00 entry still in state): outside the horizon -> kept
+      mem.addData((tsAt(11, 30), text, 3L)); q.processAllAvailable()
+    } finally q.stop()
+    val kept = sq.table("neardup_horizon")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L), "in-horizon re-send must be suppressed")
+    assert(kept.contains(3L),
+      "a doc 1.5 horizons after its only matching entry must be kept — " +
+        "the state prune alone admits suppression up to two horizons")
+  }
+
   test("windowed counts over a MemoryStream match batch results") {
     val sq = spark
     import sq.implicits._
