@@ -57,6 +57,23 @@ object JsonlDump {
       .option("compression", "gzip")
       .text(s"${outRoot.stripSuffix("/")}/all.jsonl")
 
+    // SaveMode.Overwrite only clears the CURRENT providers' directories:
+    // a provider that disappeared since the previous run into this root
+    // would leave its old <provider>.jsonl dump behind — unlisted by the
+    // new manifest but still ingested by any consumer that globs
+    // *.jsonl/ instead of parsing the manifest. The reference's
+    // delete-then-write cleared the prefix; deleting the no-longer-
+    // present provider dirs restores that contract.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(outRoot.stripSuffix("/"))
+    val fs = rootPath.getFileSystem(hconf)
+    val live = providerPaths.keySet.map(_ + ".jsonl") + "all.jsonl"
+    if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.endsWith(".jsonl") && !live.contains(name))
+        fs.delete(st.getPath, true)
+    }
+
     val total = counts.values.sum
     Manifest.write(
       spark.sparkContext.hadoopConfiguration, outRoot,

@@ -23,7 +23,18 @@ object KeyPurge {
     if (id == null || id.length < 4) None
     else Some(s"${id(0)}/${id(1)}/${id(2)}/${id(3)}/$id.jpg")
 
-  /** Delete `rootDir/<key>` for every key; returns deleted count. */
+  /** Delete `rootDir/<key>` for every key; returns the number of keys
+    * absent after the purge pass (deleted by this run OR already gone).
+    *
+    * Counting only `delete() == true` undercounts under task retry: a
+    * task that deletes some keys and then dies has its accumulator
+    * updates DISCARDED (Spark only folds in updates from successful
+    * tasks), and the retry's delete returns false for the already-gone
+    * paths — so those deletions vanish from the total. "Gone after the
+    * attempt" is retry-stable: the retry counts the same keys the failed
+    * attempt removed, and the audit number reconciles against the input
+    * key count regardless of how many attempts it took.
+    */
   def purge(keys: Dataset[String], rootDir: String, batchSize: Int = 1000): Long = {
     val spark = keys.sparkSession
     val hconf = new SerializableConfiguration(
@@ -34,7 +45,8 @@ object KeyPurge {
       val fs = new Path(root).getFileSystem(hconf.value)
       iter.grouped(batchSize).foreach { batch =>
         batch.foreach { key =>
-          if (fs.delete(new Path(s"$root/$key"), false)) deleted.add(1L)
+          val p = new Path(s"$root/$key")
+          if (fs.delete(p, false) || !fs.exists(p)) deleted.add(1L)
         }
       }
     }

@@ -32,10 +32,17 @@ object SchemaDdl {
     }
   }
 
-  /** Providers whose schema differs from the majority schema. */
+  /** Providers whose schema differs from the majority schema. Ties on
+    * group size break on the schema string (lexicographically smallest
+    * wins): a bare maxBy over a hash-map grouping is iteration-order-
+    * dependent, so with an even split the flagged provider set would
+    * flip whenever an unrelated change reordered the map.
+    */
   def divergent(ddls: Map[String, String]): Seq[String] = {
     if (ddls.isEmpty) return Seq.empty
-    val majority = ddls.values.groupBy(identity).maxBy(_._2.size)._1
+    val majority = ddls.values.groupBy(identity)
+      .maxBy { case (schema, group) => (group.size, schema) }(
+        Ordering.Tuple2(Ordering.Int, Ordering.String.reverse))._1
     ddls.collect { case (p, d) if d != majority => p }.toSeq.sorted
   }
 }

@@ -24,7 +24,13 @@ object ShardWriter {
 
   /** Write `docs` under `path` as `shard=0..nShards-1` parquet dirs, one
     * file per shard, rows ordered by the md5 draw within each shard.
-    * Returns the shard assignment frame (id, shard) for auditing.
+    * Returns the shard assignment frame (id, shard) for auditing — read
+    * back FROM THE WRITTEN SHARDS, not rebuilt from `docs`' lineage: an
+    * action on a lineage-derived frame would re-execute the whole
+    * upstream job (curation + tokenize + packing for the training
+    * pipeline), and for a non-deterministic input it could disagree with
+    * the files on disk. The read-back is cheap (two pruned columns) and
+    * is BY CONSTRUCTION the assignment the shards actually carry.
     */
   def writeShards(
       docs: DataFrame,
@@ -46,6 +52,9 @@ object ShardWriter {
       .sortWithinPartitions(col("shard"), col("__key"), col(idCol))
       .drop("__key")
       .write.partitionBy("shard").mode("overwrite").parquet(path)
-    docs.select(col(idCol), shard.as("shard"))
+    // partition-column inference reads `shard` as int; cast back to the
+    // long the md5Mod expression carried so the audit schema is unchanged
+    docs.sparkSession.read.parquet(path)
+      .select(col(idCol), col("shard").cast("long").as("shard"))
   }
 }

@@ -97,36 +97,61 @@ object Sitemap {
       baseUrl: String,
       publicUrlPrefix: String,
       timestamp: String): Seq[String] = {
-    val n = ids.count()
-    val parts = partitionCount(n)
-    val hconf = new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val out = outDir.stripSuffix("/")
+    // persist across the count + write pair (the CsvReport pattern): the
+    // ids lineage would otherwise run twice, and for a non-deterministic
+    // source the manifest Count / partition math could disagree with the
+    // rows actually written — breaking the ≤50k-per-subfile guarantee
+    // the ceil fix exists to give
+    val cached = ids.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      val parts = partitionCount(n)
+      val hconf = new SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val out = outDir.stripSuffix("/")
 
-    // Round-robin repartition (no partition expression): partition sizes are
-    // exactly even ±1, so the ≤50k bound holds per subfile. The reference
-    // hash-partitions on id (Sitemap.scala:27), which only bounds the
-    // AVERAGE — binomial skew can push a subfile past the sitemap-protocol
-    // limit; documented deviation alongside the ceil fix above.
-    val subfiles = ids
-      .repartition(parts)
-      .rdd
-      .mapPartitionsWithIndex { (idx, iter) =>
-        if (iter.isEmpty && idx > 0) Iterator.empty
-        else {
-          val name = f"sitemap$idx%05d.xml.gz"
-          writeGzip(hconf.value, s"$out/$name",
-            buildSubfile(baseUrl, iter, timestamp))
-          Iterator.single(name)
+      // Round-robin repartition (no partition expression): partition sizes
+      // are exactly even ±1, so the ≤50k bound holds per subfile. The
+      // reference hash-partitions on id (Sitemap.scala:27), which only
+      // bounds the AVERAGE — binomial skew can push a subfile past the
+      // sitemap-protocol limit; documented deviation alongside the ceil
+      // fix above.
+      val subfiles = cached
+        .repartition(parts)
+        .rdd
+        .mapPartitionsWithIndex { (idx, iter) =>
+          if (iter.isEmpty && idx > 0) Iterator.empty
+          else {
+            val name = f"sitemap$idx%05d.xml.gz"
+            writeGzip(hconf.value, s"$out/$name",
+              buildSubfile(baseUrl, iter, timestamp))
+            Iterator.single(name)
+          }
         }
-      }
-      .collect().toSeq.sorted
+        .collect().toSeq.sorted
 
-    writeGzip(hconf.value, s"$out/sitemapindex.xml.gz",
-      buildIndex(subfiles.map(publicUrlPrefix + _), timestamp))
-    Manifest.write(hconf.value, out,
-      Map("Count" -> n.toString, "Subfiles" -> subfiles.size.toString),
-      timestamp)
-    subfiles
+      writeGzip(hconf.value, s"$out/sitemapindex.xml.gz",
+        buildIndex(subfiles.map(publicUrlPrefix + _), timestamp))
+      // a PREVIOUS larger run's surplus subfiles must go: crawlers that
+      // cached the old index (or anyone listing the prefix) would fetch
+      // stale URLs the new index no longer references, and the manifest
+      // Subfiles count would disagree with the directory. The reference
+      // cleared the prefix before writing (S3FileHelper delete); deleting
+      // the no-longer-referenced names AFTER the new index lands is the
+      // crash-safer order (at every instant every referenced file exists).
+      val outPath = new Path(out)
+      val fs = outPath.getFileSystem(hconf.value)
+      val stale = "sitemap\\d{5}\\.xml\\.gz".r
+      if (fs.exists(outPath)) fs.listStatus(outPath).foreach { st =>
+        val name = st.getPath.getName
+        if (stale.pattern.matcher(name).matches() && !subfiles.contains(name))
+          fs.delete(st.getPath, false)
+      }
+      Manifest.write(hconf.value, out,
+        Map("Count" -> n.toString, "Subfiles" -> subfiles.size.toString),
+        timestamp)
+      subfiles
+    } finally { cached.unpersist(); () }
   }
 }

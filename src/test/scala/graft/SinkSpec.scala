@@ -198,6 +198,74 @@ class SinkSpec extends SparkSpec {
     assert(KeyPurge.thumbnailKey("xy") === None)
   }
 
+  test("sitemap rerun into the same dir deletes subfiles the new index no longer references") {
+    import spark.implicits._
+    import graft.sinks.Sitemap
+    val out = tmpDir() + "/sm"
+    // 100001 ids -> 3 subfiles (ceil over the 50k protocol limit)
+    val big = spark.range(100001).map(i => s"id$i")
+    val first = Sitemap.write(spark, big, out, "https://x/", "https://p/", "2026-08")
+    assert(first.size === 3)
+    assert(new java.io.File(s"$out/sitemap00002.xml.gz").exists())
+    // corpus shrinks: one subfile; the two surplus files must be deleted
+    // (a crawler holding the old index would otherwise fetch stale URLs)
+    val small = spark.range(5).map(i => s"id$i")
+    val second = Sitemap.write(spark, small, out, "https://x/", "https://p/", "2026-09")
+    assert(second === Seq("sitemap00000.xml.gz"))
+    assert(!new java.io.File(s"$out/sitemap00001.xml.gz").exists() &&
+      !new java.io.File(s"$out/sitemap00002.xml.gz").exists(),
+      "stale subfiles from the larger first run must be removed")
+    assert(new java.io.File(s"$out/sitemap00000.xml.gz").exists() &&
+      new java.io.File(s"$out/sitemapindex.xml.gz").exists())
+  }
+
+  test("jsonl re-dump into the same root removes dumps of vanished providers") {
+    import graft.sinks.JsonlDump
+    val src = tmpDir()
+    for (p <- Seq("pa", "pb")) {
+      val d = new java.io.File(s"$src/$p"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part.jsonl").toPath,
+        s"""{"p":"$p"}""".getBytes("UTF-8"))
+    }
+    val out = tmpDir() + "/dump"
+    JsonlDump.dump(spark,
+      Map("pa" -> s"$src/pa", "pb" -> s"$src/pb"), out, "2026-08")
+    assert(new java.io.File(s"$out/pb.jsonl").isDirectory)
+    // provider pb disappears; a rerun must not leave its old dump behind
+    // (unlisted by the manifest but ingested by any *.jsonl glob)
+    JsonlDump.dump(spark, Map("pa" -> s"$src/pa"), out, "2026-09")
+    assert(new java.io.File(s"$out/pa.jsonl").isDirectory)
+    assert(!new java.io.File(s"$out/pb.jsonl").exists(),
+      "vanished provider's dump must be deleted on re-dump")
+    assert(new java.io.File(s"$out/all.jsonl").isDirectory)
+  }
+
+  test("schema divergence tie-break is deterministic on an even split") {
+    import graft.sinks.SchemaDdl
+    // 2-2 split: the majority must not depend on Map iteration order —
+    // the lexicographically smallest schema wins ties, so the "X" holders
+    // are flagged regardless of insertion order
+    val a = Map("p1" -> "X", "p2" -> "X", "p3" -> "A", "p4" -> "A")
+    val b = Map("p4" -> "A", "p3" -> "A", "p2" -> "X", "p1" -> "X")
+    assert(SchemaDdl.divergent(a) === Seq("p1", "p2"))
+    assert(SchemaDdl.divergent(b) === Seq("p1", "p2"))
+  }
+
+  test("purge count is retry-stable: re-purging already-gone keys still reports them gone") {
+    import spark.implicits._
+    import graft.sinks.KeyPurge
+    val root = tmpDir()
+    val f = new java.io.File(s"$root/k1.jpg")
+    f.createNewFile()
+    val keys = Seq("k1.jpg").toDS()
+    assert(KeyPurge.purge(keys, root) === 1L)
+    // the file is gone; a retry (or a re-run after a task failure whose
+    // accumulator updates were discarded) must still account for it —
+    // "absent after the pass" is the auditable number, not "deleted by
+    // this exact attempt"
+    assert(KeyPurge.purge(keys, root) === 1L)
+  }
+
   test("date-partitioned layout (H9): partitionBy write + partition pruning read") {
     import spark.implicits._
     val out = tmpDir() + "/dated"
