@@ -28,6 +28,17 @@ object AsOfJoin {
   /** leftTs/rightTs must be comparable columns named in their own frames.
     * Output: all left columns + the requested right columns (null when no
     * prior right row exists).
+    *
+    * Null semantics (matching SQL ASOF JOIN): a right row with a NULL key
+    * or NULL timestamp is incomparable and matches nothing — both are
+    * filtered before the union (without the filter, null timestamps sort
+    * FIRST under the ascending window order and would be carried as the
+    * "latest prior" payload onto every row, and null keys on both sides
+    * would group into one window partition and fabricate matches that an
+    * equality join would never produce). Left rows with a null key or
+    * null timestamp pass through with null right columns: after the
+    * right-side filter they sort at the head of their partition with no
+    * right row before them.
     */
   def asOf(
       left: DataFrame,
@@ -36,6 +47,9 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[String]): DataFrame = {
+    require(rightCols.nonEmpty,
+      "rightCols must name at least one column to attach (the last one " +
+        "doubles as the deterministic tie-break)")
     val leftNames = left.columns.toSeq
     // side: right=0 sorts before left=1 at equal ts, so a right row AT the
     // left timestamp is visible (>= as-of semantics, matching ASOF JOIN).
@@ -43,10 +57,12 @@ object AsOfJoin {
       col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__side"),
       struct(leftNames.map(col): _*).as("__l"),
       lit(null).cast(structType(right, rightCols)).as("__r"))
-    val r = right.select(
-      col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side"),
-      lit(null).cast(structType(left, leftNames)).as("__l"),
-      struct(rightCols.map(col): _*).as("__r"))
+    val r = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side"),
+        lit(null).cast(structType(left, leftNames)).as("__l"),
+        struct(rightCols.map(col): _*).as("__r"))
 
     // third sort key = last rightCols column (null on left rows, which are
     // already separated by __side) → deterministic winner among right rows

@@ -60,8 +60,12 @@ object FuzzyJoin {
       idCol: String,
       maxBucket: Int = 10000): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    // null ids must go with null keys: a null id survives the cross-key
+    // pair filter (its inequality with any id is null, not false) and
+    // least/greatest SKIP nulls, so a (null, 5) pair would collapse to a
+    // degenerate (5, 5) self-pair feeding downstream clustering
     val keyed = df.select(col(idCol).as("__id"), col(keyCol).as("__key"))
-      .filter(col("__key").isNotNull)
+      .filter(col("__key").isNotNull && col("__id").isNotNull)
     // distinct keys with their id-group sizes: map-side combine makes the
     // exchange distinct-key-sized, the only aggregation the corpus pays
     val keyCounts = keyed.groupBy(col("__key"))

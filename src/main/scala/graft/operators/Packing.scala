@@ -231,57 +231,56 @@ object Packing {
         .repartition(n, col("bucket"))
         .sortWithinPartitions(col("bucket"), col("id"))
         .mapPartitions { rows =>
-          var curBucket = Long.MinValue
-          var localBin = 0L
-          var curDocs = Vector.empty[Long]
-          var curTokens = 0L
-          def emit(): PackedBin = {
-            val b = PackedBin((curBucket << 32) | localBin, curDocs,
-              curDocs.size, curTokens)
-            localBin += 1; curDocs = Vector.empty; curTokens = 0L
-            b
-          }
-          val out = Iterator.newBuilder[PackedBin]
-          rows.foreach { r =>
-            val id = r.getLong(0)
-            val nt = math.max(r.getLong(1), 0L)
-            val b = r.getLong(2)
-            if (b != curBucket) {
-              if (curDocs.nonEmpty) out += emit()
-              curBucket = b; localBin = 0L
-            } else if (curDocs.nonEmpty && curTokens + nt > budget)
-              out += emit()
-            curDocs :+= id
-            curTokens += nt
-          }
-          if (curDocs.nonEmpty) out += emit()
-          out.result()
+          packBinsLazy(rows.map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2))), budget)
         }
     } else keyed
       .repartition(n, pmod(xxhash64(col("id")), lit(n.toLong)))
       .sortWithinPartitions(col("id"))
       .mapPartitions { rows =>
         val pid = TaskContext.getPartitionId().toLong
-        var localBin = 0L
-        var curDocs = Vector.empty[Long]
-        var curTokens = 0L
-        def emit(): PackedBin = {
-          val b = PackedBin((pid << 32) | localBin, curDocs,
-            curDocs.size, curTokens)
-          localBin += 1; curDocs = Vector.empty; curTokens = 0L
-          b
-        }
-        val out = Iterator.newBuilder[PackedBin]
-        rows.foreach { r =>
-          val id = r.getLong(0)
-          val nt = math.max(r.getLong(1), 0L)
-          if (curDocs.nonEmpty && curTokens + nt > budget)
-            out += emit()
-          curDocs :+= id
-          curTokens += nt
-        }
-        if (curDocs.nonEmpty) out += emit()
-        out.result()
+        packBinsLazy(rows.map(r => (r.getLong(0), r.getLong(1), pid)),
+          budget)
       }
+  }
+
+  /** Lazy next-fit over (id, nTokens, bucket) rows pre-sorted by (bucket,
+    * id): each `next()` consumes exactly one bin's rows, so resident state
+    * is ONE open bin — not the whole partition's bins, which the previous
+    * eager-builder shape held (every doc id in the partition resident
+    * before the first bin was emitted; at the 100 TB target that is GBs
+    * of Vector per task on top of the input stream). Bin boundaries and
+    * ids are identical to the eager pass: a bin closes when the bucket
+    * changes or the next doc would exceed `budget` (a lone over-budget
+    * doc still opens its own bin), local bin counters reset per bucket,
+    * and the bin id is (bucket << 32) | localBin.
+    */
+  private def packBinsLazy(
+      rows: Iterator[(Long, Long, Long)],
+      budget: Long): Iterator[PackedBin] = new Iterator[PackedBin] {
+    private val it = rows.buffered
+    private var curBucket = Long.MinValue
+    private var localBin = 0L
+    override def hasNext: Boolean = it.hasNext
+    override def next(): PackedBin = {
+      val (id0, nt0, bucket) = it.next()
+      if (bucket != curBucket) { curBucket = bucket; localBin = 0L }
+      var docs = Vector(id0)
+      var tokens = math.max(nt0, 0L)
+      var open = true
+      while (open && it.hasNext) {
+        val (_, nt, b) = it.head
+        val ntc = math.max(nt, 0L)
+        if (b != curBucket || tokens + ntc > budget) open = false
+        else {
+          docs :+= it.next()._1
+          tokens += ntc
+        }
+      }
+      val bin = PackedBin((curBucket << 32) | localBin, docs,
+        docs.size, tokens)
+      localBin += 1
+      bin
+    }
   }
 }

@@ -111,6 +111,14 @@ object Redaction {
       maxFrac: Double = 0.1): DataFrame = {
     val entries = blocklist.map(_.toLowerCase).filter(_.nonEmpty).distinct
     require(entries.nonEmpty, "blocklist must have a non-empty entry")
+    // the screen matches TOKENS ([a-z0-9]+ runs): an entry with any other
+    // character ("covid-19", "mail.ru", a multi-word phrase) can never
+    // equal a token and would silently screen nothing — fail fast instead
+    val dead = entries.filterNot(_.matches("[a-z0-9]+"))
+    require(dead.isEmpty,
+      s"blocklist entries can never match a token (tokens are [a-z0-9]+ " +
+        s"runs): ${dead.take(5).mkString(", ")} — split phrases into " +
+        "single tokens or strip punctuation to match the tokenizer")
     require(entries.size <= 1000000,
       s"blocklist rides in the plan; ${entries.size} entries exceeds the " +
         "1M literal bound — load larger lists as a table and Bloom-join")

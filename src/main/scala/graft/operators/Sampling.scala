@@ -48,6 +48,16 @@ object Sampling {
   def md5Mod(key: Column, prefix: String, n: Long): Column =
     pmod(md5Hex8(key, prefix), lit(n))
 
+  /** [[md5Hex8]] reduced to a uniform double in [0, 1) — the portable
+    * unit draw (long→double is exact below 2^32, so this equals parsing
+    * the 8 hex chars as a fraction). ONE definition on purpose: the
+    * 2^32 divisor is the other half of the wire contract the md5Draw
+    * scaladoc pins, and a copy drifting from its DuckDB oracle would be
+    * invisible until a hash mismatch.
+    */
+  def md5Unit(key: Column, prefix: String): Column =
+    md5Hex8(key, prefix).cast("double") / 4294967296.0
+
   private def checkFraction(f: Double): Unit =
     require(f == 0.0 || (f >= 1.0 / Buckets && f <= 1),
       s"fraction=$f out of range: must be 0, or in [${1.0 / Buckets}, 1] " +
@@ -91,9 +101,7 @@ object Sampling {
     val w = weights.foldLeft(lit(0.0)) { case (acc, (stratum, ww)) =>
       when(col(strataCol) === stratum, ww).otherwise(acc)
     }
-    // md5-uniform in [0,1): first 8 hex chars = 32 bits (long→double is
-    // exact below 2^32, so this equals the old string→double parse)
-    val u01 = md5Hex8(col(keyCol), "mix ").cast("double") / 4294967296.0
+    val u01 = md5Unit(col(keyCol), "mix ")
     val copies = (floor(w) + when(u01 < w - floor(w), 1).otherwise(0))
       .cast("int")
     df.withColumn("__copies", copies)
@@ -177,7 +185,7 @@ object Sampling {
     require(testFraction >= 1.0 / Buckets && testFraction < 1,
       s"testFraction=$testFraction out of [${1.0 / Buckets}, 1)")
     // md5Hex8/2^32, the cross-engine wire contract (md5Draw family)
-    val draw = md5Hex8(col(groupCol), "split ").cast("double") / 4294967296.0
+    val draw = md5Unit(col(groupCol), "split ")
     (df.filter(col(groupCol).isNull || draw >= testFraction),
       df.filter(col(groupCol).isNotNull && draw < testFraction))
   }

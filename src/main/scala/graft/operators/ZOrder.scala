@@ -31,7 +31,10 @@ object ZOrder {
     require(max > min, s"degenerate quantization range [$min, $max]")
     val unit = (c.cast("double") - lit(min)) / lit(max - min)
     val q = floor(unit * lit((1 << QuantBits).toDouble)).cast("long")
-    when(c.isNull, lit(null).cast("long"))
+    // NaN gets the same explicit routing as NULL: NaN.cast(long) is 0 in
+    // non-ANSI mode, which would silently pile every NaN row into the
+    // origin lattice cell and poison that file's min/max stats
+    when(c.isNull || isnan(c.cast("double")), lit(null).cast("long"))
       .otherwise(greatest(lit(0L), least(lit(((1L << QuantBits) - 1)), q)))
   }
 

@@ -184,6 +184,29 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("rv")).toSeq === Seq("r10", "r15", null))
   }
 
+  test("asOf null semantics: null-ts/null-key right rows match nothing; null left rows pass through unmatched") {
+    val left = df(
+      StructType(Seq(StructField("k", LongType), StructField("t", LongType))),
+      Row(1L, 10L),          // real prior exists (rt=5 "Y")
+      Row(1L, 3L),           // no prior: the null-ts right row must NOT fill in
+      Row(null, 10L),        // null key: must not meet the null-key right row
+      Row(2L, null))         // null ts: incomparable, no match
+    val right = df(
+      StructType(Seq(StructField("k", LongType), StructField("rt", LongType),
+        StructField("rv", StringType))),
+      Row(1L, null, "X"),    // null ts: would sort FIRST and pollute as "prior"
+      Row(1L, 5L, "Y"),
+      Row(null, 1L, "Z"),    // null key: null never equals null in a join
+      Row(2L, 1L, "W"))
+    val got = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("rv"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got === Set(
+      (Some(1L), Some(10L), Some("Y")),
+      (Some(1L), Some(3L), None),
+      (None, Some(10L), None),
+      (Some(2L), None, None)))
+  }
+
   test("asOf ties on (key, ts): greatest last-rightCols value wins, deterministically") {
     val left = df(
       StructType(Seq(StructField("k", LongType), StructField("t", LongType))),
@@ -885,6 +908,17 @@ class OperatorSpec extends SparkSpec {
     // no pair involves plonk or the null key
     assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
     assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+    // a NULL ID with a valid key must also vanish — least/greatest skip
+    // nulls, so it would otherwise collapse a (null, x) pair into a
+    // degenerate (x, x) self-pair feeding downstream clustering
+    val withNullId = rows.unionByName(
+      Seq((Option.empty[Long], Option("spark3")))
+        .toDF("id", "k"))
+    val got2 = FuzzyJoin.pairsWithin1(withNullId, "k", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(!got2.exists(p => p._1 == p._2),
+      s"degenerate self-pair from a null id: ${got2.filter(p => p._1 == p._2)}")
+    assert(got2 === got, "a null-id row must contribute no pairs at all")
     // exhaustive check vs brute force on this set
     val keys = rows.collect().map(r => r.getLong(0) ->
       Option(r.getString(1))).toMap

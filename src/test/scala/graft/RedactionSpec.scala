@@ -72,6 +72,13 @@ class RedactionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
     assert(out(1L) === ((2L, 4L, 0.5, true)))
+    // an entry that can never equal a token ([a-z0-9]+ runs) must fail
+    // fast, not silently screen nothing
+    val e = intercept[IllegalArgumentException] {
+      Redaction.blocklistScreen(df, "text", "doc_id",
+        Seq("bad", "covid-19"), maxFrac = 0.25)
+    }
+    assert(e.getMessage.contains("covid-19"))
     assert(out(2L) === ((0L, 4L, 0.0, false)))
     assert(out(3L) === ((1L, 2L, 0.5, true)))
     assert(out(4L) === ((0L, 0L, 0.0, false)))

@@ -169,6 +169,11 @@ class ScaleLayoutSpec extends SparkSpec {
     val qn = Seq[Option[Double]](None).toDF("a")
       .select(ZOrder.quantize(col("a"), 0.0, 10.0)).head()
     assert(qn.isNullAt(0))
+    // NaN routes like null: the non-ANSI NaN->long cast is 0, which would
+    // silently pile every NaN row into the origin cell
+    val qnan = Seq(Double.NaN).toDF("a")
+      .select(ZOrder.quantize(col("a"), 0.0, 10.0)).head()
+    assert(qnan.isNullAt(0))
   }
 
   test("repartitionByRange yields disjoint ordered ranges (sorted-layout writes)") {
