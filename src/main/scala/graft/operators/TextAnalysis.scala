@@ -291,6 +291,137 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The C4 cleaning rules ([EXT]): the public line- and page-level filters
+    * of Raffel et al. 2020 (§2.2) as one narrow pass. Line level — keep a
+    * line only if it (trimmed) ends in a terminal punctuation mark
+    * (`.`/`!`/`?`/closing quote), has at least `minWordsPerLine` words,
+    * and contains neither the word "javascript" nor a boilerplate policy
+    * phrase ("terms of use", "privacy policy", "cookie policy",
+    * "uses cookies"). Page level — a document fails outright when it
+    * mentions "lorem ipsum", contains a curly brace (code), or its CLEANED
+    * text carries fewer than `minSentences` sentences (runs of terminal
+    * punctuation). C4's remaining rule — the three-sentence-span dedup —
+    * is a corpus-wide operator, not a per-page filter: that is
+    * [[SpanDedup]]'s job.
+    *
+    * Emitted per document: the cleaned text, line/sentence accounting,
+    * each page gate, and the conjunction `pass` — so a pipeline can gate
+    * on `pass` and audit which rule fired, the same contract as
+    * [[gopherRules]]. Everything is codegen'd string/array expressions
+    * off the scan: zero shuffles, zero UDFs; the per-line predicates run
+    * inside one `filter` HOF whose regex/contains probes are constant
+    * patterns (compiled once per expression). Null text is treated as
+    * empty (fails the sentence gate).
+    */
+  def c4Filters(df: DataFrame, textCol: String, idCol: String,
+      minWordsPerLine: Int = 5, minSentences: Int = 3): DataFrame = {
+    require(minWordsPerLine >= 1 && minSentences >= 1,
+      s"bad thresholds ($minWordsPerLine, $minSentences)")
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    def keepLine(l: Column): Column = {
+      trim(l).rlike("[.!?\"]$") &&
+        size(regexp_extract_all(trim(l), lit("\\S+"), lit(0))) >=
+          minWordsPerLine &&
+        !lower(l).contains("javascript") &&
+        !lower(l).contains("terms of use") &&
+        !lower(l).contains("privacy policy") &&
+        !lower(l).contains("cookie policy") &&
+        !lower(l).contains("uses cookies")
+    }
+    val cleaned = array_join(filter(lines, l => keepLine(l)), "\n")
+    df.select(col(idCol), t.as("__t"), lines.as("__lines"),
+        cleaned.as("clean_text"))
+      .select(col(idCol), col("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(filter(col("__lines"), l => keepLine(l))).cast("long")
+          .as("n_lines_kept"),
+        size(regexp_extract_all(col("clean_text"), lit("[.!?]+"), lit(0)))
+          .cast("long").as("n_sentences"),
+        lower(col("__t")).contains("lorem ipsum").cast("long")
+          .as("has_lorem"),
+        col("__t").contains("{").cast("long").as("has_brace"))
+      .withColumn("pass",
+        (col("has_lorem") === 0 && col("has_brace") === 0 &&
+          col("n_sentences") >= minSentences).cast("long"))
+  }
+
+  /** Character-bigram Shannon entropy ([EXT]) — the compressibility /
+    * gibberish signal: natural prose sits in a narrow entropy band,
+    * while repeated boilerplate scores low and random/encoded garbage
+    * scores high (the cheap stand-in for the gzip-ratio filter of
+    * CCNet-style pipelines). Computed over [[normalize]]d text, via the
+    * identity `H = log2(n) − (Σ c·log2 c)/n` so only per-gram counts
+    * aggregate.
+    *
+    * Scale shape: the same one-exchange contract as [[repetitionStats]] —
+    * explode (doc, bigram) pairs (bytes ≈ the corpus itself), hash-
+    * aggregate counts (map-side combined; ≤ ~4k distinct bigrams per doc,
+    * so the exchange carries per-doc gram COUNTS, not gram instances),
+    * then one per-doc rollup. The bigram array materializes below the
+    * explode (the generator-projection rule) so the normalize regex runs
+    * once per document, never per emitted gram. Docs with fewer than two
+    * normalized characters report n_bigrams = 0, entropy 0.
+    */
+  def charBigramEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = graft.operators.Similarity.spreadIfNarrow(df)
+      .select(col(idCol), normalize(coalesce(col(textCol), lit("")))
+        .as("__t"))
+    val grams = base
+      .filter(length(col("__t")) >= 2)
+      .select(col(idCol),
+        transform(sequence(lit(1), length(col("__t")) - 1),
+          i => col("__t").substr(i, lit(2))).as("__gs"))
+      .select(col(idCol), explode(col("__gs")).as("__g"))
+    val ent = grams
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast("double") * log2(col("__c"))).as("__s"))
+      .select(col(idCol), col("__n"),
+        round(log2(col("__n")) - col("__s") / col("__n"), 4).as("__h"))
+    base.select(col(idCol))
+      .join(ent, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__h"), lit(0.0)).as("entropy4"))
+  }
+
+  /** Unicode-script profile ([EXT]): per-document character counts for the
+    * five highest-volume writing systems plus the dominant script — the
+    * language-coverage audit a multilingual corpus needs BEFORE trusting
+    * any stopword-based language ID (which only sees Latin tokens).
+    * Counts use explicit BMP code-point ranges (not `\p{script=...}`
+    * classes) so the numbers are identical across engines and Unicode
+    * table versions; `dominant` is the first script in a fixed priority
+    * order (latin, cjk, cyrillic, greek, arabic) holding the maximum
+    * count, `none` when the text has no scripted characters. One narrow
+    * codegen'd projection: zero shuffles, zero HOFs.
+    */
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(range: String) =
+      (length(t) - length(regexp_replace(t, s"[$range]", ""))).cast("long")
+    val nLatin = cnt("A-Za-z")
+    val nCjk = cnt("\\u4e00-\\u9fff")
+    val nCyr = cnt("\\u0400-\\u04ff")
+    val nGreek = cnt("\\u0370-\\u03ff")
+    val nArabic = cnt("\\u0600-\\u06ff")
+    df.select(col(idCol),
+        nLatin.as("n_latin"), nCjk.as("n_cjk"), nCyr.as("n_cyrillic"),
+        nGreek.as("n_greek"), nArabic.as("n_arabic"))
+      .withColumn("dominant", {
+        val m = greatest(col("n_latin"), col("n_cjk"), col("n_cyrillic"),
+          col("n_greek"), col("n_arabic"))
+        when(m === 0, "none")
+          .when(col("n_latin") === m, "latin")
+          .when(col("n_cjk") === m, "cjk")
+          .when(col("n_cyrillic") === m, "cyrillic")
+          .when(col("n_greek") === m, "greek")
+          .otherwise("arabic")
+      })
+  }
+
   /** The Gopher rule suite ([EXT]): the seven document-level quality gates
     * of Rae et al. 2021 (§A1.1) as one narrow pass — word-count bounds,
     * mean-word-length bounds, symbol-to-word ratio, bullet-line and

@@ -1017,6 +1017,80 @@ object TextQueries {
         graft.operators.QualityClassifier.scoreLabeled(
           t(s, dir, "documents"), "text", "doc_id",
           col("lang") === "en", lrModel(s, dir)))),
+
+    // C4 cleaning rules (Raffel et al. 2020), ORACLED byte-wise: the
+    // fixture is single-line and punctuation-free, so the line structure
+    // is synthesized to make every gate discriminate — a kept main
+    // sentence, a too-short line, a javascript line, a policy line on
+    // even ids (an honest kept sentence otherwise), a punctuation-less
+    // line on non-multiples of 3 (a kept third sentence otherwise),
+    // lorem ipsum on %7 (page gate), and a curly-brace code line on %11
+    // (page gate; its '}' ending also fails the line gate).
+    "q_c4_filters" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), concat_ws("\n",
+        concat(coalesce(col("text"), lit("")), lit(".")),
+        lit("click here"),
+        lit("please enable javascript to view the comments on this page."),
+        when(col("doc_id") % 2 === 0,
+          lit("this website uses cookies and our privacy policy explains why."))
+          .otherwise(lit("a second honest sentence appears here with enough words to stay.")),
+        when(col("doc_id") % 3 === 0,
+          lit("we finish with a third real sentence that carries sufficient words."))
+          .otherwise(lit("no terminal punctuation on this line so it goes away")),
+        when(col("doc_id") % 7 === 0,
+          lit("lorem ipsum dolor sit amet consectetur adipiscing elit sed do."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("function f() { return 1; }"))
+          .otherwise(lit(""))).as("text"))
+      TA.c4Filters(src, "text", "doc_id")
+    }),
+
+    // Character-bigram entropy, ORACLED: DuckDB replays the normalize
+    // chain, the bigram explode, and the log2 identity; both engines
+    // round the per-doc entropy to 4 decimals.
+    "q_char_entropy" -> ((s, dir) =>
+      TA.charBigramEntropy(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Unicode-script profile, ORACLED: script runs are synthesized onto a
+    // 20-char Latin prefix with modular lengths so dominance actually
+    // flips between scripts (CJK up to 39 chars vs ~17 Latin); counts are
+    // exact integers and the dominant pick is the same fixed-priority
+    // CASE on both engines.
+    "q_script_mix" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), concat(
+        substring(coalesce(col("text"), lit("")), 1, 20),
+        expr("repeat('漢', cast(doc_id * 3 % 40 as int))"),
+        expr("repeat('ж', cast(doc_id * 5 % 30 as int))"),
+        expr("repeat('α', cast(doc_id % 10 as int))"),
+        expr("repeat('م', cast(doc_id % 8 as int))")).as("text"))
+      TA.scriptProfile(src, "text", "doc_id")
+    }),
+
+    // Reciprocal Rank Fusion, ORACLED: hybrid retrieval — the oracled
+    // BM25 lexical top-10 fused with the oracled exact-KNN top-10 over
+    // the shared id space (query_id 1..3 ↔ probe vec_id 1..3); DuckDB
+    // replays both retrievers and the 1/(60+rank) fusion. Each
+    // contribution is one IEEE division and at most two are summed
+    // (commutative ⇒ bit-exact), rounded to 6 before the fused rank.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val qdf = Seq(
+        (1L, "spark query engine"),
+        (2L, "data scan filter"),
+        (3L, "the partition of documents")).toDF("query_id", "qtext")
+      val lex = graft.operators.Bm25.topK(
+        t(s, dir, "documents"), "doc_id", "text",
+        qdf, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+      val sem = graft.operators.Similarity.knnBruteForce(
+        e.filter(col("vec_id").isin(1L, 2L, 3L)), e, "vec_id", "embedding",
+        k = 10)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rn").as("rank"))
+      graft.operators.Rrf.fuse(Seq(lex, sem), "query_id", "doc_id", "rank",
+        topK = 10)
+    }),
   )
 
   /** One LR fit per (sfDir) per JVM, shared by the three classifier
@@ -1396,6 +1470,58 @@ object TextQueries {
            round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
              AS pos_rate
          FROM sc GROUP BY 1"""
+
+  /** The BM25 replay, shared verbatim by q_bm25_topk and (as a CTE)
+    * q_rrf_fusion: DuckDB recomputes tf/df/dl/avgdl with the same
+    * tokenizer regex and k1=1.2 / b=0.75; avgdl rounds to 6 decimals,
+    * scores to 4 before the rank, ties break by doc_id.
+    */
+  private val bm25TopkOracle: String =
+    """WITH q(query_id, qtext) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark query engine'),
+           (CAST(2 AS BIGINT), 'data scan filter'),
+           (CAST(3 AS BIGINT), 'the partition of documents')),
+         qterms AS (
+           SELECT DISTINCT query_id, tok FROM (
+             SELECT query_id,
+               unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS tok
+             FROM q)),
+         pairs AS (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+           FROM pairs GROUP BY doc_id, tok),
+         stats AS (
+           SELECT count(*) AS n,
+             round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 6)
+               AS avgdl
+           FROM documents),
+         matched AS (
+           SELECT qt.query_id, tf.doc_id, tf.tok, tf.tf, tf.dl
+           FROM tf JOIN qterms qt USING (tok)),
+         dfreq AS (
+           SELECT tok, count(DISTINCT doc_id) AS df
+           FROM matched GROUP BY tok),
+         contrib AS (
+           SELECT m.query_id, m.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+               (m.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+               (m.tf + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) +
+                  CAST(0.75 AS DOUBLE) * m.dl / s.avgdl)) AS c
+           FROM matched m JOIN dfreq d USING (tok) CROSS JOIN stats s),
+         scored AS (
+           SELECT query_id, doc_id, round(sum(c), 4) AS bm25
+           FROM contrib GROUP BY query_id, doc_id)
+         SELECT query_id, doc_id, bm25, rank FROM (
+           SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS rank
+           FROM scored)
+         WHERE rank <= 10"""
 
   private val staticOracles: Map[String, String] = Map(
     "q_lr_quality" -> lrQualityOracle,
@@ -2397,52 +2523,147 @@ object TextQueries {
     // tokenizer regex and the same k1=1.2 / b=0.75 constants; avgdl is
     // rounded to 6 decimals to match the Spark side exactly, scores to 4
     // before the rank, ties broken by doc_id.
-    "q_bm25_topk" ->
-      """WITH q(query_id, qtext) AS (VALUES
-           (CAST(1 AS BIGINT), 'spark query engine'),
-           (CAST(2 AS BIGINT), 'data scan filter'),
-           (CAST(3 AS BIGINT), 'the partition of documents')),
-         qterms AS (
-           SELECT DISTINCT query_id, tok FROM (
-             SELECT query_id,
-               unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS tok
-             FROM q)),
-         pairs AS (
+    "q_bm25_topk" -> bm25TopkOracle,
+
+    // C4 rules: replay the synthesized line structure, the list_filter
+    // line gates, and the page gates byte-wise.
+    "q_c4_filters" ->
+      """WITH src AS (
            SELECT doc_id,
-             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
-             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             coalesce(text, '') || '.' || chr(10) ||
+             'click here' || chr(10) ||
+             'please enable javascript to view the comments on this page.' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0
+               THEN 'this website uses cookies and our privacy policy explains why.'
+               ELSE 'a second honest sentence appears here with enough words to stay.' END || chr(10) ||
+             CASE WHEN doc_id % 3 = 0
+               THEN 'we finish with a third real sentence that carries sufficient words.'
+               ELSE 'no terminal punctuation on this line so it goes away' END || chr(10) ||
+             CASE WHEN doc_id % 7 = 0
+               THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit sed do.'
+               ELSE '' END || chr(10) ||
+             CASE WHEN doc_id % 11 = 0
+               THEN 'function f() { return 1; }' ELSE '' END AS t
            FROM documents),
-         tf AS (
-           SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
-           FROM pairs GROUP BY doc_id, tok),
-         stats AS (
-           SELECT count(*) AS n,
-             round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 6)
-               AS avgdl
+         f AS (
+           SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+             list_filter(string_split(t, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(regexp_extract_all(trim(l), '\S+')) >= 5
+               AND NOT contains(lower(l), 'javascript')
+               AND NOT contains(lower(l), 'terms of use')
+               AND NOT contains(lower(l), 'privacy policy')
+               AND NOT contains(lower(l), 'cookie policy')
+               AND NOT contains(lower(l), 'uses cookies')) AS kept
+           FROM src)
+         SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),
+             '[.!?]+')) AS BIGINT) AS n_sentences,
+           CAST(contains(lower(t), 'lorem ipsum') AS BIGINT) AS has_lorem,
+           CAST(contains(t, '{') AS BIGINT) AS has_brace,
+           CAST(NOT contains(lower(t), 'lorem ipsum')
+             AND NOT contains(t, '{')
+             AND len(regexp_extract_all(array_to_string(kept, chr(10)),
+               '[.!?]+')) >= 3 AS BIGINT) AS pass
+         FROM f""",
+
+    // Char-bigram entropy: H = log2(n) − (Σ c·log2 c)/n over the same
+    // normalize chain; rounded to 4 on both engines.
+    "q_char_entropy" ->
+      """WITH nt AS (
+           SELECT doc_id,
+             regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')
+               AS t
            FROM documents),
-         matched AS (
-           SELECT qt.query_id, tf.doc_id, tf.tok, tf.tf, tf.dl
-           FROM tf JOIN qterms qt USING (tok)),
-         dfreq AS (
-           SELECT tok, count(DISTINCT doc_id) AS df
-           FROM matched GROUP BY tok),
-         contrib AS (
-           SELECT m.query_id, m.doc_id,
-             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-               (m.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
-               (m.tf + CAST(1.2 AS DOUBLE) *
-                 (CAST(0.25 AS DOUBLE) +
-                  CAST(0.75 AS DOUBLE) * m.dl / s.avgdl)) AS c
-           FROM matched m JOIN dfreq d USING (tok) CROSS JOIN stats s),
-         scored AS (
-           SELECT query_id, doc_id, round(sum(c), 4) AS bm25
-           FROM contrib GROUP BY query_id, doc_id)
-         SELECT query_id, doc_id, bm25, rank FROM (
-           SELECT query_id, doc_id, bm25,
+         g AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(t) - 1),
+               i -> substr(t, i, 2))) AS g
+           FROM nt WHERE length(t) >= 2),
+         c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         e AS (
+           SELECT doc_id, sum(c) AS n,
+             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+           FROM c GROUP BY 1)
+         SELECT nt.doc_id,
+           CAST(coalesce(e.n, 0) AS BIGINT) AS n_bigrams,
+           coalesce(round(log2(CAST(e.n AS DOUBLE)) - e.s / e.n, 4), 0.0)
+             AS entropy4
+         FROM nt LEFT JOIN e USING (doc_id)""",
+
+    // Unicode-script profile: the same explicit BMP ranges and the same
+    // fixed-priority dominant CASE.
+    "q_script_mix" ->
+      """WITH src AS (
+           SELECT doc_id,
+             substr(coalesce(text, ''), 1, 20) ||
+             repeat('漢', CAST(doc_id * 3 % 40 AS INT)) ||
+             repeat('ж', CAST(doc_id * 5 % 30 AS INT)) ||
+             repeat('α', CAST(doc_id % 10 AS INT)) ||
+             repeat('م', CAST(doc_id % 8 AS INT)) AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+               AS BIGINT) AS n_latin,
+             CAST(length(t) - length(regexp_replace(t,
+               '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+             CAST(length(t) - length(regexp_replace(t,
+               '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+             CAST(length(t) - length(regexp_replace(t,
+               '[\x{0370}-\x{03ff}]', '', 'g')) AS BIGINT) AS n_greek,
+             CAST(length(t) - length(regexp_replace(t,
+               '[\x{0600}-\x{06ff}]', '', 'g')) AS BIGINT) AS n_arabic
+           FROM src)
+         SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_greek, n_arabic,
+           CASE
+             WHEN greatest(n_latin, n_cjk, n_cyrillic, n_greek, n_arabic) = 0
+               THEN 'none'
+             WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic, n_greek,
+               n_arabic) THEN 'latin'
+             WHEN n_cjk = greatest(n_latin, n_cjk, n_cyrillic, n_greek,
+               n_arabic) THEN 'cjk'
+             WHEN n_cyrillic = greatest(n_latin, n_cjk, n_cyrillic, n_greek,
+               n_arabic) THEN 'cyrillic'
+             WHEN n_greek = greatest(n_latin, n_cjk, n_cyrillic, n_greek,
+               n_arabic) THEN 'greek'
+             ELSE 'arabic' END AS dominant
+         FROM m""",
+
+    // RRF: both retriever replays (the BM25 oracle verbatim as a CTE +
+    // the probe-restricted exact KNN) fused by 1/(60+rank).
+    "q_rrf_fusion" ->
+      s"""WITH bm AS ($bm25TopkOracle),
+         kn AS (
+           SELECT vec_id AS query_id, nbr_id AS doc_id, rn AS rank FROM (
+             SELECT a.vec_id, b.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                   b.vec_id) AS rn
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id IN (1, 2, 3) AND a.vec_id <> b.vec_id)
+           WHERE rn <= 10),
+         u AS (
+           SELECT query_id, doc_id, rank FROM bm
+           UNION ALL
+           SELECT query_id, doc_id, rank FROM kn),
+         f AS (
+           SELECT query_id, doc_id,
+             round(sum(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf,
+             CAST(count(*) AS BIGINT) AS n_lists
+           FROM u GROUP BY 1, 2)
+         SELECT query_id, doc_id, rrf, n_lists, rank FROM (
+           SELECT query_id, doc_id, rrf, n_lists,
              row_number() OVER (PARTITION BY query_id
-               ORDER BY bm25 DESC, doc_id) AS rank
-           FROM scored)
+               ORDER BY rrf DESC, doc_id) AS rank
+           FROM f)
          WHERE rank <= 10""",
+
 
     // DSIR: refit both smoothed unigram models (source top-1000 vocab +
     // OOV mass bucket, FITTED V in the smoothing denominators), score

@@ -78,7 +78,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_bm25_topk", "q_chunk_tokens", "q_heavy_tokens", "q_vocab_topk",
       "q_tfidf_top_term", "q_shared_spans", "q_span_contamination",
       "q_minhash_md5", "q_unigram_nll", "q_bigram_nll", "q_dsir_weights",
-      "q_ngram_jaccard", "q_shingle_stats", "q_lr_quality", "q_nb_lang")
+      "q_ngram_jaccard", "q_shingle_stats", "q_lr_quality", "q_nb_lang",
+      "q_char_entropy")
     generatorQueries.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf).queryExecution.sparkPlan
       val bad = offenders(p)

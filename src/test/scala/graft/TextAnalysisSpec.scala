@@ -224,4 +224,95 @@ class TextAnalysisSpec extends SparkSpec {
     // none of the violating docs passes overall
     (1L to 8L).foreach(id => assert(out(id).getLong(10) === 0L))
   }
+
+  test("c4Filters: each line gate and page gate fires exactly where aimed") {
+    import spark.implicits._
+    val keep1 = "this line has enough words to stay."
+    val keep2 = "another fine sentence with plenty of words here."
+    val keep3 = "a third keeper line rounds out the document nicely."
+    val docs = Seq(
+      (0L, Seq(keep1, keep2, keep3).mkString("\n")),      // passes all
+      (1L, Seq(keep1, keep2, "no terminal punctuation on this line",
+        keep3).mkString("\n")),                           // punct line drop
+      (2L, Seq(keep1, keep2, "four words only here.", keep3)
+        .mkString("\n")),                                 // short line drop
+      (3L, Seq(keep1, "please enable JavaScript to see this content.",
+        keep2, keep3).mkString("\n")),                    // javascript drop
+      (4L, Seq(keep1, "read our Privacy Policy for the gory details.",
+        keep2, keep3).mkString("\n")),                    // policy drop
+      (5L, Seq(keep1, keep2, keep3,
+        "Lorem Ipsum dolor sit amet consectetur.").mkString("\n")), // page
+      (6L, Seq(keep1, keep2, keep3, "if (x) { return y; }")
+        .mkString("\n")),                                 // brace page gate
+      (7L, Seq(keep1, keep2).mkString("\n")),             // < 3 sentences
+      (8L, null.asInstanceOf[String])                      // null → empty
+    ).toDF("doc_id", "text")
+    val out = TA.c4Filters(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // (doc_id, clean_text, n_lines, n_lines_kept, n_sentences,
+    //  has_lorem, has_brace, pass)
+    assert(out(0L).getString(1) === Seq(keep1, keep2, keep3).mkString("\n"))
+    assert(out(0L).getLong(3) === 3L && out(0L).getLong(4) === 3L)
+    assert(out(0L).getLong(7) === 1L)
+    // the targeted line vanishes, the rest stays, page still passes
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id).getLong(2) === 4L, s"doc $id n_lines")
+      assert(out(id).getLong(3) === 3L, s"doc $id n_lines_kept")
+      assert(out(id).getString(1) === Seq(keep1, keep2, keep3)
+        .mkString("\n"), s"doc $id clean_text")
+      assert(out(id).getLong(7) === 1L, s"doc $id pass")
+    }
+    // lorem line is individually keepable but fails the PAGE
+    assert(out(5L).getLong(3) === 4L && out(5L).getLong(5) === 1L)
+    assert(out(5L).getLong(7) === 0L)
+    // brace line also fails the line gate (ends in '}')
+    assert(out(6L).getLong(3) === 3L && out(6L).getLong(6) === 1L)
+    assert(out(6L).getLong(7) === 0L)
+    assert(out(7L).getLong(4) === 2L && out(7L).getLong(7) === 0L)
+    assert(out(8L).getLong(3) === 0L && out(8L).getLong(7) === 0L)
+  }
+
+  test("charBigramEntropy: hand-computed entropies, degenerate docs at 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaa"),                  // one distinct bigram -> H = 0
+      (1L, "AB  ab"),                // normalize -> "ab ab": H = 1.5
+      (2L, "x"),                     // 1 char -> no bigrams
+      (3L, ""),                      // empty
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .charBigramEntropy(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L) === ((3L, 0.0)))
+    // "ab ab": bigrams ab, "b ", " a", ab -> n=4, counts {ab:2, b_:1, _a:1}
+    // H = log2(4) - (2*log2 2)/4 = 2 - 0.5 = 1.5
+    assert(out(1L) === ((4L, 1.5)))
+    assert(out(2L) === ((0L, 0.0)))
+    assert(out(3L) === ((0L, 0.0)))
+    assert(out(4L) === ((0L, 0.0)))
+  }
+
+  test("scriptProfile: counts, priority tie-break, and none") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "plain latin text"),
+      (1L, "ab \u5317\u4eac\u5317\u4eac"), // 2 latin, 4 CJK -> cjk
+      (2L, "a\u03b1b\u03b2"),               // 2 latin, 2 greek -> latin
+      (3L, "\u0436\u0436"),                 // cyrillic
+      (4L, "\u0645\u0645\u03b1\u03b2"),   // 2 arabic, 2 greek -> greek
+      (5L, "123 !?"),                         // none
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .scriptProfile(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(6) === "latin" && out(0L).getLong(1) === 14L)
+    assert(out(1L).getString(6) === "cjk" && out(1L).getLong(2) === 4L)
+    assert(out(2L).getString(6) === "latin")
+    assert(out(3L).getString(6) === "cyrillic" && out(3L).getLong(3) === 2L)
+    assert(out(4L).getString(6) === "greek" && out(4L).getLong(5) === 2L)
+    assert(out(5L).getString(6) === "none")
+    assert(out(6L).getString(6) === "none")
+  }
 }
