@@ -230,6 +230,40 @@ object Dedup {
       b => md5(concat(b.cast("string"), lit("|"),
         concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003) — the
+    * local document-fingerprinting scheme behind MOSS-style plagiarism
+    * and crawl-corpus overlap detection: hash every k-gram, slide a
+    * w-gram window over the hash stream, keep each window's minimum.
+    * The winnowing guarantee: any shared run of at least k + w − 1
+    * tokens between two documents yields at least one SHARED
+    * fingerprint, while the selected set is a ~2/(w+1) fraction of all
+    * grams — so fingerprint equi-joins find partial overlap at a
+    * fraction of the span-dedup seed volume (SpanDedup is the exact,
+    * position-resolving tier; this is the cheap screening tier).
+    *
+    * Determinism contract: gram hashes are the first 8 md5 hex digits
+    * (cross-engine replayable, < 2^32 so no sign issues), ties inside a
+    * window resolve to the minimum VALUE (set semantics make the
+    * position irrelevant), and the result is the sorted distinct
+    * selection. Documents with fewer than k tokens fingerprint to an
+    * empty array; with fewer than k + w − 1 tokens the single window is
+    * the whole hash stream. A pure narrow expression tree — at corpus
+    * scale the operator adds zero shuffles; downstream matching joins
+    * explode only the selected ~2/(w+1) fraction.
+    */
+  def winnowFingerprints(toks: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got ($k, $w)")
+    val h = transform(TextAnalysis.shingles(toks, k),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val nw = size(h) - (w - 1)
+    val sel = when(coalesce(size(h), lit(0)) === 0,
+        array().cast("array<bigint>"))
+      .when(nw <= 0, array(array_min(h)))
+      .otherwise(transform(sequence(lit(1), nw),
+        i => array_min(slice(h, i, lit(w)))))
+    array_sort(array_distinct(sel))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

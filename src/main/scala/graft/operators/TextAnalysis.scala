@@ -422,6 +422,27 @@ object TextAnalysis {
       })
   }
 
+  /** All double-quoted `href` values of an HTML page, in document order
+    * ([EXT]) — the link-extraction step a crawl pipeline runs BEFORE
+    * [[stripHtml]] discards the markup (outlinks feed the URL frontier,
+    * the host-level link graph for [[PageRank]], and crawl-dedup
+    * blocklists). One codegen regex pass in the Java∩RE2 subset;
+    * `(?i)` covers `HREF=`/`Href=`. Single-quoted and unquoted
+    * attribute values are deliberately out of scope (documented
+    * contract: normalize markup first if a corpus carries them —
+    * handling both quote styles needs backreferences, which RE2, and
+    * therefore the oracle engine, lacks).
+    */
+  def extractLinks(c: Column): Column =
+    regexp_extract_all(c, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
+  /** Lowercased host of an absolute URL ("" for relative/schemeless
+    * links — the frontier treats those as same-host). Pure regex, not
+    * `parse_url`: identical byte semantics in any engine.
+    */
+  def linkHost(u: Column): Column =
+    lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+
   /** The Gopher rule suite ([EXT]): the seven document-level quality gates
     * of Rae et al. 2021 (§A1.1) as one narrow pass — word-count bounds,
     * mean-word-length bounds, symbol-to-word ratio, bullet-line and

@@ -1066,6 +1066,45 @@ object TextQueries {
       TA.scriptProfile(src, "text", "doc_id")
     }),
 
+    // Winnowing fingerprints, ORACLED: the full sorted-distinct selection
+    // per document is pinned by count + an md5 signature over the
+    // comma-joined values (byte-exact cross-engine), the same
+    // whole-array trick as q_text_signatures.
+    "q_winnow_fp" -> ((s, dir) => {
+      val fps = Dedup.winnowFingerprints(toks)
+      t(s, dir, "documents")
+        .select(col("doc_id"), fps.as("__f"))
+        .select(col("doc_id"),
+          size(col("__f")).cast("long").as("n_fps"),
+          md5(concat_ws(",",
+            transform(col("__f"), x => x.cast("string")))).as("fp_sig"))
+    }),
+
+    // Link extraction + host rollup, ORACLED: pages are synthesized with
+    // mixed-case HREFs, per-doc varying targets, and a single-quoted
+    // trap that must NOT extract; hosts come from the shared regex (no
+    // parse_url — the oracle engine lacks it).
+    "q_link_hosts" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><a href=\"https://www.example.com/page"),
+        (col("doc_id") % 10).cast("string"), lit("\">x</a>"),
+        when(col("doc_id") % 2 === 0, concat(
+          lit("<a href=\"http://cdn"), (col("doc_id") % 5).cast("string"),
+          lit(".assets.net/img.png\">i</a>"))).otherwise(lit("")),
+        lit("<A HREF=\"https://docs.example.org/help#a\">h</A>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href='https://single.quote.org/skip'>s</a>"))
+          .otherwise(lit("")),
+        lit("<a href=\"/relative/path\">r</a></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TA.extractLinks(page)).as("url"))
+        .select(col("doc_id"), col("url"), TA.linkHost(col("url")).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_links"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("url")).as("sample_url"))
+    }),
+
     // Reciprocal Rank Fusion, ORACLED: hybrid retrieval — the oracled
     // BM25 lexical top-10 fused with the oracled exact-KNN top-10 over
     // the shared id space (query_id 1..3 ↔ probe vec_id 1..3); DuckDB
@@ -2632,6 +2671,68 @@ object TextQueries {
                n_arabic) THEN 'greek'
              ELSE 'arabic' END AS dominant
          FROM m""",
+
+    // Winnowing: replay gram md5-prefix hashes, the min-per-window
+    // selection (whole-stream window under w hashes), sorted-distinct,
+    // and the signature join.
+    "q_winnow_fp" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+               AS g
+           FROM tok),
+         h AS (
+           SELECT doc_id,
+             list_transform(g,
+               x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+           FROM sh),
+         win AS (
+           SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) <= 3 THEN [list_min(hs)]
+                  ELSE list_transform(generate_series(1, len(hs) - 3),
+                    i -> list_min(hs[i:i+3])) END AS sel
+           FROM h),
+         f AS (
+           SELECT doc_id, list_sort(list_distinct(sel)) AS fps FROM win)
+         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(fps, ',')) AS fp_sig
+         FROM f""",
+
+    // Link extraction: same (?i) double-quote href regex and host regex.
+    "q_link_hosts" ->
+      """WITH src AS (
+           SELECT doc_id,
+             '<html><body><a href="https://www.example.com/page' ||
+             CAST(doc_id % 10 AS VARCHAR) || '">x</a>' ||
+             CASE WHEN doc_id % 2 = 0
+               THEN '<a href="http://cdn' || CAST(doc_id % 5 AS VARCHAR) ||
+                 '.assets.net/img.png">i</a>'
+               ELSE '' END ||
+             '<A HREF="https://docs.example.org/help#a">h</A>' ||
+             CASE WHEN doc_id % 3 = 0
+               THEN '<a href=''https://single.quote.org/skip''>s</a>'
+               ELSE '' END ||
+             '<a href="/relative/path">r</a></body></html>' AS t
+           FROM documents),
+         links AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(t, '(?i)href\s*=\s*"([^"]*)"', 1))
+               AS url
+           FROM src),
+         hosts AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+           FROM links)
+         SELECT host, count(*) AS n_links,
+           count(DISTINCT doc_id) AS n_docs,
+           min(url) AS sample_url
+         FROM hosts GROUP BY host""",
 
     // RRF: both retriever replays (the BM25 oracle verbatim as a CTE +
     // the probe-restricted exact KNN) fused by 1/(60+rank).

@@ -1304,4 +1304,41 @@ class OperatorSpec extends SparkSpec {
     assert(wb(1L)._1 === 0L && wb(2L)._1 === 0L)
     assert(wb.values.forall { case (b, ref) => b === ref })
   }
+
+  test("winnowFingerprints: overlap guarantee, density, short-doc and empty edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis => TA}
+    val k = 5; val w = 4
+    // a shared run of k + w - 1 = 8 tokens MUST yield a shared fingerprint
+    val shared = (1 to 8).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $shared zeta eta"),
+      (2L, s"$shared completely different tail words here now"),
+      (3L, "tiny doc"),                                   // < k tokens
+      (4L, "exactly five tokens right here"),             // one gram, one window
+      (5L, ""),                                           // empty
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      Dedup.winnowFingerprints(TA.tokens(col("text")), k, w).as("fps"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    // guarantee: docs 1 and 2 share at least one fingerprint
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    // sorted distinct
+    assert(fps(1L) === fps(1L).distinct.sorted)
+    // density: selected fingerprints are a strict subset of all grams
+    val nGrams1 = fps(1L) // doc 1 has 15 tokens -> 11 grams, 8 windows
+    assert(nGrams1.size <= 8 && nGrams1.nonEmpty)
+    // short docs: one window over the whole stream = the min hash
+    assert(fps(4L).size === 1)
+    assert(fps(3L) === Seq.empty && fps(5L) === Seq.empty)
+    assert(fps(6L) === Seq.empty)
+    // partitioning invariance: same result from a repartitioned frame
+    val fps2 = docs.repartition(3).select(col("doc_id"),
+      Dedup.winnowFingerprints(TA.tokens(col("text")), k, w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert((1L to 6L).forall(id => fps(id) === fps2(id)))
+  }
 }

@@ -315,4 +315,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L).getString(6) === "none")
     assert(out(6L).getString(6) === "none")
   }
+
+  test("extractLinks + linkHost: quote styles, case, relative and odd URLs") {
+    import spark.implicits._
+    val page = """<a href="https://www.Example.COM/A?q=1#f">x</a>""" +
+      """<A HREF="http://cdn7.assets.net/i.png">i</A>""" +
+      """<a href='https://single.quote.org/skip'>s</a>""" +
+      """<a href = "/relative/path">r</a>""" +
+      """<a data-href="https://trap.example/x">t</a>"""
+    val links = Seq(page).toDF("s")
+      .select(TA.extractLinks(col("s")).as("l")).head().getSeq[String](0)
+    // double-quoted only, in document order; spaces around '=' allowed;
+    // data-href DOES match the (?i)href\s*=\s*" contract (suffix match)
+    assert(links === Seq(
+      "https://www.Example.COM/A?q=1#f",
+      "http://cdn7.assets.net/i.png",
+      "/relative/path",
+      "https://trap.example/x"))
+    def host(u: String): String = {
+      Seq(u).toDF("u").select(TA.linkHost(col("u"))).head().getString(0)
+    }
+    assert(host("https://www.Example.COM/A?q=1#f") === "www.example.com")
+    assert(host("http://h.io?q=1") === "h.io")   // query right after host
+    assert(host("https://h.io#frag") === "h.io") // fragment right after host
+    assert(host("/relative/path") === "")
+    assert(host("mailto:a@b.c") === "")          // no ://
+    assert(host("ftp://files.example.org/pub") === "files.example.org")
+  }
 }
