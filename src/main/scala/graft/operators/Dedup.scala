@@ -264,6 +264,49 @@ object Dedup {
     array_sort(array_distinct(sel))
   }
 
+  /** Partial-overlap candidate pairs via winnowing: documents sharing at
+    * least one selected fingerprint, with the shared-fingerprint count as
+    * the overlap strength — the cheap screening tier before the exact,
+    * position-resolving [[SpanDedup]] pass. Fingerprints occurring in
+    * more than `maxDf` documents are dropped before pairing (the same
+    * boilerplate guard as SpanDedup's gram-df cap and lshCandidatePairs'
+    * bucket cap: a viral license paragraph must not go quadratic), and
+    * df < 2 fingerprints cannot pair — so the join touches only the
+    * shareable slice. Returns (id_a, id_b, n_shared) with id_a < id_b.
+    *
+    * Scale shape: one narrow fingerprint pass (the winnow selection is
+    * ~2/(w+1) of the gram stream), one (fp, count) aggregation riding
+    * the same exchange as the first join side, and the pair aggregation
+    * over match rows only. The fingerprint frame feeds the cap count and
+    * both join sides — persisted, same lifecycle contract as
+    * [[lshCandidatePairs]].
+    */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      maxDf: Int = 20): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be at least 2, got $maxDf")
+    val fps = Similarity.spreadIfNarrow(df)
+      .select(col(idCol),
+        explode(winnowFingerprints(TextAnalysis.tokens(col(textCol)), k, w))
+          .as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairable = fps.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c").between(2, maxDf))
+      .select(col("__fp"))
+    val bounded = fps.join(pairable, Seq("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bounded.select(col("__fp"), col(idCol).as("id_a"))
+      .join(bounded.select(col("__fp"), col(idCol).as("id_b")), Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -1080,6 +1080,13 @@ object TextQueries {
             transform(col("__f"), x => x.cast("string")))).as("fp_sig"))
     }),
 
+    // Winnowing overlap screening, ORACLED: over the span fixture
+    // (corpus + character substrings of the first 50 docs), every
+    // substring partner must surface as a pair — the winnowing guarantee
+    // in action; DuckDB replays selection, df cap, and pair counts.
+    "q_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(spanFixture(s, dir), "text", "doc_id")),
+
     // Link extraction + host rollup, ORACLED: pages are synthesized with
     // mixed-case HREFs, per-doc varying targets, and a single-quoted
     // trap that must NOT extract; hosts come from the shared regex (no
@@ -2702,6 +2709,45 @@ object TextQueries {
          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
            md5(array_to_string(fps, ',')) AS fp_sig
          FROM f""",
+
+    // Winnowing overlap: the q_winnow_fp chain over the span fixture,
+    // then the df-capped fingerprint equi-join.
+    "q_winnow_overlap" ->
+      """WITH fx AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, substr(text, 41, 160)
+           FROM documents WHERE doc_id < 50),
+         tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM fx),
+         sh AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+               AS g
+           FROM tok),
+         h AS (
+           SELECT doc_id,
+             list_transform(g,
+               x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+           FROM sh),
+         win AS (
+           SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) <= 3 THEN [list_min(hs)]
+                  ELSE list_transform(generate_series(1, len(hs) - 3),
+                    i -> list_min(hs[i:i+3])) END AS sel
+           FROM h),
+         f AS (
+           SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM win),
+         ok AS (
+           SELECT fp FROM (SELECT fp, count(*) AS c FROM f GROUP BY fp)
+           WHERE c BETWEEN 2 AND 20),
+         fo AS (SELECT f.doc_id, f.fp FROM f JOIN ok USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM fo a JOIN fo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
 
     // Link extraction: same (?i) double-quote href regex and host regex.
     "q_link_hosts" ->
