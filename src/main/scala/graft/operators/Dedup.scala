@@ -253,15 +253,30 @@ object Dedup {
     */
   def winnowFingerprints(toks: Column, k: Int = 5, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got ($k, $w)")
-    val h = transform(TextAnalysis.shingles(toks, k),
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    val nw = size(h) - (w - 1)
-    val sel = when(coalesce(size(h), lit(0)) === 0,
-        array().cast("array<bigint>"))
-      .when(nw <= 0, array(array_min(h)))
-      .otherwise(transform(sequence(lit(1), nw),
-        i => array_min(slice(h, i, lit(w)))))
-    array_sort(array_distinct(sel))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        // codegen kernel: hash + window-min + distinct-sort in ONE pass
+        // (the HOF form below pays an interpreted md5+hex+parse round
+        // trip per gram and a w-element array copy per window — measured
+        // 6x on the q_winnow_overlap fingerprint stage at sf0.1). Null
+        // token arrays shingle to null; coalesce keeps the empty-array
+        // contract. Same multi-session registration caveat as shingles.
+        graft.plans.GraftFunctions.register(s)
+        coalesce(
+          call_function("graft_winnow",
+            TextAnalysis.shingles(toks, k), lit(w)),
+          array().cast("array<bigint>"))
+      case None =>
+        val h = transform(TextAnalysis.shingles(toks, k),
+          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+        val nw = size(h) - (w - 1)
+        val sel = when(coalesce(size(h), lit(0)) === 0,
+            array().cast("array<bigint>"))
+          .when(nw <= 0, array(array_min(h)))
+          .otherwise(transform(sequence(lit(1), nw),
+            i => array_min(slice(h, i, lit(w)))))
+        array_sort(array_distinct(sel))
+    }
   }
 
   /** Partial-overlap candidate pairs via winnowing: documents sharing at
@@ -442,6 +457,22 @@ object Dedup {
     val inter = size(array_intersect(a, b)).cast("double")
     val da = size(array_distinct(a)).cast("double")
     when(da === 0, 0.0).otherwise(inter / da)
+  }
+
+  /** Set-overlap F1 of two token/shingle arrays (distinct-set semantics,
+    * like [[jaccard]]/[[containment]]): 2·|A∩B| / (|A|+|B|) — the
+    * harmonic mean of the two containment directions, the ROUGE/BLEU-
+    * style balance point an eval-pair audit reads when one side quotes
+    * the other ([[containment]] is direction-sensitive; [[jaccard]]
+    * punishes length mismatch quadratically). 0 when both sides are
+    * gram-less. One rounded division of exact integer counts.
+    */
+  def ngramF1(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val da = size(array_distinct(a)).cast("double")
+    val db = size(array_distinct(b)).cast("double")
+    when(da + db === 0, 0.0)
+      .otherwise(round(lit(2.0) * inter / (da + db), 4))
   }
 
   /** Verified near-dup pairs: LSH candidates with true n-gram Jaccard ≥ t.

@@ -228,6 +228,109 @@ case class StripLines(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_winnow(grams, w)`: the sorted-distinct winnowing selection over
+  * a gram array — per gram the hash is the FIRST 4 BYTES of its md5
+  * digest as an unsigned 32-bit value (exactly `conv(substring(md5(g),
+  * 1, 8), 16, 10)`, the cross-engine contract the q_winnow_* oracles
+  * replay), then the minimum of each w-hash sliding window is selected
+  * (one window over the whole stream when there are fewer than w grams),
+  * deduplicated and sorted ascending.
+  *
+  * Codegen replacement for the HOF chain `array_sort(array_distinct(
+  * transform(sequence, i -> array_min(slice(h, i, w)))))` over
+  * `transform(grams, g -> conv(substring(md5(g),1,8),16,10))`: the HOF
+  * form evaluates interpreted, paying a boxed md5+hex+parse round trip
+  * per gram and a w-element array COPY per window. This kernel is one
+  * pass (thread-local MessageDigest, no hex detour — the first 4 digest
+  * bytes ARE the hash) plus one small sort. Null gram elements are
+  * impossible from [[ShingleArray]] (containsNull = false), which is the
+  * only producer in the repo; the kernel requires them absent.
+  */
+case class WinnowSelect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val gramsOk = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    val wOk = right.foldable && right.dataType == IntegerType &&
+      (right.eval() match {
+        case i: java.lang.Integer => i >= 1
+        case _ => false
+      })
+    if (gramsOk && wOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, positive int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  @transient private lazy val w: Int =
+    right.eval().asInstanceOf[java.lang.Integer].intValue()
+
+  def build(gramsRaw: Any): ArrayData = {
+    val grams = gramsRaw.asInstanceOf[ArrayData]
+    val n = grams.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Long](0))
+    val md = WinnowSelect.digest.get()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(grams.getUTF8String(i).getBytes)
+      hashes(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val nw = n - w + 1
+    val sel =
+      if (nw <= 0) {
+        var m = hashes(0); var j = 1
+        while (j < n) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        Array(m)
+      } else {
+        val out = new Array[Long](nw)
+        var s = 0
+        while (s < nw) {
+          var m = hashes(s); var j = s + 1
+          while (j < s + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+          out(s) = m
+          s += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(sel)
+    var uniq = 0
+    var p = 0
+    while (p < sel.length) {
+      if (uniq == 0 || sel(p) != sel(uniq - 1)) { sel(uniq) = sel(p); uniq += 1 }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, uniq))
+  }
+
+  override protected def nullSafeEval(grams: Any, wArg: Any): Any = build(grams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnower", this, classOf[WinnowSelect].getName)
+    nullSafeCodeGen(ctx, ev, (grams, _) => s"${ev.value} = $ref.build($grams);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowSelect =
+    copy(left = newLeft, right = newRight)
+}
+
+object WinnowSelect {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** `graft_bloom_any(bloom, arr)`: true iff ANY element of the string
   * array might be in the Bloom filter (probes `xxhash64(element)`, seed
   * 42 — byte-identical to the `xxhash64(col)` values a

@@ -271,6 +271,8 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => MapSumScore(exprs(0), exprs(1))),
     "graft_shingles" ->
       ((exprs: Seq[Expression]) => ShingleArray(exprs(0), exprs(1))),
+    "graft_winnow" ->
+      ((exprs: Seq[Expression]) => WinnowSelect(exprs(0), exprs(1))),
     "graft_cms_atleast" ->
       ((exprs: Seq[Expression]) => CmsAtLeast(exprs(0), exprs(1), exprs(2))),
     "graft_strip_lines" ->

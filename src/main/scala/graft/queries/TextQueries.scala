@@ -148,6 +148,29 @@ object TextQueries {
           round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
     }),
 
+    // Set-overlap F1 on the adjacent-doc pairing plus an asymmetric pair
+    // (doc vs its own first-half substring) so F1 visibly sits between
+    // the two containment directions, ORACLED: exact integer counts, one
+    // rounded division.
+    "q_ngram_f1" -> ((s, dir) => {
+      val sh = TA.shingles(toks)
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"), sh.as("sh")).unionAll(
+        base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            TA.shingles(TA.tokens(substring(col("text"), 1, 90))).as("sh")))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(
+        when(col("doc_id") >= 300000L, col("doc_id") - 300000L)
+          .otherwise(col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          Dedup.ngramF1(col("sh_a"), col("sh_b")).as("f1"),
+          round(Dedup.containment(col("sh_a"), col("sh_b")), 4).as("cont_ab"),
+          round(Dedup.containment(col("sh_b"), col("sh_a")), 4).as("cont_ba"))
+    }),
+
     // ES analysis-chain normalizer: asciifold + canonicalsort key.
     // (Fixture text is pure ASCII, so fold is identity here; accented
     // inputs are covered by the TextAnalysisSpec golden tests.)
@@ -1588,6 +1611,44 @@ object TextQueries {
              ELSE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
                   / len(list_distinct(a.s || b.s)) END, 4) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+
+    // n-gram F1: the adjacent + substring pairing, distinct-set counts,
+    // integer numerators, one double division per metric.
+    "q_ngram_f1" ->
+      """WITH sh0 AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM documents),
+         shh AS (
+           SELECT doc_id + 300000 AS doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(substr(text, 1, 90)), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(substr(text, 1, 90)), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(substr(text, 1, 90)), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(substr(text, 1, 90)), '[a-z0-9]+')[i+2])) AS s
+           FROM documents WHERE doc_id < 50),
+         sh AS (SELECT * FROM sh0 UNION ALL SELECT * FROM shh),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_distinct(list_intersect(a.s, b.s))) AS i,
+             len(list_distinct(a.s)) AS da, len(list_distinct(b.s)) AS db
+           FROM sh a JOIN sh b
+             ON a.doc_id = CASE WHEN b.doc_id >= 300000
+               THEN b.doc_id - 300000 ELSE b.doc_id - 1 END)
+         SELECT id_a, id_b,
+           round(CASE WHEN da + db = 0 THEN 0
+             ELSE CAST(2 * i AS DOUBLE) / (da + db) END, 4) AS f1,
+           round(CASE WHEN da = 0 THEN 0
+             ELSE CAST(i AS DOUBLE) / da END, 4) AS cont_ab,
+           round(CASE WHEN db = 0 THEN 0
+             ELSE CAST(i AS DOUBLE) / db END, 4) AS cont_ba
+         FROM p""",
 
     "q_asciifold" ->
       """SELECT doc_id, substr(strip_accents(text), 1, 30) AS folded30,

@@ -1341,4 +1341,65 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert((1L to 6L).forall(id => fps(id) === fps2(id)))
   }
+
+  test("ngramF1: harmonic balance of the containment directions, edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    def m(a: Seq[String], b: Seq[String]): (Double, Double, Double) = {
+      val r = Seq((a, b)).toDF("a", "b").select(
+        Dedup.ngramF1(col("a"), col("b")),
+        round(Dedup.containment(col("a"), col("b")), 4),
+        round(Dedup.containment(col("b"), col("a")), 4)).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    // identical sets: everything 1
+    assert(m(Seq("x", "y"), Seq("y", "x")) === ((1.0, 1.0, 1.0)))
+    // strict subset: F1 strictly between the two containments
+    val (f1, cab, cba) = m(Seq("x", "y"), Seq("x", "y", "z", "w"))
+    assert(cab === 1.0 && cba === 0.5)
+    assert(f1 > cba && f1 < cab && f1 === 0.6667)
+    // disjoint: 0; duplicates count once (set semantics)
+    assert(m(Seq("x"), Seq("y"))._1 === 0.0)
+    assert(m(Seq("x", "x", "y"), Seq("x"))._1 === 0.6667)
+    // both empty: defined 0
+    assert(m(Seq.empty, Seq.empty)._1 === 0.0)
+  }
+
+  test("winnow kernel matches the HOF reference on edges and fuzz rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis => TA}
+    val k = 5; val w = 4
+    // HOF reference, built exactly as winnowFingerprints' no-session form
+    def hof(toks: org.apache.spark.sql.Column) = {
+      val h = transform(TA.shingles(toks, k),
+        g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+      val nw = size(h) - (w - 1)
+      val sel = when(coalesce(size(h), lit(0)) === 0,
+          array().cast("array<bigint>"))
+        .when(nw <= 0, array(array_min(h)))
+        .otherwise(transform(sequence(lit(1), nw),
+          i => array_min(slice(h, i, lit(w)))))
+      array_sort(array_distinct(sel))
+    }
+    val docs = (Seq(
+      "",                                        // no tokens
+      "a b c d",                                 // < k tokens
+      "a b c d e",                               // exactly one gram
+      "a b c d e f g",                           // 3 grams < w
+      "a b c d e f g h",                         // exactly w grams
+      (1 to 40).map(i => s"t${i % 7}").mkString(" "), // repeats -> dup mins
+      null.asInstanceOf[String]
+    ) ++ (1 to 50).map(i =>
+      (1 to 30).map(j => s"w${(i * 31 + j * 7) % 13}").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+      Dedup.winnowFingerprints(TA.tokens(col("text")), k, w).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exp = docs.select(col("id"), hof(TA.tokens(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    got.keys.foreach(id => assert(got(id) === exp(id), s"doc $id"))
+  }
 }
