@@ -91,6 +91,22 @@ object ScaleRehearsal {
       blown, "text", minCount = 40L * blowup).count()
     val tHeavy = (System.nanoTime() - t3) / 1e9
 
+    // round-9 second-half leg: the new aggregation-bearing operators at
+    // the same blowup — char-bigram entropy explodes ~one row per corpus
+    // CHARACTER before its (doc, gram) count exchange, and the winnowing
+    // overlap screen faces every fingerprint at blowup× its base df (the
+    // cap drops boilerplate families; the salted copies' genuine overlap
+    // must still surface, asserted non-empty)
+    val t4 = System.nanoTime()
+    val nEnt = graft.operators.TextAnalysis.charBigramEntropy(
+      blown, "text", "doc_id").count()
+    val tEnt = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    val nOverlap = graft.operators.Dedup.winnowOverlapPairs(
+      blown, "text", "doc_id").count()
+    val tOverlap = (System.nanoTime() - t5) / 1e9
+    require(nOverlap > 0, "winnow overlap found no pairs in a corpus of near-copies")
+
     val deltaJson = deltaLeg(spark, docs0, blowup, cfg)
     sampling = false
 
@@ -107,6 +123,8 @@ object ScaleRehearsal {
       s""""train_bins":${res.trainBins},""" +
       s""""spans_sec":${r1(tSpans)},"span_pairs":$nSpanPairs,""" +
       s""""heavy_sec":${r1(tHeavy)},"heavy_tokens":$nHeavy,""" +
+      s""""entropy_sec":${r1(tEnt)},"entropy_docs":$nEnt,""" +
+      s""""winnow_sec":${r1(tOverlap)},"winnow_pairs":$nOverlap,""" +
       s""""peak_cache_bytes":$peakCache,""" +
       s""""cc_converged":true$deltaJson}""")
     spark.stop()

@@ -262,7 +262,11 @@ class OperatorSpec extends SparkSpec {
       "graft_vector_avg", "graft_topk", "graft_lsh_bucket",
       "graft_bpe", "graft_bloom_agg", "graft_might_contain",
       "graft_map_sum", "graft_bigram_nll", "graft_shingles",
-      "graft_cms_atleast", "graft_strip_lines", "graft_bloom_any"))
+      "graft_cms_atleast", "graft_strip_lines", "graft_bloom_any",
+      "graft_winnow"))
+    assert(builders("graft_winnow")(Seq(
+      Literal.create(Seq("a b c d e"), ArrayType(StringType)),
+      Literal(4))).isInstanceOf[WinnowSelect])
     assert(builders("graft_map_sum")(Seq(
       Literal.create(Seq("a"), ArrayType(StringType)),
       Literal.create("\t0.0\na\t1.5"))).isInstanceOf[MapSumScore])
