@@ -44,7 +44,15 @@ object Curation {
       // into the same narrow predicate so batch and streaming ingest
       // cannot drift); entries are lowercased, empty strings dropped
       blocklist: Seq[String] = Nil,
-      maxBlockFrac: Double = 0.1)
+      maxBlockFrac: Double = 0.1,
+      // true = apply the C4 cleaning rules (TextAnalysis.c4Filters):
+      // the page gate joins the quality predicate (evaluated on the
+      // INCOMING text, so a brace on a to-be-dropped line still fails
+      // the page, matching the batch audit) and surviving documents'
+      // text is REWRITTEN to the retained lines before fingerprinting —
+      // gate first, rewrite second, in both batch curate and the
+      // streaming ingest
+      c4: Boolean = false)
 
   /** Eval-side leakage report: for each eval row, how many train docs
     * share at least one `shingleN`-gram with it and how many distinct
@@ -95,6 +103,7 @@ object Curation {
         TextAnalysis.stopwordRatio(toks) <= cfg.maxStopRatio),
       Option.when(cfg.maxDupShingleRatio < 1.0)(
         TextAnalysis.dupShingleRatio(toks) <= cfg.maxDupShingleRatio),
+      Option.when(cfg.c4)(TextAnalysis.c4PagePass(col(textCol))),
       Option.when(cfg.blocklist.exists(_.nonEmpty)) {
         // same literal-map kernel as Redaction.blocklistScreen: O(1)
         // probe per token, stays a narrow codegen conjunct. minTokens
@@ -319,7 +328,13 @@ object Curation {
         TextAnalysis.dedupLines(col(textCol), sep))
       case None => docs
     }
-    val quality = qualityFilter(cleanedText, textCol, langCol, cfg)
+    val quality0 = qualityFilter(cleanedText, textCol, langCol, cfg)
+    // C4 rewrite AFTER the gate (the page gate must see the raw page);
+    // fingerprints/shingles below then dedup the RETAINED content
+    val quality =
+      if (cfg.c4) quality0.withColumn(textCol,
+        TextAnalysis.c4CleanLines(col(textCol)))
+      else quality0
     // Job 2 LAUNCHES FIRST, on its own thread: the eval-side Bloom agg
     // reads only the eval set, so it is independent of the base
     // checkpoint and the two jobs overlap on the cluster instead of

@@ -313,23 +313,49 @@ object TextAnalysis {
     * patterns (compiled once per expression). Null text is treated as
     * empty (fails the sentence gate).
     */
+  /** The C4 line gate as a pure per-line predicate (see [[c4Filters]]). */
+  private def c4KeepLine(l: Column, minWordsPerLine: Int): Column =
+    trim(l).rlike("[.!?\"]$") &&
+      size(regexp_extract_all(trim(l), lit("\\S+"), lit(0))) >=
+        minWordsPerLine &&
+      !lower(l).contains("javascript") &&
+      !lower(l).contains("terms of use") &&
+      !lower(l).contains("privacy policy") &&
+      !lower(l).contains("cookie policy") &&
+      !lower(l).contains("uses cookies")
+
+  /** The C4 line filter as a `Column => Column` rewrite: the kept lines of
+    * the page, rejoined — the pure-expression form [[c4Filters]] and the
+    * `Curation.Config.c4` pipeline/streaming gate share, so the batch
+    * audit, the batch pipeline, and the ingest stream cannot drift. Null
+    * text cleans to "".
+    */
+  def c4CleanLines(c: Column, minWordsPerLine: Int = 5): Column =
+    array_join(filter(split(coalesce(c, lit("")), "\n"),
+      l => c4KeepLine(l, minWordsPerLine)), "\n")
+
+  /** The C4 page gate as a pure boolean Column over the ORIGINAL text
+    * (lorem-ipsum / curly-brace probes see the raw page — a brace on a
+    * line the line filter drops still fails the page, exactly as
+    * [[c4Filters]] reports it) with the sentence count taken over the
+    * retained lines.
+    */
+  def c4PagePass(c: Column, minWordsPerLine: Int = 5,
+      minSentences: Int = 3): Column = {
+    val t = coalesce(c, lit(""))
+    !lower(t).contains("lorem ipsum") && !t.contains("{") &&
+      size(regexp_extract_all(c4CleanLines(c, minWordsPerLine),
+        lit("[.!?]+"), lit(0))) >= minSentences
+  }
+
   def c4Filters(df: DataFrame, textCol: String, idCol: String,
       minWordsPerLine: Int = 5, minSentences: Int = 3): DataFrame = {
     require(minWordsPerLine >= 1 && minSentences >= 1,
       s"bad thresholds ($minWordsPerLine, $minSentences)")
     val t = coalesce(col(textCol), lit(""))
     val lines = split(t, "\n")
-    def keepLine(l: Column): Column = {
-      trim(l).rlike("[.!?\"]$") &&
-        size(regexp_extract_all(trim(l), lit("\\S+"), lit(0))) >=
-          minWordsPerLine &&
-        !lower(l).contains("javascript") &&
-        !lower(l).contains("terms of use") &&
-        !lower(l).contains("privacy policy") &&
-        !lower(l).contains("cookie policy") &&
-        !lower(l).contains("uses cookies")
-    }
-    val cleaned = array_join(filter(lines, l => keepLine(l)), "\n")
+    def keepLine(l: Column): Column = c4KeepLine(l, minWordsPerLine)
+    val cleaned = c4CleanLines(col(textCol), minWordsPerLine)
     df.select(col(idCol), t.as("__t"), lines.as("__lines"),
         cleaned.as("clean_text"))
       .select(col(idCol), col("clean_text"),

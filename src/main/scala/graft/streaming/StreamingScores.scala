@@ -180,8 +180,14 @@ object StreamingScores {
     // train-time and ingest-time gates cannot drift apart (register for
     // the blocklist conjunct's literal-map kernel)
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val gated = docs
+    val gated0 = docs
       .filter(graft.operators.Curation.qualityPredicate(textCol, langCol, cfg))
+    // same gate-then-rewrite order as batch curate: the C4 page gate (in
+    // the predicate above) saw the raw page; survivors keep only their
+    // retained lines, and the dedup fingerprint hashes the CLEANED text
+    val gated = (if (cfg.c4) gated0.withColumn(textCol,
+        graft.operators.TextAnalysis.c4CleanLines(col(textCol)))
+      else gated0)
       .withColumn("__fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
     val deduped = dedupedStream(gated, tsCol, Seq("__fp"), watermark)
       .drop("__fp")

@@ -326,6 +326,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest curation c4 gate: stream and batch agree (gate first, rewrite second)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, String, Long)]
+    val docs = mem.toDF().toDF("ts", "text", "lang", "source_id")
+    val dim = Seq((1L, "web")).toDF("source_id", "kind")
+    val keep1 = "this first sentence carries well over five words today."
+    val keep2 = "another keeper line with plenty of words arrives here."
+    val keep3 = "the third keeper sentence completes the page nicely now."
+    val jsLine = "please enable javascript to view all the comments."
+    val good = Seq(keep1, jsLine, keep2, keep3).mkString("\n")
+    val lorem = Seq(keep1, keep2, keep3,
+      "lorem ipsum dolor sit amet consectetur adipiscing elit.").mkString("\n")
+    val braced = Seq(keep1, keep2, keep3, "if (x) { y; }").mkString("\n")
+    val thin = Seq(keep1, keep2).mkString("\n")
+
+    val cfg = graft.operators.Curation.Config(
+      minTokens = 10, maxStopRatio = 1.0, c4 = true)
+    val query = StreamingScores.ingestCuration(
+      docs, dim, "ts", "text", "lang", "source_id", cfg,
+      watermark = "1 hour")
+      .select(col("text"))
+      .writeStream.format("memory").queryName("c4gated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), good, "en", 1L), (ts(2), lorem, "en", 1L),
+        (ts(3), braced, "en", 1L), (ts(4), thin, "en", 1L))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT text FROM c4gated")
+        .collect().map(_.getString(0)).toSet
+      // only the good page survives, with its javascript line removed
+      assert(got === Set(Seq(keep1, keep2, keep3).mkString("\n")))
+      // batch parity: qualityFilter keeps the same page, and the batch
+      // rewrite produces the same cleaned text
+      val batch = Seq((good, "en"), (lorem, "en"), (braced, "en"),
+        (thin, "en")).toDF("text", "lang")
+      val kept = graft.operators.Curation.qualityFilter(batch, "text", "lang", cfg)
+        .withColumn("text",
+          graft.operators.TextAnalysis.c4CleanLines(col("text")))
+        .collect().map(_.getString(0)).toSet
+      assert(kept === got)
+    } finally query.stop()
+  }
+
   test("windowed data card aggregates per (window, source) across batches") {
     val sq = spark
     import sq.implicits._
