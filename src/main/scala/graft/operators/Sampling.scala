@@ -190,6 +190,30 @@ object Sampling {
       df.filter(col(groupCol).isNotNull && draw < testFraction))
   }
 
+  /** Near-dup-leakage-safe split ([EXT]): every member of a near-dup
+    * CLUSTER lands on the same side — [[trainTestSplit]] hashes the doc
+    * id, so a document and its near-duplicate can straddle train/test
+    * and inflate eval ([[groupDisjointSplit]] fixes that only when
+    * near-dups stay within a known group column). `clusters` is the
+    * `(idCol, component)` frame from [[Dedup.nearDupClusters]] /
+    * [[ConnectedComponents.run]]; docs outside any cluster split by
+    * their own id (a singleton component). The draw hashes the
+    * component representative with the same portable md5 contract as
+    * [[groupDisjointSplit]], so the assignment is deterministic,
+    * engine-replayable, and stable under within-cluster churn.
+    * Plan: one equi-join against the (small) cluster frame + one narrow
+    * filter per side.
+    */
+  def clusterDisjointSplit(docs: DataFrame, idCol: String,
+      clusters: DataFrame, testFraction: Double): (DataFrame, DataFrame) = {
+    val comp = clusters.select(col(idCol), col("component").as("__comp"))
+    val withG = docs.join(comp, Seq(idCol), "left")
+      .withColumn("__grp",
+        coalesce(col("__comp"), col(idCol)).cast("string"))
+    val (train, test) = groupDisjointSplit(withG, "__grp", testFraction)
+    (train.drop("__comp", "__grp"), test.drop("__comp", "__grp"))
+  }
+
   /** Per-key quota: keep at most `maxPerKey` rows per key (the crawl-
     * curation cap that stops one host/domain from dominating the mix).
     * Selection is by md5(id) order — a deterministic pseudo-random draw,

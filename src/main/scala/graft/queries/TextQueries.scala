@@ -653,35 +653,25 @@ object TextQueries {
     // closure (recursive CTE), so the whole pair-graph → CC → cluster
     // path hash-checks cross-engine. The xxhash64 fast path keeps its
     // coverage through q_minhash_lsh and the curation pipeline.
-    "q_neardup_clusters" -> ((s, dir) => {
+    "q_neardup_clusters" -> ((s, dir) => neardupClustersMd5(s, dir)),
+
+    // Cluster-disjoint split, ORACLED end to end: the full md5 LSH ->
+    // verify -> component chain above feeds
+    // Sampling.clusterDisjointSplit, so whole near-dup clusters land on
+    // one side of the 0.3 draw (the leakage-safe eval split); DuckDB
+    // replays the cluster closure AND the component-keyed md5 draw.
+    "q_cluster_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"))
-      val shingled = graft.operators.Similarity.spreadIfNarrow(docs)
-        .select(col("doc_id"),
-          TA.shingles(TA.tokens(col("text"))).as("sh"))
-        .withColumn("sig", Dedup.minhashSignatureMd5(col("sh"), 8))
-        .withColumn("band_keys",
-          when(coalesce(size(col("sh")), lit(0)) === 0,
-            lit(null).cast("array<string>"))
-            .otherwise(Dedup.lshBandKeysMd5(col("sig"), 4, 2)))
-        // checkpoint BEFORE the candidate join: projection collapse would
-        // otherwise inline the interpreted md5 fold per candidate row
-        .localCheckpoint()
-      val pairs = Dedup.lshCandidatePairs(
-        shingled.select(col("doc_id"), col("band_keys")), "doc_id")
-      val verified = pairs
-        .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-          "id_a")
-        .join(shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-          "id_b")
-        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
-        .select(col("id_a"), col("id_b"))
-      val comp = graft.operators.ConnectedComponents
-        .run(verified, "id_a", "id_b")
-      docs.select(col("doc_id"))
-        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
+      // the cluster frame feeds the side-label join AND the split's own
+      // group join; checkpoint so the LSH+CC chain runs once
+      val clusters = neardupClustersMd5(s, dir).localCheckpoint()
+      val (tr, te) = graft.operators.Sampling.clusterDisjointSplit(
+        docs, "doc_id", clusters, 0.3)
+      val sides = tr.select(col("doc_id"), lit("train").as("side"))
+        .unionAll(te.select(col("doc_id"), lit("test").as("side")))
+      clusters.join(sides, Seq("doc_id"))
+        .select(col("doc_id"), col("component"), col("side"))
     }),
 
     // Learned-BPE tokenization (VERDICT r3 item 5): fit a 200-merge table
@@ -1181,6 +1171,43 @@ object TextQueries {
         t(s, dir, "documents"), "text", "doc_id",
         col("lang") === "en", vocabSize = 32, iters = 2, lr = 0.5))
 
+  /** The oracled md5 near-dup cluster chain (signatures k=8, 4 baked
+    * bands, capped candidates, 0.8 set-Jaccard verify, component
+    * closure), shared by q_neardup_clusters and q_cluster_split.
+    * Returns one (doc_id, component) row per non-null-text doc,
+    * singletons coalesced to their own id.
+    */
+  private def neardupClustersMd5(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val shingled = graft.operators.Similarity.spreadIfNarrow(docs)
+      .select(col("doc_id"),
+        TA.shingles(TA.tokens(col("text"))).as("sh"))
+      .withColumn("sig", Dedup.minhashSignatureMd5(col("sh"), 8))
+      .withColumn("band_keys",
+        when(coalesce(size(col("sh")), lit(0)) === 0,
+          lit(null).cast("array<string>"))
+          .otherwise(Dedup.lshBandKeysMd5(col("sig"), 4, 2)))
+      // checkpoint BEFORE the candidate join: projection collapse would
+      // otherwise inline the interpreted md5 fold per candidate row
+      .localCheckpoint()
+    val pairs = Dedup.lshCandidatePairs(
+      shingled.select(col("doc_id"), col("band_keys")), "doc_id")
+    val verified = pairs
+      .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.ConnectedComponents
+      .run(verified, "id_a", "id_b")
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
   /** Shared fixture for the span queries: the corpus plus character
     * substrings of the first 50 docs (partial-overlap partners).
     */
@@ -1591,6 +1618,61 @@ object TextQueries {
                ORDER BY bm25 DESC, doc_id) AS rank
            FROM scored)
          WHERE rank <= 10"""
+
+  /** The near-dup cluster replay (signatures, baked bands, cap,
+    * set-Jaccard verify, recursive component closure), shared
+    * verbatim by q_neardup_clusters and (as a CTE) q_cluster_split.
+    */
+  private val neardupClustersOracle: String =
+    """WITH RECURSIVE d AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         shg AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ',
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
+           FROM d),
+         sg AS (
+           SELECT doc_id, s,
+             list_transform(range(8), i -> list_min(list_transform(s, x -> md5(i || ' ' || x)))) AS sig,
+             len(s) AS ns
+           FROM shg),
+         bk AS (
+           SELECT doc_id,
+             unnest(list_transform(range(4), bb -> md5(bb || '|' || concat_ws(',', list_slice(sig, bb * 2 + 1, bb * 2 + 2))))) AS key
+           FROM sg WHERE ns > 0),
+         okk AS (
+           SELECT key FROM bk GROUP BY key
+           HAVING count(*) BETWEEN 2 AND 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM (SELECT doc_id, key FROM bk JOIN okk USING (key)) a
+           JOIN (SELECT doc_id, key FROM bk JOIN okk USING (key)) b
+             USING (key)
+           WHERE a.doc_id < b.doc_id),
+         ver AS (
+           SELECT id_a, id_b
+           FROM cand
+           JOIN (SELECT doc_id AS id_a, s AS sa FROM sg) USING (id_a)
+           JOIN (SELECT doc_id AS id_b, s AS sb FROM sg) USING (id_b)
+           WHERE CASE WHEN len(list_distinct(sa || sb)) = 0
+               THEN CAST(0 AS DOUBLE)
+             ELSE CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE)
+               / CAST(len(list_distinct(sa || sb)) AS DOUBLE) END
+             >= CAST(0.8 AS DOUBLE)),
+         sym AS (
+           SELECT id_a AS src, id_b AS dst FROM ver
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM ver),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM d
+           UNION
+           SELECT s2.dst AS id, reach.r
+           FROM reach JOIN sym s2 ON s2.src = reach.id)
+         SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id"""
 
   private val staticOracles: Map[String, String] = Map(
     "q_lr_quality" -> lrQualityOracle,
@@ -2346,56 +2428,20 @@ object TextQueries {
     // verify at 0.8 (list_distinct matches Spark's set-semantics
     // array_intersect/union), then the same recursive component closure
     // as q_dedup_clusters over the VERIFIED pair graph.
-    "q_neardup_clusters" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         shg AS (
-           SELECT doc_id,
-             list_transform(
-               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
-               i -> concat_ws(' ',
-                 regexp_extract_all(lower(text), '[a-z0-9]+')[i],
-                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
-                 regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS s
-           FROM d),
-         sg AS (
-           SELECT doc_id, s,
-             list_transform(range(8), i -> list_min(list_transform(s, x -> md5(i || ' ' || x)))) AS sig,
-             len(s) AS ns
-           FROM shg),
-         bk AS (
-           SELECT doc_id,
-             unnest(list_transform(range(4), bb -> md5(bb || '|' || concat_ws(',', list_slice(sig, bb * 2 + 1, bb * 2 + 2))))) AS key
-           FROM sg WHERE ns > 0),
-         okk AS (
-           SELECT key FROM bk GROUP BY key
-           HAVING count(*) BETWEEN 2 AND 1000),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM (SELECT doc_id, key FROM bk JOIN okk USING (key)) a
-           JOIN (SELECT doc_id, key FROM bk JOIN okk USING (key)) b
-             USING (key)
-           WHERE a.doc_id < b.doc_id),
-         ver AS (
-           SELECT id_a, id_b
-           FROM cand
-           JOIN (SELECT doc_id AS id_a, s AS sa FROM sg) USING (id_a)
-           JOIN (SELECT doc_id AS id_b, s AS sb FROM sg) USING (id_b)
-           WHERE CASE WHEN len(list_distinct(sa || sb)) = 0
-               THEN CAST(0 AS DOUBLE)
-             ELSE CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE)
-               / CAST(len(list_distinct(sa || sb)) AS DOUBLE) END
-             >= CAST(0.8 AS DOUBLE)),
-         sym AS (
-           SELECT id_a AS src, id_b AS dst FROM ver
-           UNION
-           SELECT id_b AS src, id_a AS dst FROM ver),
-         reach(id, r) AS (
-           SELECT doc_id, doc_id FROM d
-           UNION
-           SELECT s2.dst AS id, reach.r
-           FROM reach JOIN sym s2 ON s2.src = reach.id)
-         SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""",
+    "q_neardup_clusters" -> neardupClustersOracle,
+
+    // Cluster-disjoint split: the cluster replay as a CTE + the
+    // component-keyed md5 split draw (same wire contract as
+    // q_group_split).
+    "q_cluster_split" ->
+      (s"WITH cl AS ($neardupClustersOracle) " +
+        """SELECT doc_id, component,
+           CASE WHEN
+             CAST(('0x' || substr(md5('split ' ||
+               CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 < CAST(0.3 AS DOUBLE)
+           THEN 'test' ELSE 'train' END AS side
+         FROM cl"""),
 
     // BPE lossless invariant: joined BPE tokens == joined word pieces of
     // the same pre-tokenization regex, computed here straight from the raw

@@ -1406,4 +1406,34 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     got.keys.foreach(id => assert(got(id) === exp(id), s"doc $id"))
   }
+
+  test("clusterDisjointSplit: whole clusters share a side, singletons split by id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters: {1..5} -> 1, {10..12} -> 10; everything else singleton
+    val clusters = ((1L to 5L).map(i => (i, 1L)) ++
+      (10L to 12L).map(i => (i, 10L))).toDF("doc_id", "component")
+    val (tr, te) = Sampling.clusterDisjointSplit(docs, "doc_id", clusters, 0.3)
+    val side = tr.select(col("doc_id")).collect().map(_.getLong(0) -> "tr")
+      .toMap ++ te.select(col("doc_id")).collect().map(_.getLong(0) -> "te")
+    // complete and disjoint
+    assert(side.size === 200)
+    // every cluster member shares its cluster's side
+    assert((1L to 5L).map(side).toSet.size === 1)
+    assert((10L to 12L).map(side).toSet.size === 1)
+    // both sides populated at 0.3 over 194 groups
+    assert(side.values.toSet === Set("tr", "te"))
+    // singleton assignment matches groupDisjointSplit on the id itself
+    val lone = docs.filter(col("doc_id") > 12L)
+      .withColumn("__g", col("doc_id").cast("string"))
+    val (ltr, _) = Sampling.groupDisjointSplit(lone, "__g", 0.3)
+    val loneTrain = ltr.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert((13L to 200L).forall(i => (side(i) == "tr") === loneTrain(i)))
+    // deterministic: a second run reproduces the assignment exactly
+    val (tr2, _) = Sampling.clusterDisjointSplit(docs, "doc_id", clusters, 0.3)
+    assert(tr2.select(col("doc_id")).collect().map(_.getLong(0)).toSet ===
+      tr.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+  }
 }
