@@ -1100,6 +1100,33 @@ object TextQueries {
     "q_winnow_overlap" -> ((s, dir) =>
       Dedup.winnowOverlapPairs(spanFixture(s, dir), "text", "doc_id")),
 
+    // Cross-source overlap matrix, ORACLED: distinct winnowing
+    // fingerprints per source, pairwise shared counts + set Jaccard —
+    // the corpus-audit view of winnowing (which sources syndicate each
+    // other's content). Join volume is bounded by sources-per-
+    // fingerprint, never doc pairs.
+    "q_source_overlap" -> ((s, dir) => {
+      val fps = graft.operators.Similarity.spreadIfNarrow(
+        t(s, dir, "documents"))
+        .select(col("source"), explode(Dedup.winnowFingerprints(toks))
+          .as("fp"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = fps.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      fps.select(col("source").as("source_a"), col("fp"))
+        .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(totals.select(col("source").as("source_a"),
+          col("__n").as("__na")), "source_a")
+        .join(totals.select(col("source").as("source_b"),
+          col("__n").as("__nb")), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("__na") + col("__nb") - col("n_shared")), 6).as("jacc6"))
+    }),
+
     // Link extraction + host rollup, ORACLED: pages are synthesized with
     // mixed-case HREFs, per-doc varying targets, and a single-quoted
     // trap that must NOT extract; hosts come from the shared regex (no
@@ -2855,6 +2882,47 @@ object TextQueries {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM fo a JOIN fo b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+
+    // Source overlap: the winnow chain (corpus side, no span fixture),
+    // distinct (source, fp), pairwise shared + Jaccard.
+    "q_source_overlap" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+               AS g
+           FROM tok),
+         h AS (
+           SELECT doc_id,
+             list_transform(g,
+               x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+           FROM sh),
+         win AS (
+           SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) <= 3 THEN [list_min(hs)]
+                  ELSE list_transform(generate_series(1, len(hs) - 3),
+                    i -> list_min(hs[i:i+3])) END AS sel
+           FROM h),
+         sf AS (
+           SELECT DISTINCT d.source AS source, x.fp FROM (
+             SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM win) x
+           JOIN documents d USING (doc_id)),
+         tot AS (SELECT source, count(*) AS n FROM sf GROUP BY source),
+         p AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+           FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared), 6)
+             AS jacc6
+         FROM p
+         JOIN tot ta ON ta.source = p.source_a
+         JOIN tot tb ON tb.source = p.source_b""",
 
     // Link extraction: same (?i) double-quote href regex and host regex.
     "q_link_hosts" ->
