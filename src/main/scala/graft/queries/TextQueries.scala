@@ -1152,6 +1152,43 @@ object TextQueries {
           min(col("url")).as("sample_url"))
     }),
 
+    // Equi-depth binning (histogram equalization): ntile over the total
+    // (n_chars, doc_id) order — the bin layout a curriculum/mixture
+    // planner wants when the value distribution is skewed (q_value_
+    // histogram is the equi-WIDTH complement). ORACLED: ntile is SQL
+    // standard, identical in both engines under a total order.
+    // Scale note: the unpartitioned window is a GLOBAL sort — exact and
+    // right for the report/audit scale this query represents, NOT for
+    // bucketing a 100 TB column; the scale path for that is the
+    // q_ppl_buckets pattern (exact order statistics of a bounded
+    // md5-ordered sample inlined as literal thresholds — zero global
+    // sort, same cross-engine determinism).
+    "q_equidepth_bins" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("bin", ntile(10).over(w).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    }),
+
+    // Per-language top terms (the per-group vocabulary view; group-local
+    // stoplist mining). The rank filter compiles to WindowGroupLimit, so
+    // skewed languages pre-prune map-side. ORACLED with the same
+    // (count desc, token asc) tie-break.
+    "q_lang_top_terms" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("tok"))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(toks).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    }),
+
     // Reciprocal Rank Fusion, ORACLED: hybrid retrieval — the oracled
     // BM25 lexical top-10 fused with the oracled exact-KNN top-10 over
     // the shared id space (query_id 1..3 ↔ probe vec_id 1..3); DuckDB
@@ -2812,6 +2849,28 @@ object TextQueries {
                n_arabic) THEN 'greek'
              ELSE 'arabic' END AS dominant
          FROM m""",
+
+    "q_equidepth_bins" ->
+      """SELECT bin, count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+         FROM (
+           SELECT doc_id, n_chars,
+             CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS bin
+           FROM documents)
+         GROUP BY bin""",
+
+    "q_lang_top_terms" ->
+      """SELECT lang, tok, cnt, rk FROM (
+           SELECT lang, tok, cnt,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY cnt DESC, tok) AS rk
+           FROM (
+             SELECT lang, tok, count(*) AS cnt FROM (
+               SELECT lang,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+               FROM documents)
+             GROUP BY lang, tok))
+         WHERE rk <= 5""",
 
     // Winnowing: replay gram md5-prefix hashes, the min-per-window
     // selection (whole-stream window under w hashes), sorted-distinct,
