@@ -475,6 +475,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") === 1, p)
   }
 
+  test("q_lang_top_terms: rank filter compiles to WindowGroupLimit over the aggregated frame") {
+    val p = plan("q_lang_top_terms")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(countOf(p, "WindowGroupLimit") >= 2, p) // Partial + Final
+    // the window runs over (lang, tok) COUNTS, never the token stream:
+    // two hash exchanges total (the count agg + the per-lang window)
+    assert(countOf(p, "Exchange hashpartitioning") === 2, p)
+  }
+
   test("q_dsir_weights: scoring is shuffle-free after the two fits") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
