@@ -102,8 +102,13 @@ object ScaleRehearsal {
       blown, "text", "doc_id").count()
     val tEnt = (System.nanoTime() - t4) / 1e9
     val t5 = System.nanoTime()
+    // maxDf scales with the blowup (like heavyTokens' minCount and
+    // sharedSpans' maxDf): each copy family's genuine shared fingerprints
+    // sit at df >= blowup, and the default cap of 20 would drop ALL of
+    // them past blowup 20 — leaving only incidental pairs and tripping
+    // the non-empty assert below
     val nOverlap = graft.operators.Dedup.winnowOverlapPairs(
-      blown, "text", "doc_id").count()
+      blown, "text", "doc_id", maxDf = math.max(20, 2 * blowup)).count()
     val tOverlap = (System.nanoTime() - t5) / 1e9
     require(nOverlap > 0, "winnow overlap found no pairs in a corpus of near-copies")
 

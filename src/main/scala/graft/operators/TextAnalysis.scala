@@ -354,14 +354,19 @@ object TextAnalysis {
       s"bad thresholds ($minWordsPerLine, $minSentences)")
     val t = coalesce(col(textCol), lit(""))
     val lines = split(t, "\n")
-    def keepLine(l: Column): Column = c4KeepLine(l, minWordsPerLine)
-    val cleaned = c4CleanLines(col(textCol), minWordsPerLine)
-    df.select(col(idCol), t.as("__t"), lines.as("__lines"),
-        cleaned.as("clean_text"))
-      .select(col(idCol), col("clean_text"),
-        size(col("__lines")).cast("long").as("n_lines"),
-        size(filter(col("__lines"), l => keepLine(l))).cast("long")
-          .as("n_lines_kept"),
+    // the line gate runs ONCE: `__kept` materializes the filtered array,
+    // and clean_text/n_lines_kept both derive from it (array_join over
+    // the same filtered array is exactly what c4CleanLines produces, so
+    // the pure-Column form and this audit stay byte-identical at half
+    // the regex cost)
+    df.select(col(idCol), t.as("__t"),
+        size(lines).cast("long").as("n_lines"),
+        filter(lines, l => c4KeepLine(l, minWordsPerLine)).as("__kept"))
+      .select(col(idCol), col("__t"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_lines"),
+        col("n_lines_kept"),
         size(regexp_extract_all(col("clean_text"), lit("[.!?]+"), lit(0)))
           .cast("long").as("n_sentences"),
         lower(col("__t")).contains("lorem ipsum").cast("long")
