@@ -138,7 +138,6 @@ object Dedup {
     require(!batch.columns.exists(c => c == "__sig" || c == "__bk"),
       "input must not already contain __sig/__bk columns")
     val spark = batch.sparkSession
-    val r = k / bands
     require(!batch.columns.contains("__sh"),
       "input must not already contain a __sh column")
     // Materialize the signatures BEFORE anything joins over them: the
@@ -150,15 +149,8 @@ object Dedup {
     // survivor checkpoint below (the incrementalExact rule: appending
     // invalidates dependent caches and a lazy result would recompute
     // against the UPDATED index, dropping everything).
-    val withSig = Similarity.spreadIfNarrow(batch)
-      .withColumn("__sh",
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
-      .withColumn("__sig", minhashSignatureMd5(col("__sh"), k))
-      .withColumn("__bk",
-        when(coalesce(size(col("__sh")), lit(0)) === 0,
-          lit(null).cast("array<string>"))
-          .otherwise(lshBandKeysMd5(col("__sig"), bands, r)))
-      .drop("__sh")
+    val withSig = withMd5Sketch(
+        Similarity.spreadIfNarrow(batch), textCol, k, bands)
       .localCheckpoint()
     val batchBands = withSig.select(col(idCol).as("__bid"),
       col("__sig").as("__bsig"), explode(col("__bk")).as("key"))
@@ -206,6 +198,28 @@ object Dedup {
       .bucketBy(buckets, "key").sortBy("key")
       .saveAsTable(indexTable)
     out.drop("__sig", "__bk")
+  }
+
+  /** The md5 sketch block every index writer AND reader shares —
+    * `__sig` (k md5-permutation MinHash components) and `__bk` (banded
+    * keys, NULL for shingle-less docs so they are never candidates and
+    * never indexed) computed from `textCol` in one narrow pass. ONE
+    * definition on purpose (round-9 review finding: DeltaCurate.run,
+    * DeltaCurate.compact, and incrementalNearDupMd5 each restated this
+    * block, so a future tweak to the null-band guard applied to one site
+    * would silently desynchronize the index writers from its readers).
+    */
+  private[graft] def withMd5Sketch(df: DataFrame, textCol: String,
+      k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    df.withColumn("__sh",
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
+      .withColumn("__sig", minhashSignatureMd5(col("__sh"), k))
+      .withColumn("__bk",
+        when(coalesce(size(col("__sh")), lit(0)) === 0,
+          lit(null).cast("array<string>"))
+          .otherwise(lshBandKeysMd5(col("__sig"), bands, k / bands)))
+      .drop("__sh")
   }
 
   /** md5-permutation MinHash signature (array<string>): component `i` is

@@ -102,7 +102,6 @@ object DeltaCurate {
     require(!newSnap.columns.exists(reserved.contains),
       s"input must not already contain ${reserved.mkString("/")} columns")
     val spark = newSnap.sparkSession
-    val r = k / bands
     // Spread decision BEFORE any observe node exists: an `.rdd` partition
     // probe over a plan containing a CollectMetrics node latches that
     // node's Observation at zero (the probe's execution-end event carries
@@ -126,12 +125,28 @@ object DeltaCurate {
         count(when(col("status") === "changed", 1)).as("changed"),
         count(when(col("status") === "removed", 1)).as("removed"))
     // the delta: documents the previous snapshot did not have in this form
-    val delta = newSnap.join(
+    val delta0 = newSnap.join(
       statuses.filter(col("status").isin("added", "changed"))
         .select(col(idCol)),
       Seq(idCol), "left_semi")
-    val gated = Curation.qualityFilter(delta, textCol, langCol, cfg)
+    // the SAME text-rewrite order as batch curate and streaming ingest
+    // (round-9 review finding: run previously ignored cfg.dedupLinesSep
+    // and cfg.c4, so the same Config produced divergent fingerprints —
+    // and therefore divergent dedup decisions — across the three
+    // surfaces): intra-doc line dedup BEFORE the gate, the C4 page gate
+    // inside qualityFilter against the raw page, survivors rewritten to
+    // their retained lines BEFORE fingerprinting.
+    val delta = cfg.dedupLinesSep match {
+      case Some(sep) => delta0.withColumn(textCol,
+        TextAnalysis.dedupLines(col(textCol), sep))
+      case None => delta0
+    }
+    val gated0 = Curation.qualityFilter(delta, textCol, langCol, cfg)
       .observe(gatedObs, count(lit(1)).as("n"))
+    val gated =
+      if (cfg.c4) gated0.withColumn(textCol,
+        TextAnalysis.c4CleanLines(col(textCol)))
+      else gated0
     // Job 1: ONE pass computes the exact fingerprint AND the MinHash
     // signature/band keys over the gated delta, checkpointed so (a) the
     // interpreted minhash HOF tree is never inlined into a join filter
@@ -154,16 +169,10 @@ object DeltaCurate {
       (prevExcluded.toSeq :+ emptyRelRule).mkString(","))
     val base =
       try {
-        (if (spreadNeeded) gated.repartition(par) else gated)
-          .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-          .withColumn("__sh",
-            TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
-          .withColumn("__sig", Dedup.minhashSignatureMd5(col("__sh"), k))
-          .withColumn("__bk",
-            when(coalesce(size(col("__sh")), lit(0)) === 0,
-              lit(null).cast("array<string>"))
-              .otherwise(Dedup.lshBandKeysMd5(col("__sig"), bands, r)))
-          .drop("__sh")
+        Dedup.withMd5Sketch(
+            (if (spreadNeeded) gated.repartition(par) else gated)
+              .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+            textCol, k, bands)
           .localCheckpoint()
       } finally {
         prevExcluded match {
@@ -316,20 +325,14 @@ object DeltaCurate {
       bands: Int = 4): (Long, Long) = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val spark = corpus.sparkSession
-    val r = k / bands
+
     val par = spark.sparkContext.defaultParallelism
     val spread =
       if (corpus.rdd.getNumPartitions < par) corpus.repartition(par)
       else corpus
-    val live = spread
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("__sh",
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
-      .withColumn("__sig", Dedup.minhashSignatureMd5(col("__sh"), k))
-      .withColumn("__bk",
-        when(coalesce(size(col("__sh")), lit(0)) === 0,
-          lit(null).cast("array<string>"))
-          .otherwise(Dedup.lshBandKeysMd5(col("__sig"), bands, r)))
+    val live = Dedup.withMd5Sketch(
+        spread.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        textCol, k, bands)
       .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
       .localCheckpoint()
     val fpRows = rewriteBucketed(spark, fpIndexTable, buckets, "fp") { old =>
@@ -361,6 +364,17 @@ object DeltaCurate {
       bucketCol: String)(keep: DataFrame => DataFrame): Long = {
     val tmp = table + "__compact"
     val aside = table + "__old"
+    // Crash recovery BEFORE any cleanup (round-9 review finding: dropping
+    // tmp/aside first would destroy BOTH recoverable copies if a previous
+    // swap died between its two renames — the live name missing and the
+    // only index copies sitting under __old/__compact). Roll BACK to the
+    // aside copy (always safe: tmp may be half-written if the crash was
+    // mid-save, so rolling forward is not) and redo the rewrite.
+    if (!spark.catalog.tableExists(table)) {
+      require(spark.catalog.tableExists(aside),
+        s"$table does not exist and no $aside copy to recover from")
+      spark.sql(s"ALTER TABLE $aside RENAME TO $table")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.sql(s"DROP TABLE IF EXISTS $aside")
     // The rewrite is a ZERO-shuffle pass when the old table's bucketed

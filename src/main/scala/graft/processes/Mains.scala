@@ -31,9 +31,17 @@ object Mains {
     // pre-existing (getOrCreate skips stopped sessions and builds a fresh
     // one, which would then leak); an active thread-local session counts
     // the same as a default one
+    // mirror getOrCreate's OWN fallback: a stopped thread-local session
+    // must not shadow a live default session (round-9 review finding —
+    // the orElse-then-exists shape inspected only the first candidate,
+    // so getOrCreate would return the live default session while
+    // preExisting read false, and the finally below stopped the
+    // caller's shared session)
     val preExisting = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession)
-      .exists(s => !s.sparkContext.isStopped)
+      .filter(s => !s.sparkContext.isStopped)
+      .orElse(SparkSession.getDefaultSession
+        .filter(s => !s.sparkContext.isStopped))
+      .isDefined
     val spark = SparkSession.builder().appName(appName).getOrCreate()
     try body(spark)
     finally if (!preExisting) spark.stop()
@@ -243,7 +251,7 @@ object MonthlyBatchMain {
   * against the persisted dedup indexes — the monthly-churn-sized job.
   * Writes the surviving delta as parquet under outPath.
   *
-  * `--compact corpusParquet` additionally runs [[DeltaCurate.compact]]
+  * `--compact=corpusParquet` additionally runs [[DeltaCurate.compact]]
   * against the given curated corpus AFTER the increment — the maintenance
   * pass [[DeltaCurate.run]]'s scaladoc defers, reachable from the same
   * chained invocation (a typical deployment passes it every Nth month).
@@ -255,6 +263,12 @@ object MonthlyBatchMain {
 object DeltaCurateMain {
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--compact="))
+    // fail fast on any other flag-looking arg: a space-separated
+    // "--compact corpus" would otherwise be consumed as positional args
+    // and silently target bogus index-table names
+    require(!positional.exists(_.startsWith("--")),
+      s"unrecognized flag(s): ${positional.filter(_.startsWith("--"))
+        .mkString(", ")} — the only flag is --compact=corpusParquet")
     Mains.need(positional, 3,
       "prevSnapshotParquet newSnapshotParquet outPath " +
         "[fpIndexTable sigIndexTable] [--compact=corpusParquet]")

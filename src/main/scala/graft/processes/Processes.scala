@@ -26,7 +26,11 @@ object Processes {
   def parquetDump(records: DataFrame, outPath: String): Long = {
     val flattened = flattenRecord(records)
     flattened.write.mode(SaveMode.Overwrite).parquet(outPath)
-    flattened.count()
+    // count the WRITTEN parquet, not the lineage: re-executing the
+    // flatten would scan the full master dataset a second time purely
+    // for the manifest count, while the footer-count over the written
+    // files is metadata-cheap (the TrainingPipeline.run convention)
+    records.sparkSession.read.parquet(outPath).count()
   }
 
   /** The ParquetDump.modifyColumns rewrite (ParquetDump.scala:10-52) built

@@ -173,8 +173,11 @@ object StreamingScores {
       textCol: String,
       langCol: String,
       joinKey: String,
-      cfg: graft.operators.Curation.Config = graft.operators.Curation.Config(
-        maxStopRatio = 1.0),
+      // the DEFAULT config is the batch default (round-9 review finding:
+      // a maxStopRatio=1.0 default here silently disabled the stopword
+      // gate that batch curate enforces, so the two surfaces' default
+      // gates disagreed despite sharing the predicate builder)
+      cfg: graft.operators.Curation.Config = graft.operators.Curation.Config(),
       watermark: String = "2 hours"): DataFrame = {
     // the SAME predicate builder as batch Curation.qualityFilter — the
     // train-time and ingest-time gates cannot drift apart (register for
@@ -277,6 +280,11 @@ object StreamingScores {
       s"prefixBits must be in [1,63], got $prefixBits")
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0,64), got $maxHamming")
+    // reserved-column guard (the Dedup/ShardWriter/DeltaCurate
+    // convention, round-9 review finding: withColumn would silently
+    // REPLACE a caller's __simhash and the select would shadow the rest)
+    require(!docs.columns.contains("__simhash"),
+      "input must not already contain a __simhash column")
     val horizonMs = durationMs(watermark)
     implicit val inEnc = Encoders.product[SketchedDoc]
     implicit val outEnc = Encoders.product[KeptDoc]
@@ -389,6 +397,8 @@ object StreamingScores {
     // tolerance → use more bands)
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0,bands=$bands), got $maxHamming")
+    require(!docs.columns.exists(c => c == "__simhash" || c == "__b"),
+      "input must not already contain __simhash/__b columns")
     val width = 64 / bands
     val mask = (1L << width) - 1
     val horizonMs = durationMs(watermark)

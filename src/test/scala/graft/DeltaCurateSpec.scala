@@ -293,4 +293,38 @@ class DeltaCurateSpec extends SparkSpec {
     assert(r1.survivors.count() === 0L)
     cleanTables()
   }
+
+  test("compact recovers from a crash between the swap renames (no index loss)") {
+    cleanTables()
+    val m0 = (1 to 6).map(i => (i.toLong, doc(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    val corpus = m0
+    val (fp0, sig0) = DeltaCurate.compact(corpus, "doc_id", "text",
+      "dc_fp", "dc_sig", buckets = 4)
+    // simulate the worst crash window of a LATER compact: the live name
+    // is gone, the only copies sit under __old (complete) and __compact
+    // (possibly half-written — here stale garbage). Pre-fix, rerunning
+    // compact dropped BOTH and then failed on the missing live table.
+    spark.sql("ALTER TABLE dc_fp RENAME TO dc_fp__old")
+    Seq((999L, "junk")).toDF("fp", "x").write
+      .bucketBy(4, "fp").saveAsTable("dc_fp__compact")
+    val (fp1, sig1) = DeltaCurate.compact(corpus, "doc_id", "text",
+      "dc_fp", "dc_sig", buckets = 4)
+    // the recovered rewrite reproduces the exact pre-crash result
+    assert(fp1 === fp0 && sig1 === sig0)
+    assert(spark.table("dc_fp").count() === fp0)
+    assert(!spark.catalog.tableExists("dc_fp__old"))
+    assert(!spark.catalog.tableExists("dc_fp__compact"))
+    // and with NEITHER copy present the failure is actionable, not a drop
+    spark.sql("DROP TABLE dc_fp")
+    val e = intercept[IllegalArgumentException] {
+      DeltaCurate.compact(corpus, "doc_id", "text", "dc_fp", "dc_sig",
+        buckets = 4)
+    }
+    assert(e.getMessage.contains("recover"))
+    dropTable("dc_fp__old"); dropTable("dc_fp__compact")
+    cleanTables()
+  }
 }
