@@ -63,6 +63,17 @@ object ConnectedComponents {
       dstCol: String,
       maxIter: Int = 30,
       driverMaxEdges: Long = 1000000L): DataFrame = {
+    // fail fast on non-integral id columns (round-9 review finding: a
+    // string/UUID id silently cast to NULL, every edge was filtered, and
+    // the transitive dedup paths became a no-op while pair-greedy worked)
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"connected components needs integral id columns; '$c' is " +
+          s"${dt.simpleString} — map string ids to longs (dictionary or " +
+          "hash) before clustering")
+    }
     var e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))

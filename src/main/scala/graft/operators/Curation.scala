@@ -68,11 +68,24 @@ object Curation {
       textCol: String,
       idCol: String,
       evalIdCol: String,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      maxEvalShingles: Long = 50000000L): DataFrame = {
     Similarity.requireBroadcastable(evalSet, 1000000L,
       "contamination-report eval set", "chunked report calls")
     def sh(c: Column) =
       TextAnalysis.shingles(TextAnalysis.tokens(c), shingleN)
+    // what is BROADCAST is the exploded shingle set, not eval rows — the
+    // row gate above alone cannot prevent the driver OOM it exists for
+    // (round-9 review finding: 1M small docs pass it yet explode to
+    // ~500M shingle rows). One tiny eval-side agg bounds the real thing;
+    // ~50M rows ≈ 1.5 GB broadcast, the same bar as curate's guard.
+    val nShingles = evalSet
+      .agg(coalesce(sum(size(array_distinct(sh(col(textCol))))), lit(0L)))
+      .head().getLong(0)
+    require(nShingles <= maxEvalShingles,
+      s"contamination-report eval set explodes to $nShingles shingle " +
+        s"rows (> $maxEvalShingles) — the report broadcasts them all; " +
+        "chunk the eval set")
     val esh = evalSet.select(col(evalIdCol).as("__eid"),
       explode(array_distinct(sh(col(textCol)))).as("__g"))
     val tsh = docs.select(col(idCol).as("__tid"),
@@ -266,6 +279,15 @@ object Curation {
       // empty eval set: nothing can be contaminated
       return train.select(col(idCol), lit(0L).as("n_shared")).limit(0)
     }
+    // the broadcast carries DISTINCT SHINGLES, not eval rows; the row
+    // probe above fails fast on corpus-sized frames, and this bounds
+    // what is actually broadcast (the count was already computed by the
+    // Bloom agg — round-9 review finding: it was measured but never
+    // checked, while curate enforced exactly this bound)
+    require(guard.getLong(1) <= MaxEvalShingles,
+      s"decontaminate eval set explodes to ${guard.getLong(1)} distinct " +
+        s"shingles (> $MaxEvalShingles) — the exact verify broadcasts " +
+        "this side entirely; decontaminate in chunks")
     val bloomPays = guard.getLong(1) > BloomWorthwhileEvalShingles
     // spread BEFORE the heavy projection: a single-file batch scan would
     // otherwise shingle every document in ONE task
@@ -400,8 +422,19 @@ object Curation {
           // cache-resident filter pays; here the guard already bounded
           // what is broadcast. The shingle array comes from the
           // checkpoint, not a fresh compute.
-          val contaminated = base
-            .filter(call_function("graft_bloom_any", lit(bf), col("__sh")))
+          // the 8M-bit filter is sized for ~1-2M shingles; beyond
+          // that its false-positive rate approaches 1 and the doc-level
+          // probe would pass essentially everything — pure wasted CPU
+          // (round-9 review finding: the guard admits up to 50M shingles
+          // but the filter size was fixed). The exact broadcast verify
+          // below is correct either way; past capacity we just skip the
+          // saturated prefilter.
+          val probed =
+            if (guard.getLong(1) <= CurateBloomCapacity)
+              base.filter(
+                call_function("graft_bloom_any", lit(bf), col("__sh")))
+            else base
+          val contaminated = probed
             .select(col(idCol), explode(col("__sh")).as("sh"))
             .join(broadcast(evalShingles), "sh")
             .select(col(idCol)).distinct()
@@ -443,6 +476,12 @@ object Curation {
       .localCheckpoint()
     Sampling.trainTestSplit(cleaned, idCol, cfg.testFraction)
   }
+
+  /** Distinct-eval-shingle count past which [[curate]]'s fixed-size
+    * (8M-bit) document-level Bloom prefilter is saturated (fpp → 1) and
+    * is skipped rather than paid for nothing.
+    */
+  private val CurateBloomCapacity = 2000000L
 
   /** Broadcast-side bound for [[curate]]'s inlined decontamination: the
     * exact verify broadcasts the DISTINCT eval shingle set, so the guard

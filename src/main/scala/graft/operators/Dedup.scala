@@ -582,6 +582,14 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       qualityCol: String): DataFrame = {
+    require({
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(docs.schema(idCol).dataType)
+    },
+      s"canonicalPerCluster needs an integral id; '$idCol' is " +
+        s"${docs.schema(idCol).dataType.simpleString} (a string id would " +
+        "cast to NULL and silently drop every row)")
     val q = docs.select(col(idCol).cast("long").as("id"),
       coalesce(col(qualityCol).cast("double"),
         lit(Double.NegativeInfinity)).as("__q"))
@@ -646,6 +654,10 @@ object Dedup {
     * Null token arrays propagate to a null signature; empty ones pack 0.
     */
   def simhashMd5(toks: Column, nBits: Int = 16): Column = {
+    // one packed long: bit indices above 63 would WRAP (Java shift mod
+    // 64) and silently alias low bits with carry corruption
+    require(nBits >= 1 && nBits <= 64,
+      s"nBits must be in [1, 64], got $nBits")
     val hashes = transform(toks, t => md5(t))
     val votes = aggregate(
       hashes,

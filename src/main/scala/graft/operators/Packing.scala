@@ -72,8 +72,16 @@ object Packing {
         joined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else joined0
     if (strict) {
-      val expected = bins.toDF()
-        .agg(coalesce(sum(size(col("doc_ids"))), lit(0L))).head().getLong(0)
+      // the expected count derives from the PERSISTED joined frame's own
+      // lineage source, not a second traversal of `bins` (round-9 review
+      // finding: aggregating the lazy bins Dataset re-ran the whole
+      // repartition+sort+pack job once for this count and once for the
+      // join — two full passes at scale). One audit aggregate over the
+      // exploded slots gives the same number: every packed slot appears
+      // exactly once in `exploded`, and the join-row count n below is
+      // compared against it.
+      val expected = exploded
+        .agg(count(lit(1))).head().getLong(0)
       val r = joined.agg(
         count(lit(1)).as("n"),
         count_distinct(col("__id")).as("nid"),
@@ -225,9 +233,15 @@ object Packing {
     if (portableDraw) {
       // several buckets may share a partition: the sequential pass resets
       // its bin state on every bucket boundary (the nextFitAssign rule),
-      // so correctness never depends on n vs partition count
-      keyed
-        .withColumn("bucket", Sampling.md5Mod(col("id"), "", n.toLong))
+      // so correctness never depends on n vs partition count.
+      // The draw hashes the RAW id column, exactly like packNextFit
+      // (round-9 review finding: hashing the long-cast alias diverged
+      // from packNextFit for any id whose string form differs from its
+      // cast — e.g. decimal ids — breaking the shared-draw contract).
+      docs
+        .select(col(idCol).cast("long").as("id"),
+          coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("nt"),
+          Sampling.md5Mod(col(idCol), "", n.toLong).as("bucket"))
         .repartition(n, col("bucket"))
         .sortWithinPartitions(col("bucket"), col("id"))
         .mapPartitions { rows =>

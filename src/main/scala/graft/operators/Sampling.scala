@@ -206,7 +206,13 @@ object Sampling {
     */
   def clusterDisjointSplit(docs: DataFrame, idCol: String,
       clusters: DataFrame, testFraction: Double): (DataFrame, DataFrame) = {
-    val comp = clusters.select(col(idCol), col("component").as("__comp"))
+    // ConnectedComponents.run / Dedup.nearDupClusters emit the member
+    // column as literally "id" whatever the caller's idCol is (round-9
+    // review finding: resolving idCol against that frame threw for any
+    // idCol other than "id") — accept either spelling
+    val cid = if (clusters.columns.contains(idCol)) idCol else "id"
+    val comp = clusters.select(col(cid).as(idCol),
+      col("component").as("__comp"))
     val withG = docs.join(comp, Seq(idCol), "left")
       .withColumn("__grp",
         coalesce(col("__comp"), col(idCol)).cast("string"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -478,6 +478,13 @@ object Similarity {
       nBits: Int = 8): DataFrame = {
     require(nBits >= 1 && nBits <= 62, s"nBits out of [1,62]: $nBits")
     spreadIfNarrow(vectors)
+      // degenerate vectors (null / empty / all-zero) carry no direction:
+      // every null projection maps to bit 0 and every zero projection to
+      // bit 1, so they would all congregate in one cell and a minimum-id
+      // degenerate row could evict that cell's real keeper (round-9
+      // review finding — the same guard embeddingNearDupPairs has). They
+      // belong in NO cell; semanticDedup passes them through.
+      .filter(!degenerateVec(col(vecCol)))
       .select(col(idCol),
         graft.functions.VectorFunctions.lshBucketMd5(col(vecCol), nBits)
           .as("cell"))
@@ -485,6 +492,13 @@ object Similarity {
       .agg(min(col(idCol)).as("keeper"),
         count(lit(1)).cast("long").as("n_members"))
   }
+
+  /** Null / empty / all-zero (or all-null-element) vector — no direction,
+    * so cosine machinery must not bucket it.
+    */
+  private def degenerateVec(v: Column): Column =
+    v.isNull || size(v) === 0 ||
+      !exists(v, x => x.isNotNull && x =!= 0.0)
 
   /** The drop form of [[semanticDedupCells]]: the input minus every
     * non-keeper row (a broadcast-friendly semi join on the keeper ids
@@ -497,6 +511,10 @@ object Similarity {
       nBits: Int = 8): DataFrame = {
     val keepers = semanticDedupCells(vectors, vecCol, idCol, nBits)
       .select(col("keeper").as(idCol))
-    vectors.join(keepers, Seq(idCol), "left_semi")
+    // degenerate vectors are in no cell (see semanticDedupCells): they
+    // cannot be semantic duplicates of anything, so they PASS THROUGH
+    vectors.filter(degenerateVec(col(vecCol)))
+      .unionByName(vectors.filter(!degenerateVec(col(vecCol)))
+        .join(keepers, Seq(idCol), "left_semi"))
   }
 }

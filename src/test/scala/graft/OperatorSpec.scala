@@ -1436,4 +1436,59 @@ class OperatorSpec extends SparkSpec {
     assert(tr2.select(col("doc_id")).collect().map(_.getLong(0)).toSet ===
       tr.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
   }
+
+  test("semanticDedup: degenerate vectors join no cell and pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.9, 0.11)),   // near-parallel pair
+      (3L, Seq(-0.5, -0.5)),
+      (10L, Seq(0.0, 0.0)),                         // zero vector
+      (11L, Seq(0.0, 0.0)),                         // another zero
+      (12L, null.asInstanceOf[Seq[Double]]),        // null vector
+      (13L, Seq.empty[Double])                      // empty vector
+    ).toDF("vec_id", "embedding")
+    val cells = Similarity.semanticDedupCells(vecs, "embedding", "vec_id",
+      nBits = 4).collect()
+    // no degenerate id ever appears as a keeper or a member
+    val keepers = cells.map(_.getAs[Long]("keeper")).toSet
+    assert(keepers.intersect(Set(10L, 11L, 12L, 13L)).isEmpty)
+    assert(cells.map(_.getAs[Long]("n_members")).sum === 3L)
+    // the drop form keeps every degenerate row AND the per-cell keepers
+    val kept = Similarity.semanticDedup(vecs, "embedding", "vec_id",
+      nBits = 4).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 11L, 12L, 13L).subsetOf(kept))
+    assert(keepers.subsetOf(kept))
+    assert(kept.size === keepers.size + 4)
+  }
+
+  test("string ids fail fast in the transitive-cluster paths (no silent no-op)") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+    }
+    assert(e.getMessage.contains("integral"))
+    val docs = Seq(("a", 0.5)).toDF("doc_id", "q")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.canonicalPerCluster(
+        Seq((1L, 1L)).toDF("id", "component"), docs, "doc_id", "q")
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("clusterDisjointSplit accepts the CC frame's literal 'id' column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // exactly what Dedup.nearDupClusters emits: columns ("id", "component")
+    val ccShaped = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val (tr, te) = graft.operators.Sampling.clusterDisjointSplit(
+      docs, "doc_id", ccShaped, 0.3)
+    val side = tr.select(col("doc_id")).collect().map(_.getLong(0) -> "tr")
+      .toMap ++ te.select(col("doc_id")).collect().map(_.getLong(0) -> "te")
+    assert(side.size === 50)
+    assert(Seq(1L, 2L, 3L).map(side).toSet.size === 1)
+  }
 }
