@@ -75,7 +75,13 @@ object Bm25 {
     // projection, CollapseProject keeps the non-cheap alias
     // unduplicated, so the regex runs once per doc and `size` reads the
     // materialized array.
-    val spread = Similarity.spreadIfNarrow(docs)
+    // null-text rows are NOT documents for scoring purposes: they can
+    // never match a term, and counting them in N while avgdl skipped
+    // them (avg ignores null sizes) made the two corpus scalars describe
+    // DIFFERENT populations — idf inflated as if non-matching docs
+    // existed (review finding). One consistent population for both.
+    val spread = Similarity.spreadIfNarrow(
+      docs.filter(col(textCol).isNotNull))
     val pairs = spread
       .select(col(docIdCol).as("__doc"), toks.as("__toks"))
       .select(col("__doc"),

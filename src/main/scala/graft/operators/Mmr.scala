@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
   * a retrieval pipeline (RAG context assembly, eval-set mining) runs
   * over its ANN candidates so near-identical passages don't crowd out
   * coverage. Greedy MMR: each step selects
-  * `argmax λ·rel − (1−λ)·maxSimToSelected`.
+  * `argmax λ·rel − (1−λ)·max(0, maxSimToSelected)` — the CLAMPED
+  * variant: a candidate anti-similar (negative cosine) to everything
+  * selected gets no redundancy penalty but also no bonus (the working
+  * term initializes at 0 and only ratchets up), the common robustness
+  * choice that stops adversarially-opposite vectors from jumping the
+  * relevance ranking. The oracle replays exactly this rule.
   *
   * Determinism contract (the [[Clustering]] posture, so an independent
   * engine replays the whole greedy loop): the per-step score is an
@@ -84,6 +89,11 @@ object Mmr {
               6) * 1000000).cast("long")))
           .drop("__sv", "__sc", "__rn")
       }
+      // cap plan growth: each step's window+join otherwise nests inside
+      // the next (O(k²) operators at k=100 — analysis-time blowup even
+      // though the data is tiny); a periodic checkpoint keeps lineage
+      // segments bounded at 10 steps and never fires for small k
+      if (s < k && s % 10 == 0) remaining = remaining.localCheckpoint()
       s += 1
     }
     out.get

@@ -37,8 +37,15 @@ object NaiveBayes {
       vocabSize: Int = 500): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     val spark = docs.sparkSession
+    require(vocabSize >= 1 && vocabSize <= 100000,
+      s"vocabSize out of (0, 100000]: $vocabSize (the fit collects the " +
+        "vocab to the driver)")
     val toks = TextAnalysis.tokens(col(textCol))
+    // the label is handled AS A STRING throughout (collects call
+    // getString; an integer tier column would otherwise CCE deep in the
+    // fit) — predictions come back as the stringified label
     val docsSpread = Similarity.spreadIfNarrow(docs)
+      .withColumn(labelCol, col(labelCol).cast("string"))
 
     // ---- fit: three bounded collects ----------------------------------
     val vocabRows = docsSpread

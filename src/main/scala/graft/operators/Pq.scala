@@ -52,8 +52,9 @@ object Pq {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val e = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
-    val dimRow = e.select(size(col("__v")).as("d")).head()
-    val dim = dimRow.getInt(0)
+    val dimRow = e.select(size(col("__v")).as("d")).limit(1).collect()
+    require(dimRow.nonEmpty, "Pq.fit: no non-null vectors")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val sub = dim / m
     // same md5 seed draw as Clustering (hex-string order, id tiebreak);
@@ -100,15 +101,12 @@ object Pq {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Array[Double]]]): DataFrame = {
-    graft.plans.GraftFunctions.register(df.sparkSession)
-    val m = centroids.length
-    val sub = centroids.head.head.length
-    val e = df.filter(col(vecCol).isNotNull)
-      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
-    e.select(col(idCol),
-        posexplode(array((0 until m).map(j =>
-          subspaceArgmax(slice(col("__v"), j * sub + 1, sub),
-            centroids(j))): _*)).as(Seq("__j", "code")))
+    // ONE assignment definition: the exploded view derives from
+    // codes() (review finding: a hand-copied argmax block here could
+    // silently diverge from the compact representation under a future
+    // tie-break/rounding change)
+    codes(df, idCol, vecCol, centroids)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("__j", "code")))
       .select(col(idCol), col("__j").cast("long").as("subspace"),
         col("code"))
   }
@@ -150,8 +148,15 @@ object Pq {
     graft.plans.GraftFunctions.register(spark)
     val m = centroids.length
     val sub = centroids.head.head.length
-    Similarity.requireBroadcastable(queries, maxQueryRows,
-      "annPq query side", "batched query slices")
+    // the broadcast rows are WIDENED by an m·k-double LUT each, so the
+    // row cap alone can admit a multi-GB broadcast (review finding:
+    // m=64, k=256 makes each row ~131 KB); bound the actual bytes
+    val lutDoubles = m.toLong * centroids.head.length
+    val effectiveCap = math.max(1L,
+      math.min(maxQueryRows, (1L << 27) / math.max(1L, lutDoubles)))
+    Similarity.requireBroadcastable(queries, effectiveCap,
+      s"annPq query side (each row carries a $lutDoubles-double LUT)",
+      "batched query slices")
     // per-query LUT: luts[j][c] = round6(dot(q_j, centroid_{j,c})) — the
     // asymmetric half; document codes only ever index into it
     val luts = array((0 until m).map { j =>

@@ -39,6 +39,9 @@ object UnigramLm {
     */
   def scores(docs: DataFrame, textCol: String, idCol: String,
       vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 100000,
+      s"vocabSize out of (0, 100000]: $vocabSize (0 silently empties " +
+        "the model; the fit collects the vocab to the driver)")
     // persist the distinct-token counts: the vocab top-K and the total
     // are two actions over the same aggregate, and without the cache the
     // full tokenize/explode/shuffle pass over the corpus would run twice
@@ -96,6 +99,9 @@ object UnigramLm {
   def bigramScores(docs: DataFrame, textCol: String, idCol: String,
       vocabSize: Int = 1000, bigramSize: Int = 2000,
       lambda: Double = 0.7): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 100000 &&
+        bigramSize >= 1 && bigramSize <= 200000,
+      s"vocab/bigram sizes out of range: ($vocabSize, $bigramSize)")
     // lambda = 1.0 excluded: the unigram interpolation floor (1-λ)/total
     // would be 0, so any adjacent pair missing from the fitted bigram
     // table scores -ln(0) = +Infinity

@@ -127,7 +127,11 @@ case class BpeEncode(left: Expression, right: Expression)
 
   /** Full text → BPE token array; called from both eval and generated code. */
   def encodeText(text: UTF8String): ArrayData = {
-    val matcher = wordPattern.matcher(text.toString.toLowerCase)
+    // Locale.ROOT: the default-locale toLowerCase diverges from Spark's
+    // locale-independent lower() under e.g. a Turkish JVM locale
+    // (I -> dotless i), silently breaking fit/apply tokenizer parity
+    val matcher = wordPattern.matcher(
+      text.toString.toLowerCase(java.util.Locale.ROOT))
     val out = new java.util.ArrayList[UTF8String]()
     while (matcher.find()) {
       val toks = encodeWord(matcher.group())

@@ -1658,7 +1658,7 @@ object TextQueries {
            SELECT count(*) AS n,
              round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 6)
                AS avgdl
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          matched AS (
            SELECT qt.query_id, tf.doc_id, tf.tok, tf.tf, tf.dl
            FROM tf JOIN qterms qt USING (tok)),
