@@ -54,6 +54,9 @@ object ScoreTable {
     s.split("\n").foreach { line =>
       if (line.nonEmpty) {
         val tab = line.indexOf('\t')
+        require(tab >= 0,
+          s"malformed score-table line (no tab separator): '$line' — " +
+            "tables must come from ScoreTable.serialize")
         val tok = line.substring(0, tab)
         val v = java.lang.Double.parseDouble(line.substring(tab + 1))
         if (tok == DefaultKey) default = v else m.put(tok, v)
@@ -95,8 +98,12 @@ case class MapSumScore(left: Expression, right: Expression)
     var i = 0
     val n = toks.numElements()
     while (i < n) {
-      val v = table.get(toks.getUTF8String(i).toString)
-      sum += (if (v == null) default else v.doubleValue())
+      // null elements (legal in array<string>, absent from any tokenizer
+      // output) are SKIPPED, not NPE'd — they are not tokens
+      if (!toks.isNullAt(i)) {
+        val v = table.get(toks.getUTF8String(i).toString)
+        sum += (if (v == null) default else v.doubleValue())
+      }
       i += 1
     }
     sum
@@ -151,9 +158,18 @@ case class BigramNllSum(first: Expression, second: Expression,
     val n = toks.numElements()
     if (n < 2) return 0.0
     var sum = 0.0
-    var prev = toks.getUTF8String(0).toString
-    var i = 1
+    // null elements are skipped entirely (not tokens — same contract as
+    // MapSumScore): the pair stream is over the non-null subsequence
+    var i = 0
+    var prev: String = null
+    while (i < n && prev == null) {
+      if (!toks.isNullAt(i)) prev = toks.getUTF8String(i).toString
+      i += 1
+    }
+    if (prev == null) return 0.0
     while (i < n) {
+      if (toks.isNullAt(i)) { i += 1 }
+      else {
       val cur = toks.getUTF8String(i).toString
       val bi = biTable.get(prev + " " + cur)
       val biv = if (bi == null) 0.0 else bi.doubleValue()
@@ -162,6 +178,7 @@ case class BigramNllSum(first: Expression, second: Expression,
       sum += -java.lang.Math.log(biv + unv)
       prev = cur
       i += 1
+      }
     }
     sum
   }

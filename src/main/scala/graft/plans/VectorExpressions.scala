@@ -38,7 +38,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // ragged pair = corrupt ingest: fail fast with the lengths rather
+    // than silently scoring the shared prefix (review finding — the
+    // HOF form yielded null and the oracle engine errors; a silent
+    // number is the one behavior nobody expects)
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector lengths differ " +
+          s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -61,7 +69,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       s"""
-        final int $n = Math.min($x.numElements(), $y.numElements());
+        if ($x.numElements() != $y.numElements())
+          throw new IllegalArgumentException(
+            "graft_cosine: vector lengths differ (" + $x.numElements() +
+              " vs " + $y.numElements() + ")");
+        final int $n = $x.numElements();
         double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           final double $xi = $x.getDouble($i);
@@ -90,7 +102,15 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // ragged pair = corrupt ingest: fail fast with the lengths rather
+    // than silently scoring the shared prefix (review finding — the
+    // HOF form yielded null and the oracle engine errors; a silent
+    // number is the one behavior nobody expects)
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector lengths differ " +
+          s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -103,7 +123,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-        final int $n = Math.min($x.numElements(), $y.numElements());
+        if ($x.numElements() != $y.numElements())
+          throw new IllegalArgumentException(
+            "graft_dot: vector lengths differ (" + $x.numElements() +
+              " vs " + $y.numElements() + ")");
+        final int $n = $x.numElements();
         double $dot = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           $dot += $x.getDouble($i) * $y.getDouble($i);

@@ -40,10 +40,18 @@ object JsonlDump {
       return Result(outRoot, Map.empty, 0L)
     }
 
+    // a provider literally named "all" would write <outRoot>/all.jsonl,
+    // which the combined dump then silently overwrites (and its manifest
+    // count key collides with Count.all) — provider names are unvalidated
+    // directory names, so fail fast (review finding)
+    require(!providerPaths.contains("all"),
+      "provider name 'all' collides with the combined dump — rename the " +
+        "source directory")
     val perProvider: Map[String, Dataset[String]] = providerPaths.map {
       case (provider, path) =>
         provider -> spark.read.textFile(path).persist(StorageLevel.DISK_ONLY)
     }
+    try {
 
     val counts = perProvider.map { case (provider, ds) =>
       ds.write.mode(SaveMode.Overwrite)
@@ -82,7 +90,12 @@ object JsonlDump {
           "Providers" -> providerPaths.keys.toSeq.sorted.mkString(",")),
       timestamp)
 
-    perProvider.values.foreach(_.unpersist())
     Result(outRoot, counts, total)
+    } finally {
+      // released on failure too (the CsvReport/Sitemap contract): a
+      // failed multi-provider dump must not leave the whole corpus
+      // pinned DISK_ONLY for the session lifetime
+      perProvider.values.foreach(_.unpersist())
+    }
   }
 }

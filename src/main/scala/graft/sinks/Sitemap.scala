@@ -142,7 +142,9 @@ object Sitemap {
       // crash-safer order (at every instant every referenced file exists).
       val outPath = new Path(out)
       val fs = outPath.getFileSystem(hconf.value)
-      val stale = "sitemap\\d{5}\\.xml\\.gz".r
+      // {5,}: past 99999 subfiles the %05d format emits 6+ digits, and
+      // an exactly-5 pattern would leave those stale names behind
+      val stale = "sitemap\\d{5,}\\.xml\\.gz".r
       if (fs.exists(outPath)) fs.listStatus(outPath).foreach { st =>
         val name = st.getPath.getName
         if (stale.pattern.matcher(name).matches() && !subfiles.contains(name))

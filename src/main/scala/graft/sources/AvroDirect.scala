@@ -419,6 +419,14 @@ object AvroDirect {
           else v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
       case BinaryType =>
         v => if (v == null) null else ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case ByteType | ShortType =>
+        // toAvro maps these to Avro INT, and Avro's union resolution is
+        // `instanceof Integer` — a raw java.lang.Byte/Short in a
+        // [null,int] union throws UnresolvedUnionException on every
+        // non-null row (review finding); widen at write time
+        v =>
+          if (v == null) null
+          else Integer.valueOf(v.asInstanceOf[Number].intValue())
       case _ => identity[Any]
     }
   }

@@ -72,6 +72,26 @@ class AvroSpec extends SparkSpec {
     assert((1 to 10).forall(got(1).isNullAt))
   }
 
+  test("nullable byte/short columns write as Avro INT (union resolution)") {
+    // toAvro maps ByteType|ShortType to INT, but Avro's [null,int] union
+    // resolution is `instanceof Integer` — a raw java.lang.Byte/Short
+    // threw UnresolvedUnionException on every non-null row until
+    // rowToAvro widened them at write time (review finding). Reads come
+    // back as IntegerType (the declared Avro type), values intact.
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("b", ByteType),
+      StructField("s", ShortType)))
+    val rows = Seq(Row(1L, 7.toByte, 300.toShort), Row(2L, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = tmpDir()
+    AvroDirect.write(df, out)
+    val back = AvroDirect.read(spark, Seq(out)).orderBy("id").collect()
+    assert(back(0).getInt(1) === 7 && back(0).getInt(2) === 300)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+  }
+
   test("multi-path scan unions files across directories (A1)") {
     import spark.implicits._
     val d1 = tmpDir(); val d2 = tmpDir()

@@ -979,6 +979,59 @@ class OperatorSpec extends SparkSpec {
       p.toLowerCase.contains("graft_map_sum"), p)
   }
 
+  test("kernel edge contracts: null elements skipped, malformed tables " +
+      "rejected, ragged vectors fail fast") {
+    import graft.plans.ScoreTable
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // null array ELEMENTS are legal array<string> values but are not
+    // tokens: both scoring kernels skip them (review finding — they NPE'd)
+    val table = ScoreTable.serialize(Seq("a" -> 1.5, "b" -> -0.25), 100.0)
+    val withNull = Seq(1L).toDF("id")
+      .select(array(lit("a"), lit(null).cast("string"), lit("b")).as("toks"))
+    assert(withNull.select(
+      call_function("graft_map_sum", col("toks"), lit(table)))
+      .head().getDouble(0) === 1.5 + -0.25)
+    val bi = ScoreTable.serialize(Seq("a b" -> 0.5), 0.0)
+    val uni = ScoreTable.serialize(Seq("b" -> 0.125), 0.0625)
+    // pair stream runs over the non-null subsequence: (a,b) only
+    assert(math.abs(withNull.select(
+      call_function("graft_bigram_nll", col("toks"), lit(bi), lit(uni)))
+      .head().getDouble(0) - -math.log(0.5 + 0.125)) < 1e-15)
+    // all-null elements → no tokens → 0.0 pairs/sum
+    val allNull = Seq(1L).toDF("id")
+      .select(array(lit(null).cast("string")).as("toks"))
+    assert(allNull.select(
+      call_function("graft_map_sum", col("toks"), lit(table)))
+      .head().getDouble(0) === 0.0)
+    assert(allNull.select(
+      call_function("graft_bigram_nll", col("toks"), lit(bi), lit(uni)))
+      .head().getDouble(0) === 0.0)
+    // a tab-less line is reported as a malformed table (with the line),
+    // not a bare substring(0,-1) StringIndexOutOfBounds deep in a task
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val mal = intercept[Exception](
+      Seq(1L).toDF("id").select(array(lit("a")).as("toks"))
+        .select(call_function("graft_map_sum", col("toks"), lit("the 1.5")))
+        .head())
+    assert(chain(mal).exists(_.contains("tab separator")),
+      chain(mal).mkString(" | "))
+    // ragged vector pairs fail fast with the lengths (review finding —
+    // min-length truncation silently scored the shared prefix); both the
+    // interpreted and codegen paths throw
+    val ragged = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0, 0.0))).toDF("x", "y")
+    for (fn <- Seq("graft_cosine", "graft_dot")) {
+      val e = intercept[Exception](
+        ragged.select(call_function(fn, col("x"), col("y"))).head())
+      def lens(t: Throwable): Boolean =
+        t != null && (t.getMessage != null &&
+          t.getMessage.contains("lengths differ") || lens(t.getCause))
+      assert(lens(e), s"$fn: ${e.getMessage}")
+    }
+  }
+
   test("bigram LM is order-sensitive: scrambled word order scores worse") {
     import graft.operators.UnigramLm
     import spark.implicits._

@@ -146,6 +146,17 @@ class SinkSpec extends SparkSpec {
       .contains("Count.all: 3"))
   }
 
+  test("jsonl dump refuses a provider named 'all' (combined-dump collision)") {
+    // <outRoot>/all.jsonl is the combined dump's path and Count.all its
+    // manifest key — a provider directory literally named "all" would be
+    // silently overwritten by the union write (review finding)
+    val src = tmpDir()
+    val out = tmpDir()
+    val e = intercept[IllegalArgumentException](
+      JsonlDump.dump(spark, Map("all" -> s"$src/all"), out, "2026-08-14"))
+    assert(e.getMessage.contains("all"))
+  }
+
   test("jsonl dump of zero providers yields an empty result, not a crash") {
     val out = tmpDir()
     val res = JsonlDump.dump(spark, Map.empty, out, "2026-08-12")
