@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * contribute exactly 0 to every label and the fold needs no separate
   * membership probe.
   *
+  * Fit and apply are SEPARATE entry points (like QualityClassifier and
+  * the fitted-BPE/PQ tables) so callers can memoize the fitted `Model` —
+  * the fit runs three bounded collect actions, which dominate wall time
+  * when the same corpus is scored repeatedly.
+  *
   * Scores are rounded to 4 decimals before the argmax and ties break
   * toward the LARGER label string (array_max struct order) — both
   * reproduced by the DuckDB oracle, making the whole fit+apply loop
@@ -25,16 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
-  /** Fit on rows with a non-null label, predict for every row. Returns
-    * (idCol, pred, score): the argmax label and its rounded log-score
-    * `log P(label) + Σ_tokens∈vocab log P(token|label)`.
+  /** A fitted model: per label its string value, log-prior, and the
+    * serialized vocab→log-likelihood score table. Plain literals — safe
+    * to cache across sessions and bake into any plan. Empty `perLabel`
+    * means the corpus had no labeled rows or no tokens (predict then
+    * returns an empty frame, matching the old fitPredict contract).
     */
-  def fitPredict(
+  final case class Model(perLabel: Seq[(String, Double, String)])
+
+  /** Fit on rows with a non-null label: three bounded collects (global
+    * vocab top-k, label priors, per-(label, vocab-token) counts).
+    */
+  def fit(
       docs: DataFrame,
       textCol: String,
-      idCol: String,
       labelCol: String,
-      vocabSize: Int = 500): DataFrame = {
+      vocabSize: Int = 500): Model = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     val spark = docs.sparkSession
     require(vocabSize >= 1 && vocabSize <= 100000,
@@ -47,7 +58,6 @@ object NaiveBayes {
     val docsSpread = Similarity.spreadIfNarrow(docs)
       .withColumn(labelCol, col(labelCol).cast("string"))
 
-    // ---- fit: three bounded collects ----------------------------------
     val vocabRows = docsSpread
       .select(explode(toks).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
@@ -65,10 +75,7 @@ object NaiveBayes {
       "NB label column has more than 1000 distinct values — the " +
         "literal-map apply is built for bounded label sets; bucketize " +
         "the label first")
-    if (labelRows.isEmpty || vocabRows.isEmpty) {
-      return docs.select(col(idCol), lit(null).cast("string").as("pred"),
-        lit(0.0).as("score")).limit(0)
-    }
+    if (labelRows.isEmpty || vocabRows.isEmpty) return Model(Nil)
     val nDocs = labelRows.map(_._2).sum.toDouble
     val vocabDf = {
       import spark.implicits._
@@ -81,22 +88,36 @@ object NaiveBayes {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
 
-    // ---- model literals ----------------------------------------------
     val v = vocabRows.length
-    val perLabel: Seq[(String, Double, String)] = labelRows.map {
-      case (l, dc) =>
-        val nL = vocabRows.map(t => cntRows.getOrElse((l, t), 0L)).sum
-        val table = graft.plans.ScoreTable.serialize(
-          vocabRows.toIndexedSeq.map(t => t ->
-            math.log((cntRows.getOrElse((l, t), 0L) + 1).toDouble / (nL + v))),
-          0.0) // OOV tokens contribute 0 to every label
-        (l, math.log(dc / nDocs), table)
-    }
+    Model(labelRows.map { case (l, dc) =>
+      val nL = vocabRows.map(t => cntRows.getOrElse((l, t), 0L)).sum
+      val table = graft.plans.ScoreTable.serialize(
+        vocabRows.toIndexedSeq.map(t => t ->
+          math.log((cntRows.getOrElse((l, t), 0L) + 1).toDouble / (nL + v))),
+        0.0) // OOV tokens contribute 0 to every label
+      (l, math.log(dc / nDocs), table)
+    })
+  }
 
-    // ---- apply: one codegen'd O(1)-probe kernel per label, struct argmax
+  /** Predict for every row with a fitted model. Returns
+    * (idCol, pred, score): the argmax label and its rounded log-score
+    * `log P(label) + Σ_tokens∈vocab log P(token|label)`. Zero actions,
+    * zero shuffles — one codegen'd O(1)-probe map fold per label.
+    */
+  def predict(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: Model): DataFrame = {
+    if (model.perLabel.isEmpty) {
+      return docs.select(col(idCol), lit(null).cast("string").as("pred"),
+        lit(0.0).as("score")).limit(0)
+    }
+    val spark = docs.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    val toks = TextAnalysis.tokens(col(textCol))
     val toksSafe = coalesce(toks, array().cast("array<string>"))
-    val scoreStructs = perLabel.map { case (l, prior, table) =>
+    val scoreStructs = model.perLabel.map { case (l, prior, table) =>
       struct(
         round(lit(prior) +
           call_function("graft_map_sum", toksSafe, lit(table)), 4)
@@ -104,9 +125,20 @@ object NaiveBayes {
         lit(l).as("pred"))
     }
     val best = array_max(array(scoreStructs: _*))
-    // one interpreted fold per label per row — spread single-file scans
-    docsSpread.select(col(idCol),
+    // one codegen'd fold per label per row — spread single-file scans
+    Similarity.spreadIfNarrow(docs).select(col(idCol),
       best.getField("pred").as("pred"),
       best.getField("score").as("score"))
   }
+
+  /** Fit on rows with a non-null label, predict for every row — the
+    * one-shot convenience over fit + predict.
+    */
+  def fitPredict(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      vocabSize: Int = 500): DataFrame =
+    predict(docs, textCol, idCol, fit(docs, textCol, labelCol, vocabSize))
 }
