@@ -29,6 +29,10 @@ object JobProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.nanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
+      // match Bench: without the cap, AQE's per-stage onUpdatePlan
+      // re-stringifies the whole plan and the profile charges the
+      // driver with work the benched session never does
+      .config("spark.sql.maxPlanStringLength", "1024")
     // A/B experiment hook: GRAFT_PROFILE_CONF="key=value;key=value"
     sys.env.get("GRAFT_PROFILE_CONF").foreach {
       _.split(';').filter(_.contains('=')).foreach { kv =>

@@ -32,9 +32,18 @@ object TextAnalysis {
   /** English stopword sample used for quality ratios / language scoring. */
   val StopwordsEn: Seq[String] = Seq("the", "of", "and", "a", "an", "in", "to")
 
-  /** Word tokens: maximal [a-z0-9]+ runs of the lowercased text. */
+  /** Word tokens: maximal [a-z0-9]+ runs of the lowercased text — the
+    * codegen [[graft.plans.TokenizeAscii]] kernel (exact regex parity,
+    * ScalaCheck-pinned); the regex form is the sessionless fallback.
+    */
   def tokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.plans.GraftFunctions.register(s)
+        call_function("graft_tokens", c)
+      case None =>
+        regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+    }
 
   /** BPE-ish subword tokens: letter runs, digit runs, single symbols. */
   def tokensBpeish(c: Column): Column =

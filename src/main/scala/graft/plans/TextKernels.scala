@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -407,4 +407,91 @@ case class BloomAnyContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomAnyContain =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_tokens(text)`: the array of lowercased `[a-z0-9]+` runs of a
+  * string — codegen replacement for
+  * `regexp_extract_all(lower(text), "[a-z0-9]+", 0)`, the tokenizer on
+  * every text operator's hot path (spans, winnowing, NB, BM25, LMs,
+  * shingle dedup). One pass over the raw UTF-8 bytes: no lowercased
+  * string copy, no regex engine, no token-array rescan.
+  *
+  * Exact-parity contract with the regex form (pinned by a ScalaCheck
+  * spec): ASCII `A-Z` lowercase in place; the ONLY non-ASCII code points
+  * whose Java/ROOT lowercase contributes `[a-z0-9]` characters are
+  * U+212A KELVIN SIGN (→ `k`, run continues) and U+0130 LATIN CAPITAL I
+  * WITH DOT ABOVE (→ `i` + combining U+0307, which BREAKS the run
+  * immediately after the `i`); both are special-cased. Every other
+  * non-ASCII sequence is a separator, exactly as its lowercase form
+  * contains no ASCII alphanumerics. Invalid UTF-8 bytes act as
+  * separators (the regex path sees U+FFFD there — also a separator).
+  */
+case class TokenizeAscii(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  def tokenize(sRaw: Any): ArrayData = {
+    val s = sRaw.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var buf = new Array[Byte](64)
+    var len = 0
+    def flush(): Unit = {
+      if (len > 0) {
+        out += UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
+        len = 0
+      }
+    }
+    def append(b: Byte): Unit = {
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+      buf(len) = b
+      len += 1
+    }
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) append(b)
+        else if (b >= 'A' && b <= 'Z') append((b + 32).toByte)
+        else flush()
+        i += 1
+      } else if (b == 0xC4.toByte && i + 1 < n &&
+          s.getByte(i + 1) == 0xB0.toByte) {
+        append('i'.toByte); flush() // U+0130 → i + U+0307 (breaks the run)
+        i += 2
+      } else if (b == 0xE2.toByte && i + 2 < n &&
+          s.getByte(i + 1) == 0x84.toByte &&
+          s.getByte(i + 2) == 0xAA.toByte) {
+        append('k'.toByte) // U+212A → k (run continues)
+        i += 3
+      } else {
+        flush()
+        // skip the UTF-8 sequence this leading byte announces; stray
+        // continuation or invalid bytes advance by 1 (separator either way)
+        val ub = b & 0xFF
+        i += (if (ub >= 0xF0) 4 else if (ub >= 0xE0) 3
+              else if (ub >= 0xC0) 2 else 1)
+      }
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(s: Any): Any = tokenize(s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenizer", this,
+      classOf[TokenizeAscii].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.tokenize($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenizeAscii = copy(child = newChild)
 }

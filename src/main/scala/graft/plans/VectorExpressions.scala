@@ -295,6 +295,8 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => MapSumScore(exprs(0), exprs(1))),
     "graft_shingles" ->
       ((exprs: Seq[Expression]) => ShingleArray(exprs(0), exprs(1))),
+    "graft_tokens" ->
+      ((exprs: Seq[Expression]) => TokenizeAscii(exprs(0))),
     "graft_winnow" ->
       ((exprs: Seq[Expression]) => WinnowSelect(exprs(0), exprs(1))),
     "graft_cms_atleast" ->

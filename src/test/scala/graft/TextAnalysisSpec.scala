@@ -342,4 +342,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(host("mailto:a@b.c") === "")          // no ://
     assert(host("ftp://files.example.org/pub") === "files.example.org")
   }
+
+  test("graft_tokens kernel is byte-identical to regexp_extract_all(lower, [a-z0-9]+)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // directed adversarial cases: the two non-ASCII code points whose
+    // ROOT lowercase contributes ASCII alnum (Kelvin sign joins a run,
+    // dotted capital I breaks one), combining marks, supplementary
+    // planes, Greek final-sigma context, digits/boundaries
+    val directed = Seq(
+      null, "", " ", "abc", "ABC def", "a1B2c3", "_a_b_", "Hello, World!",
+      "aKb", "K", "xİy", "İ", "AİB", "i̇",
+      "École", "straße", "ΣΑΣ σa",
+      "北京 city", "emoji 😀 ok", "tab\tsep\nnl",
+      "KKK", "0İK9", "café naïve",
+      "ID-42_under mixed09Z", "KİK")
+    // generated: strings over a code-point alphabet weighted toward the
+    // tricky ranges
+    val cp = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e), 2 -> Gen.choose(0x41, 0x5a),
+      2 -> Gen.choose(0x30, 0x39), 2 -> Gen.choose(0xa0, 0x2ff),
+      1 -> Gen.oneOf(0x130, 0x131, 0x212a, 0x212b, 0x307, 0x3a3, 0x3c2),
+      1 -> Gen.choose(0x4e00, 0x4fff), 1 -> Gen.choose(0x1f300, 0x1f64f))
+    val strGen = Gen.listOf(cp).map(_.flatMap(Character.toChars(_)).mkString)
+    val generated = Gen.listOfN(600, strGen).sample.getOrElse(Nil)
+    val rows = (directed ++ generated).toDF("s")
+      .withColumn("kernel", TA.tokens(col("s")))
+      .withColumn("regex",
+        regexp_extract_all(lower(col("s")), lit("[a-z0-9]+"), lit(0)))
+    val bad = rows.filter(
+      (col("kernel").isNull =!= col("regex").isNull) ||
+        coalesce(col("kernel") =!= col("regex"), lit(false)))
+      .select(col("s"), col("kernel"), col("regex")).collect()
+    assert(bad.isEmpty, s"kernel/regex divergence: ${bad.take(5).mkString(";")}")
+    // and the plan stays codegen (the kernel's whole point) — checked on
+    // a non-foldable source (a literal local relation constant-folds the
+    // whole projection into LocalTableScan)
+    val plan = spark.range(10)
+      .select(TA.tokens(concat(lit("a b"), col("id").cast("string"))))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan.toString.take(400))
+  }
 }
