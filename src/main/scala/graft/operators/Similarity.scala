@@ -104,14 +104,27 @@ object Similarity {
     graft.plans.GraftFunctions.register(src.sparkSession)
     requireBroadcastable(tgt, maxTargetRows, "bitextMine target",
       "LSH/IVF blocking + margin scoring on candidates")
+    // Per-row norms precomputed ONCE per side (sqrt of the same
+    // index-order sum of squares graft_cosine accumulates), so each of
+    // the pair passes runs a single dot loop instead of the fused
+    // dot+nx+ny — bit-identical: denom = sqrt(nx)·sqrt(ny) is the same
+    // two sqrts multiplied, and the dot accumulates in the same order.
+    // __qn/__nn are each referenced twice in the cosine expression
+    // (zero-denominator guard + division), which blocks CollapseProject
+    // from inlining the norm back into the per-pair projection (the
+    // generator-projection lesson, same failure class).
     val q = spreadIfNarrow(src.select(col(idCol).as("src_id"),
       asDouble(col(vecCol)).as("q_vec")))
+      .withColumn("__qn", sqrt(expr("graft_dot(q_vec, q_vec)")))
     val c = tgt.select(col(idCol).as("tgt_id"),
       asDouble(col(vecCol)).as("n_vec"))
+      .withColumn("__nn", sqrt(expr("graft_dot(n_vec, n_vec)")))
+    val denom = col("__qn") * col("__nn")
+    val cosExact = when(denom === lit(0.0), lit(0.0))
+      .otherwise(expr("graft_dot(q_vec, n_vec)") / denom)
     val pairs = q.crossJoin(broadcast(c))
       .select(col("src_id"), col("tgt_id"),
-        floor(expr("graft_cosine(q_vec, n_vec)") * lit(1000000.0))
-          .cast("long").as("ci"))
+        floor(cosExact * lit(1000000.0)).cast("long").as("ci"))
     // Target-side neighborhood sums as a partial-aggregable graft_topk —
     // NOT a window: a window partitioned by tgt_id exchanges and sorts
     // the whole pair frame a second time (profiled 3.7 s taskrun on 10
@@ -134,9 +147,14 @@ object Similarity {
     // window partitions by src_id too, so it adds a sort, not a shuffle).
     val wA = Window.partitionBy("src_id")
       .orderBy(col("ci").desc, col("tgt_id"))
-    val denom = (col("sumA") + col("sumB")).cast("double")
-    val best = Window.partitionBy("src_id")
-      .orderBy(col("margin").desc, col("tgt_id"))
+    val mDenom = (col("sumA") + col("sumB")).cast("double")
+    // Final election as a hash aggregate, not a second windowed sort:
+    // the frame is already hash-partitioned by src_id from the wA
+    // exchange, so the groupBy reuses that partitioning and the
+    // (margin DESC, tgt_id ASC) pick becomes a struct max — the negated
+    // id turns the ASC tie-break into lexicographic max; (src, tgt)
+    // pairs are unique, so the trailing payload fields never decide.
+    // (Numeric id columns only — the negation is the tie-break.)
     pairs
       .join(broadcast(sumB), "tgt_id")
       .withColumn("rnA", row_number().over(wA))
@@ -145,10 +163,12 @@ object Similarity {
       .withColumn("margin",
         when(col("sumA") + col("sumB") === 0L, lit(0.0))
           .otherwise(round(
-            col("ci").cast("double") * lit((2 * k).toDouble) / denom, 6)))
-      .withColumn("__rn", row_number().over(best))
-      .filter(col("__rn") === 1)
-      .select(col("src_id"), col("tgt_id"), col("ci"), col("margin"))
+            col("ci").cast("double") * lit((2 * k).toDouble) / mDenom, 6)))
+      .groupBy(col("src_id"))
+      .agg(max(struct(col("margin"), (-col("tgt_id")).as("__nt"),
+        col("tgt_id"), col("ci"))).as("__b"))
+      .select(col("src_id"), col("__b.tgt_id").as("tgt_id"),
+        col("__b.ci").as("ci"), col("__b.margin").as("margin"))
   }
 
   /** Size-gate for the exact all-pairs baselines: they broadcast one side
