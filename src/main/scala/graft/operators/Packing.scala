@@ -61,9 +61,20 @@ object Packing {
       textCol: String,
       sep: String = "\n\n",
       strict: Boolean = true): DataFrame = {
-    val exploded = bins.toDF()
+    val exploded0 = bins.toDF()
       .select(col("bin_id"),
         posexplode(col("doc_ids")).as(Seq("pos", "__id")))
+    // strict mode persists the exploded slots BEFORE the two actions
+    // below: the expected-count aggregate materializes this cache in one
+    // traversal of the repartition+sort+pack lineage, and the join then
+    // reads the cached slots instead of re-running it (ADVICE r9: the
+    // previous shape counted the UNPERSISTED exploded frame while
+    // joined's persist was still cold — the pack lineage ran twice
+    // anyway, same as the pre-round-9 two-pass shape it claimed to fix).
+    val exploded =
+      if (strict) exploded0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded0
     val texts = docs.select(col(idCol).cast("long").as("__id"),
       col(textCol).as("__text"))
     val joined0 = exploded.join(texts, "__id")
@@ -72,14 +83,9 @@ object Packing {
         joined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else joined0
     if (strict) {
-      // the expected count derives from the PERSISTED joined frame's own
-      // lineage source, not a second traversal of `bins` (round-9 review
-      // finding: aggregating the lazy bins Dataset re-ran the whole
-      // repartition+sort+pack job once for this count and once for the
-      // join — two full passes at scale). One audit aggregate over the
-      // exploded slots gives the same number: every packed slot appears
-      // exactly once in `exploded`, and the join-row count n below is
-      // compared against it.
+      // one audit aggregate over the cached exploded slots gives the
+      // expected count: every packed slot appears exactly once in
+      // `exploded`, and the join-row count n below is compared against it
       val expected = exploded
         .agg(count(lit(1))).head().getLong(0)
       val r = joined.agg(
@@ -92,6 +98,9 @@ object Packing {
           s"$expected doc slots; join rows=$n, distinct ids=$nid, " +
           s"non-null texts=$ntext) — missing/duplicated ${idCol}s or " +
           s"null ${textCol}s would silently corrupt sequences")
+      // the slot cache served both actions; joined's own persist carries
+      // the downstream groupBy from here
+      exploded.unpersist(blocking = false)
     }
     joined
       .groupBy(col("bin_id"))

@@ -242,4 +242,45 @@ object Sampling {
       .filter(col("__rn") <= maxPerKey)
       .drop("__rn")
   }
+
+  /** Approximate equi-depth binning by SAMPLED thresholds — the 100 TB
+    * path the exact ntile variant (q_equidepth_bins) points at. Exact
+    * order statistics of a bounded md5-ordered sample (the q_ppl_buckets
+    * pattern: integer ceil ranks, no float·n ulp hazard, hex-string
+    * draw order) become `bins-1` literal cut points; every row then bins
+    * by literal comparison — a TakeOrderedAndProject for the sample plus
+    * one narrow scan, ZERO global sorts at any corpus size. Returns one
+    * row per non-empty bin: (bin, n, lo, hi), values as doubles.
+    *
+    * Bin rule: bin(v) = 1 + #{cuts < v} — identical to the first-match
+    * `v <= cut_i` chain over non-decreasing cuts, and what the DuckDB
+    * oracle replays. Sampled thresholds approximate the DEPTH (bin
+    * populations wobble ~O(n/√sample)); the boundaries themselves are
+    * exact order statistics of the deterministic sample, so the output
+    * is bit-stable across runs, partitionings, and engines.
+    */
+  def equiDepthApprox(df: DataFrame, valueCol: String, idCol: String,
+      bins: Int = 10, sampleSize: Int = 200): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of [2,1000]: $bins")
+    require(sampleSize >= bins,
+      s"sampleSize ($sampleSize) must be >= bins ($bins)")
+    val sample = df
+      .orderBy(md5(col(idCol).cast("string")))
+      .limit(sampleSize)
+      .select(col(valueCol).cast("double").as("v"))
+      .collect().map(_.getDouble(0)).sorted
+    if (sample.isEmpty) {
+      return df.select(lit(0L).as("bin"), lit(0L).as("n"),
+        lit(0.0).as("lo"), lit(0.0).as("hi")).limit(0)
+    }
+    val n = sample.length
+    def at(pct: Int): Double = sample((n * pct + 99) / 100 - 1)
+    val cuts = (1 until bins).map(d => at(d * 100 / bins))
+    val v = col(valueCol).cast("double")
+    val bin = cuts.foldLeft(lit(1L))((acc, t) =>
+      acc + when(lit(t) < v, 1L).otherwise(0L))
+    df.withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+  }
 }

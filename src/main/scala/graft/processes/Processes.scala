@@ -97,7 +97,10 @@ object Processes {
     SchemaDdl.divergent(SchemaDdl.dump(spark, frames, outRoot))
 
   /** ThumbnailPurge (ThumbnailPurge.scala:9-28): id → key fan-out in-plan,
-    * executor-side batched deletes.
+    * executor-side batched deletes. The returned count is "keys absent
+    * after the pass" and reconciles against the INPUT id count (ids whose
+    * thumbnail never existed are counted gone) — use `KeyPurge.purgeStats`
+    * for the deleted/already-absent split.
     */
   def thumbnailPurge(ids: Dataset[String], thumbRoot: String): Long = {
     import ids.sparkSession.implicits._

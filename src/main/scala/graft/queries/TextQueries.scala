@@ -1160,10 +1160,9 @@ object TextQueries {
     // standard, identical in both engines under a total order.
     // Scale note: the unpartitioned window is a GLOBAL sort — exact and
     // right for the report/audit scale this query represents, NOT for
-    // bucketing a 100 TB column; the scale path for that is the
-    // q_ppl_buckets pattern (exact order statistics of a bounded
-    // md5-ordered sample inlined as literal thresholds — zero global
-    // sort, same cross-engine determinism).
+    // bucketing a 100 TB column; q_equidepth_approx below IS that scale
+    // path (Sampling.equiDepthApprox: sampled literal thresholds, zero
+    // global sort).
     "q_equidepth_bins" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("n_chars"), col("doc_id"))
@@ -1173,6 +1172,16 @@ object TextQueries {
         .agg(count(lit(1)).as("n"),
           min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
     }),
+
+    // Equi-depth binning at corpus scale, ORACLED: exact order statistics
+    // of the md5-ordered 200-doc sample become literal decile thresholds
+    // (the q_ppl_buckets pattern), every doc bins by literal comparison —
+    // no global sort anywhere; DuckDB refits the same thresholds and
+    // replays the same 1 + #{cuts < v} rule.
+    "q_equidepth_approx" -> ((s, dir) =>
+      graft.operators.Sampling.equiDepthApprox(
+        t(s, dir, "documents"), "n_chars", "doc_id",
+        bins = 10, sampleSize = 200)),
 
     // Per-language top terms (the per-group vocabulary view; group-local
     // stoplist mining). The rank filter compiles to WindowGroupLimit, so
@@ -2900,6 +2909,28 @@ object TextQueries {
                AS bin
            FROM documents)
          GROUP BY bin""",
+
+    // same ceil-rank order statistics over the md5-ordered 200-sample,
+    // same 1 + #{cuts < v} bin rule — the thresholds are deterministic,
+    // so the whole approximate path replays bit-identically
+    "q_equidepth_approx" ->
+      """WITH s AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 200),
+         o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+         nn AS (SELECT count(*) AS n FROM s),
+         cuts AS (
+           SELECT (SELECT v FROM o
+                   WHERE rn = ((SELECT n FROM nn) * d * 10 + 99) // 100)
+             AS t
+           FROM generate_series(1, 9) AS g(d)),
+         b AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v,
+             1 + (SELECT count(*) FROM cuts WHERE t < CAST(n_chars AS DOUBLE))
+               AS bin
+           FROM documents)
+         SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi
+         FROM b GROUP BY bin""",
 
     "q_lang_top_terms" ->
       """SELECT lang, tok, cnt, rk FROM (

@@ -19,6 +19,12 @@ import org.apache.spark.storage.StorageLevel
   * native gzip text writer with SaveMode.Overwrite instead of hand-rolled
   * S3 delete-then-write (H7). Writes are narrow — no shuffle anywhere; at
   * 100 TB each provider dump streams scan→codec→files in one stage.
+  *
+  * OWNERSHIP: `outRoot` belongs exclusively to this dump (the reference's
+  * prefix-clearing contract, JsonlDump.scala:44-50): every `*.jsonl`
+  * directory under it that is not in the CURRENT provider set is
+  * recursively deleted on each run, so vanished providers don't leave
+  * stale dumps. Do not co-locate unrelated `*.jsonl` directories there.
   */
 object JsonlDump {
 

@@ -24,7 +24,10 @@ object KeyPurge {
     else Some(s"${id(0)}/${id(1)}/${id(2)}/${id(3)}/$id.jpg")
 
   /** Delete `rootDir/<key>` for every key; returns the number of keys
-    * absent after the purge pass (deleted by this run OR already gone).
+    * absent after the purge pass (deleted by this run OR already gone) —
+    * an audit number that reconciles against the INPUT key count, not a
+    * measure of work done. A run over 100% bogus keys reports them all
+    * "gone"; callers that need the work split use [[purgeStats]].
     *
     * Counting only `delete() == true` undercounts under task retry: a
     * task that deletes some keys and then dies has its accumulator
@@ -36,10 +39,26 @@ object KeyPurge {
     * key count regardless of how many attempts it took.
     */
   def purge(keys: Dataset[String], rootDir: String, batchSize: Int = 1000): Long = {
+    val (deleted, alreadyAbsent) = purgeStats(keys, rootDir, batchSize)
+    deleted + alreadyAbsent
+  }
+
+  /** [[purge]] with the audit split: (deleted-by-this-pass,
+    * absent-without-a-delete). The second class costs one extra
+    * `exists()` RPC per key on object stores — only keys whose delete
+    * returned false pay it, so a purge over mostly-present keys pays
+    * ~nothing. Note the split itself is NOT retry-stable (a retried
+    * task re-classifies its dead attempt's deletions as already-absent);
+    * the retry-stable audit number is the SUM, which is what [[purge]]
+    * returns.
+    */
+  def purgeStats(keys: Dataset[String], rootDir: String,
+      batchSize: Int = 1000): (Long, Long) = {
     val spark = keys.sparkSession
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val deleted = spark.sparkContext.longAccumulator("purged")
+    val absent = spark.sparkContext.longAccumulator("already_absent")
     val root = rootDir.stripSuffix("/")
     keys.foreachPartition { (iter: Iterator[String]) =>
       val fs = new Path(root).getFileSystem(hconf.value)
@@ -49,9 +68,10 @@ object KeyPurge {
       // grouped() indirection pretending otherwise (review finding)
       iter.foreach { key =>
         val p = new Path(s"$root/$key")
-        if (fs.delete(p, false) || !fs.exists(p)) deleted.add(1L)
+        if (fs.delete(p, false)) deleted.add(1L)
+        else if (!fs.exists(p)) absent.add(1L)
       }
     }
-    deleted.value
+    (deleted.value, absent.value)
   }
 }

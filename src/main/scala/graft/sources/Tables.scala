@@ -84,9 +84,26 @@ object Tables {
       id
     }
 
+  /** Frames cached per session (ADVICE r9: a long-lived session scanning
+    * many fixture dirs would otherwise accumulate plans indefinitely).
+    * 64 covers every (dir, table) pair the harness reads several times
+    * over; past it the oldest analyzed plan is rebuilt on next use.
+    */
+  private val MaxFramesPerSession = 64
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val key = sessionKey(spark)
     val perSession = dfCache.synchronized {
+      // eviction on access (ADVICE r9): a cached frame strongly
+      // references its session, so entries for STOPPED sessions pin dead
+      // SparkContext state until 32 newer sessions displace them — drop
+      // them eagerly instead
+      val it = dfCache.values().iterator()
+      while (it.hasNext) {
+        val m = it.next()
+        if (m.headOption.exists(_._2.sparkSession.sparkContext.isStopped))
+          it.remove()
+      }
       var m = dfCache.get(key)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -94,6 +111,8 @@ object Tables {
       }
       m
     }
+    if (perSession.size >= MaxFramesPerSession)
+      perSession.headOption.foreach { case (k, _) => perSession.remove(k) }
     perSession.getOrElseUpdate(s"$dir/$name", load(spark, dir, name))
   }
 

@@ -263,7 +263,9 @@ class OperatorSpec extends SparkSpec {
       "graft_bpe", "graft_bloom_agg", "graft_might_contain",
       "graft_map_sum", "graft_bigram_nll", "graft_shingles",
       "graft_cms_atleast", "graft_strip_lines", "graft_bloom_any",
-      "graft_winnow"))
+      "graft_winnow", "graft_tokens"))
+    assert(builders("graft_tokens")(Seq(Literal.create("A b,c9")))
+      .isInstanceOf[TokenizeAscii])
     assert(builders("graft_winnow")(Seq(
       Literal.create(Seq("a b c d e"), ArrayType(StringType)),
       Literal(4))).isInstanceOf[WinnowSelect])
