@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * real and tested. The header DECODE is real too: `imageDims` parses
   * PNG IHDR and JPEG SOF segments for pixel dimensions (no codec library
   * needed — it is pure byte-walking, oracled end to end in
-  * q_media_features). Only the pixel-level FEATURE extraction is stubbed
-  * (this container ships no image/audio codecs): `decodeStub` derives a
-  * deterministic fake feature vector from the bytes. Swap that part for a
-  * real codec (javacv / a JNI decoder) without touching any call site.
+  * q_media_features). Pixel-level features are real for uncompressed
+  * BMP ([[bmpPixels]] → [[dHash]], the perceptual near-dup key, oracled
+  * in q_image_dhash); only COMPRESSED-codec feature extraction is
+  * stubbed (this container ships no image/audio codecs): `decodeStub`
+  * derives a deterministic fake feature vector from the bytes. Swap that
+  * part for a real codec (javacv / a JNI decoder) without touching any
+  * call site.
   *
   * Scale notes: per-record work runs in `mapPartitions` over a typed
   * Dataset, so decode amortizes any per-partition init (model load, codec
@@ -316,6 +319,153 @@ object Multimodal {
     media.map { m =>
       val b = if (m.content == null) Array.empty[Byte] else m.content
       m.copy(content = java.util.Arrays.copyOf(b, math.min(b.length, targetBytes)))
+    }
+  }
+
+  // -------- real pixel features: BMP decode + dHash (no codec library) ---
+
+  /** Encode a grayscale image as a REAL 24-bit uncompressed BMP (each
+    * channel carries the gray value): 54-byte header, bottom-up rows,
+    * 4-byte row padding. Pure byte math — the synthesizer for fixture
+    * imagery this container can produce without a codec.
+    */
+  def bmpGray(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val stride = (width * 3 + 3) / 4 * 4
+    val size = 54 + stride * height
+    val b = new Array[Byte](size)
+    def le16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def le32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, size); le32(10, 54); le32(14, 40)
+    le32(18, width); le32(22, height) // positive height = bottom-up
+    le16(26, 1); le16(28, 24); le32(34, stride * height)
+    var y = 0
+    while (y < height) {
+      val row = 54 + (height - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < width) {
+        val g = (pix(x, y) & 0xff).toByte
+        val o = row + x * 3
+        b(o) = g; b(o + 1) = g; b(o + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Real BMP pixel decode (24-bit uncompressed, bottom-up or top-down):
+    * returns (width, height, luminance row-major top-down) where
+    * luminance = (r + g + b) / 3 integer — None for anything that is not
+    * a well-formed 24bpp BI_RGB BMP (truncated payloads included).
+    */
+  def bmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B' || bytes(1) != 'M') return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val offset = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    if (le16(28) != 24 || le32(30) != 0) return None // 24bpp BI_RGB only
+    if (w <= 0 || h == 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val stride = (w * 3 + 3) / 4 * 4
+    if (offset < 54 || offset.toLong + stride.toLong * h > bytes.length)
+      return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val row = offset + (if (bottomUp) (h - 1 - y) else y) * stride
+      var x = 0
+      while (x < w) {
+        val o = row + x * 3
+        out(y * w + x) = (u8(o) + u8(o + 1) + u8(o + 2)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Difference hash (dHash) over a decoded luminance grid: box-average
+    * down to a 9-wide × 8-tall grid (cells floor-averaged — exact integer
+    * math), then one bit per horizontally adjacent cell pair
+    * (`right > left`). 64 bits, returned as two non-negative 32-bit
+    * halves (rows 0-3 / rows 4-7, bit 31-(r·8+c)) so neither engine's
+    * checked 64-bit arithmetic can overflow packing the sign bit. The
+    * standard perceptual near-dup key: brightness/contrast shifts
+    * preserve most gradient signs, so near-copies land within a few bits
+    * of hamming distance. Requires width % 9 == 0 and height % 8 == 0
+    * (exact boxes keep the hash engine-replayable; a general resampler
+    * would interpolate).
+    */
+  def dHash(width: Int, height: Int, lum: Array[Int]): (Long, Long) = {
+    require(width % 9 == 0 && height % 8 == 0,
+      s"dHash needs w%9==0 and h%8==0, got ${width}x$height")
+    val cw = width / 9
+    val ch = height / 8
+    val g = Array.ofDim[Int](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        var s = 0L
+        var dy = 0
+        while (dy < ch) {
+          var dx = 0
+          val base = (r * ch + dy) * width + c * cw
+          while (dx < cw) { s += lum(base + dx); dx += 1 }
+          dy += 1
+        }
+        g(r)(c) = (s / (cw.toLong * ch)).toInt
+        c += 1
+      }
+      r += 1
+    }
+    var hi = 0L; var lo = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r)(c + 1) > g(r)(c)) {
+          if (r < 4) hi |= 1L << (31 - (r * 8 + c))
+          else lo |= 1L << (31 - ((r - 4) * 8 + c))
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-image perceptual hash row. */
+  final case class ImageHash(media_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual-hash extraction over a media Dataset: REAL byte path
+    * (BMP pixel decode → box downscale → gradient bits), narrow
+    * mapPartitions, binary payloads never shuffle — only the 3-long hash
+    * rows do. Undecodable payloads are dropped (they have no pixels to
+    * hash); pair the output with a ≤`maxHamming` self-join on a banded
+    * key for multimodal near-dup candidates at scale.
+    */
+  def imageDHash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        bmpPixels(m.content).collect {
+          case (w, h, lum) if w % 9 == 0 && h % 8 == 0 =>
+            val (hi, lo) = dHash(w, h, lum)
+            ImageHash(m.media_id, hi, lo)
+        }
+      }
     }
   }
 }

@@ -444,6 +444,52 @@ object Similarity {
       .filter(col("sim4") >= threshold)
   }
 
+  /** [[annLsh]] with md5-derived hyperplanes and round-4 cosine scoring —
+    * the HASH-ORACLED variant of the full ANN chain. Every stage is
+    * cross-engine deterministic: the bucket is the q_lsh_bucket_md5
+    * sketch, candidates are same-bucket pairs under the same
+    * `maxBucketSize` cap, verification is `round(cos, 4)`, and the
+    * top-k election orders (sim4 DESC, id ASC) — so DuckDB replays the
+    * candidate → verify → top-k chain bit-identically, closing the
+    * quality gap the xxhash64 fast path (rows-only by nature) leaves to
+    * recall floors. Returns (q_id, n_id, sim4, rn), rn ≤ k.
+    */
+  def annLshMd5(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    // the md5 bucket is nBits × dim interpreted md5 folds per vector —
+    // checkpoint so neither join side nor the cap count recomputes it
+    // (the signature-frame lesson); spread first for the same reason
+    val b = spreadIfNarrow(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"),
+        graft.functions.VectorFunctions.lshBucketMd5(col(vecCol), nBits)
+          .as("__bucket"))
+      .localCheckpoint()
+    val kept = b.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("__bucket"))
+    val bounded = b.join(broadcast(kept), "__bucket")
+    val a = bounded.select(col("__bucket"), col(idCol).as("q_id"),
+      col("__v").as("q_vec"))
+    val c = bounded.select(col("__bucket"), col(idCol).as("n_id"),
+      col("__v").as("n_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim4").desc, col("n_id"))
+    a.join(c, Seq("__bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-k: score only same-bucket pairs. Degenerate buckets
     * are dropped via a broadcast count-table join (not a per-row window —
     * that would shuffle every vector), and per-query ranking uses the

@@ -133,6 +133,27 @@ object MediaQueries {
         "doc_id", "payload", "media_type", "source")
       Multimodal.videoMeta(media).toDF()
     }),
+
+    // ORACLED pixel features: REAL byte path end to end — a 36x32
+    // grayscale image per doc is synthesized from an integer formula,
+    // encoded as an actual 24bpp BMP (bmpGray), decoded back by the real
+    // BMP parser (bmpPixels), box-averaged and gradient-hashed (dHash).
+    // DuckDB replays the formula -> floor-average -> bit-pack math and
+    // never sees the bytes, so an encoder/decoder/hash defect anywhere in
+    // the byte path hash-mismatches. 400 docs: the perceptual-dedup-key
+    // shape, not a volume test.
+    "q_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") <= 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.bmpGray(36, 32,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt),
+            "synth")
+        })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+      Multimodal.imageDHash(media).toDF()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +199,34 @@ object MediaQueries {
            CAST((coalesce(n_chars, 0) * 100 * 1000) //
              ((doc_id % 4 + 1) * 600) AS BIGINT) AS duration_ms
          FROM documents""",
+
+    // dHash replay: same pixel formula, same floor box averages, same
+    // right>left gradient bits, same 32-bit half packing (sums stay under
+    // 2^32 so the BIGINT cast is exact; DuckDB's sum() would otherwise
+    // come back HUGEINT->float and string-mismatch the hash).
+    "q_image_dhash" ->
+      """WITH ids AS (
+           SELECT doc_id AS id FROM documents WHERE doc_id <= 400),
+         cells AS (
+           SELECT ids.id, r.r, c.c,
+             (SELECT sum((ids.id*31 + (c.c*4 + dx.dx)*7
+                          + (r.r*4 + dy.dy)*13) % 256)
+              FROM generate_series(0,3) dx(dx),
+                   generate_series(0,3) dy(dy)) // 16 AS g
+           FROM ids, generate_series(0,7) r(r), generate_series(0,8) c(c)),
+         bits AS (
+           SELECT a.id, a.r, a.c,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+           WHERE a.c <= 7)
+         SELECT id AS media_id,
+           CAST(sum(CASE WHEN r < 4
+             THEN bit * (CAST(1 AS BIGINT) << (31 - (r*8 + c)))
+             ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(sum(CASE WHEN r >= 4
+             THEN bit * (CAST(1 AS BIGINT) << (31 - ((r-4)*8 + c)))
+             ELSE 0 END) AS BIGINT) AS dhash_lo
+         FROM bits GROUP BY id""",
   )
 }

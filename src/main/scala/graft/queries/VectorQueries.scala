@@ -139,6 +139,15 @@ object VectorQueries {
         .agg(count(lit(1)).cast("long").as("n"))
     }),
 
+    // ORACLED full ANN chain (candidate -> verify -> top-k): md5
+    // hyperplane buckets, same-bucket pairing under the bucket cap,
+    // round-4 cosine verify, (sim4 DESC, id ASC) top-3 — every stage
+    // replayed by DuckDB, so the whole approximate-search pipeline is
+    // hash-checked, not just recall-floored.
+    "q_ann_lsh_md5" -> ((s, dir) =>
+      graft.operators.Similarity.annLshMd5(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)),
+
     // ORACLED hyperplane sketch: md5-derived hyperplanes (cross-engine
     // identical) — proves the sign-of-projection bucketing end to end;
     // the xxhash64 form above stays the fast path. Heavy narrow map
@@ -430,6 +439,30 @@ object VectorQueries {
          WHERE a.vec_id < b.vec_id
            AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])), 4) >= 0.4""",
+
+    // Full md5-ANN chain replay: the q_lsh_bucket_md5 sketch as the
+    // bucket, HAVING-capped buckets, round-4 cosine verify, windowed
+    // top-3 with the same (sim4 DESC, id ASC) tie-break.
+    "q_ann_lsh_md5" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (SELECT vec_id, e,
+           CAST(list_sum(list_transform(generate_series(0, 7), j ->
+             CASE WHEN list_sum(list_transform(generate_series(1, len(e)), d -> e[d] * ((CAST(('0x' || substr(md5(j || ' ' || d), 1, 3)) AS BIGINT) % 2001 - 1000) / 1000.0))) >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS bucket
+           FROM v),
+         kept AS (SELECT bucket FROM b GROUP BY bucket
+                  HAVING count(*) <= 10000),
+         p AS (SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+                 round(list_cosine_similarity(a.e, c.e), 4) AS sim4
+               FROM b a
+               JOIN kept k ON k.bucket = a.bucket
+               JOIN b c ON c.bucket = a.bucket AND c.vec_id <> a.vec_id)
+         SELECT q_id, n_id, sim4, rn FROM (
+           SELECT q_id, n_id, sim4,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim4 DESC, n_id) AS rn
+           FROM p)
+         WHERE rn <= 3""",
 
     // NB: the inner lambda must stay on ONE line — DuckDB's parser rejects
     // newline-split arithmetic inside nested lambdas.

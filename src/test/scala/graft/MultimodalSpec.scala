@@ -259,4 +259,62 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(resized.head.content.length === 10)
   }
+
+  test("BMP round-trip: bmpGray encodes what bmpPixels decodes, exactly") {
+    val f = (x: Int, y: Int) => (x * 7 + y * 13) % 256
+    val bytes = Multimodal.bmpGray(36, 32, f)
+    val Some((w, h, lum)) = Multimodal.bmpPixels(bytes)
+    assert(w === 36 && h === 32)
+    for (y <- 0 until 32; x <- 0 until 36)
+      assert(lum(y * 36 + x) === f(x, y), s"pixel ($x,$y)")
+    // truncated payload and non-BMP bytes are rejected, not mis-read
+    assert(Multimodal.bmpPixels(bytes.take(bytes.length - 1)).isEmpty)
+    assert(Multimodal.bmpPixels("not a bitmap".getBytes).isEmpty)
+    assert(Multimodal.bmpPixels(null).isEmpty)
+  }
+
+  test("dHash: brightness-invariant, near-dup-tolerant, discriminative") {
+    def hashOf(f: (Int, Int) => Int): (Long, Long) = {
+      val Some((w, h, lum)) =
+        Multimodal.bmpPixels(Multimodal.bmpGray(36, 32, f))
+      Multimodal.dHash(w, h, lum)
+    }
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    // a smooth gradient (no mod-256 wrap): every horizontal cell step
+    // strictly increases, so all 64 gradient bits are 1
+    val base = (x: Int, y: Int) => 2 * x + 3 * y
+    val h0 = hashOf(base)
+    // brightness/contrast shift: cell averages move together, gradient
+    // signs hold — the defining dHash invariance
+    assert(hamming(h0, hashOf((x, y) => base(x, y) / 2 + 10)) === 0)
+    // a small local edit (one 4x4 cell blacked out) flips only the bits
+    // adjacent to that cell
+    val edited = (x: Int, y: Int) =>
+      if (x >= 12 && x < 16 && y >= 8 && y < 12) 0 else base(x, y)
+    val dEdit = hamming(h0, hashOf(edited))
+    assert(dEdit >= 1 && dEdit <= 2, s"edit moved $dEdit bits")
+    // an unrelated pattern lands far away (expected ~32 of 64 bits)
+    val other = (x: Int, y: Int) => ((x + 5 * y) * 31 + 7) % 256
+    assert(hamming(h0, hashOf(other)) > 16)
+  }
+
+  test("imageDHash: real byte path in-plan, undecodable payloads dropped") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val media = Seq(1L, 2L, 99L).toDS().mapPartitions(_.map { id =>
+      val content =
+        if (id == 99L) "garbage".getBytes
+        else Multimodal.bmpGray(36, 32,
+          (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+      Multimodal.MediaRecord(id, "image", content, "synth")
+    })(enc)
+    val out = Multimodal.imageDHash(media).collect()
+      .map(r => r.media_id -> (r.dhash_hi, r.dhash_lo)).toMap
+    assert(out.keySet === Set(1L, 2L)) // garbage row dropped
+    out.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+  }
 }
