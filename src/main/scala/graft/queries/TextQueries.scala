@@ -1278,7 +1278,12 @@ object TextQueries {
     spanSeedCache.synchronized {
       val key = (System.identityHashCode(s), dir)
       var f = spanSeedCache.get(key)
-      if (f == null) {
+      // identity guard: identityHashCode can recur after GC, and a hit
+      // from a DIFFERENT (or stopped) session would hand out checkpoint
+      // blocks of a dead context — recompute unless it is the same live
+      // session object
+      if (f == null || !(f.sparkSession eq s) ||
+          s.sparkContext.isStopped) {
         f = graft.operators.SpanDedup.seeds(
           spanFixture(s, dir), "text", "doc_id", l = 5).localCheckpoint()
         spanSeedCache.put(key, f)

@@ -147,6 +147,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") === 2)
   }
 
+  test("q_ann_lsh_md5: checkpointed buckets, broadcast cap table, no re-sketch") {
+    val p = plan("q_ann_lsh_md5")
+    // the md5 sketch frame is a checkpoint leaf: neither join side nor
+    // the cap count recomputes the nBits x dim interpreted md5 folds
+    // (projection collapse would otherwise inline them per candidate row)
+    assert(p.contains("Scan ExistingRDD"), p.take(600))
+    assert(!p.contains("md5")) // sketch math never appears in-plan
+    // degenerate-bucket cap joins as a broadcast, pairing stays equi-join
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_canonical_keeper: keeper argmax is one agg exchange, no window") {
     val p = plan("q_canonical_keeper")
     // the CC loop contributes its own bounded exchanges; the keeper stage
