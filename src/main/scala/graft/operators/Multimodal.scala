@@ -373,6 +373,7 @@ object Multimodal {
     val offset = le32(10)
     val w = le32(18)
     val hRaw = le32(22)
+    if (hRaw == Int.MinValue) return None // abs() would stay negative
     val h = math.abs(hRaw)
     val bottomUp = hRaw > 0
     if (le16(28) != 24 || le32(30) != 0) return None // 24bpp BI_RGB only

@@ -274,8 +274,12 @@ object Sampling {
         lit(0.0).as("lo"), lit(0.0).as("hi")).limit(0)
     }
     val n = sample.length
-    def at(pct: Int): Double = sample((n * pct + 99) / 100 - 1)
-    val cuts = (1 until bins).map(d => at(d * 100 / bins))
+    // ceil-rank order statistic per bin boundary, directly in bin units:
+    // ceil(n·d/bins) — identical to the q_ppl_buckets percent form for
+    // bins=10 (both are ceil(n·d/10)), and exact for bins > 100 where an
+    // integer-percent intermediate would round to 0
+    def cutAt(d: Int): Double = sample((n * d + bins - 1) / bins - 1)
+    val cuts = (1 until bins).map(cutAt)
     val v = col(valueCol).cast("double")
     val bin = cuts.foldLeft(lit(1L))((acc, t) =>
       acc + when(lit(t) < v, 1L).otherwise(0L))

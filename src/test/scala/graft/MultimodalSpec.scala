@@ -271,6 +271,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.bmpPixels(bytes.take(bytes.length - 1)).isEmpty)
     assert(Multimodal.bmpPixels("not a bitmap".getBytes).isEmpty)
     assert(Multimodal.bmpPixels(null).isEmpty)
+    // forged header with height = Int.MinValue (abs() stays negative):
+    // rejected, not a NegativeArraySizeException
+    val forged = bytes.clone()
+    forged(22) = 0; forged(23) = 0; forged(24) = 0; forged(25) = 0x80.toByte
+    assert(Multimodal.bmpPixels(forged).isEmpty)
   }
 
   test("dHash: brightness-invariant, near-dup-tolerant, discriminative") {

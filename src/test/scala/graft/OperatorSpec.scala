@@ -1546,4 +1546,24 @@ class OperatorSpec extends SparkSpec {
     assert(side.size === 50)
     assert(Seq(1L, 2L, 3L).map(side).toSet.size === 1)
   }
+
+  test("equiDepthApprox: ~uniform depths at bins=10, exact ranks at bins>100") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 1000L).map(i => (i, i * 3)).toDF("doc_id", "v")
+    val out = Sampling.equiDepthApprox(df, "v", "doc_id",
+      bins = 10, sampleSize = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet.subsetOf((1L to 10L).toSet))
+    // sampled thresholds: depths approximate n/bins (wobble bounded)
+    assert(out.values.sum === 1000L)
+    assert(out.values.forall(n => n > 30 && n < 250), out.toString)
+    // bins > 100: the ceil-rank cuts stay distinct (an integer-percent
+    // intermediate would collapse the first ~bins/100 boundaries to the
+    // sample minimum and leave bin 1 empty of meaning)
+    val fine = Sampling.equiDepthApprox(df, "v", "doc_id",
+      bins = 200, sampleSize = 1000)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(fine.size >= 190, s"only ${fine.size} of 200 fine bins populated")
+  }
 }
