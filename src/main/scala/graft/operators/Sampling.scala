@@ -157,6 +157,44 @@ object Sampling {
     mixture(df, strataCol, keyCol, weights)
   }
 
+  /** Token-budget mixture: per stratum, take documents in md5(key) draw
+    * order until the stratum's TOKEN budget is exhausted — the mixture a
+    * training run actually specifies ("200M tokens of code, 50M of
+    * forums"), where doc-count mixtures over- or under-shoot by the
+    * per-source length skew. A doc is kept while the running token total
+    * BEFORE it is still under budget, so the budget is exceeded by at
+    * most one document (the standard take-until-crossing contract; an
+    * exact cut would split a document).
+    *
+    * Plan shape: one exchange by stratum + one per-stratum sort by the
+    * md5 draw (a running-sum window) — no global sort, no collect; at
+    * 100 TB each stratum streams independently and skew is bounded by
+    * the largest SOURCE, which is the natural unit here. Strata absent
+    * from `budgets` are dropped (budget 0). Deterministic and
+    * cross-engine replayable: the draw is the md5 hex order and the
+    * running sum is exact integer arithmetic.
+    *
+    * Returns the kept rows plus (`__draw` dropped) the running
+    * `tokens_before` audit column — callers verifying the budget read it
+    * directly.
+    */
+  def tokenBudgetMixture(df: DataFrame, strataCol: String, keyCol: String,
+      tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), s"negative budget in $budgets")
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (stratum, b)) =>
+      when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit("tokmix "), col(keyCol).cast("string"))))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    df.filter(budget >= 0L)
+      .withColumn("tokens_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+  }
+
   /** Disjoint, exhaustive train/test split by key hash. Rows with the same
     * key always land on the same side — the property that prevents
     * train/test leakage when keys repeat (same document re-crawled, same

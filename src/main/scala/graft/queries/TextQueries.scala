@@ -249,6 +249,21 @@ object TextQueries {
         .select(col("doc_id"), sig(0), sig(1), sig(2), sig(3))
     }),
 
+    // ORACLED token-budget mixture: the mixture a training run actually
+    // specifies (N tokens per source, not N docs) — per language, docs
+    // in md5 draw order until the token budget is crossed (exceeded by
+    // at most one doc), es/de dropped (no budget). One per-stratum
+    // running-sum window; DuckDB replays the draw order and the exact
+    // integer cumsum.
+    "q_token_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_toks"))
+      graft.operators.Sampling.tokenBudgetMixture(
+        docs, "lang", "doc_id", "n_toks",
+        Map("en" -> 20000L, "zh" -> 5000L, "fr" -> 3000L))
+    }),
+
     // ORACLED mixture sampling: fractional epoch weights per language —
     // en up-sampled 2.5× (every doc twice, an md5-chosen half a third
     // time), de down-sampled to 0.5, zh dropped (absent) — DuckDB
@@ -2102,6 +2117,27 @@ object TextQueries {
            list_min(list_transform(s, x -> md5(concat('2 ', x)))) AS sig2,
            list_min(list_transform(s, x -> md5(concat('3 ', x)))) AS sig3
          FROM sh""",
+
+    // same md5 draw order per language, same exact integer running sum
+    // (ROWS ... 1 PRECEDING), same take-until-crossing rule
+    "q_token_mixture" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS BIGINT) AS n_toks,
+             CASE lang WHEN 'en' THEN 20000 WHEN 'zh' THEN 5000
+               WHEN 'fr' THEN 3000 ELSE -1 END AS b
+           FROM documents),
+         w AS (
+           SELECT doc_id, lang, n_toks, b,
+             coalesce(sum(n_toks) OVER (PARTITION BY lang
+               ORDER BY md5('tokmix ' || CAST(doc_id AS VARCHAR))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+           FROM d WHERE b >= 0)
+         SELECT doc_id, lang, n_toks,
+           CAST(tokens_before AS BIGINT) AS tokens_before
+         FROM w WHERE tokens_before < b""",
 
     "q_mixture" ->
       """WITH w AS (

@@ -1566,4 +1566,29 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(fine.size >= 190, s"only ${fine.size} of 200 fine bins populated")
   }
+
+  test("tokenBudgetMixture: budget crossed by at most one doc, absent strata dropped") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = ((1L to 40L).map(i => (i, "a", 100L)) ++
+      (41L to 60L).map(i => (i, "b", 100L)) ++
+      (61L to 70L).map(i => (i, "c", 100L)))
+      .toDF("doc_id", "stratum", "n_toks")
+    val out = Sampling.tokenBudgetMixture(docs, "stratum", "doc_id",
+      "n_toks", Map("a" -> 1000L, "b" -> 250L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val byStratum = out.groupBy(_._2)
+    // a: 1000-token budget over 100-token docs -> exactly 10 kept
+    assert(byStratum("a").length === 10)
+    // b: 250 tokens -> 3 kept (the third CROSSES the budget: before=200)
+    assert(byStratum("b").length === 3)
+    assert(byStratum("b").map(_._3).sorted.toSeq === Seq(0L, 100L, 200L))
+    // c has no budget: dropped entirely
+    assert(!byStratum.contains("c"))
+    // deterministic: same input, same selection
+    val again = Sampling.tokenBudgetMixture(docs, "stratum", "doc_id",
+      "n_toks", Map("a" -> 1000L, "b" -> 250L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }
