@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * needed — it is pure byte-walking, oracled end to end in
   * q_media_features). Pixel-level features are real for uncompressed
   * BMP ([[bmpPixels]] → [[dHash]], the perceptual near-dup key, oracled
-  * in q_image_dhash); only COMPRESSED-codec feature extraction is
+  * in q_image_dhash), and sample-level audio features are real for
+  * uncompressed 16-bit PCM WAV ([[wavPcm16Samples]] →
+  * [[audioPcmFeatures]], oracled in q_audio_pcm); only COMPRESSED-codec
+  * feature extraction is
   * stubbed (this container ships no image/audio codecs): `decodeStub`
   * derives a deterministic fake feature vector from the bytes. Swap that
   * part for a real codec (javacv / a JNI decoder) without touching any
@@ -166,6 +169,122 @@ object Multimodal {
             val byteRate = r.toLong * c * (b / 8)
             AudioMeta(m.media_id, c, r, b, d,
               if (byteRate > 0) d * 1000L / byteRate else 0L)
+        }
+      }
+    }
+  }
+
+  /** Encode interleaved 16-bit PCM samples as a REAL canonical WAV file
+    * (44-byte header + LE16 data) — the audio analogue of [[bmpGray]]:
+    * pure byte math, no codec, the synthesizer for fixture audio this
+    * container can produce. Samples are clamped to the signed-16 range.
+    */
+  def wavPcm16(channels: Int, rate: Int, samples: Array[Int]): Array[Byte] = {
+    require(channels > 0 && rate > 0, s"bad wav params ch=$channels rate=$rate")
+    val dataB = samples.length * 2
+    val b = new Array[Byte](44 + dataB)
+    def tag(i: Int, s: String): Unit = {
+      var k = 0; while (k < 4) { b(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def le16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def le32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataB); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, channels); le32(24, rate)
+    le32(28, rate * channels * 2); le16(32, channels * 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataB)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-32768, math.min(32767, samples(i)))
+      le16(44 + i * 2, s)
+      i += 1
+    }
+    b
+  }
+
+  /** Real 16-bit PCM sample decode: walk the RIFF chunk list to the
+    * `data` chunk and read interleaved LE16 signed samples. Requires a
+    * 16-bit PCM `fmt ` chunk and the FULL declared data payload present
+    * (unlike [[wavMeta]], which serves ranged-GET header reads) — feature
+    * extraction over a truncated byte range would silently hash
+    * differently, so it is rejected instead. Returns None otherwise.
+    */
+  def wavPcm16Samples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String =
+      if (i + 4 <= bytes.length) new String(bytes.slice(i, i + 4), "US-ASCII")
+      else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var bits = -1
+    var dataAt = -1L
+    var dataSz = -1L
+    while (i + 8 <= bytes.length && (bits < 0 || dataAt < 0)) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (id == "fmt ") {
+        if (sz < 16 || i + 8 + 16 > bytes.length) return None
+        bits = le16(i + 22)
+      }
+      if (id == "data") { dataAt = i + 8L; dataSz = sz }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      i = if (next > bytes.length.toLong) bytes.length else next.toInt
+    }
+    if (bits != 16 || dataAt < 0 || dataSz % 2 != 0) return None
+    if (dataAt + dataSz > bytes.length) return None // truncated payload
+    val n = (dataSz / 2).toInt
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      out(k) = le16((dataAt + k * 2L).toInt).toShort.toInt // sign-extend
+      k += 1
+    }
+    Some(out)
+  }
+
+  /** Exact-integer PCM features per media record — the audio analogue of
+    * the dHash pixel path, every figure replayable by any engine:
+    * sample count, amplitude sum, energy (sum of squares), peak absolute
+    * amplitude, and zero crossings (adjacent pairs whose `< 0` signs
+    * differ, over the interleaved stream). No floats anywhere, so the
+    * hash oracle is bit-exact; derive RMS/dBFS downstream if needed.
+    */
+  final case class AudioPcm(
+      media_id: Long,
+      n_samples: Long,
+      sum_amp: Long,
+      sum_sq: Long,
+      peak_abs: Long,
+      zero_crossings: Long)
+
+  /** PCM feature extraction over a media Dataset: real byte path (WAV
+    * chunk walk → LE16 decode → integer aggregates), narrow
+    * mapPartitions; the binary payload never shuffles — only the 6-long
+    * feature rows do. Undecodable or truncated payloads are dropped.
+    */
+  def audioPcmFeatures(media: Dataset[MediaRecord]): Dataset[AudioPcm] = {
+    implicit val enc = Encoders.product[AudioPcm]
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        wavPcm16Samples(m.content).map { s =>
+          var sum = 0L; var ssq = 0L; var peak = 0L; var zc = 0L
+          var k = 0
+          while (k < s.length) {
+            val v = s(k)
+            sum += v; ssq += v.toLong * v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+            if (k > 0 && ((s(k - 1) < 0) != (v < 0))) zc += 1
+            k += 1
+          }
+          AudioPcm(m.media_id, s.length.toLong, sum, ssq, peak, zc)
         }
       }
     }

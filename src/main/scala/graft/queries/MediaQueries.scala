@@ -154,6 +154,29 @@ object MediaQueries {
         })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
       Multimodal.imageDHash(media).toDF()
     }),
+
+    // ORACLED PCM audio features: REAL byte path end to end — a mono
+    // 16-bit sample stream per doc is synthesized from an integer
+    // formula, encoded as an actual canonical WAV (wavPcm16), decoded
+    // back by the real RIFF/PCM parser (wavPcm16Samples), and reduced to
+    // exact-integer features (energy, peak, zero crossings). DuckDB
+    // replays the formula and the aggregate math and never sees the
+    // bytes, so an encoder/decoder/sign-extension defect anywhere in the
+    // byte path hash-mismatches.
+    "q_audio_pcm" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") <= 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (200 + id % 57).toInt
+          val samples = Array.tabulate(n) { i =>
+            (((id * 37 + i * 101) % 2048) - 1024).toInt
+          }
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.wavPcm16(1, 16000, samples), "synth")
+        })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+      Multimodal.audioPcmFeatures(media).toDF()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +251,31 @@ object MediaQueries {
              THEN bit * (CAST(1 AS BIGINT) << (31 - ((r-4)*8 + c)))
              ELSE 0 END) AS BIGINT) AS dhash_lo
          FROM bits GROUP BY id""",
+
+    // PCM replay: same sample formula, same integer aggregates; sums are
+    // cast to BIGINT (DuckDB's sum() returns HUGEINT, which would
+    // string-mismatch the hash). Zero crossings via lag() sign compare —
+    // identical to the operator's adjacent-pair definition.
+    "q_audio_pcm" ->
+      """WITH ids AS (
+           SELECT doc_id AS id FROM documents WHERE doc_id <= 400),
+         samp AS (
+           SELECT ids.id, i.i,
+             ((ids.id*37 + i.i*101) % 2048) - 1024 AS s
+           FROM ids, generate_series(0, 256) i(i)
+           WHERE i.i < 200 + ids.id % 57),
+         lagd AS (
+           SELECT id, i, s,
+             lag(s) OVER (PARTITION BY id ORDER BY i) AS prev
+           FROM samp)
+         SELECT id AS media_id,
+           count(*) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_amp,
+           CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND ((prev < 0) <> (s < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         FROM lagd GROUP BY id""",
   )
 }

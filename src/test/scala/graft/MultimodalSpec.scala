@@ -322,4 +322,45 @@ class MultimodalSpec extends SparkSpec {
       assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
     }
   }
+
+  test("WAV PCM round-trip: wavPcm16 encodes what wavPcm16Samples decodes") {
+    val samples = Array(0, 1, -1, 32767, -32768, 1000, -999)
+    val bytes = Multimodal.wavPcm16(1, 16000, samples)
+    assert(Multimodal.wavPcm16Samples(bytes).map(_.toSeq) ===
+      Some(samples.toSeq)) // sign extension exact at both extremes
+    // out-of-range inputs clamp on encode, not wrap
+    assert(Multimodal.wavPcm16Samples(
+      Multimodal.wavPcm16(1, 8000, Array(40000, -40000))).map(_.toSeq) ===
+      Some(Seq(32767, -32768)))
+    // the header the encoder writes satisfies the header parser too
+    assert(Multimodal.wavMeta(bytes) ===
+      Some((1, 16000, 16, samples.length * 2L)))
+    // truncated data payload rejected (unlike wavMeta's ranged-GET reads)
+    assert(Multimodal.wavPcm16Samples(bytes.take(bytes.length - 1)).isEmpty)
+    assert(Multimodal.wavPcm16Samples("not audio".getBytes).isEmpty)
+    assert(Multimodal.wavPcm16Samples(null).isEmpty)
+    // 8-bit fmt is not silently mis-read as 16-bit
+    val eightBit = bytes.clone(); eightBit(34) = 8
+    assert(Multimodal.wavPcm16Samples(eightBit).isEmpty)
+  }
+
+  test("audioPcmFeatures: exact integer features, truncated rows dropped") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val media = Seq(1L, 99L).toDS().mapPartitions(_.map { id =>
+      val content =
+        if (id == 99L) Multimodal.wavPcm16(1, 8000, Array(1, 2, 3)).take(46)
+        else Multimodal.wavPcm16(1, 8000, Array(3, -4, 0, 5, -1))
+      Multimodal.MediaRecord(id, "audio", content, "synth")
+    })(enc)
+    val out = Multimodal.audioPcmFeatures(media).collect()
+    assert(out.map(_.media_id).toSeq === Seq(1L)) // truncated row dropped
+    val f = out.head
+    assert(f.n_samples === 5L)
+    assert(f.sum_amp === 3L)          // 3 - 4 + 0 + 5 - 1
+    assert(f.sum_sq === 51L)          // 9 + 16 + 0 + 25 + 1
+    assert(f.peak_abs === 5L)
+    // sign (<0) sequence: F T F F T → changes at 3 of 4 adjacent pairs
+    assert(f.zero_crossings === 3L)
+  }
 }
