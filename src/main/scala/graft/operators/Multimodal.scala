@@ -290,6 +290,56 @@ object Multimodal {
     }
   }
 
+  /** Energy-gradient audio fingerprint — the audio analogue of [[dHash]]:
+    * split the interleaved sample stream into `windows` near-equal spans
+    * (sample i lands in window `i*windows/n`, exact integer division),
+    * sum each window's energy (sum of squares), then one bit per adjacent
+    * window pair (`right > left`). Amplitude scaling multiplies every
+    * energy by the same factor, so the bits — like dHash under a
+    * brightness shift — are invariant; a local edit flips only the bits
+    * around the edited span. 33 windows → 32 bits, non-negative in a
+    * Long, bit `windows-2-w` for pair (w, w+1). Empty input → 0L.
+    */
+  def pcmFingerprint(samples: Array[Int], windows: Int = 33): Long = {
+    require(windows >= 2 && windows <= 64, s"windows out of range: $windows")
+    val n = samples.length
+    val e = new Array[Long](windows)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * windows / n).toInt
+      e(w) += samples(i).toLong * samples(i)
+      i += 1
+    }
+    var bits = 0L
+    var w = 0
+    while (w < windows - 1) {
+      if (e(w + 1) > e(w)) bits |= 1L << (windows - 2 - w)
+      w += 1
+    }
+    bits
+  }
+
+  /** Per-record audio fingerprint row. */
+  final case class AudioFingerprint(media_id: Long, fp: Long)
+
+  /** Fingerprint extraction over a media Dataset: real byte path (WAV
+    * chunk walk → LE16 decode → [[pcmFingerprint]]), narrow
+    * mapPartitions; pair the output with a banded self-join on fp
+    * prefixes for audio near-dup candidates at scale, exactly like the
+    * [[imageDHash]] pairing. Undecodable payloads are dropped.
+    */
+  def audioFingerprints(media: Dataset[MediaRecord],
+      windows: Int = 33): Dataset[AudioFingerprint] = {
+    implicit val enc = Encoders.product[AudioFingerprint]
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        wavPcm16Samples(m.content).map { s =>
+          AudioFingerprint(m.media_id, pcmFingerprint(s, windows))
+        }
+      }
+    }
+  }
+
   /** Parsed MP4 movie header (the video analogue of [[AudioMeta]]). */
   final case class VideoMeta(
       media_id: Long,

@@ -177,6 +177,27 @@ object MediaQueries {
         })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
       Multimodal.audioPcmFeatures(media).toDF()
     }),
+
+    // ORACLED audio fingerprint: the multimodal near-dup key for audio —
+    // same real byte path as q_audio_pcm, reduced to the energy-gradient
+    // hash (33 windows -> 32 bits). DuckDB replays window assignment
+    // (integer i*33//n), per-window energy sums, and the right>left bit
+    // pack; the synthesis varies sample count AND a per-doc phase so
+    // fingerprints differ across docs.
+    "q_audio_fp" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") <= 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (200 + id % 57).toInt
+          val samples = Array.tabulate(n) { i =>
+            (((id * 37 + i * 101) % 2048) - 1024).toInt
+          }
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.wavPcm16(1, 16000, samples), "synth")
+        })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+      Multimodal.audioFingerprints(media).toDF()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,5 +298,30 @@ object MediaQueries {
                           AND ((prev < 0) <> (s < 0))
                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
          FROM lagd GROUP BY id""",
+
+    // Fingerprint replay: same sample formula, same i*33//n window
+    // assignment, same energy sums and right>left bit pack. n >= 200 so
+    // every one of the 33 windows is populated.
+    "q_audio_fp" ->
+      """WITH ids AS (
+           SELECT doc_id AS id, 200 + doc_id % 57 AS n
+           FROM documents WHERE doc_id <= 400),
+         samp AS (
+           SELECT ids.id, ids.n, i.i,
+             ((ids.id*37 + i.i*101) % 2048) - 1024 AS s
+           FROM ids, generate_series(0, 256) i(i)
+           WHERE i.i < ids.n),
+         en AS (
+           SELECT id, (i*33) // n AS w,
+             CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS e
+           FROM samp GROUP BY id, (i*33) // n),
+         bits AS (
+           SELECT a.id, a.w,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+           FROM en a JOIN en b ON b.id = a.id AND b.w = a.w + 1
+           WHERE a.w <= 31)
+         SELECT id AS media_id,
+           CAST(sum(bit * (CAST(1 AS BIGINT) << (31 - w))) AS BIGINT) AS fp
+         FROM bits GROUP BY id""",
   )
 }

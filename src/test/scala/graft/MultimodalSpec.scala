@@ -363,4 +363,25 @@ class MultimodalSpec extends SparkSpec {
     // sign (<0) sequence: F T F F T → changes at 3 of 4 adjacent pairs
     assert(f.zero_crossings === 3L)
   }
+
+  test("pcmFingerprint: amplitude-invariant, edit-local, discriminative") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val n = 330 // 10 samples per window, exact
+    val base = Array.tabulate(n)(i => ((i * 71) % 401) - 200)
+    val f0 = Multimodal.pcmFingerprint(base)
+    assert(f0 >= 0L && f0 < (1L << 32))
+    // amplitude scaling multiplies every window energy by 4: bits hold
+    assert(Multimodal.pcmFingerprint(base.map(_ * 2)) === f0)
+    // silencing one window's span flips only bits adjacent to it
+    val edited = base.clone()
+    for (i <- 100 until 110) edited(i) = 0
+    val dEdit = hamming(f0, Multimodal.pcmFingerprint(edited))
+    assert(dEdit >= 1 && dEdit <= 4, s"edit moved $dEdit bits")
+    // an unrelated stream lands far away
+    val other = Array.tabulate(n)(i => ((i * 131 + 17) % 797) - 398)
+    assert(hamming(f0, Multimodal.pcmFingerprint(other)) > 8)
+    // degenerate inputs are total, not crashes
+    assert(Multimodal.pcmFingerprint(Array.empty[Int]) === 0L)
+    assert(Multimodal.pcmFingerprint(Array(5)) === 0L)
+  }
 }
