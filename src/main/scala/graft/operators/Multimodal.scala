@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * BMP ([[bmpPixels]] → [[dHash]], the perceptual near-dup key, oracled
   * in q_image_dhash), and sample-level audio features are real for
   * uncompressed 16-bit PCM WAV ([[wavPcm16Samples]] →
-  * [[audioPcmFeatures]], oracled in q_audio_pcm); only COMPRESSED-codec
+  * [[audioPcmFeatures]]/[[audioFingerprints]], oracled in q_audio_pcm /
+  * q_audio_fp), and frame sampling is real for concatenated-BMP
+  * multi-frame containers ([[bmpFrameSlices]] → [[videoFrameHashes]],
+  * oracled in q_video_frames); only COMPRESSED-codec
   * feature extraction is
   * stubbed (this container ships no image/audio codecs): `decodeStub`
   * derives a deterministic fake feature vector from the bytes. Swap that
@@ -614,6 +617,59 @@ object Multimodal {
       r += 1
     }
     (hi, lo)
+  }
+
+  /** Split a concatenated-BMP stream into frames: each BMP is
+    * self-delimiting (LE32 file size at offset 2), so the walk is
+    * `[offset, offset+size)` per frame — a real multi-frame container
+    * needing no codec, the video fixture this container can produce.
+    * Stops cleanly at the first malformed or truncated frame header
+    * (returns the frames before it); a declared size < 54 or past the
+    * buffer ends the walk rather than looping or overrunning.
+    */
+  def bmpFrameSlices(bytes: Array[Byte]): Array[Array[Byte]] = {
+    if (bytes == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0L
+    while (i + 54 <= bytes.length) {
+      if (bytes(i.toInt) != 'B' || bytes(i.toInt + 1) != 'M') return out.toArray
+      def u8(k: Long): Long = (bytes(k.toInt) & 0xff).toLong
+      val sz = u8(i + 2) | (u8(i + 3) << 8) | (u8(i + 4) << 16) | (u8(i + 5) << 24)
+      if (sz < 54 || i + sz > bytes.length) return out.toArray
+      out += java.util.Arrays.copyOfRange(bytes, i.toInt, (i + sz).toInt)
+      i += sz
+    }
+    out.toArray
+  }
+
+  /** Per-frame perceptual hash row (video near-dup signature element). */
+  final case class FrameHash(
+      media_id: Long, frame_idx: Int, dhash_hi: Long, dhash_lo: Long)
+
+  /** REAL frame sampling + per-frame features over a multi-frame media
+    * Dataset: walk the concatenated-BMP container ([[bmpFrameSlices]]),
+    * keep every `sampleEvery`-th frame (index 0, k, 2k, … — the
+    * keyframe-stride shape of a real video sampler), decode each kept
+    * frame's pixels, and dHash it. Narrow mapPartitions — the multi-frame
+    * payload never shuffles, only the hash rows do; undecodable frames
+    * are dropped individually (a corrupt frame does not sink its video).
+    */
+  def videoFrameHashes(media: Dataset[MediaRecord],
+      sampleEvery: Int = 1): Dataset[FrameHash] = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1: $sampleEvery")
+    implicit val enc = Encoders.product[FrameHash]
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        bmpFrameSlices(m.content).zipWithIndex.iterator.collect {
+          case (frame, idx) if idx % sampleEvery == 0 =>
+            bmpPixels(frame).collect {
+              case (w, h, lum) if w % 9 == 0 && h % 8 == 0 =>
+                val (hi, lo) = dHash(w, h, lum)
+                FrameHash(m.media_id, idx, hi, lo)
+            }
+        }.flatten
+      }
+    }
   }
 
   /** Per-image perceptual hash row. */

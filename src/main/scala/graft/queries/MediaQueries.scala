@@ -198,6 +198,29 @@ object MediaQueries {
         })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
       Multimodal.audioFingerprints(media).toDF()
     }),
+
+    // ORACLED frame sampling + per-frame hashes: a REAL multi-frame byte
+    // path — 6 grayscale frames per doc are synthesized and encoded as a
+    // concatenated-BMP container (each frame self-delimiting via its
+    // LE32 size field), the real frame walk splits it back, every 2nd
+    // frame is kept (the keyframe-stride sampler), and each kept frame
+    // is pixel-decoded and dHashed. DuckDB replays formula -> floor
+    // box averages -> bit pack per (doc, frame) and never sees the
+    // bytes, so a frame-walk, decoder, or hash defect hash-mismatches.
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") <= 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (0 until 6).map { f =>
+            Multimodal.bmpGray(36, 32,
+              (x, y) => ((id * 31 + f * 47 + x * 7 + y * 13) % 256).toInt)
+          }
+          Multimodal.MediaRecord(id, "video",
+            frames.reduce(_ ++ _), "synth")
+        })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+      Multimodal.videoFrameHashes(media, sampleEvery = 2).toDF()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +346,35 @@ object MediaQueries {
          SELECT id AS media_id,
            CAST(sum(bit * (CAST(1 AS BIGINT) << (31 - w))) AS BIGINT) AS fp
          FROM bits GROUP BY id""",
+
+    // Frame-hash replay: the q_image_dhash math with a frame dimension —
+    // sampled frames 0/2/4 of 6, per-frame pixel formula offset by
+    // f*47, same floor box averages and 32-bit half packing.
+    "q_video_frames" ->
+      """WITH ids AS (
+           SELECT doc_id AS id FROM documents WHERE doc_id <= 400),
+         frames AS (
+           SELECT ids.id, f.f FROM ids, (VALUES (0), (2), (4)) f(f)),
+         cells AS (
+           SELECT fr.id, fr.f, r.r, c.c,
+             (SELECT sum((fr.id*31 + fr.f*47 + (c.c*4 + dx.dx)*7
+                          + (r.r*4 + dy.dy)*13) % 256)
+              FROM generate_series(0,3) dx(dx),
+                   generate_series(0,3) dy(dy)) // 16 AS g
+           FROM frames fr, generate_series(0,7) r(r), generate_series(0,8) c(c)),
+         bits AS (
+           SELECT a.id, a.f, a.r, a.c,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.id = a.id AND b.f = a.f AND b.r = a.r AND b.c = a.c + 1
+           WHERE a.c <= 7)
+         SELECT id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(sum(CASE WHEN r < 4
+             THEN bit * (CAST(1 AS BIGINT) << (31 - (r*8 + c)))
+             ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(sum(CASE WHEN r >= 4
+             THEN bit * (CAST(1 AS BIGINT) << (31 - ((r-4)*8 + c)))
+             ELSE 0 END) AS BIGINT) AS dhash_lo
+         FROM bits GROUP BY id, f""",
   )
 }

@@ -384,4 +384,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pcmFingerprint(Array.empty[Int]) === 0L)
     assert(Multimodal.pcmFingerprint(Array(5)) === 0L)
   }
+
+  test("bmpFrameSlices: self-delimiting walk, truncation ends it cleanly") {
+    def frame(seed: Int): Array[Byte] =
+      Multimodal.bmpGray(36, 32, (x, y) => (seed + x + y) % 256)
+    val f0 = frame(1); val f1 = frame(2); val f2 = frame(3)
+    val container = f0 ++ f1 ++ f2
+    val got = Multimodal.bmpFrameSlices(container)
+    assert(got.length === 3)
+    assert(got(0).toSeq === f0.toSeq && got(2).toSeq === f2.toSeq)
+    // a truncated tail frame yields only the complete leading frames
+    assert(Multimodal.bmpFrameSlices(
+      container.take(f0.length + f1.length + 10)).length === 2)
+    // junk mid-stream stops the walk without overrunning
+    assert(Multimodal.bmpFrameSlices(f0 ++ "junk".getBytes).length === 1)
+    assert(Multimodal.bmpFrameSlices("junk".getBytes).length === 0)
+    assert(Multimodal.bmpFrameSlices(null).length === 0)
+    // a forged size < 54 cannot loop forever
+    val forged = f0.clone(); forged(2) = 10; forged(3) = 0
+    forged(4) = 0; forged(5) = 0
+    assert(Multimodal.bmpFrameSlices(forged).length === 0)
+  }
+
+  test("videoFrameHashes: stride sampling, per-frame hashes, bad frame dropped") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val media = Seq(5L).toDS().mapPartitions(_.map { id =>
+      val frames = (0 until 6).map { f =>
+        Multimodal.bmpGray(36, 32,
+          (x, y) => ((id * 31 + f * 47 + x * 7 + y * 13) % 256).toInt)
+      }
+      Multimodal.MediaRecord(id, "video", frames.reduce(_ ++ _), "synth")
+    })(enc)
+    val out = Multimodal.videoFrameHashes(media, sampleEvery = 2).collect()
+    assert(out.map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
+    // each sampled frame hashes like the standalone image path
+    val lone = Multimodal.imageDHash(
+      Seq(5L).toDS().mapPartitions(_.map { id =>
+        Multimodal.MediaRecord(id, "image",
+          Multimodal.bmpGray(36, 32,
+            (x, y) => ((id * 31 + 2 * 47 + x * 7 + y * 13) % 256).toInt),
+          "synth")
+      })(enc)).collect().head
+    val fr2 = out.find(_.frame_idx === 2).get
+    assert((fr2.dhash_hi, fr2.dhash_lo) === (lone.dhash_hi, lone.dhash_lo))
+  }
 }
