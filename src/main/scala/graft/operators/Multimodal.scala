@@ -675,6 +675,55 @@ object Multimodal {
   /** Per-image perceptual hash row. */
   final case class ImageHash(media_id: Long, dhash_hi: Long, dhash_lo: Long)
 
+  /** Perceptual near-dup pairing over dHash rows: the 64 bits split into
+    * 8 byte-bands (pigeonhole: pairs within hamming ≤ 7 share at least
+    * one band; ≤ `maxHamming` ≤ 7 therefore has recall 1.0), candidates
+    * from a same-(band, value) equi-join — never all-pairs — then exact
+    * hamming verification via xor bit counts. Degenerate bands (a byte
+    * value held by more than `maxBucket` images, e.g. the all-zero byte
+    * of flat regions at corpus scale) are dropped from candidate
+    * generation, the same df-cap contract as the text LSH paths: recall
+    * on pairs whose every shared band is degenerate is sacrificed for a
+    * hard bound on join fan-out. Output: (id_a, id_b, hamming) with
+    * id_a < id_b, one row per verified pair.
+    */
+  def dhashNearDupPairs(hashes: Dataset[ImageHash], maxHamming: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0,7] for banded recall 1.0: $maxHamming")
+    val df = hashes.toDF()
+    val bandCols = (0 to 3).map(k =>
+      shiftright(col("dhash_hi"), 24 - 8 * k).bitwiseAND(lit(255L))) ++
+      (0 to 3).map(k =>
+        shiftright(col("dhash_lo"), 24 - 8 * k).bitwiseAND(lit(255L)))
+    val banded = df
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        array(bandCols: _*).as("__bands"))
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        posexplode(col("__bands")).as(Seq("band", "bval")))
+    val capped = banded.join(
+      banded.groupBy("band", "bval").count()
+        .filter(col("count") <= maxBucket)
+        .select(col("band").as("band_ok"), col("bval").as("bval_ok")),
+      col("band") === col("band_ok") && col("bval") === col("bval_ok"))
+      .drop("band_ok", "bval_ok")
+    val a = capped.select(col("media_id").as("id_a"),
+      col("dhash_hi").as("hi_a"), col("dhash_lo").as("lo_a"),
+      col("band"), col("bval"))
+    val b = capped.select(col("media_id").as("id_b"),
+      col("dhash_hi").as("hi_b"), col("dhash_lo").as("lo_b"),
+      col("band").as("band_b"), col("bval").as("bval_b"))
+    a.join(b, col("band") === col("band_b") &&
+        col("bval") === col("bval_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Perceptual-hash extraction over a media Dataset: REAL byte path
     * (BMP pixel decode → box downscale → gradient bits), narrow
     * mapPartitions, binary payloads never shuffle — only the 3-long hash

@@ -221,6 +221,30 @@ object MediaQueries {
         })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
       Multimodal.videoFrameHashes(media, sampleEvery = 2).toDF()
     }),
+
+    // ORACLED multimodal near-dup pairing, end to end: 200 base images
+    // (id-dependent gradient directions so unrelated pairs land far
+    // apart) + 200 near-copies (one 4x4 cell silenced — flips <= 2
+    // gradient bits), hashed through the REAL encode->decode->dHash byte
+    // path, then paired by the 8-byte-band candidate join + hamming
+    // verify. DuckDB replays pixels, hashes, bands, and the xor bit
+    // count; every (i, i+200) pair must surface with its exact hamming,
+    // plus any structural near-collisions — both engines agree exactly.
+    "q_dhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val b = id % 200
+          val edited = id >= 200
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.bmpGray(36, 32, (x, y) =>
+              if (edited && x >= 12 && x < 16 && y >= 8 && y < 12) 0
+              else ((b * 31 + x * (7 + b % 5) + y * (13 + b % 7)) % 256).toInt),
+            "synth")
+        })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+      Multimodal.dhashNearDupPairs(Multimodal.imageDHash(media))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -376,5 +400,58 @@ object MediaQueries {
              THEN bit * (CAST(1 AS BIGINT) << (31 - ((r-4)*8 + c)))
              ELSE 0 END) AS BIGINT) AS dhash_lo
          FROM bits GROUP BY id, f""",
+
+    // Near-dup pairing replay: pixels (with the near-copy edit), dHash,
+    // 8 byte-bands, DISTINCT same-band candidates, xor bit-count verify.
+    // The operator's maxBucket cap cannot trigger here (400 ids < 1000),
+    // so the oracle omits it. All 200 planted (i, i+200) pairs surface
+    // (the edit flips <= 2 bits; banded recall is 1.0 for hamming <= 7)
+    // plus the deterministic structural near-collisions.
+    "q_dhash_neardup" ->
+      """WITH ids AS (
+           SELECT doc_id AS id, doc_id % 200 AS b, doc_id >= 200 AS edited
+           FROM documents WHERE doc_id < 400),
+         cells AS (
+           SELECT ids.id, r.r, c.c,
+             (SELECT sum(CASE WHEN ids.edited
+                      AND (c.c*4 + dx.dx) BETWEEN 12 AND 15
+                      AND (r.r*4 + dy.dy) BETWEEN 8 AND 11 THEN 0
+                 ELSE (ids.b*31 + (c.c*4 + dx.dx)*(7 + ids.b%5)
+                       + (r.r*4 + dy.dy)*(13 + ids.b%7)) % 256 END)
+              FROM generate_series(0,3) dx(dx),
+                   generate_series(0,3) dy(dy)) // 16 AS g
+           FROM ids, generate_series(0,7) r(r), generate_series(0,8) c(c)),
+         bits AS (
+           SELECT a.id, a.r, a.c,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+           WHERE a.c <= 7),
+         hashes AS (
+           SELECT id AS media_id,
+             CAST(sum(CASE WHEN r < 4
+               THEN bit * (CAST(1 AS BIGINT) << (31 - (r*8 + c)))
+               ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN r >= 4
+               THEN bit * (CAST(1 AS BIGINT) << (31 - ((r-4)*8 + c)))
+               ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY id),
+         bands AS (
+           SELECT media_id, hi, lo, k.k AS band,
+             CASE WHEN k.k < 4 THEN (hi >> (24 - 8*k.k)) & 255
+                  ELSE (lo >> (24 - 8*(k.k-4))) & 255 END AS bval
+           FROM hashes, generate_series(0,7) k(k)),
+         cand AS (
+           SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+           FROM bands a JOIN bands b
+             ON b.band = a.band AND b.bval = a.bval
+             AND a.media_id < b.media_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b))
+             + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+         FROM cand
+         WHERE bit_count(xor(hi_a, hi_b))
+           + bit_count(xor(lo_a, lo_b)) <= 4""",
   )
 }

@@ -429,4 +429,33 @@ class MultimodalSpec extends SparkSpec {
     val fr2 = out.find(_.frame_idx === 2).get
     assert((fr2.dhash_hi, fr2.dhash_lo) === (lone.dhash_hi, lone.dhash_lo))
   }
+
+  test("dhashNearDupPairs: planted pairs recalled, cap drops degenerate bands") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    // 20 bases + 20 one-cell-edited copies (edit flips <= 2 bits)
+    def mk(n: Int) = Seq.range(0L, n.toLong).toDS().mapPartitions(_.map { id =>
+      val b = id % 10
+      val edited = id >= 10
+      Multimodal.MediaRecord(id, "image",
+        Multimodal.bmpGray(36, 32, (x, y) =>
+          if (edited && x >= 12 && x < 16 && y >= 8 && y < 12) 0
+          else ((b * 31 + x * (7 + b % 5) + y * (13 + b % 7)) % 256).toInt),
+        "synth")
+    })(enc)
+    val pairs = Multimodal.dhashNearDupPairs(
+      Multimodal.imageDHash(mk(20)), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 10L)
+      assert(pairs.contains((i, i + 10)), s"planted pair ($i, ${i + 10}) lost")
+    // a tiny bucket cap drops every band (all buckets exceed it): no
+    // candidates, no pairs — the fan-out bound is real
+    assert(Multimodal.dhashNearDupPairs(
+      Multimodal.imageDHash(mk(20)), maxHamming = 4, maxBucket = 0)
+      .count() === 0L)
+    // hamming > 7 would break the 8-band pigeonhole recall guarantee
+    intercept[IllegalArgumentException] {
+      Multimodal.dhashNearDupPairs(Multimodal.imageDHash(mk(4)), maxHamming = 8)
+    }
+  }
 }
