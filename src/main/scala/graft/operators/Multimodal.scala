@@ -696,11 +696,15 @@ object Multimodal {
       shiftright(col("dhash_hi"), 24 - 8 * k).bitwiseAND(lit(255L))) ++
       (0 to 3).map(k =>
         shiftright(col("dhash_lo"), 24 - 8 * k).bitwiseAND(lit(255L)))
+    // eager localCheckpoint: three consumers follow (bucket counts + both
+    // join sides) — without it each re-runs the upstream decode lineage
+    // (the hash rows are 4 longs/image; the decode is the expensive part)
     val banded = df
       .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
         array(bandCols: _*).as("__bands"))
       .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
         posexplode(col("__bands")).as(Seq("band", "bval")))
+      .localCheckpoint(true)
     val capped = banded.join(
       banded.groupBy("band", "bval").count()
         .filter(col("count") <= maxBucket)
