@@ -69,7 +69,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.SchemaQueries.queries ++
-      graft.queries.MediaQueries.queries
+      graft.queries.MediaQueries.queries ++
+      graft.queries.ConvQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +98,6 @@ object SparkEntry {
     graft.queries.TextQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
     graft.queries.SchemaQueries.oracles ++
-    graft.queries.MediaQueries.oracles
+    graft.queries.MediaQueries.oracles ++
+    graft.queries.ConvQueries.oracles
 }

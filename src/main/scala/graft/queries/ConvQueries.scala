@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Conversations
+import graft.sources.Tables
+
+/** Conversation / SFT-data QA queries ([EXT]): chat-shaped
+  * `array<struct<role,content>>` columns synthesized in-plan from the
+  * documents fixture (with deterministic corruption — double-role turns
+  * for doc_id % 7 == 0, an empty assistant turn for doc_id % 11 == 0 —
+  * so every flag discriminates), then the real array-expression
+  * operators. DuckDB replays the per-turn synthesis formulas row-wise
+  * and re-aggregates, so a defect in any HOF (filter/aggregate/
+  * zip_with/slice) hash-mismatches.
+  */
+object ConvQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Shared in-plan conversation synthesis (see object scaladoc).
+    * Corruption precedence (last turn forced 'user') is deliberately
+    * applied OVER the system rule on both engines.
+    */
+  private def synthConv: Column = {
+    val id = col("doc_id")
+    val n = (id % 5 + 2).cast("int")
+    val sys = id % 3 === 0
+    transform(sequence(lit(0), n - 1), i => {
+      val off = when(sys, 1).otherwise(0)
+      val role = when(id % 7 === 0 && i === n - 1, lit("user"))
+        .when(i === 0 && sys, lit("system"))
+        .when(((i - off) % 2) === 0, lit("user"))
+        .otherwise(lit("assistant"))
+      val len = when(id % 11 === 0 && i === 1, lit(0))
+        .otherwise(((id + i * 3) % 8 + 1).cast("int"))
+      struct(role.as("role"),
+        call_function("repeat", lit("x"), len).as("content"))
+    })
+  }
+
+  /** The per-turn replay both oracles build on. */
+  private val turnsCte =
+    """WITH ids AS (
+         SELECT doc_id AS id, CAST(doc_id % 5 + 2 AS INTEGER) AS n,
+           doc_id % 3 = 0 AS sys
+         FROM documents),
+       turns AS (
+         SELECT id, n, sys, i.i,
+           CASE WHEN id % 7 = 0 AND i.i = n - 1 THEN 'user'
+                WHEN i.i = 0 AND sys THEN 'system'
+                WHEN (i.i - CASE WHEN sys THEN 1 ELSE 0 END) % 2 = 0
+                  THEN 'user'
+                ELSE 'assistant' END AS role,
+           CASE WHEN id % 11 = 0 AND i.i = 1 THEN 0
+                ELSE CAST((id + i.i*3) % 8 + 1 AS INTEGER) END AS len
+         FROM ids, generate_series(0, 6) i(i) WHERE i.i < n)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ORACLED turn stats + validity flags over the synthesized chat data.
+    "q_conv_stats" -> ((s, dir) => {
+      Conversations.turnStats(
+        t(s, dir, "documents").select(col("doc_id"),
+          synthConv.as("conv")),
+        "doc_id", "conv")
+    }),
+
+    // ORACLED template render: the canonical string a tokenizer consumes
+    // — byte-compared cross-engine, plus its length.
+    "q_conv_render" -> ((s, dir) => {
+      val conv = synthConv
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Conversations.renderTemplate(conv).as("rendered"))
+        .withColumn("n_chars", length(col("rendered")).cast("long"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Stats replay: per-turn rows, body = turns after a leading system
+    // turn, alternation via lag() over body order.
+    "q_conv_stats" -> (turnsCte + """,
+       body AS (
+         SELECT * FROM turns WHERE NOT (i = 0 AND role = 'system')),
+       alt AS (
+         SELECT id,
+           bool_and(role IN ('user','assistant')) AS known,
+           arg_min(role, i) = 'user' AS starts_user,
+           bool_and(prev IS NULL OR role <> prev) AS adjacent_differ
+         FROM (SELECT id, i, role,
+                 lag(role) OVER (PARTITION BY id ORDER BY i) AS prev
+               FROM body)
+         GROUP BY id),
+       agg AS (
+         SELECT id,
+           count(*) AS n_turns,
+           count(*) FILTER (role = 'user') AS n_user,
+           count(*) FILTER (role = 'assistant') AS n_assistant,
+           count(*) FILTER (role = 'system') AS n_system,
+           CAST(sum(len) AS BIGINT) AS total_chars,
+           CAST(coalesce(sum(len) FILTER (role = 'assistant'), 0)
+             AS BIGINT) AS assistant_chars,
+           bool_or(len = 0) AS has_empty_turn
+         FROM turns GROUP BY id)
+       SELECT agg.id AS doc_id, n_turns, n_user, n_assistant, n_system,
+         total_chars, assistant_chars, has_empty_turn,
+         (known AND starts_user AND adjacent_differ) AS alternation_ok
+       FROM agg JOIN alt ON alt.id = agg.id"""),
+
+    // Render replay: string_agg in turn order with the exact
+    // '<|role|>content' element form and newline separator.
+    "q_conv_render" -> (turnsCte + """
+       SELECT id AS doc_id,
+         string_agg('<|' || role || '|>' || repeat('x', len),
+           chr(10) ORDER BY i) AS rendered,
+         CAST(sum(4 + length(role) + len) + count(*) - 1 AS BIGINT)
+           AS n_chars
+       FROM turns GROUP BY id"""),
+  )
+}
