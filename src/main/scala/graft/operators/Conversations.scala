@@ -107,4 +107,37 @@ object Conversations {
     */
   def validConversations(df: DataFrame, convCol: String): DataFrame =
     df.filter(alternationOk(col(convCol)) && !hasEmptyTurn(col(convCol)))
+
+  /** Context-window truncation — the standard chat policy: keep a
+    * leading system turn unconditionally (even over budget), charge its
+    * chars against the budget, then keep the LONGEST SUFFIX of the
+    * remaining turns whose total content chars fit what is left (most
+    * recent context wins). Pure array expressions: suffix running sums
+    * via an `aggregate` array accumulator (O(turns²) array builds —
+    * turns are tens, not thousands), suffix length = count of sums
+    * within budget (sums are monotone), then two slices. No shuffle.
+    */
+  def truncateToBudget(conv: Column, budgetChars: Long): Column = {
+    val hasSys = size(conv) > 0 &&
+      element_at(conv, 1).getField("role") === SystemRole
+    val bodyArr = when(hasSys,
+      slice(conv, lit(2), greatest(size(conv) - 1, lit(0))))
+      .otherwise(conv)
+    val sysChars = when(hasSys,
+      length(element_at(conv, 1).getField("content")).cast("long"))
+      .otherwise(lit(0L))
+    val rem = lit(budgetChars) - sysChars
+    val revLens = reverse(transform(bodyArr,
+      t => length(t.getField("content")).cast("long")))
+    val sums = aggregate(revLens,
+      struct(lit(0L).as("s"), array().cast("array<bigint>").as("a")),
+      (acc, x) => struct(
+        (acc.getField("s") + x).as("s"),
+        concat(acc.getField("a"), array(acc.getField("s") + x)).as("a")),
+      acc => acc.getField("a"))
+    val k = size(filter(sums, c => c <= rem))
+    concat(
+      slice(conv, lit(1), when(hasSys, lit(1)).otherwise(lit(0))),
+      slice(bodyArr, size(bodyArr) - k + 1, k))
+  }
 }

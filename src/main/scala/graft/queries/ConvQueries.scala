@@ -77,6 +77,18 @@ object ConvQueries {
         Conversations.renderTemplate(conv).as("rendered"))
         .withColumn("n_chars", length(col("rendered")).cast("long"))
     }),
+
+    // ORACLED context-window truncation: budget 20 chars bites on most
+    // fixture conversations (totals run up to ~40), the system turn
+    // survives unconditionally, and the kept suffix renders byte-
+    // identically cross-engine.
+    "q_conv_truncate" -> ((s, dir) => {
+      val kept = Conversations.truncateToBudget(synthConv, 20L)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(kept).cast("long").as("n_kept"),
+        Conversations.renderTemplate(kept).as("rendered"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +132,36 @@ object ConvQueries {
          CAST(sum(4 + length(role) + len) + count(*) - 1 AS BIGINT)
            AS n_chars
        FROM turns GROUP BY id"""),
+
+    // Truncation replay: suffix running sums over the non-system turns
+    // (window ORDER BY i DESC), kept = system turn OR suffix sum within
+    // the system-charged budget; LEFT JOIN keeps ids whose kept set is
+    // empty (rendered = '' like Spark's array_join of an empty array).
+    "q_conv_truncate" -> (turnsCte + """,
+       marked AS (
+         SELECT *, (i = 0 AND role = 'system') AS is_sys FROM turns),
+       sysc AS (
+         SELECT id,
+           CAST(coalesce(sum(len) FILTER (is_sys), 0) AS BIGINT)
+             AS sys_chars
+         FROM marked GROUP BY id),
+       suff AS (
+         SELECT m.*,
+           sum(CASE WHEN is_sys THEN 0 ELSE len END)
+             OVER (PARTITION BY id ORDER BY i DESC) AS scum
+         FROM marked m),
+       kept AS (
+         SELECT s.id, s.i, s.role, s.len
+         FROM suff s JOIN sysc c ON c.id = s.id
+         WHERE s.is_sys OR s.scum <= 20 - c.sys_chars),
+       agg AS (
+         SELECT id, count(*) AS n_kept,
+           string_agg('<|' || role || '|>' || repeat('x', len),
+             chr(10) ORDER BY i) AS rendered
+         FROM kept GROUP BY id)
+       SELECT ids.id AS doc_id,
+         coalesce(agg.n_kept, 0) AS n_kept,
+         coalesce(agg.rendered, '') AS rendered
+       FROM ids LEFT JOIN agg ON agg.id = ids.id"""),
   )
 }

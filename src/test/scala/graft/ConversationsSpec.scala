@@ -71,4 +71,30 @@ class ConversationsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(1L))
   }
+
+  test("truncateToBudget: system survives, most recent turns win") {
+    def run(budget: Long, turns: (String, String)*): Seq[(String, String)] = {
+      val df = frame(1L -> conv(turns: _*))
+      df.select(Conversations.truncateToBudget(col("conv"), budget).as("k"))
+        .select(explode(col("k")).as("t"))
+        .select(col("t.role"), col("t.content"))
+        .as[(String, String)].collect().toSeq
+    }
+    // budget 5 after system's 3: keeps only the last turn (2+2 > 5-3=2? no:
+    // suffix sums from end: "d"=1 fits, "ccc"+1=4 > 2 stops)
+    val got = run(5L, "system" -> "sss", "user" -> "bb", "assistant" -> "ccc",
+      "user" -> "d")
+    assert(got === Seq("system" -> "sss", "user" -> "d"))
+    // system alone exceeds the budget: still kept, body all dropped
+    assert(run(2L, "system" -> "sssss", "user" -> "aa") ===
+      Seq("system" -> "sssss"))
+    // no system: plain suffix under budget
+    assert(run(3L, "user" -> "aa", "assistant" -> "bb", "user" -> "c") ===
+      Seq("assistant" -> "bb", "user" -> "c"))
+    // everything fits: unchanged
+    assert(run(100L, "user" -> "aa", "assistant" -> "bb") ===
+      Seq("user" -> "aa", "assistant" -> "bb"))
+    // nothing fits, no system: empty
+    assert(run(0L, "user" -> "aa") === Seq.empty)
+  }
 }
