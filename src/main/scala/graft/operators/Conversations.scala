@@ -54,6 +54,50 @@ object Conversations {
   def hasEmptyTurn(conv: Column): Column =
     exists(conv, t => length(t.getField("content")) === 0)
 
+  /** Inclusive running sums of a bigint array, as a pure Column:
+    * `[a, a+b, a+c+b, …]` — an `aggregate` array accumulator (O(n²)
+    * array builds; conversation-turn n, not corpus n).
+    */
+  private def runningSums(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(0L).as("s"), array().cast("array<bigint>").as("a")),
+      (acc, x) => struct(
+        (acc.getField("s") + x).as("s"),
+        concat(acc.getField("a"), array(acc.getField("s") + x)).as("a")),
+      acc => acc.getField("a"))
+
+  /** Loss-mask spans for assistant-only training: for each ASSISTANT
+    * turn, the half-open character range `[start, end)` its content
+    * occupies inside [[renderTemplate]]'s rendered string (0-based).
+    * Element i of the render starts at `sum(lens of 0..i-1) + i`
+    * (newline separators); its content starts `4 + len(role)` further
+    * (the `<\|role\|>` tag). Output: `array<struct<turn_idx:int,
+    * start:bigint, end:bigint>>` in turn order — explode + substring is
+    * the mask a trainer consumes. Pure array expressions, no shuffle.
+    */
+  def assistantSpans(conv: Column): Column = {
+    val lens = transform(conv, t =>
+      (lit(4L) + length(t.getField("role")) +
+        length(t.getField("content"))).cast("long"))
+    val cums = runningSums(lens)
+    val indexed = transform(conv, (t, i) => {
+      val elemStart = when(i === 0, lit(0L))
+        .otherwise(element_at(cums, i) + i.cast("long"))
+      val contentStart = elemStart + lit(4L) +
+        length(t.getField("role")).cast("long")
+      struct(
+        i.cast("int").as("turn_idx"),
+        t.getField("role").as("role"),
+        contentStart.as("start"),
+        (contentStart + length(t.getField("content")).cast("long"))
+          .as("end"))
+    })
+    transform(
+      filter(indexed, s => s.getField("role") === AssistantRole),
+      s => struct(s.getField("turn_idx").as("turn_idx"),
+        s.getField("start").as("start"), s.getField("end").as("end")))
+  }
+
   /** Per-conversation structural stats + validity flags:
     *
     *  - `n_turns` / `n_user` / `n_assistant` / `n_system`
@@ -129,12 +173,7 @@ object Conversations {
     val rem = lit(budgetChars) - sysChars
     val revLens = reverse(transform(bodyArr,
       t => length(t.getField("content")).cast("long")))
-    val sums = aggregate(revLens,
-      struct(lit(0L).as("s"), array().cast("array<bigint>").as("a")),
-      (acc, x) => struct(
-        (acc.getField("s") + x).as("s"),
-        concat(acc.getField("a"), array(acc.getField("s") + x)).as("a")),
-      acc => acc.getField("a"))
+    val sums = runningSums(revLens)
     val k = size(filter(sums, c => c <= rem))
     concat(
       slice(conv, lit(1), when(hasSys, lit(1)).otherwise(lit(0))),

@@ -89,6 +89,17 @@ object ConvQueries {
         size(kept).cast("long").as("n_kept"),
         Conversations.renderTemplate(kept).as("rendered"))
     }),
+
+    // ORACLED assistant loss-mask spans: the [start, end) character
+    // ranges assistant content occupies in the rendered string — the
+    // mask a trainer consumes. DuckDB replays element offsets with a
+    // prefix-sum window.
+    "q_conv_spans" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(Conversations.assistantSpans(synthConv)).as("s"))
+        .select(col("doc_id"), col("s.turn_idx"),
+          col("s.start"), col("s.end"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,5 +174,20 @@ object ConvQueries {
          coalesce(agg.n_kept, 0) AS n_kept,
          coalesce(agg.rendered, '') AS rendered
        FROM ids LEFT JOIN agg ON agg.id = ids.id"""),
+
+    // Span replay: rendered-element offsets via a prefix-sum window
+    // (+i for the newline separators), assistant rows only.
+    "q_conv_spans" -> (turnsCte + """,
+       pos AS (
+         SELECT id, i, role, len,
+           coalesce(sum(4 + length(role) + len)
+             OVER (PARTITION BY id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + i AS elem_start
+         FROM turns)
+       SELECT id AS doc_id, CAST(i AS INTEGER) AS turn_idx,
+         CAST(elem_start + 4 + length(role) AS BIGINT) AS start,
+         CAST(elem_start + 4 + length(role) + len AS BIGINT) AS "end"
+       FROM pos WHERE role = 'assistant'"""),
   )
 }

@@ -97,4 +97,29 @@ class ConversationsSpec extends SparkSpec {
     // nothing fits, no system: empty
     assert(run(0L, "user" -> "aa") === Seq.empty)
   }
+
+  test("assistantSpans: offsets cut exactly the assistant content") {
+    val df = frame(
+      1L -> conv("system" -> "be nice", "user" -> "hi there",
+        "assistant" -> "hello!", "user" -> "more?", "assistant" -> "yes"),
+      2L -> conv("user" -> "q"), // no assistant turns: empty spans
+      3L -> Seq.empty)
+    val out = df.select(col("id"),
+      Conversations.renderTemplate(col("conv")).as("rendered"),
+      Conversations.assistantSpans(col("conv")).as("spans"))
+      .collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val rendered = byId(1L).getString(1)
+    val spans = byId(1L).getSeq[Row](2)
+    assert(spans.map(_.getInt(0)) === Seq(2, 4))
+    // every span substring is exactly that turn's content
+    val expect = Map(2 -> "hello!", 4 -> "yes")
+    spans.foreach { s =>
+      val (idx, st, en) = (s.getInt(0), s.getLong(1), s.getLong(2))
+      assert(rendered.substring(st.toInt, en.toInt) === expect(idx),
+        s"span $idx [$st,$en) in '$rendered'")
+    }
+    assert(byId(2L).getSeq[Row](2).isEmpty)
+    assert(byId(3L).getSeq[Row](2).isEmpty)
+  }
 }
