@@ -333,6 +333,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("conversation QA: scan-side flags/render/truncate/spans, zero exchanges") {
+    // the whole SFT-QA family is per-row array expressions — any exchange
+    // here means a join or window crept into what must stay a narrow pass
+    for (q <- Seq("q_conv_stats", "q_conv_render", "q_conv_truncate",
+        "q_conv_spans")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q:\n$p")
+    }
+  }
+
   test("q_bm25_topk: corpus tokenized once, query side broadcast, no SMJ") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
