@@ -629,4 +629,39 @@ class StreamingSpec extends SparkSpec {
       assert(got === Seq((7L, 2L, 2.0), (7L, 1L, 5.0)))
     } finally query.stop()
   }
+
+  test("conversation QA flags are stream/batch identical (stateless pass)") {
+    import graft.operators.Conversations
+    import org.apache.spark.sql.functions._
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    def convDf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("conv",
+        transform(col("turns"), t =>
+          struct(t.getField("_1").as("role"), t.getField("_2").as("content"))))
+    val rows = Seq(
+      (1L, Seq("user" -> "q", "assistant" -> "a")),
+      (2L, Seq("user" -> "q", "user" -> "dup")),
+      (3L, Seq("system" -> "s", "user" -> "q", "assistant" -> "")))
+
+    val mem = MemoryStream[(Long, Seq[(String, String)])]
+    val streamed = Conversations.turnStats(
+      convDf(mem.toDF().toDF("id", "turns")), "id", "conv")
+    val query = streamed.writeStream.format("memory").queryName("conv_qa")
+      .outputMode(OutputMode.Append()).start()
+    val streamGot = try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      spark.sql("SELECT * FROM conv_qa").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    } finally query.stop()
+
+    val batchGot = Conversations.turnStats(
+      convDf(rows.toDF("id", "turns")), "id", "conv")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamGot === batchGot)
+    assert(streamGot(1L).last === true && streamGot(2L).last === false)
+  }
 }
