@@ -70,7 +70,8 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.SchemaQueries.queries ++
       graft.queries.MediaQueries.queries ++
-      graft.queries.ConvQueries.queries
+      graft.queries.ConvQueries.queries ++
+      graft.queries.PrefQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
     graft.queries.VectorQueries.oracles ++
     graft.queries.SchemaQueries.oracles ++
     graft.queries.MediaQueries.oracles ++
-    graft.queries.ConvQueries.oracles
+    graft.queries.ConvQueries.oracles ++
+    graft.queries.PrefQueries.oracles
 }

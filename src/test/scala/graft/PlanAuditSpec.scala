@@ -343,6 +343,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("preference-pair QA: per-pair flags stay a narrow pass; reports one agg") {
+    // q_pref_stats is per-row array/set math — an exchange means a join
+    // or window crept in; the two report queries are single hash aggs
+    // (one exchange between partial and final), dedup groups likewise
+    val p = plan("q_pref_stats")
+    assert(!p.contains("Exchange"), p)
+    for (q <- Seq("q_pref_bias", "q_pref_dedup")) {
+      val pq = plan(q)
+      assert(countOf(pq, "Exchange hashpartitioning") === 1, s"$q:\n$pq")
+      assert(!pq.contains("SortMergeJoin") && !pq.contains("CartesianProduct"),
+        s"$q:\n$pq")
+    }
+  }
+
   test("q_bm25_topk: corpus tokenized once, query side broadcast, no SMJ") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
