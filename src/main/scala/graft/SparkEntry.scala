@@ -71,7 +71,8 @@ object SparkEntry {
       graft.queries.SchemaQueries.queries ++
       graft.queries.MediaQueries.queries ++
       graft.queries.ConvQueries.queries ++
-      graft.queries.PrefQueries.queries
+      graft.queries.PrefQueries.queries ++
+      graft.queries.DqQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
     graft.queries.SchemaQueries.oracles ++
     graft.queries.MediaQueries.oracles ++
     graft.queries.ConvQueries.oracles ++
-    graft.queries.PrefQueries.oracles
+    graft.queries.PrefQueries.oracles ++
+    graft.queries.DqQueries.oracles
 }
