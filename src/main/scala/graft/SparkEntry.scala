@@ -72,7 +72,8 @@ object SparkEntry {
       graft.queries.MediaQueries.queries ++
       graft.queries.ConvQueries.queries ++
       graft.queries.PrefQueries.queries ++
-      graft.queries.DqQueries.queries
+      graft.queries.DqQueries.queries ++
+      graft.queries.ProfilingQueries.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +104,6 @@ object SparkEntry {
     graft.queries.MediaQueries.oracles ++
     graft.queries.ConvQueries.oracles ++
     graft.queries.PrefQueries.oracles ++
-    graft.queries.DqQueries.oracles
+    graft.queries.DqQueries.oracles ++
+    graft.queries.ProfilingQueries.oracles
 }

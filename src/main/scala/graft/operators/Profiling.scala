@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-column profiling and snapshot metric drift ([EXT]): the
+  * monitoring half of data validation (Schelter et al. VLDB'18 run
+  * declarative checks against PROFILED metrics over time; Great
+  * Expectations calls this a "data docs" profile). A pipeline ingesting
+  * monthly snapshots profiles each one and alarms when a metric moves
+  * more than a tolerance relative to the previous snapshot — catching
+  * upstream regressions (a provider starts sending nulls, a scraper
+  * truncates text, a join starts fanning out) before they poison
+  * training data.
+  *
+  * [[profile]] computes all metrics in ONE aggregation job (same
+  * single-agg + explode shape as [[Constraints.audit]]; distinct counts
+  * add Expand width, still one job). [[drift]] joins two profiles —
+  * two one-row aggregates, broadcast-joined, negligible at any scale —
+  * and emits integer micro-unit relative changes (exact cross-engine).
+  */
+object Profiling {
+
+  /** Columns to profile: numeric columns get null_rate/min/max/avg,
+    * string columns get null_rate/avg_len/distinct.
+    */
+  final case class Spec(numeric: Seq[String], strings: Seq[String])
+
+  /** Long-form per-column metrics: (column, metric, value) with value
+    * DOUBLE (rates in micro-units as exact integers-in-double, avgs
+    * rounded to 6 decimals — both engine-replayable).
+    */
+  def profile(df: DataFrame, spec: Spec): DataFrame = {
+    val n = count(lit(1))
+    def nullRate(c: String): Column =
+      when(n === 0L, 0L).otherwise(
+        floor((n - count(col(c))).cast("long") * 1000000L / n))
+        .cast("double")
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+    def add(colName: String, metric: String, expr: Column): Unit = {
+      rows += ((colName, metric, aggs.size))
+      aggs += expr.as(s"__m${aggs.size}")
+      ()
+    }
+    for (c <- spec.numeric) {
+      add(c, "null_rate_micro", nullRate(c))
+      add(c, "min", min(col(c)).cast("double"))
+      add(c, "max", max(col(c)).cast("double"))
+      add(c, "avg", round(sum(col(c)).cast("double") / count(col(c)), 6))
+    }
+    for (c <- spec.strings) {
+      add(c, "null_rate_micro", nullRate(c))
+      add(c, "avg_len",
+        round(sum(length(col(c))).cast("double") / count(col(c)), 6))
+      add(c, "distinct", countDistinct(col(c)).cast("double"))
+    }
+    val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val structs = rows.map { case (c, m, i) =>
+      struct(lit(c).as("column"), lit(m).as("metric"),
+        col(s"__m$i").as("value"))
+    }
+    one.select(explode(array(structs.toSeq: _*)).as("r"))
+      .select(col("r.column"), col("r.metric"), col("r.value"))
+  }
+
+  /** Metric drift between two profiles of the SAME spec: the relative
+    * change in integer micro-units and the alarm verdict. Contract for
+    * zero/null baselines: prev=0,cur=0 → 0; prev=0,cur≠0 → ±1e6 (a
+    * forced full-swing alarm — a metric appearing from nothing is
+    * always reportable); either side NULL (empty snapshot min/max/avg)
+    * → change 0 with a `defined=false` flag rather than a null-poisoned
+    * alarm.
+    */
+  def drift(prev: DataFrame, cur: DataFrame, tolMicro: Long): DataFrame = {
+    val p = prev.withColumnRenamed("value", "prev_value")
+    val c = cur.withColumnRenamed("value", "cur_value")
+    val joined = p.join(c, Seq("column", "metric"))
+    val defined = col("prev_value").isNotNull && col("cur_value").isNotNull
+    val change = when(!defined, 0L)
+      .when(col("prev_value") === 0.0 && col("cur_value") === 0.0, 0L)
+      .when(col("prev_value") === 0.0,
+        when(col("cur_value") > 0.0, 1000000L).otherwise(-1000000L))
+      .otherwise(floor((col("cur_value") - col("prev_value"))
+        * 1000000L / abs(col("prev_value"))).cast("long"))
+    joined.select(col("column"), col("metric"),
+      col("prev_value"), col("cur_value"),
+      change.as("rel_change_micro"),
+      defined.as("defined"),
+      (defined && abs(change) > tolMicro).as("alarm"))
+  }
+}

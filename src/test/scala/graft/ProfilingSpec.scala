@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Profiling
+import graft.operators.Profiling.Spec
+
+/** Column profiling + drift: metric math, null/zero-baseline contracts. */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = Spec(numeric = Seq("x"), strings = Seq("s"))
+
+  private def prev = Seq(
+    (10L, Some("aa")), (20L, Some("bb")), (30L, None), (40L, Some("aa"))
+  ).toDF("x", "s")
+
+  test("profile: metric values on a hand-checked frame") {
+    val m = Profiling.profile(prev, spec).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("x", "null_rate_micro")) === 0.0)
+    assert(m(("x", "min")) === 10.0)
+    assert(m(("x", "max")) === 40.0)
+    assert(m(("x", "avg")) === 25.0)
+    assert(m(("s", "null_rate_micro")) === 250000.0) // 1 of 4
+    assert(m(("s", "avg_len")) === 2.0)
+    assert(m(("s", "distinct")) === 2.0)             // aa, bb
+  }
+
+  test("drift: relative change, tolerance, zero and null baselines") {
+    val cur = Seq(
+      (10L, Some("aa")), (20L, None), (30L, None), (60L, Some("cc"))
+    ).toDF("x", "s")
+    val d = Profiling.drift(
+      Profiling.profile(prev, spec),
+      Profiling.profile(cur, spec), tolMicro = 100000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // max: 40 -> 60 = +50% -> alarm
+    val mx = d(("x", "max"))
+    assert(mx.getAs[Long]("rel_change_micro") === 500000L)
+    assert(mx.getAs[Boolean]("alarm"))
+    // null_rate s: 250000 -> 500000 = +100% -> alarm
+    assert(d(("s", "null_rate_micro")).getAs[Long]("rel_change_micro")
+      === 1000000L)
+    // min unchanged -> 0, no alarm
+    assert(d(("x", "min")).getAs[Long]("rel_change_micro") === 0L)
+    assert(!d(("x", "min")).getAs[Boolean]("alarm"))
+    // zero baseline appearing: x null_rate 0 -> 0 stays 0
+    assert(d(("x", "null_rate_micro")).getAs[Long]("rel_change_micro")
+      === 0L)
+    // zero baseline -> nonzero forces a full-swing alarm
+    val cur2 = Seq((10L, None: Option[String])).toDF("x", "s")
+    val d2 = Profiling.drift(
+      Profiling.profile(prev, spec),
+      Profiling.profile(cur2, spec), tolMicro = 100000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(d2(("x", "null_rate_micro")).getAs[Long]("rel_change_micro")
+      === 0L) // 0 -> 0 (x fully present in both)
+    assert(d2(("s", "null_rate_micro")).getAs[Long]("rel_change_micro")
+      === 1000000L * 3) // 250000 -> 1000000 = +300%
+    // all-null string column: avg_len/distinct NULL -> defined=false,
+    // change 0, no alarm
+    val al = d2(("s", "avg_len"))
+    assert(!al.getAs[Boolean]("defined"))
+    assert(al.getAs[Long]("rel_change_micro") === 0L)
+    assert(!al.getAs[Boolean]("alarm"))
+  }
+}
