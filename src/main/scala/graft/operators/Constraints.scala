@@ -106,4 +106,49 @@ object Constraints {
       .select(col("r.check"), col("r.metric_micro"),
         col("r.threshold_micro"), col("r.pass"))
   }
+
+  /** Streaming variant: the same check list per event-time window — the
+    * continuous data-quality gate an ingest pipeline runs (alert when a
+    * window's completeness drops). Same conditional-count aggregation,
+    * grouped by the window STRUCT (projecting the field before the agg
+    * strips watermark metadata and state never evicts — the
+    * windowedCounts rule); the explode to long form is stateless and
+    * rides after the stateful agg. [[Distinctness]] is rejected:
+    * streaming aggregation does not support distinct aggregates — use
+    * `approx_count_distinct` reporting (windowedDataCard) when
+    * cardinality monitoring is needed on a stream.
+    *
+    * Works identically on a batch frame (the parity StreamingSpec
+    * pins): event-time windows are ordinary expressions.
+    */
+  def auditWindowed(df: DataFrame, tsCol: String, windowDur: String,
+                    watermark: String, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "auditWindowed needs at least one check")
+    require(!checks.exists(_.isInstanceOf[Distinctness]),
+      "Distinctness is not supported on streams (no distinct aggregates " +
+        "in streaming aggregation); use approx_count_distinct reporting")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique (same check registered twice?)")
+    val base = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val aggs = count(lit(1)).as("__n") +:
+      checks.zipWithIndex.map { case (c, i) => numerator(c).as(s"__c$i") }
+    val windowed = base
+      .groupBy(window(col(tsCol), windowDur).as("__w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      val metric = when(col("__n") === 0L, 0L)
+        .otherwise(floor(col(s"__c$i").cast("long") * 1000000L / col("__n")))
+        .cast("long")
+      struct(
+        lit(c.name).as("check"),
+        metric.as("metric_micro"),
+        lit(c.minRateMicro).as("threshold_micro"),
+        (metric >= c.minRateMicro).as("pass"))
+    }
+    windowed
+      .select(col("__w").getField("start").as("window_start"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("window_start"), col("r.check"), col("r.metric_micro"),
+        col("r.threshold_micro"), col("r.pass"))
+  }
 }

@@ -664,4 +664,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamGot === batchGot)
     assert(streamGot(1L).last === true && streamGot(2L).last === false)
   }
+
+  test("streaming constraint audit: per-window verdicts across batches + batch parity") {
+    import graft.operators.Constraints
+    import graft.operators.Constraints._
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    val checks = Seq(
+      Completeness("text", 900000L),
+      InRange("v", 0.0, 100.0, 1000000L))
+    val rows = Seq(
+      (ts(1), Option("a"), 10L),
+      (ts(2), None: Option[String], 20L),   // null text, window 10:00
+      (ts(3), Option("c"), 30L),
+      (ts(12), Option("d"), 999L))          // out of range, window 10:10
+
+    val mem = MemoryStream[(Timestamp, Option[String], Long)]
+    val query = Constraints.auditWindowed(
+      mem.toDF().toDF("ts", "text", "v"), "ts", "10 minutes", "1 hour",
+      checks)
+      .writeStream.format("memory").queryName("dq_stream")
+      .outputMode(OutputMode.Complete()).start()
+    val streamGot = try {
+      mem.addData(rows.take(2): _*); query.processAllAvailable()
+      mem.addData(rows.drop(2): _*); query.processAllAvailable()
+      spark.sql("SELECT * FROM dq_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getBoolean(4))).toMap
+    } finally query.stop()
+
+    // window 10:00 completeness 2/3 -> fail; range 3/3 -> pass
+    assert(streamGot((ts(0), "completeness(text)")) === ((666666L, false)))
+    assert(streamGot((ts(0), "in_range(v,0.0,100.0)")) === ((1000000L, true)))
+    // window 10:10 completeness 1/1 -> pass; range 0/1 -> fail
+    assert(streamGot((ts(10), "completeness(text)")) === ((1000000L, true)))
+    assert(streamGot((ts(10), "in_range(v,0.0,100.0)")) === ((0L, false)))
+
+    val batchGot = Constraints.auditWindowed(
+      rows.toDF("ts", "text", "v"), "ts", "10 minutes", "1 hour", checks)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+    assert(batchGot === streamGot)
+
+    intercept[IllegalArgumentException] {
+      Constraints.auditWindowed(rows.toDF("ts", "text", "v"),
+        "ts", "10 minutes", "1 hour",
+        Seq(Distinctness(Seq("text"), 1L)))
+    }
+  }
 }
