@@ -73,6 +73,7 @@ object SparkEntry {
       graft.queries.ConvQueries.queries ++
       graft.queries.PrefQueries.queries ++
       graft.queries.DqQueries.queries ++
+      graft.queries.DqQueries.refQueries ++
       graft.queries.ProfilingQueries.queries
   }
 
@@ -105,5 +106,6 @@ object SparkEntry {
     graft.queries.ConvQueries.oracles ++
     graft.queries.PrefQueries.oracles ++
     graft.queries.DqQueries.oracles ++
+    graft.queries.DqQueries.refOracles ++
     graft.queries.ProfilingQueries.oracles
 }

@@ -107,6 +107,45 @@ object Constraints {
         col("r.threshold_micro"), col("r.pass"))
   }
 
+  /** Referential-integrity audit between two tables: orphaned child
+    * rows (non-null foreign keys absent from the parent — NULL keys are
+    * reported separately, SQL FK semantics) and parent-side coverage
+    * (keys never referenced). Both sides join on DISTINCT key frames —
+    * at 100 TB the exchanges carry keys only, never rows, and the
+    * child-side agg collapses map-side; the two one-row aggregates
+    * cross-join for free.
+    */
+  def refIntegrity(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String,
+                   relation: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as("__pk")).distinct()
+    val ck = child.select(col(childKey).as("__ck"))
+    val childAgg = ck
+      .join(pk, col("__ck") === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        count(when(col("__ck").isNull, 1)).as("n_null_key"),
+        count(when(col("__ck").isNotNull && col("__pk").isNull, 1))
+          .as("n_orphans"))
+    val parentAgg = pk
+      .join(ck.where(col("__ck").isNotNull).distinct(),
+        col("__pk") === col("__ck"), "left")
+      .agg(count(lit(1)).as("n_parent"),
+        count(when(col("__ck").isNull, 1)).as("n_unreferenced_parent"))
+    childAgg.crossJoin(parentAgg).select(
+      lit(relation).as("relation"),
+      col("n_child"), col("n_null_key"), col("n_orphans"),
+      when(col("n_child") === 0L, 0L)
+        .otherwise(floor(col("n_orphans").cast("long") * 1000000L
+          / col("n_child"))).cast("long").as("orphan_rate_micro"),
+      col("n_parent"), col("n_unreferenced_parent"),
+      when(col("n_parent") === 0L, 0L)
+        .otherwise(floor(
+          (col("n_parent") - col("n_unreferenced_parent")).cast("long")
+            * 1000000L / col("n_parent"))).cast("long")
+        .as("coverage_micro"))
+  }
+
   /** Streaming variant: the same check list per event-time window — the
     * continuous data-quality gate an ingest pipeline runs (alert when a
     * window's completeness drops). Same conditional-count aggregation,

@@ -46,6 +46,71 @@ object DqQueries {
         Distinctness(Seq("doc_id"), 1000000L)))),
   )
 
+  /** Child side with planted orphans: doc_id % 5 == 0 shifted out of the
+    * embeddings key space.
+    */
+  private def shiftedDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t(s, dir, "documents").select(
+      when(col("doc_id") % 5 === 0, col("doc_id") + 500000L)
+        .otherwise(col("doc_id")).as("doc_id"))
+  }
+
+  val refQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ORACLED: referential integrity over the real fixture relationships
+    // plus one planted-orphan side (the report discriminates).
+    "q_dq_refint" -> ((s, dir) =>
+      Constraints.refIntegrity(t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "lineitem->orders")
+        .unionAll(Constraints.refIntegrity(
+          t(s, dir, "documents"), "doc_id",
+          t(s, dir, "embeddings"), "vec_id", "documents->embeddings"))
+        .unionAll(Constraints.refIntegrity(
+          shiftedDocs(s, dir), "doc_id",
+          t(s, dir, "embeddings"), "vec_id", "shifted->embeddings"))),
+  )
+
+  private def refSql(childSel: String, ckey: String, parent: String,
+                     pkey: String, label: String): String =
+    """(WITH pk AS (SELECT DISTINCT PKEY AS __pk FROM PARENT),
+        ca AS (
+          SELECT count(*) AS n_child,
+            count(*) FILTER (c.CKEY IS NULL) AS n_null_key,
+            count(*) FILTER (c.CKEY IS NOT NULL AND p.__pk IS NULL)
+              AS n_orphans
+          FROM CHILD c LEFT JOIN pk p ON c.CKEY = p.__pk),
+        pa AS (
+          SELECT count(*) AS n_parent,
+            count(*) FILTER (c2.__ck IS NULL) AS n_unref
+          FROM pk p LEFT JOIN
+            (SELECT DISTINCT CKEY AS __ck FROM CHILD
+             WHERE CKEY IS NOT NULL) c2
+            ON p.__pk = c2.__ck)
+        SELECT 'LBL' AS relation, n_child, n_null_key, n_orphans,
+          CAST(floor(n_orphans * 1000000.0 / n_child) AS BIGINT)
+            AS orphan_rate_micro,
+          n_parent, n_unref AS n_unreferenced_parent,
+          CAST(floor((n_parent - n_unref) * 1000000.0 / n_parent)
+            AS BIGINT) AS coverage_micro
+        FROM ca, pa)"""
+      .replace("CHILD", childSel).replace("CKEY", ckey)
+      .replace("PARENT", parent).replace("PKEY", pkey)
+      .replace("LBL", label)
+
+  val refOracles: Map[String, String] = Map(
+    "q_dq_refint" -> (
+      "SELECT * FROM " +
+        refSql("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "lineitem->orders") +
+        " UNION ALL SELECT * FROM " +
+        refSql("documents", "doc_id", "embeddings", "vec_id",
+          "documents->embeddings") +
+        " UNION ALL SELECT * FROM " +
+        refSql("""(SELECT CASE WHEN doc_id % 5 = 0 THEN doc_id + 500000
+                   ELSE doc_id END AS doc_id FROM documents)""",
+          "doc_id", "embeddings", "vec_id", "shifted->embeddings")),
+  )
+
   val oracles: Map[String, String] = Map(
 
     "q_dq_lineitem" ->

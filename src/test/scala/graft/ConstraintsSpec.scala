@@ -50,6 +50,22 @@ class ConstraintsSpec extends SparkSpec {
     assert(!strict.head.getBoolean(3))
   }
 
+  test("refIntegrity: orphans, null keys, parent coverage") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Constraints.refIntegrity(child, "fk", parent, "pk", "c->p")
+      .collect().head
+    assert(r.getAs[String]("relation") === "c->p")
+    assert(r.getAs[Long]("n_child") === 5L)
+    assert(r.getAs[Long]("n_null_key") === 1L)      // the None row
+    assert(r.getAs[Long]("n_orphans") === 1L)       // fk=9, not the null
+    assert(r.getAs[Long]("orphan_rate_micro") === 200000L)
+    assert(r.getAs[Long]("n_parent") === 3L)
+    assert(r.getAs[Long]("n_unreferenced_parent") === 1L) // pk=3
+    assert(r.getAs[Long]("coverage_micro") === 666666L)
+  }
+
   test("audit: duplicate check names rejected; plan is one agg + explode") {
     intercept[IllegalArgumentException] {
       Constraints.audit(df, Seq(
