@@ -549,4 +549,28 @@ object TextAnalysis {
       rStop.cast("long").as("r_stop"),
       all.cast("long").as("pass"))
   }
+
+  /** Determiners/pronouns skipped when picking an instruction's object
+    * token (see [[verbObject]]).
+    */
+  val ObjectStopwords: Seq[String] =
+    Seq("the", "a", "an", "it", "this", "that", "my", "your", "of")
+
+  /** Instruction verb-object extraction ([EXT]): the Self-Instruct
+    * (Wang et al. 2022) diversity lens — an instruction's leading verb
+    * and its first content object. Heuristic, parser-free: verb = first
+    * token (the imperative position), object = first following token
+    * not in `stop`; "" when none. A pure narrow expression over the
+    * tokens kernel — the diversity histogram a groupBy builds from this
+    * is the report SFT pipelines plot as the verb-noun sunburst.
+    */
+  def verbObject(text: Column,
+                 stop: Seq[String] = ObjectStopwords): Column = {
+    val toks = tokens(text)
+    val verb = when(size(toks) > 0, element_at(toks, 1)).otherwise(lit(""))
+    val rest = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val objs = filter(rest, t => !t.isInCollection(stop))
+    val obj = when(size(objs) > 0, element_at(objs, 1)).otherwise(lit(""))
+    struct(verb.as("verb"), obj.as("obj"))
+  }
 }

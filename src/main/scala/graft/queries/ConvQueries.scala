@@ -100,6 +100,37 @@ object ConvQueries {
         .select(col("doc_id"), col("s.turn_idx"),
           col("s.start"), col("s.end"))
     }),
+
+    // ORACLED instruction verb-object diversity histogram (the
+    // Self-Instruct report): prompts synthesized from verb/noun lookup
+    // tables (with an object-less corruption for doc_id % 13 == 0), the
+    // REAL extraction path (tokens kernel + stopword-skipping object
+    // pick) runs over the rendered strings, then one hash agg + a
+    // broadcast total for the share column.
+    "q_instr_diversity" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val id = col("doc_id")
+      val verbs = array(Seq("write", "explain", "summarize", "translate",
+        "list", "compare", "rewrite", "draft").map(lit): _*)
+      val nouns = array(Seq("poem", "report", "email", "story", "recipe",
+        "essay", "speech", "letter", "review", "haiku", "memo")
+        .map(lit): _*)
+      val v = element_at(verbs, (id % 8 + 1).cast("int"))
+      val noun = element_at(nouns, ((id * 3) % 11 + 1).cast("int"))
+      val cap = concat(upper(substring(v, 1, 1)), substring(v, 2, 20))
+      val prompt = when(id % 13 === 0, concat(cap, lit(" it")))
+        .otherwise(concat(cap, lit(" the "), noun, lit(" now")))
+      val df = t(s, dir, "documents").select(id, prompt.as("prompt"))
+      val vo = TextAnalysis.verbObject(col("prompt"))
+      val grouped = df
+        .select(vo.getField("verb").as("verb"), vo.getField("obj").as("obj"))
+        .groupBy(col("verb"), col("obj"))
+        .agg(count(lit(1)).as("n_prompts"))
+      grouped.crossJoin(broadcast(df.agg(count(lit(1)).as("__t"))))
+        .select(col("verb"), col("obj"), col("n_prompts"),
+          floor(col("n_prompts").cast("long") * 1000000L / col("__t"))
+            .cast("long").as("share_micro"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +220,36 @@ object ConvQueries {
          CAST(elem_start + 4 + length(role) AS BIGINT) AS start,
          CAST(elem_start + 4 + length(role) + len AS BIGINT) AS "end"
        FROM pos WHERE role = 'assistant'"""),
+
+    // Diversity replay: the same verb/noun lookups and capitalized
+    // rendering, then the extraction re-derived from the STRING (split,
+    // lower, stopword-skipping object pick) — a tokens-kernel or
+    // HOF defect hash-mismatches.
+    "q_instr_diversity" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN cap || ' it'
+                  ELSE cap || ' the ' || nn || ' now' END AS prompt
+           FROM (
+             SELECT doc_id,
+               upper(left(v, 1)) || substr(v, 2) AS cap, nn
+             FROM (
+               SELECT doc_id,
+                 (['write','explain','summarize','translate','list',
+                   'compare','rewrite','draft'])[CAST(doc_id % 8 + 1
+                     AS INTEGER)] AS v,
+                 (['poem','report','email','story','recipe','essay',
+                   'speech','letter','review','haiku','memo'])
+                   [CAST((doc_id * 3) % 11 + 1 AS INTEGER)] AS nn
+               FROM documents))),
+         vo AS (
+           SELECT doc_id, parts[1] AS verb,
+             coalesce(list_filter(parts[2:], x -> NOT list_contains(['the','a','an','it','this','that','my','your','of'], x))[1], '') AS obj
+           FROM (SELECT doc_id, string_split(lower(prompt), ' ') AS parts
+                 FROM p))
+       SELECT verb, obj, count(*) AS n_prompts,
+         CAST(floor(count(*) * 1000000.0 /
+           (SELECT count(*) FROM p)) AS BIGINT) AS share_micro
+       FROM vo GROUP BY verb, obj""",
   )
 }

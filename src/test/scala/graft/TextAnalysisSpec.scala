@@ -385,4 +385,23 @@ class TextAnalysisSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }.nonEmpty, plan.toString.take(400))
   }
+
+  test("verbObject: imperative verb + first content object") {
+    import spark.implicits._
+    val rows = Seq(
+      "Write the poem now",     // -> (write, poem)
+      "Summarize it",           // object-less -> (summarize, "")
+      "Explain this, my friend",// stopwords skipped -> (explain, friend)
+      "The a an",               // all-stop tail -> (the, "")
+      "")                       // empty -> ("", "")
+      .toDF("s")
+      .select(TA.verbObject(col("s")).as("vo"))
+      .select(col("vo.verb"), col("vo.obj"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) === (("write", "poem")))
+    assert(rows(1) === (("summarize", "")))
+    assert(rows(2) === (("explain", "friend")))
+    assert(rows(3) === (("the", "")))
+    assert(rows(4) === (("", "")))
+  }
 }
