@@ -109,6 +109,27 @@ object Preferences {
     df.groupBy(col(promptCol), col(chosenCol))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Best-of-n selection ([EXT]): the rejection-sampling reduction — a
+    * prompt's n scored candidate responses collapse to the argmax
+    * (score DESC, candidate-id ASC tie-break) plus the margin to the
+    * runner-up (the confidence signal an RLHF pipeline thresholds;
+    * margin 0 when n == 1). Expects `array<struct<score:bigint,
+    * cand:int>>`; pure array expressions — the whole selection is a
+    * narrow per-row pass, no window, no shuffle.
+    */
+  def bestOfN(cands: Column): Column = {
+    val keyed = array_sort(transform(cands, c => struct(
+      (-c.getField("score")).as("k"),
+      c.getField("cand").as("cand"))))
+    val best = element_at(keyed, 1)
+    val second = when(size(keyed) >= 2, element_at(keyed, 2)).otherwise(best)
+    struct(
+      best.getField("cand").as("best_cand"),
+      (-best.getField("k")).as("best_score"),
+      (second.getField("k") - best.getField("k")).as("margin"),
+      size(cands).as("n_cands"))
+  }
+
   /** Response-reuse report: chosen responses appearing under more than
     * one DISTINCT prompt (a reward-hacking / template-response smell —
     * one canned answer winning everywhere). Only (chosen, prompt)

@@ -325,4 +325,27 @@ object Sampling {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
   }
+
+  /** Curriculum shard ordering ([EXT]): shard assignment stays the
+    * md5-uniform draw (every shard gets an unbiased sample of the
+    * corpus), but WITHIN each shard rows are positioned easy-first by
+    * `difficultyCol` (md5 draw, then id as deterministic tie-breaks) —
+    * the curriculum-learning layout where each worker's shard file
+    * starts with its easiest examples. One exchange on the shard key,
+    * then per-shard local sorts in parallel — no global sort at any
+    * scale, exactly the [[graft.sinks.ShardWriter]] layout with a
+    * difficulty-first sort key.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
+                      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(difficultyCol), col("__d"), col(idCol))
+    df.select(col(idCol), col(difficultyCol),
+        md5Mod(col(idCol), "shard ", nShards.toLong).as("shard"),
+        md5Draw(col(idCol), "shard ").as("__d"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("__d")
+  }
 }

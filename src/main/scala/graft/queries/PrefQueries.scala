@@ -151,6 +151,30 @@ object PrefQueries {
     "q_pref_reuse" -> ((s, dir) =>
       Preferences.responseReuse(synthPairs(s, dir),
         "prompt", "chosen_str")),
+
+    // ORACLED best-of-n selection: per prompt, n = doc_id % 3 + 2 scored
+    // candidates collapse to the argmax + runner-up margin — the whole
+    // rejection-sampling reduction is a narrow per-row array pass.
+    "q_best_of_n" -> ((s, dir) => {
+      val id = col("doc_id")
+      val n = (id % 3 + 2).cast("int")
+      val cands = filter(
+        transform(sequence(lit(0), lit(3)), i => struct(
+          ((id * 7 + i * 13) % 100).as("score"), i.as("cand"))),
+        c => c.getField("cand") < n)
+      t(s, dir, "documents").select(id,
+          Preferences.bestOfN(cands).as("b"))
+        .select(id, col("b.best_cand"), col("b.best_score"),
+          col("b.margin"), col("b.n_cands"))
+    }),
+
+    // ORACLED curriculum shard layout: md5-uniform shard draw, rows
+    // positioned easy-first (n_chars) within each shard with
+    // deterministic tie-breaks — per-shard local sorts, no global sort.
+    "q_curriculum_shards" -> ((s, dir) =>
+      graft.operators.Sampling.curriculumOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nShards = 4)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,5 +214,34 @@ object PrefQueries {
        SELECT chosen_str, count(DISTINCT prompt) AS n_prompts,
          count(*) AS n_pairs
        FROM pairs GROUP BY chosen_str HAVING count(DISTINCT prompt) > 1"""),
+
+    "q_best_of_n" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(i.i AS INTEGER) AS cand,
+             (doc_id * 7 + i.i * 13) % 100 AS score
+           FROM documents, generate_series(0, 3) i(i)
+           WHERE i.i < doc_id % 3 + 2),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+           FROM c)
+       SELECT a.doc_id, a.cand AS best_cand,
+         CAST(a.score AS BIGINT) AS best_score,
+         CAST(a.score - coalesce(b.score, a.score) AS BIGINT) AS margin,
+         CAST(doc_id % 3 + 2 AS INTEGER) AS n_cands
+       FROM (SELECT * FROM r WHERE rn = 1) a
+       LEFT JOIN (SELECT doc_id AS id2, score FROM r WHERE rn = 2) b
+         ON b.id2 = a.doc_id""",
+
+    "q_curriculum_shards" ->
+      """SELECT doc_id, n_chars,
+           CAST(('0x' || substr(md5('shard ' || doc_id), 1, 8)) AS BIGINT)
+             % 4 AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(md5('shard ' || doc_id),
+               1, 8)) AS BIGINT) % 4
+             ORDER BY n_chars, md5('shard ' || doc_id), doc_id) AS BIGINT)
+             AS position
+         FROM documents""",
   )
 }

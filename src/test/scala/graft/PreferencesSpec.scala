@@ -63,6 +63,48 @@ class PreferencesSpec extends SparkSpec {
     assert(out("s0").getAs[Double]("avg_char_diff") === 2.0)
   }
 
+  test("bestOfN: argmax, tie-break, margin, singleton") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq((5L, 0), (9L, 1), (7L, 2))),  // best cand 1, margin 2
+      (2L, Seq((4L, 2), (4L, 1))),           // tie -> lower cand wins
+      (3L, Seq((8L, 0)))                     // singleton -> margin 0
+    ).toDF("id", "raw")
+      .withColumn("cands", transform(col("raw"), c =>
+        struct(c.getField("_1").as("score"), c.getField("_2").as("cand"))))
+    val out = df.select(col("id"),
+        graft.operators.Preferences.bestOfN(col("cands")).as("b"))
+      .select(col("id"), col("b.best_cand"), col("b.best_score"),
+        col("b.margin"), col("b.n_cands"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 1 && out(1L).getLong(2) === 9L &&
+      out(1L).getLong(3) === 2L && out(1L).getInt(4) === 3)
+    assert(out(2L).getInt(1) === 1 && out(2L).getLong(3) === 0L)
+    assert(out(3L).getInt(1) === 0 && out(3L).getLong(3) === 0L &&
+      out(3L).getInt(4) === 1)
+  }
+
+  test("curriculumOrder: easy-first positions, contiguous per shard, layout-stable") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 100L).map(i => (i, (i * 37) % 19)).toDF("id", "diff")
+    val out = graft.operators.Sampling.curriculumOrder(df, "id", "diff", 4)
+    val rows = out.collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(1), r.getLong(0)))
+    // contiguous 1..k positions per shard
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq)
+      // difficulty non-decreasing along positions
+      val byPos = rs.sortBy(_._2).map(_._3)
+      assert(byPos.zip(byPos.drop(1)).forall { case (a, b) => a <= b })
+    }
+    // deterministic under a different input layout
+    val out2 = graft.operators.Sampling.curriculumOrder(
+      df.repartition(7, col("diff")), "id", "diff", 4)
+    assert(out2.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getLong(3))).toSet ===
+      rows.map(t => (t._4, t._1, t._2)).toSet)
+  }
+
   test("exactPairGroups and responseReuse") {
     val groups = Preferences.exactPairGroups(pairs,
       "prompt", "chosen_str", "id").collect()
