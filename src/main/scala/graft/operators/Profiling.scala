@@ -64,6 +64,54 @@ object Profiling {
       .select(col("r.column"), col("r.metric"), col("r.value"))
   }
 
+  /** Population stability index ([EXT]) — THE distribution-drift metric
+    * model-monitoring pipelines threshold (PSI < 0.1 stable, > 0.25
+    * shifted): bin both snapshots by equi-depth thresholds fitted on
+    * the BASELINE (the [[Sampling.equiDepthApprox]] sampled-order-
+    * statistics fit — deterministic md5 draw, integer ceil ranks, zero
+    * global sorts), then per-bin contributions (p−q)·ln(p/q) with the
+    * standard 1e-6 rate floor so empty bins stay finite. Returns one
+    * row per bin; the PSI is the sum of `psi_contrib`. Two narrow
+    * binning passes + two tiny aggs; thresholds are plan literals, so
+    * at 100 TB this is two map-side-combined scans.
+    */
+  def psi(prev: DataFrame, cur: DataFrame, valueCol: String, idCol: String,
+          bins: Int = 10, sampleSize: Int = 200): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of [2,1000]: $bins")
+    require(sampleSize >= bins,
+      s"sampleSize ($sampleSize) must be >= bins ($bins)")
+    val sample = prev
+      .orderBy(md5(col(idCol).cast("string")))
+      .limit(sampleSize)
+      .select(col(valueCol).cast("double").as("v"))
+      .collect().map(_.getDouble(0)).sorted
+    require(sample.nonEmpty, "psi needs a non-empty baseline snapshot")
+    val n = sample.length
+    def cutAt(d: Int): Double = sample((n * d + bins - 1) / bins - 1)
+    val cuts = (1 until bins).map(cutAt)
+    def binCol: Column = {
+      val v = col(valueCol).cast("double")
+      cuts.foldLeft(lit(1L))((acc, t) =>
+        acc + when(lit(t) < v, 1L).otherwise(0L))
+    }
+    val p = prev.withColumn("bin", binCol)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_prev"))
+    val c = cur.withColumn("bin", binCol)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+    val joined = p.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val eps = lit(1e-6)
+    val pr = greatest(col("n_prev") / col("__tp"), eps)
+    val qr = greatest(col("n_cur") / col("__tc"), eps)
+    joined
+      .crossJoin(broadcast(prev.agg(count(lit(1)).as("__tp"))))
+      .crossJoin(broadcast(cur.agg(count(lit(1)).as("__tc"))))
+      .select(col("bin"), col("n_prev"), col("n_cur"),
+        round((pr - qr) * log(pr / qr), 6).as("psi_contrib"))
+  }
+
   /** Metric drift between two profiles of the SAME spec: the relative
     * change in integer micro-units and the alarm verdict. Contract for
     * zero/null baselines: prev=0,cur=0 → 0; prev=0,cur≠0 → ±1e6 (a

@@ -48,6 +48,14 @@ object ProfilingQueries {
         Profiling.profile(nextSnap(docs), spec),
         tolMicro = 50000L)
     }),
+
+    // ORACLED: per-bin PSI of n_chars between the snapshot and the
+    // planted-regression next snapshot (thresholds fitted on the
+    // baseline via the deterministic md5 sample).
+    "q_dq_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Profiling.psi(docs, nextSnap(docs), "n_chars", "doc_id")
+    }),
   )
 
   /** Long-form profile SQL over a relation named `rel` (must provide
@@ -137,5 +145,48 @@ object ProfilingQueries {
          CAST(rel_change_micro AS BIGINT) AS rel_change_micro, defined,
          defined AND abs(rel_change_micro) > 50000 AS alarm
        FROM d"""),
+
+    // PSI replay: the q_equidepth_approx threshold fit on the baseline,
+    // both snapshots binned by literal-comparison counts, per-bin
+    // (p-q)ln(p/q) with the 1e-6 rate floor.
+    "q_dq_psi" -> ("""
+       WITH s AS (
+         SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+         ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 200),
+       o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+       nn AS (SELECT count(*) AS n FROM s),
+       cuts AS (
+         SELECT (SELECT v FROM o
+                 WHERE rn = ((SELECT n FROM nn) * d * 10 + 99) // 100)
+           AS t
+         FROM generate_series(1, 9) AS g(d)),
+       nxt AS (SELECT n_chars FROM """ + nextSql + """),
+       pb AS (
+         SELECT 1 + (SELECT count(*) FROM cuts
+                     WHERE t < CAST(n_chars AS DOUBLE)) AS bin
+         FROM documents),
+       cb AS (
+         SELECT 1 + (SELECT count(*) FROM cuts
+                     WHERE t < CAST(n_chars AS DOUBLE)) AS bin
+         FROM nxt),
+       pa AS (SELECT bin, count(*) AS n_prev FROM pb GROUP BY bin),
+       ca AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+       j AS (
+         SELECT coalesce(pa.bin, ca.bin) AS bin,
+           coalesce(n_prev, 0) AS n_prev, coalesce(n_cur, 0) AS n_cur
+         FROM pa FULL OUTER JOIN ca ON ca.bin = pa.bin),
+       t AS (SELECT (SELECT count(*) FROM documents) AS tp,
+                    (SELECT count(*) FROM nxt) AS tc),
+       r AS (
+         SELECT bin, n_prev, n_cur,
+           greatest(CAST(n_prev AS DOUBLE) / tp, CAST(1e-6 AS DOUBLE))
+             AS p,
+           greatest(CAST(n_cur AS DOUBLE) / tc, CAST(1e-6 AS DOUBLE))
+             AS q
+         FROM j, t)
+       SELECT bin, CAST(n_prev AS BIGINT) AS n_prev,
+         CAST(n_cur AS BIGINT) AS n_cur,
+         round((p - q) * ln(p / q), 6) AS psi_contrib
+       FROM r"""),
   )
 }

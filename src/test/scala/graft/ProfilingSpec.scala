@@ -25,6 +25,28 @@ class ProfilingSpec extends SparkSpec {
     assert(m(("s", "distinct")) === 2.0)             // aa, bb
   }
 
+  test("psi: baseline-fitted bins, shift detection, empty-bin floor") {
+    val prevDf = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "v")
+    val curDf = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 6L))
+      .toDF("doc_id", "v")
+    val out = Profiling.psi(prevDf, curDf, "v", "doc_id",
+      bins = 2, sampleSize = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // cut at the 2nd order statistic (=2): prev splits 2/2, cur all high
+    assert(out(1L).getAs[Long]("n_prev") === 2L)
+    assert(out(1L).getAs[Long]("n_cur") === 0L)
+    assert(out(2L).getAs[Long]("n_cur") === 4L)
+    // bin 2: (0.5 - 1.0) * ln(0.5) = 0.346574
+    assert(out(2L).getAs[Double]("psi_contrib") === 0.346574)
+    // bin 1 uses the 1e-6 floor for the empty side: large positive
+    assert(out(1L).getAs[Double]("psi_contrib") > 6.0)
+    // identical snapshots -> zero PSI everywhere
+    val same = Profiling.psi(prevDf, prevDf, "v", "doc_id",
+      bins = 2, sampleSize = 4).collect()
+    assert(same.forall(_.getAs[Double]("psi_contrib") === 0.0))
+  }
+
   test("drift: relative change, tolerance, zero and null baselines") {
     val cur = Seq(
       (10L, Some("aa")), (20L, None), (30L, None), (60L, Some("cc"))
