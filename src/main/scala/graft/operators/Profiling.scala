@@ -112,6 +112,36 @@ object Profiling {
         round((pr - qr) * log(pr / qr), 6).as("psi_contrib"))
   }
 
+  /** Join-skew diagnosis ([EXT]): for a planned equi-join, the top-K
+    * keys by estimated output contribution (n_left·n_right) with their
+    * share of the total estimated join size — the report that tells you
+    * WHICH keys need salting (or an AQE skew split) before you pay for
+    * the join itself. Cost: two keys-only aggregates + a key-count
+    * join — the exchanges carry (key, count), never rows, so the
+    * diagnostic is cheap at any corpus size; the top-K is a
+    * TakeOrderedAndProject, not a global sort. NULL keys are excluded
+    * (an equi-join drops them). `est_rows` is exact long arithmetic —
+    * past ~3e9 matches per key per side the product overflows; counts
+    * that large are already the answer.
+    */
+  def joinSkewReport(left: DataFrame, leftKey: String,
+                     right: DataFrame, rightKey: String,
+                     topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    def counts(df: DataFrame, k: String, out: String): DataFrame =
+      df.filter(col(k).isNotNull).select(col(k).as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as(out))
+    val m = counts(left, leftKey, "n_left")
+      .join(counts(right, rightKey, "n_right"), Seq("key"))
+      .withColumn("est_rows", col("n_left") * col("n_right"))
+    m.crossJoin(broadcast(m.agg(sum(col("est_rows")).as("__t"))))
+      .select(col("key"), col("n_left"), col("n_right"), col("est_rows"),
+        floor(col("est_rows").cast("long") * 1000000L / col("__t"))
+          .cast("long").as("share_micro"))
+      .orderBy(col("est_rows").desc, col("key"))
+      .limit(topK)
+  }
+
   /** Metric drift between two profiles of the SAME spec: the relative
     * change in integer micro-units and the alarm verdict. Contract for
     * zero/null baselines: prev=0,cur=0 → 0; prev=0,cur≠0 → ±1e6 (a

@@ -56,6 +56,14 @@ object ProfilingQueries {
       val docs = t(s, dir, "documents")
       Profiling.psi(docs, nextSnap(docs), "n_chars", "doc_id")
     }),
+
+    // ORACLED: join-skew diagnosis for the documents lang self-join —
+    // the per-key contribution report that names the keys needing
+    // salting before the join is paid for.
+    "q_join_skew" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Profiling.joinSkewReport(docs, "lang", docs, "lang", topK = 5)
+    }),
   )
 
   /** Long-form profile SQL over a relation named `rel` (must provide
@@ -188,5 +196,20 @@ object ProfilingQueries {
          CAST(n_cur AS BIGINT) AS n_cur,
          round((p - q) * ln(p / q), 6) AS psi_contrib
        FROM r"""),
+
+    "q_join_skew" ->
+      """WITH c AS (
+           SELECT lang AS key, count(*) AS n
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         m AS (
+           SELECT l.key, l.n AS n_left, r.n AS n_right,
+             l.n * r.n AS est_rows
+           FROM c l JOIN c r ON r.key = l.key),
+         t AS (SELECT sum(est_rows) AS te FROM m)
+       SELECT key, n_left, n_right, CAST(est_rows AS BIGINT) AS est_rows,
+         CAST(floor(CAST(est_rows AS DOUBLE) * 1000000 / te) AS BIGINT)
+           AS share_micro
+       FROM m, t
+       ORDER BY est_rows DESC, key LIMIT 5""",
   )
 }

@@ -47,6 +47,18 @@ class ProfilingSpec extends SparkSpec {
     assert(same.forall(_.getAs[Double]("psi_contrib") === 0.0))
   }
 
+  test("joinSkewReport: top keys by output contribution, nulls dropped") {
+    val left = Seq("a", "a", "a", "b", "b", "c", null).toDF("k")
+    val right = Seq("a", "a", "b", "d", null).toDF("k")
+    val out = graft.operators.Profiling
+      .joinSkewReport(left, "k", right, "k", topK = 2).collect()
+    // contributions: a 3*2=6, b 2*1=2; c/d/null never match
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "a" && out(0).getAs[Long]("est_rows") === 6L)
+    assert(out(0).getAs[Long]("share_micro") === 750000L)
+    assert(out(1).getString(0) === "b" && out(1).getAs[Long]("est_rows") === 2L)
+  }
+
   test("drift: relative change, tolerance, zero and null baselines") {
     val cur = Seq(
       (10L, Some("aa")), (20L, None), (30L, None), (60L, Some("cc"))
