@@ -33,12 +33,24 @@ object UnigramLm {
       .orderBy(col("c").desc, col("t"))
       .limit(vocabSize)
 
-  /** (idCol, avg_nll, n_tokens) for every document with at least one
-    * token; `avg_nll` is rounded to 4 decimals so the left-to-right fold
-    * hash-compares across engines.
+  /** A fitted unigram model: the serialized per-token NLL table for the
+    * `graft_map_sum` codegen kernel. Pure data (no session references) —
+    * safe to memoize JVM-wide per fixture dir, like the LR/NB models.
+    * `None` from [[fitUnigram]] means the corpus had no tokens.
     */
-  def scores(docs: DataFrame, textCol: String, idCol: String,
-      vocabSize: Int = 1000): DataFrame = {
+  final case class UniModel(table: String)
+
+  /** A fitted interpolated-bigram model: the two premultiplied score
+    * tables for the `graft_bigram_nll` kernel. Pure data, memoizable.
+    */
+  final case class BiModel(biTable: String, uniTable: String)
+
+  /** Fit the unigram NLL model: one map-side-combined token-count
+    * aggregation, then the bounded top-K vocab + total (two actions over
+    * a persisted aggregate). Returns None when the corpus has no tokens.
+    */
+  def fitUnigram(docs: DataFrame, textCol: String,
+      vocabSize: Int = 1000): Option[UniModel] = {
     require(vocabSize >= 1 && vocabSize <= 100000,
       s"vocabSize out of (0, 100000]: $vocabSize (0 silently empties " +
         "the model; the fit collects the vocab to the driver)")
@@ -56,30 +68,46 @@ object UnigramLm {
         (counts.orderBy(col("c").desc, col("t")).limit(vocabSize).collect(),
           counts.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
       } finally { counts.unpersist(); () }
-    if (total == 0L || vocabRows.isEmpty) {
-      return docs.select(col(idCol), lit(0.0).as("avg_nll"),
-        lit(0L).as("n_tokens")).limit(0)
-    }
+    if (total == 0L || vocabRows.isEmpty) return None
     // fitted table for the codegen kernel: per-token NLL precomputed as
     // the SAME IEEE doubles the old HOF fold computed per row, so the
     // swap is bit-exact against the DuckDB oracle (a − ln(x) ≡ a + −ln(x))
-    val table = graft.plans.ScoreTable.serialize(
+    Some(UniModel(graft.plans.ScoreTable.serialize(
       vocabRows.map(r => r.getString(0) ->
         -math.log(r.getLong(1).toDouble / total.toDouble)),
-      -math.log(1.0 / total.toDouble))
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    val toks = TextAnalysis.tokens(col(textCol))
-    // spread a single-file scan so the scoring pass parallelizes (it is
-    // narrow: one codegen'd O(1)-probe kernel call per row)
-    docsSpread
-      .select(col(idCol), toks.as("__t"))
-      .filter(size(col("__t")) > 0)
-      .select(col(idCol),
-        round(
-          call_function("graft_map_sum", col("__t"), lit(table))
-            / size(col("__t")), 4).as("avg_nll"),
-        size(col("__t")).cast("long").as("n_tokens"))
+      -math.log(1.0 / total.toDouble))))
   }
+
+  /** Score under an already-fitted model: one narrow codegen'd
+    * O(1)-probe kernel call per row — zero actions, zero shuffles.
+    */
+  def scoresWith(docs: DataFrame, textCol: String, idCol: String,
+      model: Option[UniModel]): DataFrame = model match {
+    case None =>
+      docs.select(col(idCol), lit(0.0).as("avg_nll"),
+        lit(0L).as("n_tokens")).limit(0)
+    case Some(m) =>
+      graft.plans.GraftFunctions.register(docs.sparkSession)
+      val toks = TextAnalysis.tokens(col(textCol))
+      // spread a single-file scan so the scoring pass parallelizes
+      Similarity.spreadIfNarrow(docs)
+        .select(col(idCol), toks.as("__t"))
+        .filter(size(col("__t")) > 0)
+        .select(col(idCol),
+          round(
+            call_function("graft_map_sum", col("__t"), lit(m.table))
+              / size(col("__t")), 4).as("avg_nll"),
+          size(col("__t")).cast("long").as("n_tokens"))
+  }
+
+  /** (idCol, avg_nll, n_tokens) for every document with at least one
+    * token; `avg_nll` is rounded to 4 decimals so the left-to-right fold
+    * hash-compares across engines. Fit + score in one call; callers that
+    * score repeatedly should [[fitUnigram]] once and use [[scoresWith]].
+    */
+  def scores(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 1000): DataFrame =
+    scoresWith(docs, textCol, idCol, fitUnigram(docs, textCol, vocabSize))
 
   /** Interpolated bigram-LM scoring ([EXT] — the KenLM-shaped upgrade of
     * [[scores]]): per-position probability is
@@ -98,7 +126,19 @@ object UnigramLm {
     */
   def bigramScores(docs: DataFrame, textCol: String, idCol: String,
       vocabSize: Int = 1000, bigramSize: Int = 2000,
-      lambda: Double = 0.7): DataFrame = {
+      lambda: Double = 0.7): DataFrame =
+    bigramScoresWith(docs, textCol, idCol,
+      fitBigram(docs, textCol, vocabSize, bigramSize, lambda))
+
+  /** Fit the interpolated-bigram model (three bounded actions: unigram
+    * top-K + total over one persisted aggregate, bigram top-K). Returns
+    * None when the corpus has no tokens. See [[bigramScores]] for the
+    * model semantics; callers that score repeatedly should fit once and
+    * use [[bigramScoresWith]].
+    */
+  def fitBigram(docs: DataFrame, textCol: String,
+      vocabSize: Int = 1000, bigramSize: Int = 2000,
+      lambda: Double = 0.7): Option[BiModel] = {
     require(vocabSize >= 1 && vocabSize <= 100000 &&
         bigramSize >= 1 && bigramSize <= 200000,
       s"vocab/bigram sizes out of range: ($vocabSize, $bigramSize)")
@@ -123,10 +163,7 @@ object UnigramLm {
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("b")).limit(bigramSize)
       .collect()
-    if (total == 0L || uniRows.isEmpty) {
-      return docs.select(col(idCol), lit(0.0).as("avg_nll2"),
-        lit(0L).as("n_pairs")).limit(0)
-    }
+    if (total == 0L || uniRows.isEmpty) return None
     // Premultiplied interpolation tables for the codegen kernel (same
     // IEEE ops the HOF fold performed per row: divide, then scale by the
     // λ weights computed once here): bi value = λ·c12/c1 (entry only
@@ -148,18 +185,31 @@ object UnigramLm {
       uniRows.map(r => r.getString(0) ->
         lambda2 * (r.getLong(1).toDouble / total.toDouble)),
       lambda2 * (1.0 / total.toDouble))
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    // the scoring pass is one narrow codegen'd kernel call per row;
-    // spread a single-file scan so it parallelizes
-    docsSpread
-      .select(col(idCol), toksC.as("__t"))
-      .filter(size(col("__t")) >= 2)
-      .select(col(idCol),
-        round(
-          call_function("graft_bigram_nll", col("__t"),
-            lit(biTable), lit(uniTable))
-            / (size(col("__t")) - 1), 4).as("avg_nll2"),
-        (size(col("__t")) - 1).cast("long").as("n_pairs"))
+    Some(BiModel(biTable, uniTable))
+  }
+
+  /** Score under an already-fitted bigram model: one narrow codegen'd
+    * kernel call per row — zero actions, zero shuffles.
+    */
+  def bigramScoresWith(docs: DataFrame, textCol: String, idCol: String,
+      model: Option[BiModel]): DataFrame = model match {
+    case None =>
+      docs.select(col(idCol), lit(0.0).as("avg_nll2"),
+        lit(0L).as("n_pairs")).limit(0)
+    case Some(m) =>
+      graft.plans.GraftFunctions.register(docs.sparkSession)
+      val toksC = TextAnalysis.tokens(col(textCol))
+      // the scoring pass is one narrow codegen'd kernel call per row;
+      // spread a single-file scan so it parallelizes
+      Similarity.spreadIfNarrow(docs)
+        .select(col(idCol), toksC.as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(col(idCol),
+          round(
+            call_function("graft_bigram_nll", col("__t"),
+              lit(m.biTable), lit(m.uniTable))
+              / (size(col("__t")) - 1), 4).as("avg_nll2"),
+          (size(col("__t")) - 1).cast("long").as("n_pairs"))
   }
 
   /** CCNet-style perplexity bucketing ([EXT]): score every document with
@@ -188,11 +238,20 @@ object UnigramLm {
     */
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
       vocabSize: Int = 1000, sampleSize: Int = 1000,
+      headPct: Int = 30, midPct: Int = 30): DataFrame =
+    perplexityBucketsWith(docs, textCol, idCol,
+      fitUnigram(docs, textCol, vocabSize), sampleSize, headPct, midPct)
+
+  /** [[perplexityBuckets]] under an already-fitted unigram model (one
+    * bounded sample collect remains — the threshold fit).
+    */
+  def perplexityBucketsWith(docs: DataFrame, textCol: String, idCol: String,
+      model: Option[UniModel], sampleSize: Int = 1000,
       headPct: Int = 30, midPct: Int = 30): DataFrame = {
     require(sampleSize >= 1, s"sampleSize must be positive, got $sampleSize")
     require(headPct >= 1 && midPct >= 1 && headPct + midPct <= 99,
       s"percent bounds out of range: head $headPct mid $midPct")
-    val scored = scores(docs, textCol, idCol, vocabSize)
+    val scored = scoresWith(docs, textCol, idCol, model)
     val sample = scored
       .orderBy(md5(col(idCol).cast("string")))
       .limit(sampleSize)

