@@ -98,16 +98,22 @@ object Profiling {
       .groupBy(col("bin")).agg(count(lit(1)).as("n_prev"))
     val c = cur.withColumn("bin", binCol)
       .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+    // materialize the tiny (≤ bins rows) joined frame once: the snapshot
+    // totals are exactly the sums of the bin counts (every row lands in
+    // a bin — a NULL value compares false against every cut and folds to
+    // bin 1), so deriving them from the binned frame saves two FULL
+    // rescans of prev/cur that the original count-agg cross-joins paid
     val joined = p.join(c, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_prev"), lit(0L)).as("n_prev"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint()
     val eps = lit(1e-6)
     val pr = greatest(col("n_prev") / col("__tp"), eps)
     val qr = greatest(col("n_cur") / col("__tc"), eps)
     joined
-      .crossJoin(broadcast(prev.agg(count(lit(1)).as("__tp"))))
-      .crossJoin(broadcast(cur.agg(count(lit(1)).as("__tc"))))
+      .crossJoin(broadcast(joined.agg(
+        sum(col("n_prev")).as("__tp"), sum(col("n_cur")).as("__tc"))))
       .select(col("bin"), col("n_prev"), col("n_cur"),
         round((pr - qr) * log(pr / qr), 6).as("psi_contrib"))
   }
@@ -131,9 +137,14 @@ object Profiling {
     def counts(df: DataFrame, k: String, out: String): DataFrame =
       df.filter(col(k).isNotNull).select(col(k).as("key"))
         .groupBy(col("key")).agg(count(lit(1)).as(out))
+    // persist the per-key frame: it is referenced twice (top-K rows +
+    // the broadcast total) and without the cache both keys-only
+    // aggregates would re-scan their inputs; O(distinct matched keys)
+    // rows of three longs, disk-spillable
     val m = counts(left, leftKey, "n_left")
       .join(counts(right, rightKey, "n_right"), Seq("key"))
       .withColumn("est_rows", col("n_left") * col("n_right"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     m.crossJoin(broadcast(m.agg(sum(col("est_rows")).as("__t"))))
       .select(col("key"), col("n_left"), col("n_right"), col("est_rows"),
         floor(col("est_rows").cast("long") * 1000000L / col("__t"))
