@@ -122,11 +122,16 @@ object ConvQueries {
         .otherwise(concat(cap, lit(" the "), noun, lit(" now")))
       val df = t(s, dir, "documents").select(id, prompt.as("prompt"))
       val vo = TextAnalysis.verbObject(col("prompt"))
+      // every prompt lands in exactly one (verb, obj) group, so the
+      // total is the sum of the group counts — localCheckpoint the tiny
+      // histogram so the share column does not rescan documents
       val grouped = df
         .select(vo.getField("verb").as("verb"), vo.getField("obj").as("obj"))
         .groupBy(col("verb"), col("obj"))
         .agg(count(lit(1)).as("n_prompts"))
-      grouped.crossJoin(broadcast(df.agg(count(lit(1)).as("__t"))))
+        .localCheckpoint()
+      grouped.crossJoin(broadcast(
+        grouped.agg(sum(col("n_prompts")).as("__t"))))
         .select(col("verb"), col("obj"), col("n_prompts"),
           floor(col("n_prompts").cast("long") * 1000000L / col("__t"))
             .cast("long").as("share_micro"))
