@@ -348,4 +348,48 @@ object Sampling {
       .withColumn("position", row_number().over(w).cast("long"))
       .drop("__d")
   }
+
+  /** Sqrt-flattened SUBSAMPLING quota mixture ([EXT]): the downsampling
+    * complement of [[temperatureMixture]] (which UPSAMPLES via epoch
+    * copies) — select exactly quota docs per stratum, quotas
+    * proportional to sqrt(count) (T = 0.5 pinned because `sqrt` is
+    * cross-engine bit-stable where `pow` is not). Quota per stratum is
+    * `min(count, floor(totalDocs · sqrt(count) / Σ sqrt(count)))` with
+    * the Σ rounded to 6 decimals (the order-dependent-double-sum rule);
+    * kept rows are the first `quota` per stratum in md5 draw order —
+    * deterministic and DuckDB-replayable end to end. NULL strata are
+    * excluded (a mixture spec has no null source).
+    *
+    * Scale shape: one count aggregate (map-side combined), the quota
+    * table is broadcast (O(strata) rows), and selection is one exchange
+    * on the stratum + per-stratum local sort — the per-SOURCE stream,
+    * like [[tokenBudgetMixture]]. Returns
+    * (keyCol, strataCol, rk, quota) for the kept rows.
+    */
+  def quotaMixture(df: DataFrame, strataCol: String, keyCol: String,
+                   totalDocs: Long): DataFrame = {
+    require(totalDocs >= 0, s"totalDocs must be non-negative: $totalDocs")
+    import org.apache.spark.sql.expressions.Window
+    val nonNull = df.filter(col(strataCol).isNotNull)
+    // tiny (O(distinct strata)); checkpointed because it is read twice
+    // (the Σ and the quota rows) and a rescan would repeat the count agg
+    val counts = nonNull
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+      .localCheckpoint()
+    val tot = counts.agg(
+      round(sum(sqrt(col("n_stratum"))), 6).as("__ts"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_stratum"),
+        least(col("n_stratum"),
+          floor(lit(totalDocs.toDouble) * sqrt(col("n_stratum"))
+            / col("__ts")).cast("long")).as("quota"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5Draw(col(keyCol), "tmix "), col(keyCol))
+    nonNull
+      .select(col(keyCol), col(strataCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas.drop("n_stratum")), Seq(strataCol))
+      .filter(col("rk") <= col("quota"))
+      .select(col(keyCol), col(strataCol), col("rk"), col("quota"))
+  }
 }

@@ -264,6 +264,21 @@ object TextQueries {
         Map("en" -> 20000L, "zh" -> 5000L, "fr" -> 3000L))
     }),
 
+    // ORACLED temperature-flattened mixture (T = 0.5, the sqrt knob):
+    // a skewed synthetic stratum (50/25/15/7/3% of docs) is flattened
+    // into sqrt-proportional quotas — the small strata visibly
+    // up-sample vs raw proportions — and the kept rows are the first
+    // `quota` per stratum in md5 draw order. DuckDB replays the counts,
+    // the 6-decimal-rounded sqrt sum, the floor quotas, and the draw.
+    "q_quota_mixture" -> ((s, dir) => {
+      val m = col("doc_id") % 100
+      val stratum = when(m < 50, "b0").when(m < 75, "b1")
+        .when(m < 90, "b2").when(m < 97, "b3").otherwise("b4")
+      graft.operators.Sampling.quotaMixture(
+        t(s, dir, "documents").select(col("doc_id"), stratum.as("stratum")),
+        "stratum", "doc_id", totalDocs = 200L)
+    }),
+
     // ORACLED mixture sampling: fractional epoch weights per language —
     // en up-sampled 2.5× (every doc twice, an md5-chosen half a third
     // time), de down-sampled to 0.5, zh dropped (absent) — DuckDB
@@ -2161,6 +2176,31 @@ object TextQueries {
          SELECT doc_id, lang, n_toks,
            CAST(tokens_before AS BIGINT) AS tokens_before
          FROM w WHERE tokens_before < b""",
+
+    // same stratum CASE, same rounded sqrt sum, same floor quotas, same
+    // md5 draw order (doc_id tiebreak)
+    "q_quota_mixture" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 100 < 50 THEN 'b0'
+                  WHEN doc_id % 100 < 75 THEN 'b1'
+                  WHEN doc_id % 100 < 90 THEN 'b2'
+                  WHEN doc_id % 100 < 97 THEN 'b3'
+                  ELSE 'b4' END AS stratum
+           FROM documents),
+         c AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
+         t AS (SELECT round(sum(sqrt(n)), 6) AS ts FROM c),
+         q AS (SELECT stratum,
+                 least(n, CAST(floor(CAST(200 AS DOUBLE) * sqrt(n) / ts)
+                   AS BIGINT)) AS quota
+               FROM c, t),
+         r AS (SELECT doc_id, stratum,
+                 CAST(row_number() OVER (PARTITION BY stratum
+                   ORDER BY md5('tmix ' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS BIGINT) AS rk
+               FROM d)
+       SELECT r.doc_id, r.stratum, r.rk, q.quota
+       FROM r JOIN q ON q.stratum = r.stratum WHERE r.rk <= q.quota""",
 
     "q_mixture" ->
       """WITH w AS (

@@ -1591,4 +1591,38 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
     assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("quotaMixture: sqrt flattening upweights small strata, " +
+      "quotas capped and deterministic") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // skewed strata: a=160, b=40, c=10, plus a null stratum (excluded)
+    val docs = ((1L to 160L).map(i => (i, Some("a"))) ++
+      (161L to 200L).map(i => (i, Some("b"))) ++
+      (201L to 210L).map(i => (i, Some("c"))) ++
+      Seq((211L, Option.empty[String])))
+      .toDF("doc_id", "stratum")
+    val out = Sampling.quotaMixture(docs, "stratum", "doc_id", 100L)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byS = out.groupBy(_._2)
+    // sum sqrt = 12.649111 + 6.324555 + 3.162278 = 22.135944 (rounded 6)
+    // quotas: floor(100*12.649111/22.135944)=57, b=28, c=14 -> c capped 10
+    assert(byS("a").length === 57 && byS("b").length === 28)
+    assert(byS("c").length === 10, "small stratum capped at its count")
+    // flattening: c's kept share (10%) > its raw share (10/210 = 4.8%);
+    // a's kept share (57%) < its raw share (76%)
+    assert(!byS.contains(null) && out.forall(_._2 != null))
+    // every kept rank within its quota, ranks contiguous from 1
+    for ((s0, rows) <- byS) {
+      val rks = rows.map(_._3).sorted.toSeq
+      assert(rks === (1L to rks.length).toSeq, s"ranks not contiguous in $s0")
+      assert(rows.forall(r => r._3 <= r._4))
+    }
+    val again = Sampling
+      .quotaMixture(docs, "stratum", "doc_id", 100L)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }
