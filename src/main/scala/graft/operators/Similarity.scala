@@ -454,6 +454,75 @@ object Similarity {
     * quality gap the xxhash64 fast path (rows-only by nature) leaves to
     * recall floors. Returns (q_id, n_id, sim4, rn), rn ≤ k.
     */
+  /** IVF ANN with a fully DETERMINISTIC, cross-engine-replayable chain
+    * ([EXT]) — the md5 sibling of [[annIvf]], mirroring [[annLshMd5]]:
+    * centroids are the md5-seeded k-means fit (the oracled q_kmeans
+    * fit — Clustering.kmeansFit), each vector is assigned to its argmax
+    * cell (cosine rounded to 6 decimals, cell-id tie-break), each QUERY
+    * probes its top-`nProbe` cells in the same rounded order, candidates
+    * are the probed cells' members (each point lives in exactly one
+    * cell, so no candidate dedup is needed), verification is the exact
+    * cosine rounded to 4, top-k by (sim4 DESC, id ASC). Every stage is
+    * a pure function of the input — DuckDB replays fit, assignment,
+    * probe order, and verify bit-identically, so the WHOLE chain is
+    * hash-oracled (q_ann_ivf_md5), unlike the salted xxhash [[annIvf]]
+    * scale path which stays rows-only + recall-floored.
+    *
+    * Scale shape: the fit is the k·dim literal-table pass (corpus never
+    * shuffles); assignment/probing are one narrow pass (the sorted
+    * (sim6, cell) array is computed once and checkpointed — index read
+    * three times); the candidate join is cell-keyed with `maxCellSize`
+    * failing closed on degenerate fits. At extreme per-cell skew prefer
+    * [[annIvf]]'s salted join.
+    */
+  def annIvfMd5(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 8,
+      iters: Int = 2,
+      nProbe: Int = 2,
+      maxCellSize: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe out of [1, $nCells]: $nProbe")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val centroids = Clustering.kmeansFit(df, idCol, vecCol, nCells, iters)
+    val e = spreadIfNarrow(df.filter(col(vecCol).isNotNull))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.asDouble(col(vecCol)).as("__v"))
+    // ascending (−sim6, cell) = (sim6 DESC, cell ASC) — the assignment
+    // is element 1, the probe set the first nProbe elements
+    val scored = centroids.zipWithIndex.map { case (c0, i) =>
+      struct(
+        (-round(call_function("graft_cosine",
+          col("__v"), typedLit(c0.toSeq)), 6)).as("negS"),
+        lit(i.toLong).as("c"))
+    }
+    val base = e.withColumn("__cells", array_sort(array(scored: _*)))
+      .localCheckpoint()
+    val assigned = base.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
+      element_at(col("__cells"), 1).getField("c").as("cell"))
+    val keptCells = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCellSize)
+      .select(col("cell"))
+    val corpus = assigned.join(broadcast(keptCells), "cell")
+    val probes = base.select(col(idCol).as("q_id"), col("__v").as("q_vec"),
+      explode(slice(col("__cells"), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_vec"), col("p").getField("c").as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim4").desc, col("n_id"))
+    probes.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(call_function("graft_cosine", col("q_vec"), col("n_vec")), 4)
+          .as("sim4"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   def annLshMd5(
       df: DataFrame,
       idCol: String,

@@ -148,6 +148,16 @@ object VectorQueries {
       graft.operators.Similarity.annLshMd5(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)),
 
+    // ORACLED full IVF-ANN chain (fit -> assign -> probe -> verify ->
+    // top-k): the md5-seeded k-means fit (the q_kmeans replay), argmax
+    // cell assignment, top-2-cell probing in the same 6-decimal order,
+    // round-4 cosine verify, (sim4 DESC, id ASC) top-3 — the second
+    // fully hash-checked ANN family beside q_ann_lsh_md5 (the salted
+    // xxhash q_ann_ivf stays the rows-only scale path).
+    "q_ann_ivf_md5" -> ((s, dir) =>
+      graft.operators.Similarity.annIvfMd5(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)),
+
     // ORACLED hyperplane sketch: md5-derived hyperplanes (cross-engine
     // identical) — proves the sign-of-projection bucketing end to end;
     // the xxhash64 form above stays the fast path. Heavy narrow map
@@ -565,6 +575,34 @@ object VectorQueries {
          SELECT vec_id, CAST(c AS BIGINT) AS cluster,
            round(s, 4) AS sim
          FROM fin WHERE r = 1""",
+
+    // IVF-ANN replay: same fit (kmeansCtes), assignment = rank-1 cell,
+    // probes = rank<=2 cells in the identical 6-decimal order, cell-cap,
+    // fresh round-4 cosine verify, windowed top-3 with the
+    // (sim4 DESC, id ASC) tie-break. Each point lives in exactly one
+    // cell, so probe candidates need no dedup.
+    "q_ann_ivf_md5" ->
+      s"""$kmeansCtes,
+         asg AS (
+           SELECT f.vec_id AS n_id, e.v AS n_vec, f.c AS cell
+           FROM fin f JOIN e USING (vec_id) WHERE f.r = 1),
+         keptc AS (
+           SELECT cell FROM asg GROUP BY cell HAVING count(*) <= 10000),
+         corp AS (SELECT a.* FROM asg a JOIN keptc USING (cell)),
+         prob AS (
+           SELECT f.vec_id AS q_id, e.v AS q_vec, f.c AS cell
+           FROM fin f JOIN e USING (vec_id) WHERE f.r <= 2),
+         cand AS (
+           SELECT p.q_id, c.n_id,
+             round(list_cosine_similarity(p.q_vec, c.n_vec), 4) AS sim4
+           FROM prob p JOIN corp c USING (cell)
+           WHERE c.n_id <> p.q_id)
+         SELECT q_id, n_id, sim4, rn FROM (
+           SELECT q_id, n_id, sim4,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim4 DESC, n_id) AS rn
+           FROM cand)
+         WHERE rn <= 3""",
 
     // SemDeDup replay: same fit, then the pairwise within-cluster rule
     // as a plain EXISTS — dropped iff a lower-id same-cluster point

@@ -160,6 +160,19 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_ann_ivf_md5: checkpointed cell index, broadcast cap, equi-join probing") {
+    val p = plan("q_ann_ivf_md5")
+    // the sorted (sim6, cell) array is a checkpoint leaf: assignment,
+    // probes, and the cap count all read it — the nCells x dim cosine
+    // pass never recomputes per candidate row
+    assert(p.contains("Scan ExistingRDD"), p.take(600))
+    assert(!p.contains("graft_cosine(__v")) // fit math never in-plan
+    // cell cap joins as a broadcast; candidate pairing stays equi-join
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_canonical_keeper: keeper argmax is one agg exchange, no window") {
     val p = plan("q_canonical_keeper")
     // the CC loop contributes its own bounded exchanges; the keeper stage
