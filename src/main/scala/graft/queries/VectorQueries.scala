@@ -242,15 +242,28 @@ object VectorQueries {
         "embedding", c = 8, k = 3, lambda = 0.7)),
 
     // Rows-only: ADC approximate top-3 under the same codebooks — the
-    // compressed-domain ANN path (recall floor + determinism pinned in
-    // PqSpec; the scoring decomposition is not SQL-expressible without
-    // re-deriving the fit, which q_pq_codes already gates).
+    // compressed-domain ANN path at full query fan-out (recall floor +
+    // determinism pinned in PqSpec; the md5 sibling below hash-gates the
+    // scoring decomposition itself on a bounded query set).
     "q_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.operators.Pq.annPq(e, e, "vec_id", "embedding",
           fittedPq(s, dir), k = 3)
         .groupBy(col("q_id"))
         .agg(count(lit(1)).as("n_candidates"), max(col("adc4")).as("best_adc"))
+    }),
+
+    // ORACLED full PQ-ANN chain (fit -> encode -> LUT -> ADC -> top-k)
+    // on a deterministic query subset (vec_id % 40): DuckDB replays the
+    // code argmax, the per-query 6-decimal LUT dots, the fixed-order
+    // 4-term ADC fold, and the (adc4 DESC, id ASC) top-3 under the
+    // embedded fitted codebooks — completing the hash-checked trifecta
+    // with q_ann_lsh_md5 and q_ann_ivf_md5.
+    "q_ann_pq_md5" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Pq.annPq(
+        e.filter(col("vec_id") % 40 === 0), e, "vec_id", "embedding",
+        fittedPq(s, dir), k = 3)
     }),
   )
 
@@ -280,7 +293,9 @@ object VectorQueries {
         j <- cents.indices
         c <- cents(j).indices
       } yield s"($j, $c, CAST(${cents(j)(c).mkString("[", ", ", "]")} AS DOUBLE[]))"
-      Map("q_pq_codes" ->
+      // shared by both replays: the fitted-codebook literal table and
+      // the per-(vector, subspace) code argmax
+      val codesCtes =
         s"""WITH e AS (
              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE embedding IS NOT NULL),
@@ -291,14 +306,48 @@ object VectorQueries {
            scored AS (
              SELECT vec_id, j, c,
                round(list_cosine_similarity(sv, cv), 6) AS s
-             FROM sub JOIN cent USING (j))
-           SELECT vec_id, CAST(j AS BIGINT) AS subspace, CAST(c AS BIGINT) AS code
-           FROM (
+             FROM sub JOIN cent USING (j)),
+           ranked AS (
              SELECT vec_id, j, c,
                row_number() OVER (PARTITION BY vec_id, j
                  ORDER BY s DESC, c) AS r
-             FROM scored)
-           WHERE r = 1""")
+             FROM scored)"""
+      // the ADC fold replays Spark's fixed left-to-right sum order:
+      // ((l0 + l1) + l2) + ... — the LUT terms are 6-decimal-rounded on
+      // both engines, so the fold inputs are bit-identical
+      val pivots = (0 until m).map(j =>
+        s"max(CASE WHEN l.j = $j THEN l.l END) AS l$j").mkString(",\n             ")
+      val fold = (1 until m).foldLeft("l0")((acc, j) => s"($acc + l$j)")
+      Map(
+        "q_pq_codes" ->
+          s"""$codesCtes
+           SELECT vec_id, CAST(j AS BIGINT) AS subspace, CAST(c AS BIGINT) AS code
+           FROM ranked WHERE r = 1""",
+        "q_ann_pq_md5" ->
+          s"""$codesCtes,
+           codes AS (
+             SELECT vec_id AS n_id, j, c AS code FROM ranked WHERE r = 1),
+           q AS (
+             SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 40 = 0),
+           lut AS (
+             SELECT q_id, j, c,
+               round(list_dot_product(
+                 list_slice(qv, j * $sub + 1, j * $sub + $sub), cv), 6) AS l
+             FROM q CROSS JOIN cent),
+           pv AS (
+             SELECT l.q_id, d.n_id,
+             $pivots
+             FROM codes d JOIN lut l ON l.j = d.j AND l.c = d.code
+             WHERE d.n_id <> l.q_id
+             GROUP BY l.q_id, d.n_id),
+           adc AS (
+             SELECT q_id, n_id, round($fold, 4) AS adc4 FROM pv)
+           SELECT q_id, n_id, adc4, rn FROM (
+             SELECT q_id, n_id, adc4,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc4 DESC, n_id) AS BIGINT) AS rn
+             FROM adc)
+           WHERE rn <= 3""")
     }
 
   /** The k-means fit replay shared by q_kmeans and q_semdedup_kmeans:
