@@ -1043,6 +1043,48 @@ object TextQueries {
         t(s, dir, "documents"), "text", "doc_id",
         col("lang") === "en", lrModel(s, dir))),
 
+    // ORACLED quality-ensemble vote — the keep/drop audit a curation
+    // pipeline actually gates on, with per-rule attribution: gopher
+    // rules on the q_gopher_rules corruption page (the raw synthetic
+    // fixture text contains no English stopwords, so raw-text gopher is
+    // constant-false — the corruption makes the leg discriminate), the
+    // C4 page gate on a replayable 3-slice page (the q_line_dedup
+    // substring trick — raw fixture text has no terminal punctuation),
+    // and the memoized LR classifier's 0.5-threshold prediction;
+    // keep = majority (2 of 3). Each leg is a narrow scan-side pass;
+    // the joins exchange (id, flag) rows only. DuckDB replays all three
+    // legs (the gopher metric block, the C4 line gate, the unrolled LR
+    // fit) and the vote arithmetic.
+    "q_quality_vote" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val txt = coalesce(col("text"), lit(""))
+      val page = concat_ws("\n",
+        concat(substring(txt, 1, 60), lit(".")),
+        concat(substring(txt, 61, 60), lit(".")),
+        concat(substring(txt, 121, 60), lit(".")))
+      val gopherSrc = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("• promo bullet\n"))
+            .otherwise(lit("")),
+          txt,
+          when(col("doc_id") % 2 === 0, lit(" and that is of note"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nread more..."))
+            .otherwise(lit(""))).as("text"))
+      val g = TA.gopherRules(gopherSrc, "text", "doc_id")
+        .select(col("doc_id"), col("pass").as("v_gopher"))
+      val c = TA.c4Filters(
+          docs.select(col("doc_id"), page.as("text")), "text", "doc_id")
+        .select(col("doc_id"), col("pass").as("v_c4"))
+      val l = graft.operators.QualityClassifier.score(
+          docs, "text", "doc_id", lrModel(s, dir))
+        .select(col("doc_id"), col("pred").as("v_lr"))
+      g.join(c, "doc_id").join(l, "doc_id")
+        .select(col("doc_id"), col("v_gopher"), col("v_c4"), col("v_lr"),
+          (col("v_gopher") + col("v_c4") + col("v_lr")).as("votes"))
+        .withColumn("keep", (col("votes") >= 2).cast("long"))
+    }),
+
     // Classifier evaluation, ORACLED end to end through the SAME
     // unrolled fit: exact-integer midrank AUC (doubled ranks keep tie
     // midpoints integral) plus the 0.5-threshold confusion metrics —
@@ -1662,6 +1704,93 @@ object TextQueries {
                   LEFT JOIN w2 ON w2.tk = vt.tk
            GROUP BY d.doc_id, d.y)"""
 
+  /** q_quality_vote: the three rule legs (gopher on raw text, C4 on the
+    * 3-slice page, the LR pred under the unrolled fit) joined on doc_id
+    * with the majority arithmetic. Plain-quoted (regex backslashes);
+    * composed onto lrFitCtes at the map site.
+    */
+  private val qualityVoteCtes: String =
+    """,
+       lr AS (
+         SELECT doc_id,
+           CAST(CASE WHEN round(1.0/(1.0 + exp(-(z/1000000.0))), 4) >= 0.5
+             THEN 1 ELSE 0 END AS BIGINT) AS v_lr
+         FROM zf),
+       gsrc AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN '• promo bullet' || chr(10)
+                ELSE '' END ||
+           coalesce(text, '') ||
+           CASE WHEN doc_id % 2 = 0 THEN ' and that is of note'
+                ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'read more...'
+                ELSE '' END AS t
+         FROM documents),
+       gm AS (
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+             AS n_chars,
+           CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+           CAST(length(t) - length(replace(t, '#', ''))
+             + length(t) - length(replace(t, '…', ''))
+             + (length(t) - length(replace(t, '...', ''))) // 3
+             AS BIGINT) AS symbol_cnt,
+           CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS BIGINT)
+             AS bullet_lines,
+           CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ \t]*$'))
+             AS BIGINT) AS ell_lines,
+           CAST(len(regexp_extract_all(t, '\S*[A-Za-z]\S*')) AS BIGINT)
+             AS alpha_words,
+           (CASE WHEN regexp_matches(lower(t), '(^|\s)the(\s|$)') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(t), '(^|\s)be(\s|$)') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(t), '(^|\s)to(\s|$)') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(t), '(^|\s)of(\s|$)') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(t), '(^|\s)and(\s|$)') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(t), '(^|\s)that(\s|$)') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(t), '(^|\s)have(\s|$)') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(t), '(^|\s)with(\s|$)') THEN 1 ELSE 0 END)
+             AS stop_hits
+         FROM gsrc),
+       g AS (
+         SELECT doc_id,
+           CAST(n_words >= 50 AND n_words <= 100000
+             AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+             AND symbol_cnt * 10 <= n_words
+             AND bullet_lines * 10 <= n_lines * 9
+             AND ell_lines * 10 <= n_lines * 3
+             AND alpha_words * 5 >= n_words * 4
+             AND stop_hits >= 2 AS BIGINT) AS v_gopher
+         FROM gm),
+       csrc AS (
+         SELECT doc_id,
+           substr(coalesce(text, ''), 1, 60) || '.' || chr(10) ||
+           substr(coalesce(text, ''), 61, 60) || '.' || chr(10) ||
+           substr(coalesce(text, ''), 121, 60) || '.' AS t
+         FROM documents),
+       cf AS (
+         SELECT doc_id, t,
+           list_filter(string_split(t, chr(10)), l ->
+             regexp_matches(trim(l), '[.!?"]$')
+             AND len(regexp_extract_all(trim(l), '\S+')) >= 5
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'terms of use')
+             AND NOT contains(lower(l), 'privacy policy')
+             AND NOT contains(lower(l), 'cookie policy')
+             AND NOT contains(lower(l), 'uses cookies')) AS kept
+         FROM csrc),
+       c4 AS (
+         SELECT doc_id,
+           CAST(NOT contains(lower(t), 'lorem ipsum')
+             AND NOT contains(t, '{')
+             AND len(regexp_extract_all(array_to_string(kept, chr(10)),
+               '[.!?]+')) >= 3 AS BIGINT) AS v_c4
+         FROM cf)
+     SELECT g.doc_id, v_gopher, v_c4, v_lr,
+       v_gopher + v_c4 + v_lr AS votes,
+       CAST(v_gopher + v_c4 + v_lr >= 2 AS BIGINT) AS keep
+     FROM g JOIN c4 USING (doc_id) JOIN lr USING (doc_id)"""
+
   /** q_lr_quality: the scoring pass under (w2, b2). */
   private val lrQualityOracle: String =
     s"""$lrFitCtes
@@ -1849,6 +1978,7 @@ object TextQueries {
 
   private val staticOracles: Map[String, String] = Map(
     "q_lr_quality" -> lrQualityOracle,
+    "q_quality_vote" -> (lrFitCtes + qualityVoteCtes),
     "q_lr_auc" -> lrAucOracle,
     "q_lr_calibration" -> lrCalibrationOracle,
     "q_ngram_jaccard" ->
