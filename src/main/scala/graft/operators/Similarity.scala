@@ -483,12 +483,14 @@ object Similarity {
       nCells: Int = 8,
       iters: Int = 2,
       nProbe: Int = 2,
-      maxCellSize: Int = 10000): DataFrame = {
+      maxCellSize: Int = 10000,
+      fitted: Option[Array[Array[Double]]] = None): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe out of [1, $nCells]: $nProbe")
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val centroids = Clustering.kmeansFit(df, idCol, vecCol, nCells, iters)
+    val centroids = fitted.getOrElse(
+      Clustering.kmeansFit(df, idCol, vecCol, nCells, iters))
     val e = spreadIfNarrow(df.filter(col(vecCol).isNotNull))
       .select(col(idCol),
         graft.functions.VectorFunctions.asDouble(col(vecCol)).as("__v"))

