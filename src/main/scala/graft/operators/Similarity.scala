@@ -71,6 +71,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining ([EXT]): for each query vector, the top-k most
+    * similar corpus vectors with a DIFFERENT label — the standard
+    * negative set for contrastive retrieval training (in-batch negatives
+    * are easy; the near-boundary different-label neighbors carry the
+    * gradient). Exact scoring under the [[knnBruteForce]] broadcast
+    * contract; the 100 TB path blocks with LSH/IVF first and applies the
+    * same label-mismatch filter on candidates. NULL labels yield no
+    * pairs on either side (inequality with NULL is unknown — SQL
+    * semantics on both engines); NULL vectors are dropped. Returns
+    * (q_id, n_id, sim4, rn), rank ties to the smaller neighbor id.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      maxCorpusRows: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    requireBroadcastable(corpus, maxCorpusRows, "hardNegatives corpus",
+      "LSH/IVF blocking + label-mismatch filter on candidates")
+    val q = spreadIfNarrow(queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"),
+        col(labelCol).as("q_label")))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"),
+        col(labelCol).as("n_label"))
+    val scored = q.crossJoin(broadcast(c))
+      .filter(col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("n_id"),
+        round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
+    topKPerQuery(scored, k)
+  }
+
   /** Margin-based bitext mining (the Artetxe & Schwenk 2019 "ratio"
     * margin): for every source vector, elect the target maximizing
     * `cos(x,y) / ((avgTopK(x→tgt) + avgTopK(y→src)) / 2)` — raw cosine

@@ -216,6 +216,18 @@ object VectorQueries {
           col("n_label").as("pred_label"), col("votes"))
     }),
 
+    // ORACLED hard-negative mining: for each query (vec_id % 20 — a
+    // bounded, deterministic query set), the top-3 most similar vectors
+    // with a DIFFERENT label, exact round-4 cosine, (sim4 DESC, id ASC)
+    // rank — the contrastive-retrieval negative set; NULL labels drop
+    // per SQL inequality semantics on both engines.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.hardNegatives(
+        e.filter(col("vec_id") % 20 === 0), e,
+        "vec_id", "embedding", "label", k = 3)
+    }),
+
     // ORACLED SemDeDup-lite: one keeper (min id) per md5-hyperplane cell —
     // the cell partition is the oracled q_lsh_bucket_md5 sketch, so the
     // whole semantic-dedup decision is engine-reproducible.
@@ -616,6 +628,24 @@ object VectorQueries {
                ORDER BY votes DESC, n_label) AS rn
            FROM votes)
          WHERE rn = 1""",
+
+    // hard-negative replay: bounded query set, label-mismatch join,
+    // round-4 cosine, same (sim4 DESC, id ASC) top-3
+    "q_hard_negatives" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+           FROM embeddings WHERE embedding IS NOT NULL),
+         p AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round(list_cosine_similarity(a.e, b.e), 4) AS sim4
+           FROM v a JOIN v b ON b.label <> a.label
+           WHERE a.vec_id % 20 = 0)
+         SELECT q_id, n_id, sim4, rn FROM (
+           SELECT q_id, n_id, sim4,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY sim4 DESC, n_id) AS BIGINT) AS rn
+           FROM p)
+         WHERE rn <= 3""",
 
     "q_semantic_dedup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
