@@ -216,6 +216,49 @@ object VectorQueries {
           col("n_label").as("pred_label"), col("votes"))
     }),
 
+    // ORACLED embedding outlier audit — the mislabel/noise detector: a
+    // vector is an outlier when its cosine to its OWN label centroid
+    // falls below the label's 10th-percentile threshold, fitted as the
+    // exact ceil-rank order statistic of the first 50 sims per label in
+    // md5 draw order (the q_ppl_buckets threshold pattern — no global
+    // sort; the label window carries only (id, sim) rows). sims round
+    // to 4 decimals (the q_label_centroid_sim contract — the per-dim
+    // centroid avg is order-dependent in the last ulps, and round-4
+    // absorbs it). DuckDB refits the centroids, the sample draw, the
+    // ceil-rank thresholds, and the flags.
+    "q_embed_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+      val byLabel = e.groupBy(col("label"))
+        .agg(expr("graft_vector_avg(v)").as("centroid"))
+      // checkpointed: the threshold fit and the final flags both read it
+      val sims = e.join(broadcast(byLabel), "label")
+        .select(col("vec_id"), col("label"),
+          round(expr("graft_cosine(v, centroid)"), 4).as("sim4"))
+        .localCheckpoint()
+      val wDraw = Window.partitionBy(col("label"))
+        .orderBy(md5(concat(lit("out "), col("vec_id").cast("string"))),
+          col("vec_id"))
+      val sample = sims.withColumn("srn", row_number().over(wDraw))
+        .filter(col("srn") <= 50)
+      val wVal = Window.partitionBy(col("label"))
+        .orderBy(col("sim4"), col("vec_id"))
+      val thr = sample
+        .withColumn("vrn", row_number().over(wVal).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("label"))))
+        .filter(col("vrn") ===
+          floor((col("n") * 10 + lit(99)) / lit(100)).cast("long"))
+        .select(col("label"), col("sim4").as("thr"))
+      sims.join(broadcast(thr), "label")
+        .select(col("vec_id"), col("label"), col("sim4"),
+          (col("sim4") < col("thr")).cast("long").as("outlier"))
+    }),
+
     // ORACLED hard-negative mining: for each query (vec_id % 20 — a
     // bounded, deterministic query set), the top-3 most similar vectors
     // with a DIFFERENT label, exact round-4 cosine, (sim4 DESC, id ASC)
@@ -628,6 +671,43 @@ object VectorQueries {
                ORDER BY votes DESC, n_label) AS rn
            FROM votes)
          WHERE rn = 1""",
+
+    // outlier replay: per-dim avg centroids, round-4 sims, the md5
+    // sample draw, ceil-rank 10th-pct thresholds, strict-less flags
+    "q_embed_outliers" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         cent AS (
+           SELECT label, list(m ORDER BY d) AS centroid FROM (
+             SELECT label, d, avg(x) AS m FROM (
+               SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS d
+               FROM v)
+             GROUP BY label, d)
+           GROUP BY label),
+         sims AS (
+           SELECT v.vec_id, v.label,
+             round(list_cosine_similarity(v.e, c.centroid), 4) AS sim4
+           FROM v JOIN cent c USING (label)),
+         samp AS (
+           SELECT label, sim4, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY label
+               ORDER BY md5('out ' || CAST(vec_id AS VARCHAR)), vec_id)
+               AS srn
+             FROM sims)
+           WHERE srn <= 50),
+         thr AS (
+           SELECT label, sim4 AS thr FROM (
+             SELECT label, sim4, vec_id,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY sim4, vec_id) AS vrn,
+               count(*) OVER (PARTITION BY label) AS n
+             FROM samp)
+           WHERE vrn = (n * 10 + 99) // 100)
+       SELECT s.vec_id, s.label, s.sim4,
+         CAST(s.sim4 < t.thr AS BIGINT) AS outlier
+       FROM sims s JOIN thr t USING (label)""",
 
     // hard-negative replay: bounded query set, label-mismatch join,
     // round-4 cosine, same (sim4 DESC, id ASC) top-3
