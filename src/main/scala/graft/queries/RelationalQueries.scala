@@ -287,6 +287,22 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 4).as("total"))
     }),
 
+    // ORACLED recency-weighted sampling ([EXT]): keep an event with
+    // probability 1/(1 + age_days) via the portable md5 unit draw — the
+    // time-decayed mixture a continuously-ingesting pipeline uses to
+    // favor fresh data without dropping history. Rational decay on
+    // purpose (no exp — not cross-engine bit-stable); the acceptance
+    // compare is exact: both sides are the same IEEE division of exact
+    // integers vs the same 2^-32-quantized draw. One narrow scan pass.
+    "q_recency_sample" -> ((s, dir) => {
+      val anchor = lit("2024-02-01").cast("date")
+      val age = datediff(anchor, col("ts").cast("date")).cast("long")
+      t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), age.as("age_days"))
+        .filter(graft.operators.Sampling.md5Unit(col("event_id"), "fresh ")
+          < lit(1.0) / (lit(1.0) + col("age_days").cast("double")))
+    }),
+
     // JSON scalar extraction from the events props column.
     "q_json_get" -> ((s, dir) => {
       t(s, dir, "events")
@@ -763,6 +779,18 @@ object RelationalQueries {
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+
+    // same anchor datediff, same md5 unit draw, same rational decay
+    "q_recency_sample" ->
+      """SELECT event_id,
+           CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+             AS BIGINT) AS age_days
+         FROM events
+         WHERE ts IS NOT NULL
+           AND CAST(('0x' || substr(md5('fresh ' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+               < CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                   + CAST(date_diff('day', CAST(ts AS DATE),
+                       DATE '2024-02-01') AS DOUBLE))""",
 
     "q_date_parts" ->
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
