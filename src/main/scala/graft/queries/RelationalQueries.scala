@@ -287,6 +287,33 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 4).as("total"))
     }),
 
+    // ORACLED gap-based sessionization ([EXT]): events split into
+    // sessions per user at >30-minute silences — the canonical
+    // behavioral-data shape (one exchange on user_id, per-user local
+    // sort; the same window serves the lag, the running session index,
+    // and the per-session rollup). Gaps compare on floored epoch
+    // seconds (the defined granularity — identical truncation on both
+    // engines). Report = (user, session, n_events, duration_sec).
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sec = floor(col("ts").cast("double")).cast("long")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val events = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), sec.as("sec"))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800L)
+            .cast("long"))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      events.groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+    }),
+
     // ORACLED recency-weighted sampling ([EXT]): keep an event with
     // probability 1/(1 + age_days) via the portable md5 unit draw — the
     // time-decayed mixture a continuously-ingesting pipeline uses to
@@ -779,6 +806,34 @@ object RelationalQueries {
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+
+    // same floored-second gaps, same lag/running-sum windows
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT event_id, user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         l AS (
+           SELECT *,
+             lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_sec
+           FROM e),
+         m AS (
+           SELECT *,
+             CAST(prev_sec IS NULL OR sec - prev_sec > 1800 AS BIGINT)
+               AS new_sess
+           FROM l),
+         sx AS (
+           SELECT *,
+             sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+           FROM m)
+       SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         count(*) AS n_events,
+         CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+       FROM sx GROUP BY user_id, session_idx""",
 
     // same anchor datediff, same md5 unit draw, same rational decay
     "q_recency_sample" ->
