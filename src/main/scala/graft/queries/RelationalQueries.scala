@@ -287,6 +287,50 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 4).as("total"))
     }),
 
+    // ORACLED ordered funnel ([EXT]): view -> click -> purchase with
+    // STRICT ordering (first click AFTER the first view, first purchase
+    // AFTER that click) — the sequential-conversion report, computed
+    // with three unordered-frame window mins over ONE user_id exchange
+    // (no joins, no sorts: each stage's threshold rides the partition
+    // as a column). Integer micro conversion rates.
+    "q_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+      val t1 = min(when(col("event_type") === "view", col("ts"))).over(wU)
+      // first-36-hours slice: with the full month every user completes
+      // the funnel (constant report) — the bounded window makes the
+      // conversion rates discriminate
+      val base = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull
+          && col("ts") < lit("2024-01-02 12:00:00").cast("timestamp"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1", t1)
+      val t2 = min(when(col("event_type") === "click"
+        && col("ts") > col("t1"), col("ts"))).over(wU)
+      val withT2 = base.withColumn("t2", t2)
+      val t3 = min(when(col("event_type") === "purchase"
+        && col("ts") > col("t2"), col("ts"))).over(wU)
+      val perUser = withT2.withColumn("t3", t3)
+        .groupBy(col("user_id"))
+        .agg(max(col("t1").isNotNull.cast("long")).as("s1"),
+          max(col("t2").isNotNull.cast("long")).as("s2"),
+          max(col("t3").isNotNull.cast("long")).as("s3"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("s1")).as("n_view"),
+        sum(col("s2")).as("n_click_after_view"),
+        sum(col("s3")).as("n_purchase_after_click"))
+        .select(col("n_users"), col("n_view"), col("n_click_after_view"),
+          col("n_purchase_after_click"),
+          when(col("n_view") === 0L, 0L).otherwise(
+            floor(col("n_click_after_view").cast("long") * 1000000L
+              / col("n_view"))).cast("long").as("conv_click_micro"),
+          when(col("n_click_after_view") === 0L, 0L).otherwise(
+            floor(col("n_purchase_after_click").cast("long") * 1000000L
+              / col("n_click_after_view"))).cast("long")
+            .as("conv_purchase_micro"))
+    }),
+
     // ORACLED gap-based sessionization ([EXT]): events split into
     // sessions per user at >30-minute silences — the canonical
     // behavioral-data shape (one exchange on user_id, per-user local
@@ -806,6 +850,45 @@ object RelationalQueries {
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+
+    // same strict-order window mins, same micro-rate math
+    "q_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND ts < TIMESTAMP '2024-01-02 12:00:00'),
+         a AS (
+           SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+           FROM e),
+         b AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+             THEN ts END) OVER (PARTITION BY user_id) AS t2
+           FROM a),
+         c AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+             THEN ts END) OVER (PARTITION BY user_id) AS t3
+           FROM b),
+         u AS (
+           SELECT user_id,
+             max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+             max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3
+           FROM c GROUP BY user_id),
+         f AS (
+           SELECT count(*) AS n_users,
+             CAST(sum(s1) AS BIGINT) AS n_view,
+             CAST(sum(s2) AS BIGINT) AS n_click_after_view,
+             CAST(sum(s3) AS BIGINT) AS n_purchase_after_click
+           FROM u)
+       SELECT n_users, n_view, n_click_after_view, n_purchase_after_click,
+         CASE WHEN n_view = 0 THEN 0
+           ELSE CAST(floor(n_click_after_view * 1000000.0 / n_view)
+             AS BIGINT) END AS conv_click_micro,
+         CASE WHEN n_click_after_view = 0 THEN 0
+           ELSE CAST(floor(n_purchase_after_click * 1000000.0
+             / n_click_after_view) AS BIGINT) END AS conv_purchase_micro
+       FROM f""",
 
     // same floored-second gaps, same lag/running-sum windows
     "q_sessionize" ->
