@@ -287,6 +287,25 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 4).as("total"))
     }),
 
+    // ORACLED retention cohorts ([EXT]): users grouped by first-seen
+    // day, activity counted per (cohort_day, days_since) — the classic
+    // retention triangle. One user_id exchange (the cohort day rides
+    // the partition as a window min), then one hash agg with a distinct
+    // count; day arithmetic is integer datediff.
+    "q_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy(col("user_id"))
+      val day = col("ts").cast("date")
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), day.as("day"))
+        .withColumn("cohort_day", min(col("day")).over(wU))
+        .withColumn("age_days",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .groupBy(col("cohort_day"), col("age_days"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // ORACLED ordered funnel ([EXT]): view -> click -> purchase with
     // STRICT ordering (first click AFTER the first view, first purchase
     // AFTER that click) — the sequential-conversion report, computed
@@ -850,6 +869,19 @@ object RelationalQueries {
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+
+    // same first-seen window min, same integer day arithmetic
+    "q_retention" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (
+           SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+           FROM e)
+       SELECT cohort_day,
+         CAST(date_diff('day', cohort_day, day) AS BIGINT) AS age_days,
+         count(DISTINCT user_id) AS n_active
+       FROM c GROUP BY cohort_day, age_days""",
 
     // same strict-order window mins, same micro-rate math
     "q_funnel" ->
