@@ -113,6 +113,7 @@ object ScaleRehearsal {
     require(nOverlap > 0, "winnow overlap found no pairs in a corpus of near-copies")
 
     val vectorJson = vectorLeg(spark, sfDir, blowup)
+    val eventsJson = eventsLeg(spark, sfDir, blowup)
     val deltaJson = deltaLeg(spark, docs0, blowup, cfg)
     sampling = false
 
@@ -132,7 +133,7 @@ object ScaleRehearsal {
       s""""entropy_sec":${r1(tEnt)},"entropy_docs":$nEnt,""" +
       s""""winnow_sec":${r1(tOverlap)},"winnow_pairs":$nOverlap,""" +
       s""""peak_cache_bytes":$peakCache,""" +
-      s""""cc_converged":true$vectorJson$deltaJson}""")
+      s""""cc_converged":true$vectorJson$eventsJson$deltaJson}""")
     spark.stop()
   }
 
@@ -224,6 +225,53 @@ object ScaleRehearsal {
       s""","vec_wall_${blowup}x":${r1(wallN)}""" +
       s""","vec_recall_lsh":${r4(rLsh)},"vec_recall_ivf":${r4(rIvf)}""" +
       s""","vec_recall_pq":${r4(rPq)}"""
+  }
+
+  /** Behavioral-events rehearsal at the blowup (round-10: sessionize +
+    * funnel are new surface with no blowup evidence). Events are blown
+    * up with SHIFTED user ids, so each copy is a disjoint user
+    * population — session and funnel counts must scale EXACTLY N×
+    * (asserted equal, not just sublinear): a window that leaked across
+    * copies, a gap rule reading the wrong granularity, or a funnel
+    * threshold crossing user boundaries all break the equality.
+    */
+  private def eventsLeg(spark: SparkSession, sfDir: String,
+      blowup: Int): String = {
+    val e0 = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    def blow(n: Int) = (0 until n).map { k =>
+      e0.select(
+        (col("event_id") + lit(k.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(k.toLong * 10000000L)).as("user_id"),
+        col("ts"), col("event_type"))
+    }.reduce(_.union(_))
+    val base = blow(1).localCheckpoint()
+    val blown = blow(blowup).localCheckpoint()
+    def runOnce(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val nSess = graft.operators.Events
+        .sessions(df, "user_id", "ts", "event_id").count()
+      val reached = graft.operators.Events
+        .funnel(df, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .agg(coalesce(sum(col("n_reached")), lit(0L))).head().getLong(0)
+      (nSess, reached)
+    }
+    val t1 = System.nanoTime()
+    val (s1, f1) = runOnce(base)
+    val wall1 = (System.nanoTime() - t1) / 1e9
+    val tN = System.nanoTime()
+    val (sN, fN) = runOnce(blown)
+    val wallN = (System.nanoTime() - tN) / 1e9
+    require(sN == blowup * s1,
+      s"session count not exactly $blowup×: $sN vs $s1 at 1× — a window " +
+        "leaked across the disjoint user copies")
+    require(fN == blowup * f1,
+      s"funnel reach not exactly $blowup×: $fN vs $f1 at 1×")
+    require(wallN <= 0.7 * blowup * wall1 + 2.0,
+      f"events wall superlinear at $blowup×: $wallN%.1f s vs $wall1%.1f s")
+    def r1d(x: Double): Double = math.round(x * 10.0) / 10.0
+    s""","events_sessions_1x":$s1,"events_sessions_${blowup}x":$sN""" +
+      s""","events_wall_1x":${r1d(wall1)},"events_wall_${blowup}x":${r1d(wallN)}"""
   }
 
   /** Incremental-index rehearsal at the blowup (round-8 verdict #1: the

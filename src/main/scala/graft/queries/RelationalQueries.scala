@@ -313,41 +313,14 @@ object RelationalQueries {
     // (no joins, no sorts: each stage's threshold rides the partition
     // as a column). Integer micro conversion rates.
     "q_funnel" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wU = Window.partitionBy(col("user_id"))
-      val t1 = min(when(col("event_type") === "view", col("ts"))).over(wU)
       // first-36-hours slice: with the full month every user completes
       // the funnel (constant report) — the bounded window makes the
       // conversion rates discriminate
-      val base = t(s, dir, "events")
-        .filter(col("user_id").isNotNull && col("ts").isNotNull
-          && col("ts") < lit("2024-01-02 12:00:00").cast("timestamp"))
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .withColumn("t1", t1)
-      val t2 = min(when(col("event_type") === "click"
-        && col("ts") > col("t1"), col("ts"))).over(wU)
-      val withT2 = base.withColumn("t2", t2)
-      val t3 = min(when(col("event_type") === "purchase"
-        && col("ts") > col("t2"), col("ts"))).over(wU)
-      val perUser = withT2.withColumn("t3", t3)
-        .groupBy(col("user_id"))
-        .agg(max(col("t1").isNotNull.cast("long")).as("s1"),
-          max(col("t2").isNotNull.cast("long")).as("s2"),
-          max(col("t3").isNotNull.cast("long")).as("s3"))
-      perUser.agg(
-        count(lit(1)).as("n_users"),
-        sum(col("s1")).as("n_view"),
-        sum(col("s2")).as("n_click_after_view"),
-        sum(col("s3")).as("n_purchase_after_click"))
-        .select(col("n_users"), col("n_view"), col("n_click_after_view"),
-          col("n_purchase_after_click"),
-          when(col("n_view") === 0L, 0L).otherwise(
-            floor(col("n_click_after_view").cast("long") * 1000000L
-              / col("n_view"))).cast("long").as("conv_click_micro"),
-          when(col("n_click_after_view") === 0L, 0L).otherwise(
-            floor(col("n_purchase_after_click").cast("long") * 1000000L
-              / col("n_click_after_view"))).cast("long")
-            .as("conv_purchase_micro"))
+      graft.operators.Events.funnel(
+        t(s, dir, "events")
+          .filter(col("ts") < lit("2024-01-02 12:00:00").cast("timestamp")),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
     }),
 
     // ORACLED gap-based sessionization ([EXT]): events split into
@@ -357,25 +330,9 @@ object RelationalQueries {
     // and the per-session rollup). Gaps compare on floored epoch
     // seconds (the defined granularity — identical truncation on both
     // engines). Report = (user, session, n_events, duration_sec).
-    "q_sessionize" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val sec = floor(col("ts").cast("double")).cast("long")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val events = t(s, dir, "events")
-        .filter(col("ts").isNotNull && col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"), col("ts"), sec.as("sec"))
-        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
-        .withColumn("new_sess",
-          (col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800L)
-            .cast("long"))
-        .withColumn("session_idx",
-          sum(col("new_sess")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      events.groupBy(col("user_id"), col("session_idx"))
-        .agg(count(lit(1)).as("n_events"),
-          (max(col("sec")) - min(col("sec"))).as("duration_sec"))
-    }),
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Events.sessions(
+        t(s, dir, "events"), "user_id", "ts", "event_id", gapSec = 1800L)),
 
     // ORACLED recency-weighted sampling ([EXT]): keep an event with
     // probability 1/(1 + age_days) via the portable md5 unit draw — the
@@ -883,7 +840,7 @@ object RelationalQueries {
          count(DISTINCT user_id) AS n_active
        FROM c GROUP BY cohort_day, age_days""",
 
-    // same strict-order window mins, same micro-rate math
+    // same strict-order window mins, same micro-rate math (long form)
     "q_funnel" ->
       """WITH e AS (
            SELECT user_id, event_type, ts FROM events
@@ -908,19 +865,21 @@ object RelationalQueries {
              max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3
            FROM c GROUP BY user_id),
          f AS (
-           SELECT count(*) AS n_users,
-             CAST(sum(s1) AS BIGINT) AS n_view,
-             CAST(sum(s2) AS BIGINT) AS n_click_after_view,
-             CAST(sum(s3) AS BIGINT) AS n_purchase_after_click
+           SELECT count(*) AS n, CAST(sum(s1) AS BIGINT) AS r0,
+             CAST(sum(s2) AS BIGINT) AS r1, CAST(sum(s3) AS BIGINT) AS r2
            FROM u)
-       SELECT n_users, n_view, n_click_after_view, n_purchase_after_click,
-         CASE WHEN n_view = 0 THEN 0
-           ELSE CAST(floor(n_click_after_view * 1000000.0 / n_view)
-             AS BIGINT) END AS conv_click_micro,
-         CASE WHEN n_click_after_view = 0 THEN 0
-           ELSE CAST(floor(n_purchase_after_click * 1000000.0
-             / n_click_after_view) AS BIGINT) END AS conv_purchase_micro
-       FROM f""",
+       SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+         r0 AS n_reached,
+         CASE WHEN n = 0 THEN 0 ELSE CAST(floor(r0 * 1000000.0 / n)
+           AS BIGINT) END AS conv_from_prev_micro FROM f
+       UNION ALL
+       SELECT CAST(1 AS BIGINT), 'click', r1,
+         CASE WHEN r0 = 0 THEN 0 ELSE CAST(floor(r1 * 1000000.0 / r0)
+           AS BIGINT) END FROM f
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), 'purchase', r2,
+         CASE WHEN r1 = 0 THEN 0 ELSE CAST(floor(r2 * 1000000.0 / r1)
+           AS BIGINT) END FROM f""",
 
     // same floored-second gaps, same lag/running-sum windows
     "q_sessionize" ->
