@@ -43,6 +43,31 @@ object Events {
         (max(col("__sec")) - min(col("__sec"))).as("duration_sec"))
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * latest PRECEDING same-user event whose type is in `channels`
+    * (`"none"` when no channel event precedes it). One user-key
+    * exchange + local sort (the lag frame), then a tiny hash agg.
+    * Returns (channel, n_conversions).
+    */
+  def lastTouch(df: DataFrame, userCol: String, typeCol: String,
+                tsCol: String, idCol: String, conversionType: String,
+                channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty, "channels must be non-empty")
+    require(!channels.contains(conversionType),
+      "the conversion type cannot also be a channel")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("__ch",
+        last(when(col(typeCol).isin(channels: _*), col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("__ch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
   /** Strict-order funnel over `steps` (first step-2 event AFTER the
     * first step-1 event, and so on): per-step reach counts and the
     * conversion from the previous stage in integer micro-units

@@ -287,6 +287,14 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 4).as("total"))
     }),
 
+    // ORACLED last-touch attribution ([EXT]): each purchase credited to
+    // the latest preceding same-user view/click ('none' when nothing
+    // precedes). One user exchange + local sort, tiny hash agg.
+    "q_attribution" -> ((s, dir) =>
+      graft.operators.Events.lastTouch(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+        conversionType = "purchase", channels = Seq("view", "click"))),
+
     // ORACLED retention cohorts ([EXT]): users grouped by first-seen
     // day, activity counted per (cohort_day, days_since) — the classic
     // retention triangle. One user_id exchange (the cohort day rides
@@ -826,6 +834,23 @@ object RelationalQueries {
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+
+    // same preceding-frame IGNORE NULLS last_value, same 'none' default
+    "q_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_type, ts, event_id FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         a AS (
+           SELECT *,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+               THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+           FROM e)
+       SELECT coalesce(ch, 'none') AS channel,
+         count(*) AS n_conversions
+       FROM a WHERE event_type = 'purchase'
+       GROUP BY coalesce(ch, 'none')""",
 
     // same first-seen window min, same integer day arithmetic
     "q_retention" ->
