@@ -128,6 +128,36 @@ object TextQueries {
         size(array_distinct(sh)).cast("long").as("n_uniq_shingles"))
     }),
 
+    // ORACLED n-gram novelty ([EXT]): for each EVAL doc (doc_id%10=0,
+    // the q_decontaminate split), the fraction of its 3-gram shingles
+    // never seen in the train side — the generation-eval memorization
+    // metric (high novelty = the eval text is not a training regurgitation
+    // candidate). Same shingle-keyed join shape as decontamination (one
+    // exchange per side on the gram; the train side collapses to
+    // DISTINCT grams before the anti-join); the 100 TB path adds the
+    // decontaminate Bloom prefilter in front of the anti-join.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = TA.shingles(toks)
+      val testSh = graft.operators.Similarity.spreadIfNarrow(
+          docs.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id"), sh.as("__sh"))
+        .select(col("doc_id"), explode(col("__sh")).as("g"))
+      val trainG = graft.operators.Similarity.spreadIfNarrow(
+          docs.filter(col("doc_id") % 10 =!= 0))
+        .select(sh.as("__sh"))
+        .select(explode(col("__sh")).as("g")).distinct()
+      val tot = testSh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val unseen = testSh.join(trainG, Seq("g"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unseen"))
+      tot.join(unseen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+          floor(coalesce(col("n_unseen"), lit(0L)).cast("long") * 1000000L
+            / col("n_grams")).cast("long").as("novelty_micro"))
+    }),
+
     // BPE-ish subword tokenization.
     "q_token_bpeish" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -2189,6 +2219,31 @@ object TextQueries {
          SELECT f.doc_id, f.lang
          FROM f JOIN firsts ON f.fp = firsts.fp AND f.doc_id = firsts.keep
          WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = f.fp)""",
+
+    // same shingle replay, split by the decontaminate rule, anti-join
+    // on the gram (NB: inner lambda stays on one line — DuckDB parser)
+    "q_ngram_novelty" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> concat_ws(' ', regexp_extract_all(lower(text), '[a-z0-9]+')[i], regexp_extract_all(lower(text), '[a-z0-9]+')[i+1], regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) AS sh
+           FROM documents),
+         tg AS (
+           SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 = 0),
+         trg AS (
+           SELECT DISTINCT g FROM (
+             SELECT unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 0)),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+         uns AS (
+           SELECT t.doc_id, count(*) AS n_unseen
+           FROM tg t LEFT JOIN trg ON trg.g = t.g
+           WHERE trg.g IS NULL GROUP BY t.doc_id)
+       SELECT tot.doc_id, tot.n_grams,
+         coalesce(uns.n_unseen, 0) AS n_unseen,
+         CAST(floor(coalesce(uns.n_unseen, 0) * 1000000.0 / tot.n_grams)
+           AS BIGINT) AS novelty_micro
+       FROM tot LEFT JOIN uns USING (doc_id)""",
 
     "q_shingle_stats" ->
       """SELECT doc_id,
