@@ -128,6 +128,25 @@ object TextQueries {
         size(array_distinct(sh)).cast("long").as("n_uniq_shingles"))
     }),
 
+    // ORACLED distinct-n ([EXT]): per-source distinct-1/2/3-gram ratios
+    // (Li et al. 2016 "distinct-n") — THE generation-diversity report; a
+    // mode-collapsed source shows low distinct-2/3. Three exploded
+    // gram aggs, each map-side combined (the exchange carries per-source
+    // DISTINCT grams); integer micro ratios.
+    "q_distinct_n" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def leg(n: Int) = graft.operators.Similarity.spreadIfNarrow(docs)
+        .select(col("source"), TA.shingles(toks, n).as("__sh"))
+        .select(col("source"), explode(col("__sh")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"n_grams_$n"),
+          countDistinct(col("g")).as(s"n_uniq_$n"))
+        .select(col("source"), col(s"n_grams_$n"), col(s"n_uniq_$n"),
+          floor(col(s"n_uniq_$n").cast("long") * 1000000L
+            / col(s"n_grams_$n")).cast("long").as(s"distinct_${n}_micro"))
+      leg(1).join(leg(2), "source").join(leg(3), "source")
+    }),
+
     // ORACLED n-gram novelty ([EXT]): for each EVAL doc (doc_id%10=0,
     // the q_decontaminate split), the fraction of its 3-gram shingles
     // never seen in the train side — the generation-eval memorization
@@ -2219,6 +2238,47 @@ object TextQueries {
          SELECT f.doc_id, f.lang
          FROM f JOIN firsts ON f.fp = firsts.fp AND f.doc_id = firsts.keep
          WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = f.fp)""",
+
+    // per-source gram aggs for n=1,2,3 over the same token/shingle
+    // replays, joined on source
+    "q_distinct_n" ->
+      """WITH tk AS (
+           SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+         g1 AS (SELECT source, unnest(t) AS g FROM tk),
+         g2 AS (
+           SELECT source, unnest(list_transform(
+             generate_series(1, greatest(len(t) - 1, 0)),
+             i -> concat_ws(' ', t[i], t[i+1]))) AS g
+           FROM tk),
+         g3 AS (
+           SELECT source, unnest(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+           FROM tk),
+         a1 AS (
+           SELECT source, count(*) AS n_grams_1,
+             count(DISTINCT g) AS n_uniq_1,
+             CAST(floor(count(DISTINCT g) * 1000000.0 / count(*))
+               AS BIGINT) AS distinct_1_micro
+           FROM g1 GROUP BY source),
+         a2 AS (
+           SELECT source, count(*) AS n_grams_2,
+             count(DISTINCT g) AS n_uniq_2,
+             CAST(floor(count(DISTINCT g) * 1000000.0 / count(*))
+               AS BIGINT) AS distinct_2_micro
+           FROM g2 GROUP BY source),
+         a3 AS (
+           SELECT source, count(*) AS n_grams_3,
+             count(DISTINCT g) AS n_uniq_3,
+             CAST(floor(count(DISTINCT g) * 1000000.0 / count(*))
+               AS BIGINT) AS distinct_3_micro
+           FROM g3 GROUP BY source)
+       SELECT a1.source, n_grams_1, n_uniq_1, distinct_1_micro,
+         n_grams_2, n_uniq_2, distinct_2_micro,
+         n_grams_3, n_uniq_3, distinct_3_micro
+       FROM a1 JOIN a2 ON a2.source = a1.source
+       JOIN a3 ON a3.source = a1.source""",
 
     // same shingle replay, split by the decontaminate rule, anti-join
     // on the gram (NB: inner lambda stays on one line — DuckDB parser)
