@@ -128,6 +128,28 @@ object TextQueries {
         size(array_distinct(sh)).cast("long").as("n_uniq_shingles"))
     }),
 
+    // ORACLED Zipf slope ([EXT]): the log-log least-squares slope over
+    // the top-100 term frequencies — the corpus-statistics sanity probe
+    // (natural language sits near −1; token soup and boilerplate drift
+    // off). The global window runs on 100 rows POST-limit (not the
+    // corpus); sums are ~1e2-magnitude doubles, round-4 absorbs the
+    // cross-engine summation-order ulps (the q_char_entropy precedent).
+    "q_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("c").desc, col("t"))
+      val top = graft.operators.UnigramLm
+        .vocabulary(t(s, dir, "documents"), "text", 100)
+        .withColumn("r", row_number().over(w).cast("double"))
+      val x = log(col("r"))
+      val y = log(col("c").cast("double"))
+      top.agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("zipf_slope"))
+    }),
+
     // ORACLED distinct-n ([EXT]): per-source distinct-1/2/3-gram ratios
     // (Li et al. 2016 "distinct-n") — THE generation-diversity report; a
     // mode-collapsed source shows low distinct-2/3. Three exploded
@@ -2238,6 +2260,29 @@ object TextQueries {
          SELECT f.doc_id, f.lang
          FROM f JOIN firsts ON f.fp = firsts.fp AND f.doc_id = firsts.keep
          WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = f.fp)""",
+
+    // same top-100 vocab, same ln regression, round-4 slope
+    "q_zipf_slope" ->
+      """WITH c AS (
+           SELECT t, count(*) AS c FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS t
+             FROM documents)
+           GROUP BY t ORDER BY c DESC, t LIMIT 100),
+         r AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY c DESC, t)
+             AS DOUBLE) AS r
+           FROM c),
+         sagg AS (
+           SELECT count(*) AS n, sum(ln(r)) AS sx,
+             sum(ln(CAST(c AS DOUBLE))) AS sy,
+             sum(ln(r) * ln(CAST(c AS DOUBLE))) AS sxy,
+             sum(ln(r) * ln(r)) AS sxx
+           FROM r)
+       SELECT CAST(n AS BIGINT) AS n,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+           AS zipf_slope
+       FROM sagg""",
 
     // per-source gram aggs for n=1,2,3 over the same token/shingle
     // replays, joined on source
