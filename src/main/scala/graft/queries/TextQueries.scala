@@ -128,6 +128,34 @@ object TextQueries {
         size(array_distinct(sh)).cast("long").as("n_uniq_shingles"))
     }),
 
+    // ORACLED encoding/mojibake audit ([EXT]): per-doc counts of the
+    // three ingestion-corruption signatures - U+FFFD replacement chars
+    // (lossy transcode), C0/C1 control chars (binary bleed, tab/newline
+    // excluded), zero-width chars (laundered text) - plus the clean
+    // verdict. Corruptions are planted deterministically (doc_id%6 ->
+    // two FFFDs, %7 -> a BEL control, %11 -> ZWSP+ZWJ) so every counter
+    // discriminates; pure narrow regex counts, zero shuffles.
+    "q_encoding_audit" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat(
+        coalesce(col("text"), lit("")),
+        when(id % 6 === 0, lit("\ufffd\ufffd")).otherwise(lit("")),
+        when(id % 7 === 0, lit("\u0007")).otherwise(lit("")),
+        when(id % 11 === 0, lit("\u200b\u200d")).otherwise(lit("")))
+      def cnt(re: String) =
+        size(regexp_extract_all(col("__t"), lit(re), lit(0))).cast("long")
+      t(s, dir, "documents")
+        .select(id, synth.as("__t"))
+        .select(id,
+          cnt("\ufffd").as("n_replacement"),
+          cnt("[\u0001-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]")
+            .as("n_control"),
+          cnt("[\u200b-\u200d\u2060\ufeff]").as("n_zero_width"))
+        .withColumn("clean",
+          (col("n_replacement") === 0L && col("n_control") === 0L &&
+            col("n_zero_width") === 0L).cast("long"))
+    }),
+
     // ORACLED Zipf slope ([EXT]): the log-log least-squares slope over
     // the top-100 term frequencies — the corpus-statistics sanity probe
     // (natural language sits near −1; token soup and boilerplate drift
@@ -2260,6 +2288,33 @@ object TextQueries {
          SELECT f.doc_id, f.lang
          FROM f JOIN firsts ON f.fp = firsts.fp AND f.doc_id = firsts.keep
          WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = f.fp)""",
+
+    // same chr() plants, same RE2 classes (\x{} escapes)
+    "q_encoding_audit" ->
+      """WITH src AS (
+           SELECT doc_id,
+             coalesce(text, '') ||
+             CASE WHEN doc_id % 6 = 0 THEN chr(65533) || chr(65533)
+               ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN chr(8203) || chr(8205)
+               ELSE '' END AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT)
+               AS n_replacement,
+             CAST(len(regexp_extract_all(t,
+               '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]'))
+               AS BIGINT) AS n_control,
+             CAST(len(regexp_extract_all(t,
+               '[\x{200B}-\x{200D}\x{2060}\x{FEFF}]')) AS BIGINT)
+               AS n_zero_width
+           FROM src)
+       SELECT doc_id, n_replacement, n_control, n_zero_width,
+         CAST(n_replacement = 0 AND n_control = 0 AND n_zero_width = 0
+           AS BIGINT) AS clean
+       FROM m""",
 
     // same top-100 vocab, same ln regression, round-4 slope
     "q_zipf_slope" ->
