@@ -156,6 +156,28 @@ object TextQueries {
             col("n_zero_width") === 0L).cast("long"))
     }),
 
+    // ORACLED Heaps-law exponent ([EXT]): the Zipf companion — β from
+    // the log-log regression of per-DOC (tokens → distinct tokens);
+    // natural text sits β ≈ 0.4-0.6, a closed tiny vocabulary near 0,
+    // near-unique token soup near 1. Doc granularity on purpose: the
+    // token counts spread the regressor (per-source totals on the
+    // uniform fixture would put the denominator near zero). Pure
+    // narrow per-doc sizes + one global agg — zero shuffles before it.
+    "q_heaps_law" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"))
+        .filter(col("n_tokens") > 0L && col("n_uniq") > 0L)
+      val x = log(col("n_tokens").cast("double"))
+      val y = log(col("n_uniq").cast("double"))
+      g.agg(count(lit(1)).as("n_docs"), sum(x).as("sx"),
+          sum(y).as("sy"), sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        .select(col("n_docs"),
+          round((col("n_docs") * col("sxy") - col("sx") * col("sy"))
+            / (col("n_docs") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("heaps_beta"))
+    }),
+
     // ORACLED Zipf slope ([EXT]): the log-log least-squares slope over
     // the top-100 term frequencies — the corpus-statistics sanity probe
     // (natural language sits near −1; token soup and boilerplate drift
@@ -2288,6 +2310,29 @@ object TextQueries {
          SELECT f.doc_id, f.lang
          FROM f JOIN firsts ON f.fp = firsts.fp AND f.doc_id = firsts.keep
          WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = f.fp)""",
+
+    // same per-doc token sizes, same ln regression, round-4 beta
+    "q_heaps_law" ->
+      """WITH d AS (
+           SELECT
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+               AS BIGINT) AS n_uniq
+           FROM documents),
+         f AS (SELECT * FROM d WHERE n_tokens > 0 AND n_uniq > 0),
+         sagg AS (
+           SELECT count(*) AS n,
+             sum(ln(CAST(n_tokens AS DOUBLE))) AS sx,
+             sum(ln(CAST(n_uniq AS DOUBLE))) AS sy,
+             sum(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_uniq AS DOUBLE)))
+               AS sxy,
+             sum(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE)))
+               AS sxx
+           FROM f)
+       SELECT CAST(n AS BIGINT) AS n_docs,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS heaps_beta
+       FROM sagg""",
 
     // same chr() plants, same RE2 classes (\x{} escapes)
     "q_encoding_audit" ->
