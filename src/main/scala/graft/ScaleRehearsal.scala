@@ -114,6 +114,7 @@ object ScaleRehearsal {
 
     val vectorJson = vectorLeg(spark, sfDir, blowup)
     val eventsJson = eventsLeg(spark, sfDir, blowup)
+    val dqJson = dqLeg(spark, docs0, blown, blowup)
     val deltaJson = deltaLeg(spark, docs0, blowup, cfg)
     sampling = false
 
@@ -133,7 +134,7 @@ object ScaleRehearsal {
       s""""entropy_sec":${r1(tEnt)},"entropy_docs":$nEnt,""" +
       s""""winnow_sec":${r1(tOverlap)},"winnow_pairs":$nOverlap,""" +
       s""""peak_cache_bytes":$peakCache,""" +
-      s""""cc_converged":true$vectorJson$eventsJson$deltaJson}""")
+      s""""cc_converged":true$vectorJson$eventsJson$dqJson$deltaJson}""")
     spark.stop()
   }
 
@@ -225,6 +226,42 @@ object ScaleRehearsal {
       s""","vec_wall_${blowup}x":${r1(wallN)}""" +
       s""","vec_recall_lsh":${r4(rLsh)},"vec_recall_ivf":${r4(rIvf)}""" +
       s""","vec_recall_pq":${r4(rPq)}"""
+  }
+
+  /** Data-quality rehearsal at the blowup: constraint-audit RATES are
+    * scale-free for per-row checks over columns the blowup copies
+    * verbatim (completeness / value-set / regex — NOT length-based
+    * checks, the copysalt suffix shifts lengths, and NOT distinctness),
+    * so every metric_micro must be EXACTLY equal at N× — an exact
+    * invariant, like the events leg: a partial-aggregation bug, an
+    * overflow in the micro arithmetic, or a row-dropping scan defect
+    * all break the equality.
+    */
+  private def dqLeg(spark: SparkSession,
+      docs0: org.apache.spark.sql.DataFrame,
+      blown: org.apache.spark.sql.DataFrame, blowup: Int): String = {
+    import graft.operators.Constraints
+    import graft.operators.Constraints._
+    val checks = Seq(
+      Completeness("text", 1000000L),
+      InSet("lang", Seq("en", "de", "fr", "es", "zh"), 1000000L),
+      MatchesRegex("source", "^src[0-9]+$", 1000000L))
+    def metrics(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Constraints.audit(df, checks).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t0 = System.nanoTime()
+    val m1 = metrics(docs0)
+    val wall1 = (System.nanoTime() - t0) / 1e9
+    val tN = System.nanoTime()
+    val mN = metrics(blown)
+    val wallN = (System.nanoTime() - tN) / 1e9
+    require(m1 == mN,
+      s"audit rates not scale-free at $blowup×: $m1 vs $mN")
+    require(wallN <= 0.7 * blowup * wall1 + 2.0,
+      f"dq wall superlinear at $blowup×: $wallN%.1f s vs $wall1%.1f s")
+    def r1d(x: Double): Double = math.round(x * 10.0) / 10.0
+    s""","dq_rates_invariant":true,"dq_wall_1x":${r1d(wall1)}""" +
+      s""","dq_wall_${blowup}x":${r1d(wallN)}"""
   }
 
   /** Behavioral-events rehearsal at the blowup (round-10: sessionize +
