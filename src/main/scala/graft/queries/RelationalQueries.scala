@@ -287,6 +287,34 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 4).as("total"))
     }),
 
+    // ORACLED per-user session features ([EXT]): the feature rollup a
+    // behavioral model trains on — session count, events-per-session
+    // micro-mean, activity span, converter flag. Composes the
+    // sessionization rollup (one user exchange) with a per-user event
+    // agg; the join keys both sides on user_id (co-partitioned).
+    "q_session_features" -> ((s, dir) => {
+      val sess = graft.operators.Events.sessions(
+          t(s, dir, "events"), "user_id", "ts", "event_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("duration_sec")).as("max_session_sec"))
+      val conv = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long"))
+          .as("converted"),
+          (max(floor(col("ts").cast("double")).cast("long"))
+            - min(floor(col("ts").cast("double")).cast("long")))
+            .as("span_sec"))
+      sess.join(conv, "user_id")
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          floor(col("n_events").cast("long") * 1000000L
+            / col("n_sessions")).cast("long")
+            .as("events_per_session_micro"),
+          col("max_session_sec"), col("span_sec"), col("converted"))
+    }),
+
     // ORACLED last-touch attribution ([EXT]): each purchase credited to
     // the latest preceding same-user view/click ('none' when nothing
     // precedes). One user exchange + local sort, tiny hash agg.
@@ -834,6 +862,47 @@ object RelationalQueries {
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+
+    // same session CTE chain as q_sessionize, rolled up per user and
+    // joined with the converter/span agg
+    "q_session_features" ->
+      """WITH e AS (
+           SELECT event_id, user_id, ts, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         l AS (
+           SELECT *,
+             lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_sec
+           FROM e),
+         sx AS (
+           SELECT *,
+             sum(CAST(prev_sec IS NULL OR sec - prev_sec > 1800
+               AS BIGINT)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+           FROM l),
+         sess0 AS (
+           SELECT user_id, session_idx, count(*) AS n_ev,
+             max(sec) - min(sec) AS dur
+           FROM sx GROUP BY user_id, session_idx),
+         sess AS (
+           SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n_ev) AS BIGINT) AS n_events,
+             CAST(max(dur) AS BIGINT) AS max_session_sec
+           FROM sess0 GROUP BY user_id),
+         conv AS (
+           SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS converted,
+             CAST(max(sec) - min(sec) AS BIGINT) AS span_sec
+           FROM e GROUP BY user_id)
+       SELECT s.user_id, s.n_sessions, s.n_events,
+         CAST(floor(s.n_events * 1000000.0 / s.n_sessions) AS BIGINT)
+           AS events_per_session_micro,
+         s.max_session_sec, c.span_sec, c.converted
+       FROM sess s JOIN conv c ON c.user_id = s.user_id""",
 
     // same preceding-frame IGNORE NULLS last_value, same 'none' default
     "q_attribution" ->
