@@ -720,6 +720,34 @@ object TextQueries {
     // from doc_id (the q_flatten_export in-query-synthesis trick), then
     // redact with the same pattern set in the same email→IP→phone order.
     // The md5 of the redacted text hash-compares byte-wise cross-engine.
+    // ORACLED per-source PII risk rollup ([EXT]): the report a release
+    // gate reads — per source, the share of documents carrying any PII
+    // and the per-kind totals. PII is planted sparsely (email for
+    // doc_id%4=0, ip for %9=0) so the rates discriminate; one
+    // map-side-combined agg over the narrow per-doc counts.
+    "q_pii_by_source" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat(col("text"),
+        when(id % 4 === 0, concat(lit(" reach user"),
+          (id % 50).cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(id % 9 === 0, concat(lit(" from 10.1."),
+          (id % 256).cast("string"), lit(".7"))).otherwise(lit("")))
+      val (ne, ni, np) = graft.operators.Redaction.piiCounts(synth)
+      t(s, dir, "documents")
+        .select(col("source"), ne.as("ne"), ni.as("ni"), np.as("np"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("ne") + col("ni") + col("np") > 0L).cast("long"))
+            .as("n_docs_with_pii"),
+          sum(col("ne")).as("n_emails"), sum(col("ni")).as("n_ips"),
+          sum(col("np")).as("n_phones"))
+        .select(col("source"), col("n_docs"), col("n_docs_with_pii"),
+          floor(col("n_docs_with_pii").cast("long") * 1000000L
+            / col("n_docs")).cast("long").as("pii_rate_micro"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+    }),
+
     "q_pii_redact" -> ((s, dir) => {
       val synth = concat(col("text"),
         lit(" contact user"), (col("doc_id") % 100).cast("string"),
@@ -2937,6 +2965,35 @@ object TextQueries {
                ORDER BY tfidf DESC, tok) AS rn
            FROM scored)
          WHERE rn = 1""",
+
+    // same sparse plants, same patterns, HUGEINT sums cast to BIGINT
+    "q_pii_by_source" ->
+      """WITH synth AS (
+           SELECT doc_id, source,
+             text ||
+             CASE WHEN doc_id % 4 = 0 THEN ' reach user' ||
+               (doc_id % 50) || '@mail.example.com' ELSE '' END ||
+             CASE WHEN doc_id % 9 = 0 THEN ' from 10.1.' ||
+               (doc_id % 256) || '.7' ELSE '' END AS s
+           FROM documents),
+         m AS (
+           SELECT source,
+             len(regexp_extract_all(s,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS ne,
+             len(regexp_extract_all(s,
+               '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ni,
+             len(regexp_extract_all(s,
+               '\+?[0-9][0-9()\s.-]{6,}[0-9]')) AS np
+           FROM synth)
+       SELECT source, count(*) AS n_docs,
+         CAST(count(*) FILTER (ne + ni + np > 0) AS BIGINT)
+           AS n_docs_with_pii,
+         CAST(floor(count(*) FILTER (ne + ni + np > 0) * 1000000.0
+           / count(*)) AS BIGINT) AS pii_rate_micro,
+         CAST(sum(ne) AS BIGINT) AS n_emails,
+         CAST(sum(ni) AS BIGINT) AS n_ips,
+         CAST(sum(np) AS BIGINT) AS n_phones
+       FROM m GROUP BY source""",
 
     // Same synthesized PII tail, same patterns, same replace order;
     // DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
