@@ -720,6 +720,38 @@ object TextQueries {
     // from doc_id (the q_flatten_export in-query-synthesis trick), then
     // redact with the same pattern set in the same email→IP→phone order.
     // The md5 of the redacted text hash-compares byte-wise cross-engine.
+    // ORACLED code-detection flags ([EXT]): the prose-vs-code corpus
+    // splitter — brace/semicolon density, assignment/camelCase hits,
+    // indent-start lines, and the verdict (≥2 signals). Code fragments
+    // are planted for doc_id%8=0 (a braces+semicolon line) and %13=0
+    // (an indented camelCase assignment) so every signal discriminates;
+    // pure narrow regex counts, zero shuffles.
+    "q_code_detect" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat_ws("\n",
+        coalesce(col("text"), lit("")),
+        when(id % 8 === 0,
+          lit("int f(int x) { return x * 2; }")).otherwise(lit("")),
+        when(id % 13 === 0,
+          lit("    someValue = otherValue + computeTotal(x);"))
+          .otherwise(lit("")))
+      def cnt(re: String) =
+        size(regexp_extract_all(col("__t"), lit(re), lit(0))).cast("long")
+      t(s, dir, "documents")
+        .select(id, synth.as("__t"))
+        .select(id,
+          cnt("[{}]").as("n_braces"),
+          cnt(";").as("n_semicolons"),
+          cnt("[a-z][a-zA-Z0-9]*[A-Z][a-zA-Z0-9]*").as("n_camel"),
+          cnt("(?m)^[ \\t]{4,}\\S").as("n_indent_lines"))
+        .withColumn("code_like",
+          ((col("n_braces") > 0L).cast("int")
+            + (col("n_semicolons") > 0L).cast("int")
+            + (col("n_camel") > 0L).cast("int")
+            + (col("n_indent_lines") > 0L).cast("int") >= 2)
+            .cast("long"))
+    }),
+
     // ORACLED per-source PII risk rollup ([EXT]): the report a release
     // gate reads — per source, the share of documents carrying any PII
     // and the per-kind totals. PII is planted sparsely (email for
@@ -2965,6 +2997,38 @@ object TextQueries {
                ORDER BY tfidf DESC, tok) AS rn
            FROM scored)
          WHERE rn = 1""",
+
+    // same plants, same RE2 patterns, same >=2-signal verdict
+    "q_code_detect" ->
+      """WITH src AS (
+           SELECT doc_id,
+             coalesce(text, '') || chr(10) ||
+             CASE WHEN doc_id % 8 = 0
+               THEN 'int f(int x) { return x * 2; }' ELSE '' END ||
+             chr(10) ||
+             CASE WHEN doc_id % 13 = 0
+               THEN '    someValue = otherValue + computeTotal(x);'
+               ELSE '' END AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[{}]')) AS BIGINT)
+               AS n_braces,
+             CAST(len(regexp_extract_all(t, ';')) AS BIGINT)
+               AS n_semicolons,
+             CAST(len(regexp_extract_all(t,
+               '[a-z][a-zA-Z0-9]*[A-Z][a-zA-Z0-9]*')) AS BIGINT)
+               AS n_camel,
+             CAST(len(regexp_extract_all(t, '(?m)^[ \t]{4,}\S'))
+               AS BIGINT) AS n_indent_lines
+           FROM src)
+       SELECT doc_id, n_braces, n_semicolons, n_camel, n_indent_lines,
+         CAST((CASE WHEN n_braces > 0 THEN 1 ELSE 0 END
+           + CASE WHEN n_semicolons > 0 THEN 1 ELSE 0 END
+           + CASE WHEN n_camel > 0 THEN 1 ELSE 0 END
+           + CASE WHEN n_indent_lines > 0 THEN 1 ELSE 0 END) >= 2
+           AS BIGINT) AS code_like
+       FROM m""",
 
     // same sparse plants, same patterns, HUGEINT sums cast to BIGINT
     "q_pii_by_source" ->
