@@ -81,6 +81,23 @@ object TextQueries {
           when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
     }),
 
+    // ORACLED label-noise confusion matrix ([EXT]): declared lang vs
+    // the lang-ID heuristic, per (lang, pred) cell with the within-lang
+    // share — the audit that names WHICH labels are noisy before a
+    // labeled corpus trains a classifier. One hash agg; the per-lang
+    // totals come from a window over the tiny (≤ labels²) cell frame.
+    "q_lang_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "documents")
+        .select(col("lang"), TA.langIdHeuristic(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      cells.withColumn("share_micro",
+        floor(col("n").cast("long") * 1000000L
+          / sum(col("n")).over(Window.partitionBy(col("lang"))))
+          .cast("long"))
+    }),
+
     // Deterministic fingerprints: md5 of normalized text + ES
     // canonicalsort-style key (necropolis.json:5-23 chain).
     "q_fingerprint" -> ((s, dir) => {
@@ -2319,6 +2336,30 @@ object TextQueries {
                     tk -> list_contains(['the','of','and','a','an','in','to'], tk))) AS DOUBLE)
                   / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END, 4) AS stop_ratio
          FROM documents""",
+
+    // same heuristic CASE, cells + within-lang share via a window
+    "q_lang_confusion" ->
+      """WITH p AS (
+           SELECT lang,
+             CASE
+               WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+               WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      ['the','and','with','this'])) > 0 THEN 'en'
+               WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      ['el','los','una','por'])) > 0 THEN 'es'
+               WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      ['le','les','une','avec'])) > 0 THEN 'fr'
+               WHEN len(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      ['der','die','und','mit'])) > 0 THEN 'de'
+               ELSE 'und' END AS pred_lang
+           FROM documents),
+         c AS (
+           SELECT lang, pred_lang, count(*) AS n
+           FROM p GROUP BY lang, pred_lang)
+       SELECT lang, pred_lang, n,
+         CAST(floor(n * 1000000.0
+           / sum(n) OVER (PARTITION BY lang)) AS BIGINT) AS share_micro
+       FROM c""",
 
     "q_lang_id" ->
       """SELECT doc_id, lang,
