@@ -228,6 +228,7 @@ object Multimodal {
     if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var i = 12
     var bits = -1
+    var fmtTag = -1
     var dataAt = -1L
     var dataSz = -1L
     while (i + 8 <= bytes.length && (bits < 0 || dataAt < 0)) {
@@ -235,13 +236,18 @@ object Multimodal {
       val sz = le32(i + 4)
       if (id == "fmt ") {
         if (sz < 16 || i + 8 + 16 > bytes.length) return None
+        // fmt offset 0 = audioFormat tag; anything but 1 (linear PCM) —
+        // A-law/µ-law/float/EXTENSIBLE containers can all declare 16
+        // bits — is NOT LE16 linear PCM and must be rejected, not
+        // silently mis-decoded (ADVICE r10)
+        fmtTag = le16(i + 8)
         bits = le16(i + 22)
       }
       if (id == "data") { dataAt = i + 8L; dataSz = sz }
       val next = i.toLong + 8L + sz + (sz & 1L)
       i = if (next > bytes.length.toLong) bytes.length else next.toInt
     }
-    if (bits != 16 || dataAt < 0 || dataSz % 2 != 0) return None
+    if (bits != 16 || fmtTag != 1 || dataAt < 0 || dataSz % 2 != 0) return None
     if (dataAt + dataSz > bytes.length) return None // truncated payload
     val n = (dataSz / 2).toInt
     val out = new Array[Int](n)

@@ -137,14 +137,18 @@ object Profiling {
     def counts(df: DataFrame, k: String, out: String): DataFrame =
       df.filter(col(k).isNotNull).select(col(k).as("key"))
         .groupBy(col("key")).agg(count(lit(1)).as(out))
-    // persist the per-key frame: it is referenced twice (top-K rows +
-    // the broadcast total) and without the cache both keys-only
-    // aggregates would re-scan their inputs; O(distinct matched keys)
-    // rows of three longs, disk-spillable
+    // materialize the per-key frame once (eager localCheckpoint, the
+    // sibling-operator pattern): it is referenced twice (top-K rows +
+    // the broadcast total) and without materialization both keys-only
+    // aggregates would re-scan their inputs. A persist() here would
+    // outlive the call — nothing ever unpersists it, so a long-lived
+    // session leaks one cached RDD per invocation; checkpoint blocks are
+    // instead freed by the ContextCleaner once the frame is unreachable.
+    // O(distinct matched keys) rows of three longs.
     val m = counts(left, leftKey, "n_left")
       .join(counts(right, rightKey, "n_right"), Seq("key"))
       .withColumn("est_rows", col("n_left") * col("n_right"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     m.crossJoin(broadcast(m.agg(sum(col("est_rows")).as("__t"))))
       .select(col("key"), col("n_left"), col("n_right"), col("est_rows"),
         floor(col("est_rows").cast("long") * 1000000L / col("__t"))

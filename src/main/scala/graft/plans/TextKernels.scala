@@ -473,11 +473,26 @@ case class TokenizeAscii(child: Expression) extends UnaryExpression {
         i += 3
       } else {
         flush()
-        // skip the UTF-8 sequence this leading byte announces; stray
-        // continuation or invalid bytes advance by 1 (separator either way)
+        // skip the UTF-8 sequence this leading byte announces — but only
+        // when its continuation bytes really are 0x80..0xBF. A malformed
+        // sequence (e.g. 0xC4 'a') advances ONE byte, so the following
+        // ASCII alphanumeric is tokenized exactly as the decoder path
+        // does (U+FFFD for the bad lead, then 'a'). Consuming too MANY
+        // valid continuation bytes is harmless for parity — a byte in
+        // 0x80..0xBF can never decode to an ASCII alphanumeric — so the
+        // overlong/surrogate-range checks a full validator needs are
+        // token-neutral here and deliberately omitted.
         val ub = b & 0xFF
-        i += (if (ub >= 0xF0) 4 else if (ub >= 0xE0) 3
-              else if (ub >= 0xC0) 2 else 1)
+        val declared = if (ub >= 0xF0) 4 else if (ub >= 0xE0) 3
+                       else if (ub >= 0xC0) 2 else 1
+        var ok = i + declared <= n
+        var j = 1
+        while (ok && j < declared) {
+          val cb = s.getByte(i + j) & 0xFF
+          ok = cb >= 0x80 && cb <= 0xBF
+          j += 1
+        }
+        i += (if (ok) declared else 1)
       }
     }
     flush()

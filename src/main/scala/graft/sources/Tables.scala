@@ -55,14 +55,31 @@ object Tables {
     * edge, and the LRU bound caps the worst case (a harness that builds
     * hundreds of sessions) at 32 sessions' worth of analyzed plans.
     */
+  private type FrameMap = java.util.LinkedHashMap[String, DataFrame]
+
   private val dfCache =
-    new java.util.LinkedHashMap[String,
-        scala.collection.concurrent.TrieMap[String, DataFrame]](
+    new java.util.LinkedHashMap[String, FrameMap](
         16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String,
-            scala.collection.concurrent.TrieMap[String, DataFrame]]): Boolean =
+          e: java.util.Map.Entry[String, FrameMap]): Boolean =
         size() > 32
+    }
+
+  /** Per-session frame map: access-ordered LRU bounded at
+    * [[MaxFramesPerSession]] (the spanSeedCache pattern), so when a
+    * session reads more than 64 (dir, table) pairs the LEAST-RECENTLY
+    * USED analyzed plan is the one rebuilt on next use — not a
+    * hash-arbitrary victim (ADVICE r10: the old TrieMap `headOption`
+    * eviction was arbitrary AND raced concurrent callers outside any
+    * lock, thrashing hot frames). All access goes through the map's own
+    * monitor in [[table]].
+    */
+  private def newFrameMap(): FrameMap =
+    new java.util.LinkedHashMap[String, DataFrame](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > MaxFramesPerSession
     }
 
   /** Minted string identity per session (Spark 4's own `sessionUUID` is
@@ -100,20 +117,29 @@ object Tables {
       // them eagerly instead
       val it = dfCache.values().iterator()
       while (it.hasNext) {
-        val m = it.next()
-        if (m.headOption.exists(_._2.sparkSession.sparkContext.isStopped))
+        val vit = it.next().values().iterator()
+        if (vit.hasNext && vit.next().sparkSession.sparkContext.isStopped)
           it.remove()
       }
       var m = dfCache.get(key)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        m = newFrameMap()
         dfCache.put(key, m)
       }
       m
     }
-    if (perSession.size >= MaxFramesPerSession)
-      perSession.headOption.foreach { case (k, _) => perSession.remove(k) }
-    perSession.getOrElseUpdate(s"$dir/$name", load(spark, dir, name))
+    // per-map monitor: lookup, LRU bump, bounded insert, and eviction are
+    // one atomic step, so concurrent callers can't race an eviction into
+    // reload thrash; holding it across load() only blocks callers of the
+    // SAME session, which would be footer-reading the same path anyway
+    perSession.synchronized {
+      var df = perSession.get(s"$dir/$name")
+      if (df == null) {
+        df = load(spark, dir, name)
+        perSession.put(s"$dir/$name", df)
+      }
+      df
+    }
   }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {

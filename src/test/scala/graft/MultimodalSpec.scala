@@ -342,6 +342,16 @@ class MultimodalSpec extends SparkSpec {
     // 8-bit fmt is not silently mis-read as 16-bit
     val eightBit = bytes.clone(); eightBit(34) = 8
     assert(Multimodal.wavPcm16Samples(eightBit).isEmpty)
+    // ADVICE r10: a 16-bit NON-PCM format tag (fmt offset 0, file offset
+    // 20-21 LE) must be rejected, not decoded as linear PCM — IEEE float
+    // (3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) both declare 16 bits here
+    val ieee = bytes.clone(); ieee(20) = 3
+    assert(Multimodal.wavPcm16Samples(ieee).isEmpty)
+    val ext = bytes.clone()
+    ext(20) = 0xFE.toByte; ext(21) = 0xFF.toByte
+    assert(Multimodal.wavPcm16Samples(ext).isEmpty)
+    // the header-only reader still serves ranged-GET metadata for them
+    assert(Multimodal.wavMeta(ieee).isDefined)
   }
 
   test("audioPcmFeatures: exact integer features, truncated rows dropped") {

@@ -386,6 +386,43 @@ class TextAnalysisSpec extends SparkSpec {
     }.nonEmpty, plan.toString.take(400))
   }
 
+  test("graft_tokens on malformed UTF-8 matches the decoder's FFFD-then-retry view") {
+    // ADVICE r10: a bad lead byte must not swallow a following ASCII
+    // alphanumeric. Parity target: tokenize the REPLACE-decoded string
+    // (one-or-more U+FFFD per malformed subpart, each a separator) with
+    // the regex path's [a-z0-9]+ over ROOT lowercase. All directed cases
+    // are ASCII + raw bad bytes, so lowercase is trivial.
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.plans.TokenizeAscii(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    def kernel(bytes: Array[Byte]): Seq[String] = {
+      val a = expr.tokenize(UTF8String.fromBytes(bytes))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    def decoded(bytes: Array[Byte]): Seq[String] = {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .toLowerCase(java.util.Locale.ROOT)
+      "[a-z0-9]+".r.findAllIn(s).toSeq
+    }
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val cases: Seq[Array[Byte]] = Seq(
+      b(0xC4, 'a'),                      // the reported case: bad lead + 'a'
+      b('x', 0xC4, '9'),                 // mid-string: '9' must survive
+      b(0xE2, 0x84, 'A'),                // 3-byte lead, bad third byte
+      b('a', 'b', 0xF0),                 // truncated 4-byte lead at end
+      b(0xF0, 0x9F, 'Z', 0x98),          // bad mid-continuation then 'Z'
+      b(0x80, 'q'),                      // stray continuation byte
+      b(0xF5, 0x80, 0x80, 0x80, 'k'),    // invalid lead 0xF5 (consumed run)
+      b(0xC4, 0xB0, 'x'),                // VALID U+0130 still special-cased
+      b(0xE2, 0x84, 0xAA, 'x'),          // VALID Kelvin sign still joins
+      b(0xC0, 0xAF, 'z'),                // overlong 2-byte encoding
+      b('h', 'i', 0xED, 0xA0, 0x80, 'y')) // surrogate-range 3-byte seq
+    for (c <- cases)
+      assert(kernel(c) === decoded(c),
+        s"bytes ${c.map(x => f"${x & 0xff}%02x").mkString(" ")}")
+  }
+
   test("verbObject: imperative verb + first content object") {
     import spark.implicits._
     val rows = Seq(
