@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation ([EXT]): the composed pipeline a
@@ -330,11 +329,14 @@ object Curation {
     *    [[decontaminate]] keeps its fail-fast row probe; here the guard
     *    bounds what is actually broadcast — distinct eval shingles —
     *    and fails after one bounded pass instead of before);
-    *  - the exact-dedup window and the LSH pair stage run over the
-    *    checkpointed base, and the cleaned survivor set checkpoints once
-    *    so both split halves (and every caller action) read blocks.
-    * localCheckpoint storage is linear in surviving corpus size — the
-    * same footprint the previous MEMORY_AND_DISK persists held.
+    *  - exact dedup is a narrow (fingerprint → min id, shingles)
+    *    aggregate over the checkpointed base (map-side partial agg, no
+    *    full-row shuffle), the LSH pair stage reads that narrow keeper
+    *    frame, and the only other materialization is the tiny survivor
+    *    ID set — both split halves join base blocks against it lazily.
+    * localCheckpoint storage: one full-row base frame plus two narrow
+    * frames (keeper shingles, survivor ids) — strictly less than the
+    * previous three full-row materializations.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, cfg: Config = Config(),
@@ -442,38 +444,53 @@ object Curation {
         }
       case None => base
     }
-    // Exact dedup: min-id keeper per fingerprint, as a row_number window
-    // over the precomputed __fp — a shape chosen by measurement, not
-    // aesthetics. All three keeper shapes were A/B'd end-to-end at sf0.1
-    // (round 8): window 2.29 s, groupBy-min keeper + join 2.60 s,
-    // min_by(struct) aggregate 2.62 s. The window consumes
-    // `decontaminated` (whose subtree is the Bloom probe over every
-    // corpus shingle) exactly ONCE and streams through one
-    // shuffle + per-partition sort; the keeper join reads it twice and
-    // at scale degenerates to the same sort anyway (SMJ on __fp for the
-    // probe side), and min_by drags full text rows through
-    // ObjectHashAggregate buffers. The sort is spill-safe streaming —
-    // fine at 100 TB.
-    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-    // Job 3: checkpointed — the near-dup stage consumes it three times
-    // (signature pass + both verify join sides) plus the final anti-join
-    val exactDeduped = decontaminated
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // Exact dedup: min-id keeper per fingerprint, as a NARROW
+    // (fp, id, sh) aggregate — NOT the full-row row_number window that
+    // held rounds 5-10 (round-8 A/B: window 2.29 s vs keeper-join
+    // 2.60 s vs min_by(full-row struct) 2.62 s — but all three shapes
+    // dragged FULL ROWS incl. text through the exchange and then
+    // checkpointed full rows again, twice, before the final rows were
+    // emitted). Identical fingerprints imply identical normalized text,
+    // hence identical token and shingle arrays, so `first(__sh)` is
+    // deterministic and the keeper row's id + shingles are ALL the
+    // near-dup stage needs. Scale shape: min/first partial-aggregate, so
+    // duplicate classes collapse map-side and the exchange carries ~one
+    // (16-byte fp, id, shingle-array) row per distinct document — vs the
+    // window, which must shuffle every surviving full row and sort each
+    // partition. Job 3 checkpoints this narrow frame; the signature pass
+    // and both verify join sides read its (id, sh) blocks. Both cheaper
+    // lifecycles were A/B'd end-to-end this round and lost: no
+    // materialization at all (AQE exchange reuse across the renamed
+    // consumers) 3.6 s, lazy persist (no action floor, but an
+    // InMemoryRelation build side blocks AQE's runtime broadcast — the
+    // round-8 SMJ effect) 3.0 s, vs 1.8 s for this eager checkpoint.
+    val keepers = decontaminated
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol), first(col("__sh")).as("sh"))
+      .select(col(idCol), col("sh"))
       .localCheckpoint()
-    val shingled = exactDeduped.select(col(idCol), col("__sh").as("sh"))
     val pairs = Dedup.nearDupPairsFromShingled(
-      shingled, idCol, cfg.nearDupThreshold)
+      keepers, idCol, cfg.nearDupThreshold)
     val losers =
       if (cfg.transitiveNearDups)
         ConnectedComponents.run(pairs, "id_a", "id_b")
           .filter(col("id") =!= col("component"))
           .select(col("id").as(idCol))
       else pairs.select(col("id_b").as(idCol)).distinct()
-    // Job 4: both split halves and every caller action read blocks
-    val cleaned = exactDeduped.join(losers, Seq(idCol), "left_anti")
-      .drop("__sh", "__fp")
+    // Job 4 materializes the SURVIVOR ID SET (exact keepers minus
+    // near-dup losers) — a tiny ids-only frame, instead of the full-row
+    // `cleaned` checkpoint of rounds 5-10. The returned halves join base
+    // blocks against it lazily: at fixture scale AQE broadcasts the id
+    // set (zero exchanges on the row side), at 100 TB it degenerates to
+    // one shuffle join on the id — the same single full-row exchange the
+    // old window shape paid, just moved after the filters. The split
+    // halves each re-run only that join over checkpoint blocks; the LSH
+    // pipeline behind `losers` runs exactly once, inside this job.
+    val survivorIds = keepers.select(col(idCol))
+      .join(losers, Seq(idCol), "left_anti")
       .localCheckpoint()
+    val cleaned = base.join(survivorIds, Seq(idCol))
+      .drop("__sh", "__fp")
     Sampling.trainTestSplit(cleaned, idCol, cfg.testFraction)
   }
 
