@@ -106,8 +106,20 @@ object Curation {
     * document.
     */
   def qualityPredicate(textCol: String, langCol: String,
+      cfg: Config): org.apache.spark.sql.Column =
+    qualityPredicateOnTokens(
+      TextAnalysis.tokens(col(textCol)), textCol, langCol, cfg)
+
+  /** [[qualityPredicate]] over an already-materialized token column —
+    * for pipelines (curate's base pass) that compute the token array
+    * once and reuse it for shingling: Catalyst's subexpression
+    * elimination does not span the filter/project boundary, so without
+    * this the gate and the shingle projection each tokenize every
+    * document.
+    */
+  def qualityPredicateOnTokens(toks: org.apache.spark.sql.Column,
+      textCol: String, langCol: String,
       cfg: Config): org.apache.spark.sql.Column = {
-    val toks = TextAnalysis.tokens(col(textCol))
     val conjuncts = Seq(
       Some(col(langCol).isin(cfg.langs: _*)),
       Some(size(toks) >= cfg.minTokens),
@@ -352,13 +364,20 @@ object Curation {
         TextAnalysis.dedupLines(col(textCol), sep))
       case None => docs
     }
-    val quality0 = qualityFilter(cleanedText, textCol, langCol, cfg)
-    // C4 rewrite AFTER the gate (the page gate must see the raw page);
-    // fingerprints/shingles below then dedup the RETAINED content
-    val quality =
-      if (cfg.c4) quality0.withColumn(textCol,
-        TextAnalysis.c4CleanLines(col(textCol)))
-      else quality0
+    // spread BEFORE the gate, tokenize ONCE: the token array feeds the
+    // gate predicate AND (c4 off) the shingle projection — without the
+    // materialized __tk the gate and the shingle pass each tokenize
+    // every document (subexpression elimination does not span the
+    // filter/project boundary), and the gate's tokenize ran in the
+    // UNSPREAD scan task. The lang conjunct still reaches the parquet
+    // scan (it references only source columns, so it pushes below the
+    // __tk project and the repartition).
+    val spread0 =
+      if (spreadNeeded) cleanedText.repartition(par) else cleanedText
+    val withTk = spread0
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+    val quality = withTk.filter(
+      qualityPredicateOnTokens(col("__tk"), textCol, langCol, cfg))
     // Job 2 LAUNCHES FIRST, on its own thread: the eval-side Bloom agg
     // reads only the eval set, so it is independent of the base
     // checkpoint and the two jobs overlap on the cluster instead of
@@ -388,11 +407,18 @@ object Curation {
         (evalShingles, guard)
       }(scala.concurrent.ExecutionContext.global)
     }
-    // Job 1: gate + shingles + fingerprint in one pass, materialized once
-    val base = (if (spreadNeeded) quality.repartition(par) else quality)
-      .withColumn("__sh",
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
+    // Job 1: gate + shingles + fingerprint in one pass, materialized
+    // once. C4 rewrite AFTER the gate (the page gate must see the raw
+    // page); fingerprints/shingles then dedup the RETAINED content, so
+    // under c4 the shingles must re-tokenize the rewritten text — only
+    // the c4-off path reuses __tk.
+    val base = (if (cfg.c4)
+        quality.withColumn(textCol, TextAnalysis.c4CleanLines(col(textCol)))
+          .withColumn("__sh",
+            TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
+      else quality.withColumn("__sh", TextAnalysis.shingles(col("__tk"))))
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .drop("__tk")
       .localCheckpoint()
     val decontaminated = guardF match {
       case Some(fut) =>
@@ -476,7 +502,9 @@ object Curation {
         ConnectedComponents.run(pairs, "id_a", "id_b")
           .filter(col("id") =!= col("component"))
           .select(col("id").as(idCol))
-      else pairs.select(col("id_b").as(idCol)).distinct()
+      // no .distinct(): left_anti ignores duplicate right rows, so the
+      // dedup exchange would be a pure extra stage
+      else pairs.select(col("id_b").as(idCol))
     // Job 4 materializes the SURVIVOR ID SET (exact keepers minus
     // near-dup losers) — a tiny ids-only frame, instead of the full-row
     // `cleaned` checkpoint of rounds 5-10. The returned halves join base

@@ -286,6 +286,145 @@ object DeltaCurate {
       survivors = survivors.drop("__fp", "__sig", "__bk", "__nd"))
   }
 
+  /** In-memory index frames equivalent to what a BOOTSTRAP increment of
+    * [[run]] persists ((fp) and (key, id, sig)) — for [[deltaSurvivors]]
+    * dry-runs and tests that want the month-0 state without a warehouse.
+    * Built exactly as run() builds them on a missing index: gate →
+    * fingerprint+sketch → in-increment min-id keeper; every keeper's
+    * fingerprint enters the fp frame and (bootstrap has no signature
+    * index to drop against) every keeper's band rows enter the sig
+    * frame. Narrow columns only (id, fp, sig, bands) are checkpointed —
+    * text never materializes.
+    */
+  def indexFrames(
+      snapshot: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      cfg: Curation.Config = Curation.Config(),
+      k: Int = 8,
+      bands: Int = 4): (DataFrame, DataFrame) = {
+    val spark = snapshot.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val spreadNeeded = snapshot.rdd.getNumPartitions < par
+    val cleaned = cfg.dedupLinesSep match {
+      case Some(sep) => snapshot.withColumn(textCol,
+        TextAnalysis.dedupLines(col(textCol), sep))
+      case None => snapshot
+    }
+    val gated0 = Curation.qualityFilter(cleaned, textCol, langCol, cfg)
+    val gated =
+      if (cfg.c4) gated0.withColumn(textCol,
+        TextAnalysis.c4CleanLines(col(textCol)))
+      else gated0
+    val base = Dedup.withMd5Sketch(
+        (if (spreadNeeded) gated.repartition(par) else gated)
+          .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        textCol, k, bands)
+      .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
+      .localCheckpoint()
+    val keepers = base.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"))
+    val firsts = base.join(keepers, "__fp")
+      .filter(col(idCol) === col("__keep"))
+    (firsts.select(col("__fp").as("fp")),
+      firsts.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
+        col("__sig").as("sig")))
+  }
+
+  /** Dry-run delta curation: the SURVIVOR QUERY of [[run]] against index
+    * FRAMES instead of persisted tables — what an operator asks before
+    * committing an increment ("what would this month's delta keep?")
+    * and what the q_delta_curate oracle replays. Decision-identical to
+    * [[run]] (same diff → gate → in-increment keeper → one-sided exact
+    * anti-join → capped banded candidate → estimated-Jaccard drop), but
+    * it mutates nothing: no index appends, no catalog operations, no
+    * observe bookkeeping — so the whole query is two checkpoints (the
+    * bootstrap index base inside [[indexFrames]], the sketched delta
+    * here) plus the caller's action. The produce path — bucketed
+    * index-table writes, crash-window swap — is [[run]]'s job and is
+    * measured separately (q_delta_index_write).
+    *
+    * `fpIndex` is a (fp) frame, `sigIndex` a (key, id, sig) frame —
+    * [[indexFrames]] shapes, or narrow selects of the persisted tables.
+    * None = bootstrap semantics (nothing indexed yet).
+    */
+  def deltaSurvivors(
+      prevSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      cfg: Curation.Config = Curation.Config(),
+      fpIndex: Option[DataFrame] = None,
+      sigIndex: Option[DataFrame] = None,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(cfg.nearDupThreshold > 0.0 && cfg.nearDupThreshold <= 1.0,
+      s"nearDupThreshold=${cfg.nearDupThreshold} must be in (0, 1]")
+    val spark = newSnap.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val spreadNeeded = newSnap.rdd.getNumPartitions < par
+    val statuses = SnapshotDiff.diff(prevSnap, newSnap, idCol, textCol)
+    val delta0 = newSnap.join(
+      statuses.filter(col("status").isin("added", "changed"))
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val delta = cfg.dedupLinesSep match {
+      case Some(sep) => delta0.withColumn(textCol,
+        TextAnalysis.dedupLines(col(textCol), sep))
+      case None => delta0
+    }
+    val gated0 = Curation.qualityFilter(delta, textCol, langCol, cfg)
+    val gated =
+      if (cfg.c4) gated0.withColumn(textCol,
+        TextAnalysis.c4CleanLines(col(textCol)))
+      else gated0
+    // same single sketch pass + checkpoint as run() (the minhash HOF
+    // tree must never inline into a join filter)
+    val base = Dedup.withMd5Sketch(
+        (if (spreadNeeded) gated.repartition(par) else gated)
+          .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        textCol, k, bands)
+      .localCheckpoint()
+    val keepers = base.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"))
+    val firsts = base.join(keepers, "__fp")
+      .filter(col(idCol) === col("__keep")).drop("__keep")
+    val exactFresh = fpIndex match {
+      case Some(fi) =>
+        firsts.join(fi.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      case None => firsts
+    }
+    val dropIds = sigIndex match {
+      case Some(idx) =>
+        // the run() candidate shape: semi-join the index to the delta's
+        // band keys first, cap degenerate keys over the MATCHED scan
+        // (identical counts — a key's matched rows are all its rows)
+        val deltaKeys = base
+          .select(explode(col("__bk")).as("key")).distinct()
+        val matched = idx.join(deltaKeys, Seq("key"), "left_semi")
+        val okKeys = matched.groupBy(col("key"))
+          .agg(count(lit(1)).as("__kn"))
+          .filter(col("__kn") <= maxBucket)
+          .select(col("key"))
+        val est = size(filter(
+          zip_with(col("__bsig"), col("sig"), (a, b) => a === b),
+          m => m)).cast("double") / lit(k.toDouble)
+        exactFresh
+          .select(col(idCol).as("__bid"), col("__sig").as("__bsig"),
+            explode(col("__bk")).as("key"))
+          .join(matched.join(okKeys, Seq("key")), Seq("key"))
+          .filter(est >= lit(cfg.nearDupThreshold))
+          .select(col("__bid").as(idCol)).distinct()
+      case None => exactFresh.limit(0).select(col(idCol))
+    }
+    exactFresh.join(dropIds, Seq(idCol), "left_anti")
+      .drop("__fp", "__sig", "__bk")
+  }
+
   /** Index maintenance ([EXT], the task [[run]]'s scaladoc defers): drop
     * every fingerprint/signature row NOT derivable from the current
     * curated corpus — superseded versions of changed documents and rows
