@@ -108,4 +108,23 @@ object SparkEntry {
     graft.queries.DqQueries.oracles ++
     graft.queries.DqQueries.refOracles ++
     graft.queries.ProfilingQueries.oracles
+
+  /** Queries that are BY DESIGN rows-only (no SQL oracle CAN exist):
+    * inherently approximate surfaces — xxhash64-seeded sketches whose
+    * exact candidate sets no independent engine replays — plus the
+    * index-table produce path whose deliverable is a bucketed table no
+    * oracle materializes. Each approximate entry has a fully
+    * hash-oracled exact-md5 sibling proving the same operator semantics
+    * (q_ann_*_md5, q_lsh_bucket_md5, q_minhash_md5, q_embed_neardup,
+    * q_percentiles/q_distinct_agg; q_delta_index_write's decisions are
+    * hash-oracled by q_delta_curate), and recall floors are asserted in
+    * specs and the scale rehearsal. Verify dumps this set as
+    * `rows_only.json` so correctness tooling can report these rows as
+    * "rows_only (by design)" rather than a `no_oracle` error.
+    */
+  def rowsOnly: Set[String] = Set(
+    "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
+    "q_approx_distinct", "q_approx_percentile",
+    "q_embed_neardup_lsh", "q_lsh_buckets", "q_minhash_lsh",
+    "q_delta_index_write")
 }

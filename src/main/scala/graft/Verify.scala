@@ -49,6 +49,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // explicit by-design rows-only marker (SparkEntry.rowsOnly): these
+    // queries CANNOT have a SQL oracle; a missing oracle elsewhere is a
+    // builder bug, these are contract
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"),
+      SparkEntry.rowsOnly.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

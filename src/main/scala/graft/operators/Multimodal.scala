@@ -625,6 +625,95 @@ object Multimodal {
     (hi, lo)
   }
 
+  // -------- compressed-codec pixel path: PNG via the JDK's ImageIO ------
+
+  /** Encode an RGB image as a REAL PNG via `javax.imageio` (on every JVM;
+    * PNG is lossless, so decode(encode(pix)) returns the exact channel
+    * values — the property that lets a SQL oracle replay the pixel
+    * formula without ever seeing the bytes). Deterministic input ⇒
+    * deterministic decoded pixels; the encoder's BYTE stream may vary
+    * across JVMs (compression settings), which is why oracles replay the
+    * pixel math, not the payload. This closes the compressed-codec gap
+    * the BMP path ([[bmpGray]]) left: JPEG stays out of scope — lossy
+    * decode is not oracle-replayable.
+    */
+  def pngRgb(width: Int, height: Int,
+      r: (Int, Int) => Int, g: (Int, Int) => Int,
+      b: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per call
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          ((r(x, y) & 0xff) << 16) | ((g(x, y) & 0xff) << 8) | (b(x, y) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real PNG pixel decode via `javax.imageio`: (width, height, luminance
+    * row-major top-down), luminance = (r + g + b) / 3 integer — the same
+    * reduction as [[bmpPixels]], so the same image encoded as BMP or PNG
+    * hashes identically (MultimodalSpec pins that). None for undecodable
+    * payloads or images past the [[bmpPixels]] dimension guards.
+    */
+  def pngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 8) return None
+    // PNG signature probe first: ImageIO.read swallows arbitrary garbage
+    // at real cost (reader discovery) — reject cheap, decode expensive
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) // \x89PNG\r\n\x1a\n
+    var i = 0
+    while (i < 8) {
+      if ((bytes(i) & 0xff) != sig(i)) return None
+      i += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(y * w + x) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** [[imageDHash]] over PNG payloads: same narrow mapPartitions shape,
+    * same hash — only the decoder differs. Undecodable payloads dropped.
+    */
+  def pngDHash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        pngPixels(m.content).collect {
+          case (w, h, lum) if w % 9 == 0 && h % 8 == 0 =>
+            val (hi, lo) = dHash(w, h, lum)
+            ImageHash(m.media_id, hi, lo)
+        }
+      }
+    }
+  }
+
   /** Split a concatenated-BMP stream into frames: each BMP is
     * self-delimiting (LE32 file size at offset 2), so the walk is
     * `[offset, offset+size)` per frame — a real multi-frame container

@@ -155,6 +155,30 @@ object MediaQueries {
       Multimodal.imageDHash(media).toDF()
     }),
 
+    // ORACLED compressed-codec pixel features: REAL codec path end to
+    // end — a 36x32 RGB image per doc is synthesized from three integer
+    // channel formulas, encoded as an actual PNG (javax.imageio),
+    // decoded back by the real PNG reader, luminance-reduced and
+    // dHashed. PNG is lossless, so DuckDB replays channel formulas ->
+    // (r+g+b)//3 -> floor box averages -> gradient bits and never sees
+    // the bytes; any defect in the encode/decode/reduce chain
+    // hash-mismatches. Closes the documented compressed-codec stub
+    // (JPEG stays out: lossy decode is not oracle-replayable).
+    "q_png_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") <= 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.pngRgb(36, 32,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt,
+              (x, y) => ((id * 17 + x * 11 + y * 5) % 256).toInt,
+              (x, y) => ((id * 23 + x * 3 + y * 19) % 256).toInt),
+            "synth")
+        })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+      Multimodal.pngDHash(media).toDF()
+    }),
+
     // ORACLED PCM audio features: REAL byte path end to end — a mono
     // 16-bit sample stream per doc is synthesized from an integer
     // formula, encoded as an actual canonical WAV (wavPcm16), decoded
@@ -302,6 +326,38 @@ object MediaQueries {
            SELECT ids.id, r.r, c.c,
              (SELECT sum((ids.id*31 + (c.c*4 + dx.dx)*7
                           + (r.r*4 + dy.dy)*13) % 256)
+              FROM generate_series(0,3) dx(dx),
+                   generate_series(0,3) dy(dy)) // 16 AS g
+           FROM ids, generate_series(0,7) r(r), generate_series(0,8) c(c)),
+         bits AS (
+           SELECT a.id, a.r, a.c,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+           WHERE a.c <= 7)
+         SELECT id AS media_id,
+           CAST(sum(CASE WHEN r < 4
+             THEN bit * (CAST(1 AS BIGINT) << (31 - (r*8 + c)))
+             ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(sum(CASE WHEN r >= 4
+             THEN bit * (CAST(1 AS BIGINT) << (31 - ((r-4)*8 + c)))
+             ELSE 0 END) AS BIGINT) AS dhash_lo
+         FROM bits GROUP BY id""",
+
+    // PNG-dHash replay: per-pixel luminance = (r+g+b)//3 over the three
+    // channel formulas, then the exact q_image_dhash cell/bit math. The
+    // oracle never decodes PNG — losslessness is the bridge: Spark's
+    // decoded channels ARE the formula values, or the hash mismatches.
+    "q_png_dhash" ->
+      """WITH ids AS (
+           SELECT doc_id AS id FROM documents WHERE doc_id <= 400),
+         cells AS (
+           SELECT ids.id, r.r, c.c,
+             (SELECT sum((
+                 (ids.id*31 + (c.c*4 + dx.dx)*7 + (r.r*4 + dy.dy)*13) % 256
+               + (ids.id*17 + (c.c*4 + dx.dx)*11 + (r.r*4 + dy.dy)*5) % 256
+               + (ids.id*23 + (c.c*4 + dx.dx)*3 + (r.r*4 + dy.dy)*19) % 256
+               ) // 3)
               FROM generate_series(0,3) dx(dx),
                    generate_series(0,3) dy(dy)) // 16 AS g
            FROM ids, generate_series(0,7) r(r), generate_series(0,8) c(c)),

@@ -323,6 +323,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG round-trip: pngRgb encodes what pngPixels decodes, exactly") {
+    val r = (x: Int, y: Int) => (x * 7 + y * 13) % 256
+    val g = (x: Int, y: Int) => (x * 11 + y * 5) % 256
+    val b = (x: Int, y: Int) => (x * 3 + y * 19) % 256
+    val bytes = Multimodal.pngRgb(36, 32, r, g, b)
+    // it really is a PNG payload (the header parser agrees on dims)
+    assert(Multimodal.imageDims(bytes) ===
+      Some(Multimodal.ImageDims("png", 36, 32)))
+    val Some((w, h, lum)) = Multimodal.pngPixels(bytes)
+    assert(w === 36 && h === 32)
+    // losslessness is the oracle bridge: decoded luminance must equal
+    // the formula's (r+g+b)/3 on every pixel
+    for (y <- 0 until 32; x <- 0 until 36)
+      assert(lum(y * 36 + x) === (r(x, y) + g(x, y) + b(x, y)) / 3,
+        s"pixel ($x,$y)")
+    // junk, truncation, null rejected — not mis-read
+    assert(Multimodal.pngPixels("not a png".getBytes).isEmpty)
+    assert(Multimodal.pngPixels(bytes.take(20)).isEmpty)
+    assert(Multimodal.pngPixels(null).isEmpty)
+  }
+
+  test("PNG and BMP encodings of the same gray image dHash identically") {
+    // same luminance reduction on both decoders ⇒ codec-independent key
+    val f = (x: Int, y: Int) => (2 * x + 3 * y) % 256
+    val Some((bw, bh, blum)) =
+      Multimodal.bmpPixels(Multimodal.bmpGray(36, 32, f))
+    val Some((pw, ph, plum)) =
+      Multimodal.pngPixels(Multimodal.pngRgb(36, 32, f, f, f))
+    assert((bw, bh) === ((pw, ph)))
+    assert(Multimodal.dHash(bw, bh, blum) === Multimodal.dHash(pw, ph, plum))
+  }
+
+  test("pngDHash: real codec path in-plan, undecodable payloads dropped") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val media = Seq(1L, 2L, 99L).toDS().mapPartitions(_.map { id =>
+      val content =
+        if (id == 99L) "garbage".getBytes
+        else Multimodal.pngRgb(36, 32,
+          (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt,
+          (x, y) => ((id * 17 + x * 11 + y * 5) % 256).toInt,
+          (x, y) => ((id * 23 + x * 3 + y * 19) % 256).toInt)
+      Multimodal.MediaRecord(id, "image", content, "synth")
+    })(enc)
+    val out = Multimodal.pngDHash(media).collect()
+      .map(r => r.media_id -> (r.dhash_hi, r.dhash_lo)).toMap
+    assert(out.keySet === Set(1L, 2L)) // garbage row dropped
+    out.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+  }
+
   test("WAV PCM round-trip: wavPcm16 encodes what wavPcm16Samples decodes") {
     val samples = Array(0, 1, -1, 32767, -32768, 1000, -999)
     val bytes = Multimodal.wavPcm16(1, 16000, samples)

@@ -40,4 +40,26 @@ class RegistrySpec extends AnyFunSuite {
     val badNames = qs.filterNot(_.matches("[a-z0-9_]+"))
     assert(badNames.isEmpty, s"non-kebab registry names: $badNames")
   }
+
+  test("rowsOnly is exactly the oracle-less remainder of the registry") {
+    val qs = SparkEntry.queries.keySet
+    // every declared rows-only query exists and has NO oracle
+    val ghosts = SparkEntry.rowsOnly.diff(qs)
+    assert(ghosts.isEmpty, s"rowsOnly entries without a query: $ghosts")
+    val shadowed = SparkEntry.rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(shadowed.isEmpty,
+      s"rowsOnly entries that DO have an oracle: $shadowed")
+    // and nothing is oracle-less without being declared — a new query
+    // missing its oracle must fail loudly here, not surface as a silent
+    // rows-only row in the driver's correctness report. Exception: the
+    // fitted-model oracles (BPE merges, PQ codebook) are built from the
+    // fit memo and omitted while cold — this spec JVM never fits, so
+    // those keys are absent HERE but present in every real Verify dump.
+    val fittedDynamic = Set("q_bpe_encode", "q_bpe_fertility",
+      "q_bpe_lossless", "q_pack_bpe", "q_pq_codes", "q_ann_pq_md5")
+    val undeclared = qs.diff(SparkEntry.oracleSql.keySet)
+      .diff(SparkEntry.rowsOnly).diff(fittedDynamic)
+    assert(undeclared.isEmpty,
+      s"oracle-less queries not declared rows-only: $undeclared")
+  }
 }

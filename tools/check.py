@@ -51,13 +51,26 @@ def main():
                              e[diff].head(3).add_prefix('duck_')], axis=1).to_string())
             failures += 1; continue
         print(f"[ OK ] {q}: {len(g)} rows")
-    # rows-only entries (queries without oracle)
+    # rows-only entries (queries without oracle). The Verify sidecar
+    # rows_only.json lists the BY-DESIGN set (inherently approximate
+    # surfaces / index-produce paths); an oracle-less query NOT in it is
+    # a builder bug, reported as NO-ORACLE? and counted as a failure.
+    try:
+        declared = set(json.load(open(os.path.join(out_dir, 'rows_only.json'))))
+    except Exception:
+        declared = None
     for pdir in sorted(glob.glob(os.path.join(out_dir, '*'))):
         q = os.path.basename(pdir)
         if q in oracle or not os.path.isdir(pdir):
             continue
+        if only and q not in only:
+            continue
         files = glob.glob(os.path.join(pdir, '*.parquet'))
         n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        if declared is not None and q not in declared:
+            print(f"[NO-ORACLE?] {q}: {n} rows — oracle-less but not in rows_only.json")
+            failures += 1
+            continue
         print(f"[ROWS-ONLY] {q}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
         if n == 0: failures += 1
     sys.exit(1 if failures else 0)
