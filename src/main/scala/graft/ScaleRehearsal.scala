@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * stage faces size-N clusters — the worst realistic shape for the
   * banded LSH + verify + CC chain, at N× the corpus volume.
   *
-  * Usage: runMain graft.ScaleRehearsal [sfDir] [blowup] [outDir]
-  * Prints one JSON line, mirroring the Bench contract.
+  * Usage: runMain graft.ScaleRehearsal [sfDir] [blowup] [outDir] [legs]
+  * `legs` is a comma list filtering which legs run (curate, pipeline,
+  * spans, heavy, entropy, winnow, vector, events, dq, delta); default
+  * "all". Prints one JSON line, mirroring the Bench contract.
   */
 object ScaleRehearsal {
 
@@ -27,6 +29,11 @@ object ScaleRehearsal {
     val blowup = if (args.length > 1) args(1).toInt else 10
     val outDir = if (args.length > 2) args(2)
       else java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val legSel: Set[String] =
+      if (args.length > 3)
+        args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set("all")
+    def on(leg: String): Boolean = legSel("all") || legSel(leg)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,34 +69,82 @@ object ScaleRehearsal {
 
     val cfg = graft.operators.Curation.Config(
       maxStopRatio = 1.0, transitiveNearDups = true)
-    val eval = docs0.limit(50).select(col("doc_id"), col("text"))
+    // scale-proportional eval slice (the q_curate_full pattern): a flat
+    // limit(50) contaminates ALL of a small base corpus (every doc
+    // shares templated shingles with some eval doc) and the curate leg
+    // then "passes" with zero survivors — vacuous; found when the 30×
+    // sf0.01 leg reported train_docs=0
+    val eval = docs0.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("text"))
 
-    val t0 = System.nanoTime()
-    val (train, test) = graft.operators.Curation.curate(
-      blown, "doc_id", "text", "lang", cfg, Some(eval))
-    val nTrain = train.count(); val nTest = test.count()
-    val tCurate = (System.nanoTime() - t0) / 1e9
+    // plain Double interpolation (the Bench contract): an f"%.1f" render
+    // is default-locale-dependent and a comma-decimal locale would emit
+    // invalid JSON
+    def r1(x: Double): Double = math.round(x * 10.0) / 10.0
 
-    val t1 = System.nanoTime()
-    val res = graft.processes.TrainingPipeline.run(
-      blown, "doc_id", "text", "lang", cfg,
-      numMerges = 100, budget = 2048, nShards = 8,
-      outPath = s"$outDir/shards")
-    val tPipeline = (System.nanoTime() - t1) / 1e9
+    val curateJson = if (!on("curate")) "" else {
+      // 1× baseline first, then the blowup, with the vector-leg
+      // sublinearity gate: a quadratic candidate regression in the
+      // LSH/verify/CC chain lands at ~N× the 1× wall and trips this
+      // immediately; +2.0 s absolute slack for sub-second 1× walls on a
+      // host with ~1.7× hour-scale speed variance
+      val t1x = System.nanoTime()
+      val (tr1, te1) = graft.operators.Curation.curate(
+        docs0, "doc_id", "text", "lang", cfg, Some(eval))
+      val n1 = tr1.count() + te1.count()
+      val w1 = (System.nanoTime() - t1x) / 1e9
+      require(n1 > 0,
+        "curate leg is vacuous: zero 1× survivors — every downstream " +
+          "assert would pass on empty frames")
+      val t0 = System.nanoTime()
+      val (train, test) = graft.operators.Curation.curate(
+        blown, "doc_id", "text", "lang", cfg, Some(eval))
+      val nTrain = train.count(); val nTest = test.count()
+      val tCurate = (System.nanoTime() - t0) / 1e9
+      require(tCurate <= 0.7 * blowup * w1 + 2.0,
+        f"curate wall superlinear at $blowup×: $tCurate%.1f s vs $w1%.1f s at 1×")
+      // every blowup copy of a kept base doc is a near-dup cluster of
+      // size ~N collapsing to ONE keeper, so survivors must stay in the
+      // same order as the 1× survivor count, not N×
+      require(nTrain + nTest <= 2L * n1 + 100L,
+        s"transitive near-dup keepers leaked at $blowup×: " +
+          s"${nTrain + nTest} survivors vs $n1 at 1×")
+      s""","curate_sec":${r1(tCurate)},"curate_sec_1x":${r1(w1)},""" +
+        s""""train_docs":$nTrain,"test_docs":$nTest,""" +
+        s""""curate_survivors_1x":$n1,"cc_converged":true"""
+    }
+
+    val pipelineJson = if (!on("pipeline")) "" else {
+      val t1 = System.nanoTime()
+      val res = graft.processes.TrainingPipeline.run(
+        blown, "doc_id", "text", "lang", cfg,
+        numMerges = 100, budget = 2048, nShards = 8,
+        outPath = s"$outDir/shards")
+      val tPipeline = (System.nanoTime() - t1) / 1e9
+      s""","pipeline_sec":${r1(tPipeline)},""" +
+        s""""pipeline_train_docs":${res.trainDocs},""" +
+        s""""train_bins":${res.trainBins}"""
+    }
 
     // round-5 heavy operators at the same blowup: the span seed join
     // (df-capped pairing over 10× the seed stream — the salt token
     // breaks up runs, so spans come from genuine overlap, and shared
     // grams sit at 10× their base df, stressing the cap) and the CMS
     // heavy-hitter pass over ~10× the token stream
-    val t2 = System.nanoTime()
-    val nSpanPairs = graft.operators.SpanDedup.sharedSpans(
-      blown, "text", "doc_id", l = 5, minSpan = 8, maxDf = 50).count()
-    val tSpans = (System.nanoTime() - t2) / 1e9
-    val t3 = System.nanoTime()
-    val nHeavy = graft.operators.HeavyHitters.heavyTokens(
-      blown, "text", minCount = 40L * blowup).count()
-    val tHeavy = (System.nanoTime() - t3) / 1e9
+    val spansJson = if (!on("spans")) "" else {
+      val t2 = System.nanoTime()
+      val nSpanPairs = graft.operators.SpanDedup.sharedSpans(
+        blown, "text", "doc_id", l = 5, minSpan = 8, maxDf = 50).count()
+      val tSpans = (System.nanoTime() - t2) / 1e9
+      s""","spans_sec":${r1(tSpans)},"span_pairs":$nSpanPairs"""
+    }
+    val heavyJson = if (!on("heavy")) "" else {
+      val t3 = System.nanoTime()
+      val nHeavy = graft.operators.HeavyHitters.heavyTokens(
+        blown, "text", minCount = 40L * blowup).count()
+      val tHeavy = (System.nanoTime() - t3) / 1e9
+      s""","heavy_sec":${r1(tHeavy)},"heavy_tokens":$nHeavy"""
+    }
 
     // round-9 second-half leg: the new aggregation-bearing operators at
     // the same blowup — char-bigram entropy explodes ~one row per corpus
@@ -97,44 +152,39 @@ object ScaleRehearsal {
     // overlap screen faces every fingerprint at blowup× its base df (the
     // cap drops boilerplate families; the salted copies' genuine overlap
     // must still surface, asserted non-empty)
-    val t4 = System.nanoTime()
-    val nEnt = graft.operators.TextAnalysis.charBigramEntropy(
-      blown, "text", "doc_id").count()
-    val tEnt = (System.nanoTime() - t4) / 1e9
-    val t5 = System.nanoTime()
-    // maxDf scales with the blowup (like heavyTokens' minCount and
-    // sharedSpans' maxDf): each copy family's genuine shared fingerprints
-    // sit at df >= blowup, and the default cap of 20 would drop ALL of
-    // them past blowup 20 — leaving only incidental pairs and tripping
-    // the non-empty assert below
-    val nOverlap = graft.operators.Dedup.winnowOverlapPairs(
-      blown, "text", "doc_id", maxDf = math.max(20, 2 * blowup)).count()
-    val tOverlap = (System.nanoTime() - t5) / 1e9
-    require(nOverlap > 0, "winnow overlap found no pairs in a corpus of near-copies")
+    val entropyJson = if (!on("entropy")) "" else {
+      val t4 = System.nanoTime()
+      val nEnt = graft.operators.TextAnalysis.charBigramEntropy(
+        blown, "text", "doc_id").count()
+      val tEnt = (System.nanoTime() - t4) / 1e9
+      s""","entropy_sec":${r1(tEnt)},"entropy_docs":$nEnt"""
+    }
+    val winnowJson = if (!on("winnow")) "" else {
+      val t5 = System.nanoTime()
+      // maxDf scales with the blowup (like heavyTokens' minCount and
+      // sharedSpans' maxDf): each copy family's genuine shared
+      // fingerprints sit at df >= blowup, and the default cap of 20
+      // would drop ALL of them past blowup 20 — leaving only incidental
+      // pairs and tripping the non-empty assert below
+      val nOverlap = graft.operators.Dedup.winnowOverlapPairs(
+        blown, "text", "doc_id", maxDf = math.max(20, 2 * blowup)).count()
+      val tOverlap = (System.nanoTime() - t5) / 1e9
+      require(nOverlap > 0,
+        "winnow overlap found no pairs in a corpus of near-copies")
+      s""","winnow_sec":${r1(tOverlap)},"winnow_pairs":$nOverlap"""
+    }
 
-    val vectorJson = vectorLeg(spark, sfDir, blowup)
-    val eventsJson = eventsLeg(spark, sfDir, blowup)
-    val dqJson = dqLeg(spark, docs0, blown, blowup)
-    val deltaJson = deltaLeg(spark, docs0, blowup, cfg)
+    val vectorJson = if (on("vector")) vectorLeg(spark, sfDir, blowup) else ""
+    val eventsJson = if (on("events")) eventsLeg(spark, sfDir, blowup) else ""
+    val dqJson = if (on("dq")) dqLeg(spark, docs0, blown, blowup) else ""
+    val deltaJson = if (on("delta")) deltaLeg(spark, docs0, blowup, cfg) else ""
     sampling = false
 
-    // plain Double interpolation (the Bench contract): an f"%.1f" render
-    // is default-locale-dependent and a comma-decimal locale would emit
-    // invalid JSON
-    def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     println(
       s"""{"metric":"scale_rehearsal","sf":"$sfDir","blowup":$blowup,""" +
-      s""""rows_in":$nIn,"curate_sec":${r1(tCurate)},""" +
-      s""""train_docs":$nTrain,"test_docs":$nTest,""" +
-      s""""pipeline_sec":${r1(tPipeline)},""" +
-      s""""pipeline_train_docs":${res.trainDocs},""" +
-      s""""train_bins":${res.trainBins},""" +
-      s""""spans_sec":${r1(tSpans)},"span_pairs":$nSpanPairs,""" +
-      s""""heavy_sec":${r1(tHeavy)},"heavy_tokens":$nHeavy,""" +
-      s""""entropy_sec":${r1(tEnt)},"entropy_docs":$nEnt,""" +
-      s""""winnow_sec":${r1(tOverlap)},"winnow_pairs":$nOverlap,""" +
-      s""""peak_cache_bytes":$peakCache,""" +
-      s""""cc_converged":true$vectorJson$eventsJson$dqJson$deltaJson}""")
+      s""""rows_in":$nIn,"peak_cache_bytes":$peakCache""" +
+      curateJson + pipelineJson + spansJson + heavyJson + entropyJson +
+      winnowJson + vectorJson + eventsJson + dqJson + deltaJson + "}")
     spark.stop()
   }
 

@@ -25,6 +25,12 @@ object SchemaQueries {
   private val avroRtDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** One provider-snapshot dir per sf dir for q_union_drift — same
+    * overwrite-in-place contract as [[avroRtDirs]].
+    */
+  private val driftDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Master-shaped nested DPLA fixture synthesized from `documents`: every
     * field the MQ pipeline touches (MqReports.scala:22-88), with each
     * array's emptiness / nullness and each scalar's nullness decided by
@@ -164,6 +170,34 @@ object SchemaQueries {
         StructField("n_chars", LongType)))
       SchemaAlign.alignToSchema(
         t(s, dir, "documents").select(col("doc_id"), col("text")), target)
+    }),
+
+    // Multi-provider scan-time schema drift (the reference's
+    // SchemaTest.scala:10-14 motivation — provider feeds that disagree
+    // on columns — closing the loop between A1's merged-schema read and
+    // H10's divergence report): three provider snapshots of the same
+    // corpus are WRITTEN with deliberately divergent schemas (p1 has no
+    // source/n_chars, p2 no lang, p3 no text but a provider-specific
+    // quality column), read back as real parquet scans, and aligned by
+    // unionByName(allowMissingColumns = true) — each provider's missing
+    // columns surface as typed nulls. DuckDB replays the aligned union
+    // with UNION ALL BY NAME over the same id slices.
+    "q_union_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = driftDirs.getOrElseUpdate(dir, java.nio.file.Files
+        .createTempDirectory("graft-drift").toString)
+      val providers = Seq(
+        "p1" -> d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), col("lang")),
+        "p2" -> d.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars")),
+        "p3" -> d.filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("lang"), col("source"),
+            (col("n_chars") + lit(7)).cast(LongType).as("quality")))
+      providers.foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$base/$n") }
+      providers.map { case (n, _) => s.read.parquet(s"$base/$n") }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }),
 
     // Align coerces the value-wrapper in both directions: wrapped input,
@@ -335,6 +369,18 @@ object SchemaQueries {
          FROM documents""",
     "q_align_unwrap" ->
       "SELECT doc_id, text, lang FROM documents",
+    // aligned-union replay of the three divergent provider snapshots:
+    // DuckDB's UNION ALL BY NAME fills each side's missing columns with
+    // NULLs exactly as unionByName(allowMissingColumns = true) does
+    "q_union_drift" ->
+      """SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+         UNION ALL BY NAME
+         SELECT doc_id, text, source, n_chars FROM documents
+         WHERE doc_id % 3 = 1
+         UNION ALL BY NAME
+         SELECT doc_id, lang, source,
+           CAST(n_chars + 7 AS BIGINT) AS quality FROM documents
+         WHERE doc_id % 3 = 2""",
     "q_avro_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars,
            CAST(len(text) AS BIGINT) AS text_len

@@ -59,6 +59,42 @@ class DeltaCurateSpec extends SparkSpec {
     cleanTables()
   }
 
+  test("deltaSurvivors dry-run is decision-identical to run() over persisted tables") {
+    cleanTables()
+    val m0 = (1 to 6).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")
+    val m1 = Seq(
+      (1L, doc(1), "en"),
+      (2L, doc(20), "en"),
+      (3L, doc(3), "en"), (4L, doc(4), "en"),
+      (5L, doc(5) + " tweak", "en"),
+      (7L, doc(7), "en"),
+      (8L, doc(1), "en"),
+      (9L, "too short", "en")).toDF("doc_id", "text", "lang")
+    // the persisted-table process (the produce path)
+    DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    val tableIds = DeltaCurate.run(m0, m1, "doc_id", "text", "lang", cfg,
+        "dc_fp", "dc_sig", buckets = 4)
+      .survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the dry-run query over in-memory index frames
+    val (fpIdx, sigIdx) = DeltaCurate.indexFrames(
+      m0, "doc_id", "text", "lang", cfg)
+    val dryIds = DeltaCurate.deltaSurvivors(m0, m1,
+        "doc_id", "text", "lang", cfg, Some(fpIdx), Some(sigIdx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dryIds === tableIds)
+    // the dry-run surface keeps the input columns (helper cols dropped)
+    val cols = DeltaCurate.deltaSurvivors(m0, m1,
+      "doc_id", "text", "lang", cfg, Some(fpIdx), Some(sigIdx)).columns.toSet
+    assert(cols === Set("doc_id", "text", "lang"))
+    // bootstrap semantics without index frames: in-increment dedup only
+    val bootIds = DeltaCurate.deltaSurvivors(m0.limit(0), m0,
+        "doc_id", "text", "lang", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bootIds === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    cleanTables()
+  }
+
   test("compaction: month 3 behaves identically, index shrinks, dead versions are forgotten") {
     val tablesA = ("dcc_fp_a", "dcc_sig_a") // never compacted
     val tablesB = ("dcc_fp_b", "dcc_sig_b") // compacted after month 1
