@@ -348,20 +348,43 @@ object Dedup {
     * degenerate bucket and explode O(m²) false candidates).
     */
   def minhashSignature(shingleCol: Column, k: Int = 32): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i =>
-        coalesce(
-          array_min(transform(shingleCol, s => xxhash64(s, i))),
-          lit(Long.MaxValue)))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        // one-pass codegen kernel: each shingle's bytes hash ONCE, the k
+        // components derive via k int-mixes (the HOF form re-hashes the
+        // bytes k times, interpreted). Bit-identical to the fallback —
+        // TextAnalysisSpec pins the parity. The coalesce completes the
+        // null-array case (HOF yields the all-MaxValue signature there).
+        graft.plans.GraftFunctions.register(s)
+        coalesce(call_function("graft_minhash", shingleCol, lit(k)),
+          array((0 until k).map(_ => lit(Long.MaxValue)): _*))
+      case None =>
+        transform(
+          sequence(lit(0), lit(k - 1)),
+          i =>
+            coalesce(
+              array_min(transform(shingleCol, s => xxhash64(s, i))),
+              lit(Long.MaxValue)))
+    }
 
   /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one long. Docs sharing any band key are candidates.
     */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        // codegen kernel, bit-identical to the HOF fallback (parity
+        // spec); NULL signatures stay NULL — minhashSignature's output
+        // is never null, and callers null band keys explicitly for
+        // shingle-less docs
+        graft.plans.GraftFunctions.register(s)
+        call_function("graft_lsh_bands", sig, lit(bands), lit(rowsPerBand))
+      case None =>
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b))
+    }
 
   /** Per-doc signature + band keys (the shuffle-free stage). The input is
     * spread first: the signature fold is an interpreted HOF, and a

@@ -510,3 +510,160 @@ case class TokenizeAscii(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(
       newChild: Expression): TokenizeAscii = copy(child = newChild)
 }
+
+/** `graft_minhash(shingles, k)`: the k-component xxhash64 MinHash
+  * signature in ONE pass over the shingle array — codegen replacement
+  * for the nested HOF form
+  * `transform(sequence(0,k-1), i -> array_min(transform(sh, s -> xxhash64(s,i))))`.
+  *
+  * The HOF form evaluates INTERPRETED and re-hashes every shingle's
+  * BYTES k times (xxhash64(s, i) is the two-child hash chain
+  * `hashInt(i, hashBytes(s, 42))`). This kernel hashes each shingle's
+  * bytes ONCE (the inner `hashBytes(s, 42)` does not depend on i) and
+  * derives the k components with k cheap int-mixes — bit-identical to
+  * the HOF by construction, asserted by the parity spec. Empty arrays
+  * yield all-Long.MaxValue components (the HOF's
+  * `coalesce(array_min(...), MaxValue)`); a NULL array yields NULL here
+  * — [[graft.operators.Dedup.minhashSignature]] coalesces to the
+  * MaxValue array to complete the HOF parity.
+  */
+case class MinhashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val shOk = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    val kOk = right.foldable && right.dataType == IntegerType &&
+      (right.eval() match {
+        case i: java.lang.Integer => i >= 1
+        case _ => false
+      })
+    if (shOk && kOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, positive int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  @transient private lazy val k: Int =
+    right.eval().asInstanceOf[java.lang.Integer].intValue()
+
+  def compute(shRaw: Any): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val arr = shRaw.asInstanceOf[ArrayData]
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      // xxhash64(s, i) chains children left-to-right from seed 42: a
+      // null element leaves the running hash at the seed (HashExpression
+      // skips nulls), exactly reproduced here
+      val h0 =
+        if (arr.isNullAt(j)) 42L
+        else XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
+      var i = 0
+      while (i < k) {
+        val h = XxHash64Function.hash(i, IntegerType, h0)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(sh: Any, kArg: Any): Any = compute(sh)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhasher", this, classOf[MinhashSig].getName)
+    nullSafeCodeGen(ctx, ev, (sh, _) => s"${ev.value} = $ref.compute($sh);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_lsh_bands(sig, bands, rowsPerBand)`: the banded LSH keys of a
+  * MinHash signature — codegen replacement for
+  * `transform(sequence(0,bands-1), b -> xxhash64(concat_ws(",", slice(sig, b*r+1, r)), b))`.
+  * Each band key hashes the comma-joined decimal rendering of its
+  * signature slice (the exact string `concat_ws` builds after the
+  * implicit bigint→string element cast), then mixes the band index —
+  * `hashInt(b, hashBytes(joined, 42))`, bit-identical to the HOF form
+  * (parity spec). NULL signatures yield NULL (callers null band keys
+  * for shingle-less docs explicitly).
+  */
+case class LshBandKeys(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val sigOk = first.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    def posLit(e: Expression) = e.foldable && e.dataType == IntegerType &&
+      (e.eval() match {
+        case i: java.lang.Integer => i >= 1
+        case _ => false
+      })
+    if (sigOk && posLit(second) && posLit(third)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, positive int literal, " +
+        s"positive int literal), got (${first.dataType.simpleString}, " +
+        s"${second.sql}, ${third.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_bands"
+
+  @transient private lazy val bands: Int =
+    second.eval().asInstanceOf[java.lang.Integer].intValue()
+  @transient private lazy val rowsPerBand: Int =
+    third.eval().asInstanceOf[java.lang.Integer].intValue()
+
+  def compute(sigRaw: Any): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val sig = sigRaw.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 21)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        val idx = b * rowsPerBand + r
+        // slice past the end contributes nothing (concat_ws skips what
+        // slice never produced); null elements are skipped by concat_ws
+        if (idx < n && !sig.isNullAt(idx)) {
+          if (sb.length > 0) sb.append(',')
+          sb.append(sig.getLong(idx))
+        }
+        r += 1
+      }
+      val h0 = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      out(b) = XxHash64Function.hash(b, IntegerType, h0)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(sig: Any, bandsArg: Any,
+      rArg: Any): Any = compute(sig)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bander", this, classOf[LshBandKeys].getName)
+    nullSafeCodeGen(ctx, ev, (sig, _, _) => s"${ev.value} = $ref.compute($sig);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): LshBandKeys =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

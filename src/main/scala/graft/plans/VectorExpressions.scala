@@ -297,6 +297,10 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => ShingleArray(exprs(0), exprs(1))),
     "graft_tokens" ->
       ((exprs: Seq[Expression]) => TokenizeAscii(exprs(0))),
+    "graft_minhash" ->
+      ((exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1))),
+    "graft_lsh_bands" ->
+      ((exprs: Seq[Expression]) => LshBandKeys(exprs(0), exprs(1), exprs(2))),
     "graft_winnow" ->
       ((exprs: Seq[Expression]) => WinnowSelect(exprs(0), exprs(1))),
     "graft_cms_atleast" ->

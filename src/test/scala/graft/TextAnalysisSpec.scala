@@ -423,6 +423,50 @@ class TextAnalysisSpec extends SparkSpec {
         s"bytes ${c.map(x => f"${x & 0xff}%02x").mkString(" ")}")
   }
 
+  test("graft_minhash / graft_lsh_bands kernels are bit-identical to the HOF forms") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val k = 32; val bands = 8
+    // generated shingle arrays + directed edges: empty array, single
+    // element, duplicate elements, empty strings, a null element (the
+    // hash chain must skip it exactly as HashExpression does), unicode
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)), Gen.const("a b c"), Gen.const("")))
+    val generated = Gen.listOfN(300, strGen).sample.getOrElse(Nil)
+      .map(_.toArray)
+    val directed: Seq[Array[String]] = Seq(
+      Array.empty[String], Array("x"), Array("dup", "dup"),
+      Array("", ""), Array("north star", null, "south star"),
+      Array("北京 city", "emoji 😀"))
+    val df = (directed ++ generated).toDF("sh")
+    // HOF references (the fallback bodies, built inline so the kernel
+    // path in Dedup cannot mask them)
+    val hofSig = transform(
+      sequence(lit(0), lit(k - 1)),
+      i => coalesce(
+        array_min(transform(col("sh"), s => xxhash64(s, i))),
+        lit(Long.MaxValue)))
+    val bad = df
+      .withColumn("ksig", graft.operators.Dedup.minhashSignature(col("sh"), k))
+      .withColumn("hsig", hofSig)
+      .withColumn("kb",
+        graft.operators.Dedup.lshBandKeys(col("ksig"), bands, k / bands))
+      .withColumn("hb", transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("hsig"), b * (k / bands) + 1, lit(k / bands))), b)))
+      .filter(col("ksig") =!= col("hsig") || col("kb") =!= col("hb"))
+      .collect()
+    assert(bad.isEmpty, s"kernel/HOF divergence: ${bad.take(3).mkString(";")}")
+    // null shingle array: kernel path must still yield the HOF's
+    // all-MaxValue signature via the coalesce wrapper
+    val nullSig = Seq((1L)).toDF("id")
+      .select(graft.operators.Dedup.minhashSignature(
+        lit(null).cast("array<string>"), 4).as("sig"))
+      .head.getSeq[Long](0)
+    assert(nullSig === Seq.fill(4)(Long.MaxValue))
+  }
+
   test("verbObject: imperative verb + first content object") {
     import spark.implicits._
     val rows = Seq(
