@@ -229,20 +229,40 @@ object Dedup {
     * null the band keys for those rows (see [[incrementalNearDupMd5]]).
     */
   def minhashSignatureMd5(shingleCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol,
-        s => md5(concat(i.cast("string"), lit(" "), s)))))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        // one-pass codegen kernel, bit-identical to the HOF fallback
+        // (TextAnalysisSpec parity pin); the coalesce completes the
+        // null-array case — the HOF yields k null components there
+        graft.plans.GraftFunctions.register(s)
+        coalesce(call_function("graft_minhash_md5", shingleCol, lit(k)),
+          array((0 until k).map(_ => lit(null).cast("string")): _*))
+      case None =>
+        transform(
+          sequence(lit(0), lit(k - 1)),
+          i => array_min(transform(shingleCol,
+            s => md5(concat(i.cast("string"), lit(" "), s)))))
+    }
 
   /** Band keys with the band id baked into the hash (array<string>):
     * `md5(band || "|" || joined components)` — one string key per band,
     * so downstream joins/indexes need no (band, key) composite.
     */
   def lshBandKeysMd5(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => md5(concat(b.cast("string"), lit("|"),
-        concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        // codegen kernel, bit-identical to the HOF fallback (parity
+        // spec); NULL signatures stay NULL — callers null band keys for
+        // shingle-less docs before this runs
+        graft.plans.GraftFunctions.register(s)
+        call_function("graft_lsh_bands_md5", sig, lit(bands),
+          lit(rowsPerBand))
+      case None =>
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => md5(concat(b.cast("string"), lit("|"),
+            concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+    }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003) — the
     * local document-fingerprinting scheme behind MOSS-style plagiarism

@@ -667,3 +667,198 @@ case class LshBandKeys(first: Expression, second: Expression,
       newSecond: Expression, newThird: Expression): LshBandKeys =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** `graft_minhash_md5(shingles, k)`: the k-component md5-permutation
+  * MinHash signature (array of lowercase hex strings) in one pass —
+  * codegen replacement for
+  * `transform(sequence(0,k-1), i -> array_min(transform(sh, s -> md5(concat(i, ' ', s)))))`.
+  *
+  * The HOF form evaluates interpreted, allocating a concat + an md5 +
+  * a 32-char hex string per (component, shingle); this kernel digests
+  * `"i " + shingle` bytes directly, keeps the per-component minimum as
+  * a 16-byte digest (unsigned byte order == lowercase-hex lexicographic
+  * order, since '0'..'9' < 'a'..'f' and hex position maps to nibble),
+  * and hexes only the k winners. Bit-identical to the HOF (parity
+  * spec). Null elements are skipped (md5 of a null concat is NULL and
+  * array_min ignores it); an empty array — or all-null elements —
+  * yields all-null components; a NULL array yields NULL here, completed
+  * to the all-null-component array by the operator's coalesce.
+  */
+case class Md5MinhashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val shOk = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    val kOk = right.foldable && right.dataType == IntegerType &&
+      (right.eval() match {
+        case i: java.lang.Integer => i >= 1
+        case _ => false
+      })
+    if (shOk && kOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, positive int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_minhash_md5"
+
+  @transient private lazy val k: Int =
+    right.eval().asInstanceOf[java.lang.Integer].intValue()
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(i => s"$i ".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+  // MessageDigest is stateful and this expression object is shared
+  // across task threads via addReferenceObj — one digest per thread
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(shRaw: Any): ArrayData = {
+    val arr = shRaw.asInstanceOf[ArrayData]
+    val mins = new Array[Array[Byte]](k)
+    val md = digests.get()
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val sBytes = arr.getUTF8String(j).getBytes
+        var i = 0
+        while (i < k) {
+          md.reset()
+          md.update(prefixes(i))
+          md.update(sBytes)
+          val d = md.digest()
+          if (mins(i) == null ||
+              java.util.Arrays.compareUnsigned(d, mins(i)) < 0) mins(i) = d
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      if (mins(i) != null) {
+        val hex = new Array[Byte](32)
+        val digits = "0123456789abcdef".getBytes
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = digits((mins(i)(b) >> 4) & 0xf)
+          hex(2 * b + 1) = digits(mins(i)(b) & 0xf)
+          b += 1
+        }
+        out(i) = UTF8String.fromBytes(hex)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(sh: Any, kArg: Any): Any = compute(sh)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5minhasher", this,
+      classOf[Md5MinhashSig].getName)
+    nullSafeCodeGen(ctx, ev, (sh, _) => s"${ev.value} = $ref.compute($sh);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5MinhashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_lsh_bands_md5(sig, bands, rowsPerBand)`: banded keys with the
+  * band id baked into the md5 — codegen replacement for
+  * `transform(sequence(0,bands-1), b -> md5(concat(b, '|', concat_ws(",", slice(sig, b*r+1, r)))))`.
+  * Builds the exact `b|c1,c2,...` string per band (null components
+  * skipped as concat_ws does), digests once, hexes once. NULL
+  * signatures yield NULL (callers null band keys for shingle-less docs
+  * before this runs).
+  */
+case class Md5BandKeys(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val sigOk = first.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    def posLit(e: Expression) = e.foldable && e.dataType == IntegerType &&
+      (e.eval() match {
+        case i: java.lang.Integer => i >= 1
+        case _ => false
+      })
+    if (sigOk && posLit(second) && posLit(third)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, positive int literal, " +
+        s"positive int literal), got (${first.dataType.simpleString}, " +
+        s"${second.sql}, ${third.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_lsh_bands_md5"
+
+  @transient private lazy val bands: Int =
+    second.eval().asInstanceOf[java.lang.Integer].intValue()
+  @transient private lazy val rowsPerBand: Int =
+    third.eval().asInstanceOf[java.lang.Integer].intValue()
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(sigRaw: Any): ArrayData = {
+    val sig = sigRaw.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val md = digests.get()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 33 + 8)
+    val digits = "0123456789abcdef".getBytes
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      sb.append(b).append('|')
+      var first0 = true
+      var r = 0
+      while (r < rowsPerBand) {
+        val idx = b * rowsPerBand + r
+        if (idx < n && !sig.isNullAt(idx)) {
+          if (!first0) sb.append(',')
+          sb.append(sig.getUTF8String(idx).toString)
+          first0 = false
+        }
+        r += 1
+      }
+      md.reset()
+      md.update(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = digits((d(i) >> 4) & 0xf)
+        hex(2 * i + 1) = digits(d(i) & 0xf)
+        i += 1
+      }
+      out(b) = UTF8String.fromBytes(hex)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(sig: Any, bandsArg: Any,
+      rArg: Any): Any = compute(sig)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5bander", this,
+      classOf[Md5BandKeys].getName)
+    nullSafeCodeGen(ctx, ev, (sig, _, _) => s"${ev.value} = $ref.compute($sig);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Md5BandKeys =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -301,6 +301,10 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1))),
     "graft_lsh_bands" ->
       ((exprs: Seq[Expression]) => LshBandKeys(exprs(0), exprs(1), exprs(2))),
+    "graft_minhash_md5" ->
+      ((exprs: Seq[Expression]) => Md5MinhashSig(exprs(0), exprs(1))),
+    "graft_lsh_bands_md5" ->
+      ((exprs: Seq[Expression]) => Md5BandKeys(exprs(0), exprs(1), exprs(2))),
     "graft_winnow" ->
       ((exprs: Seq[Expression]) => WinnowSelect(exprs(0), exprs(1))),
     "graft_cms_atleast" ->

@@ -467,6 +467,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nullSig === Seq.fill(4)(Long.MaxValue))
   }
 
+  test("graft_minhash_md5 / graft_lsh_bands_md5 kernels match the HOF forms") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val k = 8; val bands = 4
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)), Gen.const("a b c"), Gen.const("")))
+    val generated = Gen.listOfN(200, strGen).sample.getOrElse(Nil)
+      .map(_.toArray)
+    val directed: Seq[Array[String]] = Seq(
+      Array.empty[String], Array("x"), Array("dup", "dup"),
+      Array("", ""), Array("north star", null, "south star"),
+      Array("北京 city", "emoji 😀"))
+    val df = (directed ++ generated).toDF("sh")
+    val hofSig = transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(col("sh"),
+        s => md5(concat(i.cast("string"), lit(" "), s)))))
+    val bad = df
+      .withColumn("ksig",
+        graft.operators.Dedup.minhashSignatureMd5(col("sh"), k))
+      .withColumn("hsig", hofSig)
+      .withColumn("kb",
+        graft.operators.Dedup.lshBandKeysMd5(col("ksig"), bands, k / bands))
+      .withColumn("hb", transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => md5(concat(b.cast("string"), lit("|"),
+          concat_ws(",",
+            slice(col("hsig"), b * (k / bands) + 1, lit(k / bands)))))))
+      .filter(coalesce(col("ksig") =!= col("hsig"), lit(true)) ||
+        coalesce(col("kb") =!= col("hb"), lit(true)))
+      .collect()
+    assert(bad.isEmpty, s"md5 kernel/HOF divergence: ${bad.take(3).mkString(";")}")
+    // null array completes to k null components, as the HOF form does
+    val nullSig = Seq((1L)).toDF("id")
+      .select(graft.operators.Dedup.minhashSignatureMd5(
+        lit(null).cast("array<string>"), 4).as("sig"))
+      .head.getSeq[String](0)
+    assert(nullSig === Seq(null, null, null, null))
+  }
+
   test("verbObject: imperative verb + first content object") {
     import spark.implicits._
     val rows = Seq(
