@@ -263,9 +263,21 @@ class OperatorSpec extends SparkSpec {
       "graft_bpe", "graft_bloom_agg", "graft_might_contain",
       "graft_map_sum", "graft_bigram_nll", "graft_shingles",
       "graft_cms_atleast", "graft_strip_lines", "graft_bloom_any",
-      "graft_winnow", "graft_tokens"))
+      "graft_winnow", "graft_tokens",
+      "graft_minhash", "graft_lsh_bands",
+      "graft_minhash_md5", "graft_lsh_bands_md5"))
     assert(builders("graft_tokens")(Seq(Literal.create("A b,c9")))
       .isInstanceOf[TokenizeAscii])
+    val shArr = Literal.create(Seq("a b c"), ArrayType(StringType))
+    assert(builders("graft_minhash")(Seq(shArr, Literal(8)))
+      .isInstanceOf[MinhashSig])
+    assert(builders("graft_lsh_bands")(Seq(
+      Literal.create(Seq(1L, 2L), ArrayType(LongType)), Literal(2),
+      Literal(1))).isInstanceOf[LshBandKeys])
+    assert(builders("graft_minhash_md5")(Seq(shArr, Literal(4)))
+      .isInstanceOf[Md5MinhashSig])
+    assert(builders("graft_lsh_bands_md5")(Seq(shArr, Literal(2),
+      Literal(2))).isInstanceOf[Md5BandKeys])
     assert(builders("graft_winnow")(Seq(
       Literal.create(Seq("a b c d e"), ArrayType(StringType)),
       Literal(4))).isInstanceOf[WinnowSelect])
