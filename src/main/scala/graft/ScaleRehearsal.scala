@@ -69,12 +69,14 @@ object ScaleRehearsal {
 
     val cfg = graft.operators.Curation.Config(
       maxStopRatio = 1.0, transitiveNearDups = true)
-    // scale-proportional eval slice (the q_curate_full pattern): a flat
-    // limit(50) contaminates ALL of a small base corpus (every doc
-    // shares templated shingles with some eval doc) and the curate leg
-    // then "passes" with zero survivors — vacuous; found when the 30×
-    // sf0.01 leg reported train_docs=0
-    val eval = docs0.filter(col("doc_id") % 17 === 0)
+    // eval slice: ~30 docs SPREAD across the id space, bounded in
+    // absolute size. Both naive shapes proved vacuous somewhere (the
+    // templated fixture shares shingles broadly, so decontamination
+    // scales with eval size): a flat limit(50) contaminated ALL of the
+    // sf0.01 base (train_docs=0 at 30×), and the scale-proportional
+    // %17 slice (~300 docs at sf0.1) contaminated ALL of sf0.1. The
+    // curate leg's non-vacuity gate below now guards both regressions.
+    val eval = docs0.filter(col("doc_id") % 17 === 0).limit(30)
       .select(col("doc_id"), col("text"))
 
     // plain Double interpolation (the Bench contract): an f"%.1f" render
