@@ -95,6 +95,13 @@ object Bench {
       // truncatedString frames during job gaps)
       .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.maxPlanStringLength", "1024")
+      // A/B knob, default untouched — measured r11 on the heavy subset,
+      // interleaved runs: parallelismFirst=false (coalesce tiny reduce
+      // stages to advisory size, fewer tasks) lost BOTH rounds (12.7 vs
+      // 11.1 s, 10.7 vs 9.9 s): the tiny-task overhead it saves is
+      // smaller than the parallelism it gives up. AQE's default stands.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/scheduler spin-up otherwise lands on
