@@ -675,6 +675,14 @@ object Multimodal {
       if ((bytes(i) & 0xff) != sig(i)) return None
       i += 1
     }
+    // dimension guard BEFORE decode, from the IHDR header: ImageIO.read
+    // materializes the full pixel raster, so a forged 2^30-pixel header
+    // (a classic decompression bomb — tiny payload, huge declared dims)
+    // would allocate gigabytes before any post-decode check ran. 1<<13
+    // per side (64M pixels) is far above any feature-extraction input.
+    val dims = imageDims(bytes)
+    if (!dims.exists(d => d.format == "png" && d.width > 0 && d.height > 0 &&
+        d.width <= (1 << 13) && d.height <= (1 << 13))) return None
     javax.imageio.ImageIO.setUseCache(false)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -682,7 +690,7 @@ object Multimodal {
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
-    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (w <= 0 || h <= 0 || w > (1 << 13) || h > (1 << 13)) return None
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {

@@ -276,13 +276,28 @@ object DeltaCurate {
       scala.concurrent.duration.Duration.Inf)
     scala.concurrent.Await.result(sigWrite,
       scala.concurrent.duration.Duration.Inf)
-    // the checkpoints above have run, so the observation results are in
+    // the checkpoints above have run, so the observation results are in.
+    // A MISSING key (empty metric map) means the CollectMetrics nodes
+    // were optimized out of the executed plan anyway — seen when a
+    // STATICALLY-empty input (e.g. a limit(0) local-relation bootstrap
+    // whose gate rejects every row) lets the non-adaptive optimizer
+    // collapse the observed subtree before the AQE-rule exclusion can
+    // protect it. Fail with the diagnosis instead of a bare
+    // NoSuchElementException; deliberately NOT defaulted to zero — a
+    // silent removed=0 on a removal-only month is the worse failure.
     val sm = statusObs.get
+    def metric(m: Map[String, Any], name: String): Long =
+      m.getOrElse(name, throw new IllegalStateException(
+        s"observation '$name' missing: the diff/gate metrics were " +
+          "optimized out of the executed plan (statically-empty input " +
+          "or an empty-relation rewrite upstream of CollectMetrics); " +
+          "counts are unavailable rather than silently zero"))
+        .asInstanceOf[Long]
     Result(
-      added = sm("added").asInstanceOf[Long],
-      changed = sm("changed").asInstanceOf[Long],
-      removed = sm("removed").asInstanceOf[Long],
-      gated = gatedObs.get("n").asInstanceOf[Long],
+      added = metric(sm, "added"),
+      changed = metric(sm, "changed"),
+      removed = metric(sm, "removed"),
+      gated = metric(gatedObs.get, "n"),
       survivors = survivors.drop("__fp", "__sig", "__bk", "__nd"))
   }
 

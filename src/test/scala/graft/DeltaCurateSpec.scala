@@ -95,6 +95,45 @@ class DeltaCurateSpec extends SparkSpec {
     cleanTables()
   }
 
+  test("deltaSurvivors parity holds under the text-rewrite config (dedupLines + c4)") {
+    // the r9 bug class: run() once ignored cfg.dedupLinesSep/cfg.c4 and
+    // the three curation surfaces diverged on fingerprints — pin that
+    // the dry-run applies the SAME rewrite order as run()
+    cleanTables()
+    // pages must PASS the c4 page gate (>=3 sentences after the line
+    // dedup and line filter) or the whole increment gates out — which
+    // is its own pinned edge case below, not this test's subject
+    def page(i: Int) = Seq(
+      doc(i) + " alpha.",        // three DISTINCT sentence lines
+      doc(i) + " beta.",
+      doc(i) + " gamma.",
+      doc(i) + " gamma.",        // duplicate -> dedupLines drops it
+      "javascript required").mkString("\n") // c4 line filter drops it
+    val m0 = (1 to 5).map(i => (i.toLong, page(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    val m1 = Seq(
+      (1L, page(1), "en"),           // unchanged
+      (2L, page(20), "en"),          // rewrite
+      (6L, page(1), "en"),           // exact copy of doc 1 -> index drop
+      (7L, page(7), "en")).toDF("doc_id", "text", "lang")
+    val c4cfg = cfg.copy(c4 = true, dedupLinesSep = Some("\n"))
+    DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", c4cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    val tableIds = DeltaCurate.run(m0, m1, "doc_id", "text", "lang", c4cfg,
+        "dc_fp", "dc_sig", buckets = 4)
+      .survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (fpIdx, sigIdx) = DeltaCurate.indexFrames(
+      m0, "doc_id", "text", "lang", c4cfg)
+    val dryIds = DeltaCurate.deltaSurvivors(m0, m1,
+        "doc_id", "text", "lang", c4cfg, Some(fpIdx), Some(sigIdx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dryIds === tableIds)
+    // the exact-copy doc must actually be exercising the rewritten-text
+    // fingerprint path (doc 6 drops against doc 1's indexed fingerprint)
+    assert(!dryIds.contains(6L))
+    cleanTables()
+  }
+
   test("compaction: month 3 behaves identically, index shrinks, dead versions are forgotten") {
     val tablesA = ("dcc_fp_a", "dcc_sig_a") // never compacted
     val tablesB = ("dcc_fp_b", "dcc_sig_b") // compacted after month 1

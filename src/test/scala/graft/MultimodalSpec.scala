@@ -342,6 +342,13 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pngPixels("not a png".getBytes).isEmpty)
     assert(Multimodal.pngPixels(bytes.take(20)).isEmpty)
     assert(Multimodal.pngPixels(null).isEmpty)
+    // decompression-bomb guard: a forged IHDR declaring 2^20 × 2^20 is
+    // rejected FROM THE HEADER, before ImageIO materializes any raster
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val bomb = hx("89504E470D0A1A0A" + "0000000D49484452" +
+      "00100000" + "00100000" + "0802000000")
+    assert(Multimodal.pngPixels(bomb).isEmpty)
   }
 
   test("PNG and BMP encodings of the same gray image dHash identically") {
