@@ -417,7 +417,13 @@ object DeltaCurate {
       case Some(idx) =>
         // the run() candidate shape: semi-join the index to the delta's
         // band keys first, cap degenerate keys over the MATCHED scan
-        // (identical counts — a key's matched rows are all its rows)
+        // (identical counts — a key's matched rows are all its rows).
+        // Deliberately NOT persisted here, unlike run(): this builder is
+        // LAZY (no internal action to anchor an unpersist against — a
+        // persist would outlive the call, the joinSkewReport leak
+        // class), and the index side is an [[indexFrames]]-style narrow
+        // frame over checkpoint blocks, so the two consumers (cap agg +
+        // candidate join) pay two cheap block scans, not two re-fits.
         val deltaKeys = base
           .select(explode(col("__bk")).as("key")).distinct()
         val matched = idx.join(deltaKeys, Seq("key"), "left_semi")
