@@ -358,7 +358,10 @@ object DeltaCurate {
     * bootstrap index base inside [[indexFrames]], the sketched delta
     * here) plus the caller's action. The produce path — bucketed
     * index-table writes, crash-window swap — is [[run]]'s job and is
-    * measured separately (q_delta_index_write).
+    * measured separately (q_delta_index_write). Splitting the consume
+    * query from the produce step mirrors the reference's monthly chain,
+    * where each stage's artifact hand-off is its own measured unit
+    * (monthly_batch_emr.sh:84,101).
     *
     * `fpIndex` is a (fp) frame, `sigIndex` a (key, id, sig) frame —
     * [[indexFrames]] shapes, or narrow selects of the persisted tables.
