@@ -392,7 +392,9 @@ object Curation {
       // partition; over checkpoint blocks AQE coalesces the tiny frame
       // first and the agg builds ~one partial) and the combined Bloom +
       // broadcast-size-guard agg over it. The exact-verify broadcast
-      // below reads the same blocks.
+      // below reads the same blocks. (r11 A/B: dropping this checkpoint
+      // for a coalesce(1) agg + recomputed broadcast subtree measured
+      // 1.9-2.4 s vs 1.7-2.3 s — no gain, worse eval-reuse posture.)
       scala.concurrent.Future {
         val evalShingles = Similarity.spreadIfNarrow(ev)
           .select(explode(
