@@ -104,6 +104,10 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ADVICE r11: register graft functions at session bootstrap so a
+    // Column built while another (or no) session was active still
+    // resolves the graft_* kernels when analyzed against THIS session
+    graft.plans.GraftFunctions.register(spark)
     // Untimed warmup: JIT/codegen/scheduler spin-up otherwise lands on
     // whichever query happens to run first and distorts its number.
     graft.sources.Tables.names.foreach { t =>

@@ -21,6 +21,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // ADVICE r11: register graft functions at session bootstrap so a
+    // Column built while another (or no) session was active still
+    // resolves the graft_* kernels when analyzed against THIS session
+    graft.plans.GraftFunctions.register(spark)
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(names.contains).toMap

@@ -42,6 +42,10 @@ object JobProfile {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ADVICE r11: register graft functions at session bootstrap so a
+    // Column built while another (or no) session was active still
+    // resolves the graft_* kernels when analyzed against THIS session
+    graft.plans.GraftFunctions.register(spark)
     val q = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name"))
 

@@ -43,6 +43,10 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ADVICE r11: register graft functions at session bootstrap so a
+    // Column built while another (or no) session was active still
+    // resolves the graft_* kernels when analyzed against THIS session
+    graft.plans.GraftFunctions.register(spark)
 
     val docs0 = graft.sources.Tables.table(spark, sfDir, "documents")
     val blown = (0 until blowup).map { k =>
@@ -76,7 +80,13 @@ object ScaleRehearsal {
     // sf0.01 base (train_docs=0 at 30×), and the scale-proportional
     // %17 slice (~300 docs at sf0.1) contaminated ALL of sf0.1. The
     // curate leg's non-vacuity gate below now guards both regressions.
-    val eval = docs0.filter(col("doc_id") % 17 === 0).limit(30)
+    // orderBy before the limit (ADVICE r11): an unordered limit(30) picks
+    // whatever 30 rows the scan delivers first, so the decontamination
+    // input — and hence survivor counts — could drift across runs or
+    // partitionings of the same fixture; TakeOrderedAndProject keeps the
+    // slice cheap and reproducible
+    val eval = docs0.filter(col("doc_id") % 17 === 0)
+      .orderBy(col("doc_id")).limit(30)
       .select(col("doc_id"), col("text"))
 
     // plain Double interpolation (the Bench contract): an f"%.1f" render

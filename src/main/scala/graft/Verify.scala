@@ -24,6 +24,10 @@ object Verify {
       .config("spark.sql.maxPlanStringLength", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ADVICE r11: register graft functions at session bootstrap so a
+    // Column built while another (or no) session was active still
+    // resolves the graft_* kernels when analyzed against THIS session
+    graft.plans.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }

@@ -324,7 +324,18 @@ object Curation {
 
   /** Full pipeline → (train, test): quality → eval-set decontamination
     * (when an eval set is supplied) → exact dedup → near-dup dedup →
-    * deterministic split. Semantics are stage-identical to composing
+    * deterministic split.
+    *
+    * PRECONDITION: `idCol` must be unique across `docs` (ADVICE r11).
+    * Keeper resolution is id-keyed — the survivor-ID set joins back to
+    * base rows by id — so a duplicated id makes "which copy survives"
+    * ill-defined: a non-keeper row sharing an id with a keeper of a
+    * DIFFERENT fingerprint would be resurrected, and duplicate survivor
+    * ids would multiply matched rows. The reference corpus guarantees
+    * unique record ids (each DPLA item id appears once per snapshot), as
+    * do all fixture tables; callers feeding synthetic frames must dedup
+    * ids first (`dropExactDups` on the id itself, or monotonically minted
+    * ids). Semantics are stage-identical to composing
     * [[qualityFilter]] → [[decontaminate]]-drop → [[dropExactDups]] →
     * [[dropNearDups]]/[[dropNearDupClusters]] → trainTestSplit (the
     * q_curate_full oracle replays exactly that composition in SQL), but
@@ -516,6 +527,9 @@ object Curation {
     // old window shape paid, just moved after the filters. The split
     // halves each re-run only that join over checkpoint blocks; the LSH
     // pipeline behind `losers` runs exactly once, inside this job.
+    // relies on the idCol-uniqueness precondition (scaladoc): keepers has
+    // one row per fingerprint, so survivor ids are distinct iff ids are —
+    // no defensive .distinct() exchange on the hot path
     val survivorIds = keepers.select(col(idCol))
       .join(losers, Seq(idCol), "left_anti")
       .localCheckpoint()

@@ -43,6 +43,10 @@ object Mains {
         .filter(s => !s.sparkContext.isStopped))
       .isDefined
     val spark = SparkSession.builder().appName(appName).getOrCreate()
+    // ADVICE r11: register graft functions at session bootstrap so a
+    // Column built while another (or no) session was active still
+    // resolves the graft_* kernels when analyzed against this session
+    graft.plans.GraftFunctions.register(spark)
     try body(spark)
     finally if (!preExisting) spark.stop()
   }

@@ -117,9 +117,17 @@ object Tables {
       // them eagerly instead
       val it = dfCache.values().iterator()
       while (it.hasNext) {
-        val vit = it.next().values().iterator()
-        if (vit.hasNext && vit.next().sparkSession.sparkContext.isStopped)
-          it.remove()
+        // peek under the INNER map's monitor (ADVICE r11): concurrent
+        // `table` callers mutate these LinkedHashMaps — structurally and
+        // on get() via accessOrder — under each map's own lock, so an
+        // unsynchronized values() walk here can throw
+        // ConcurrentModificationException or read torn state
+        val m = it.next()
+        val dead = m.synchronized {
+          val vit = m.values().iterator()
+          vit.hasNext && vit.next().sparkSession.sparkContext.isStopped
+        }
+        if (dead) it.remove()
       }
       var m = dfCache.get(key)
       if (m == null) {

@@ -38,7 +38,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
@@ -55,4 +56,10 @@ object SparkSpec {
     .config("spark.sql.warehouse.dir",
       new java.io.File("target/test-warehouse").getAbsolutePath)
     .getOrCreate()
+    // ADVICE r11: register graft functions at session bootstrap so a
+    // Column built while another (or no) session was active still
+    // resolves the graft_* kernels when analyzed against this session
+    graft.plans.GraftFunctions.register(s)
+    s
+  }
 }

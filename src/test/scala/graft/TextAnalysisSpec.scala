@@ -507,6 +507,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nullSig === Seq(null, null, null, null))
   }
 
+  test("kernel columns resolve on a bootstrap-registered session even when " +
+      "built while another session was active (ADVICE r11)") {
+    // a fresh newSession() has an ISOLATED function registry; every graft
+    // session builder now registers at bootstrap, so analysis never
+    // depends on which session was active when the Column was built
+    val fresh = spark.newSession()
+    graft.plans.GraftFunctions.register(fresh)
+    // construct the kernel column with the ORIGINAL session active: the
+    // dispatch's getActiveSession registers on `spark`, NOT on `fresh`
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val sig = graft.operators.Dedup.minhashSignatureMd5(col("sh"), 4)
+    try {
+      val out = fresh.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(Seq("a b c", "b c d"))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("sh",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType)))))
+        .select(sig.as("sig"))
+        .head.getSeq[String](0)
+      assert(out.size === 4 && out.forall(_ != null))
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("verbObject: imperative verb + first content object") {
     import spark.implicits._
     val rows = Seq(
