@@ -457,44 +457,47 @@ object Dedup {
     * `maxBucketSize` drops degenerate buckets before the pair expansion —
     * the standard guard that keeps worst-case skew from going quadratic.
     *
-    * Pair expansion is a self equi-join on (band, key) rather than a
-    * collect_list + nested-lambda explosion: the join produces pair rows
-    * in whole-stage codegen (HOF lambdas evaluate interpreted — measured
-    * ~3× slower at ~10M candidates), never materializes a bucket's whole
-    * id list as one array value, and the size cap rides the same shuffle
-    * as a count aggregate instead of a second pass.
-    *
-    * Cache lifecycle: the bucket/bounded frames stay persisted after
-    * return — the result is lazy, so unpersisting here would defeat the
-    * point. Long-running sessions interleaving many workloads should
-    * `spark.catalog.clearCache()` between them (Bench does); a one-shot
-    * pipeline can ignore this — executor eviction handles pressure.
+    * Shape (round 12): ONE bounded-collect aggregate + an in-task codegen
+    * pair generator + the cross-band distinct — two exchanges total, zero
+    * persists. The pre-round-12 shape (count aggregate → broadcast cap
+    * join → bucket self-join → distinct, with the bucket stream persisted
+    * twice so its three consumers didn't re-run the upstream sketch) paid
+    * three passes over the bucket rows and two cache materializations for
+    * the same pair set. `graft_collect_capped` keeps at most cap+1 ids
+    * per group on BOTH update and merge — a degenerate bucket (every
+    * empty doc, a boilerplate shingle) costs 8·(cap+1) bytes per task
+    * buffer, never an unbounded collect_list, and evaluates to NULL as
+    * the overflow marker; `graft_bucket_pairs` expands the surviving
+    * (sorted, exhaustive) member arrays in two tight long-loops — a
+    * nested interpreted-HOF expansion measured ~3× slower at ~10M
+    * candidates when this shape was first considered. Upstream
+    * signature/sketch compute is consumed exactly ONCE (the aggregate's
+    * map side), so nothing needs caching.
     */
   def lshCandidatePairs(
       minhashedDf: DataFrame,
       idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
-    // persisted: the cap count and both join sides read these rows, and
-    // recomputing them would re-run the upstream signature/sketch three
-    // times; (id, band, key) is ~24 bytes/row, the cheapest thing here
-    val buckets = minhashedDf
+    val spark = minhashedDf.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    minhashedDf
       .select(col(idCol), posexplode(col("band_keys")).as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = buckets
       .groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn").between(2, maxBucketSize))
-      .select(col("band"), col("key"))
-    // bounded is ALSO persisted: both pair-join sides read it, and without
-    // the cache the cap aggregate + join would re-run per side (the
-    // buckets cache above only protects the upstream signature compute)
-    val bounded = buckets.join(kept, Seq("band", "key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bounded.select(col("band"), col("key"), col(idCol).as("id_a"))
-      .join(bounded.select(col("band"), col("key"), col(idCol).as("id_b")),
-        Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .agg(call_function("graft_collect_capped",
+        col(idCol), lit(maxBucketSize)).as("__ids"))
+      // NULL = overflow (> maxBucketSize members), size 1 = no partner
+      .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
+      // spread BEFORE expanding: AQE sizes the post-agg stage by the
+      // shuffled array bytes, but the generator multiplies output by up
+      // to n/2 per row — dense-bucket workloads (the 4-bit embedding
+      // tables) otherwise collapse into ONE 1.1 s task (measured). The
+      // exchange carries one capped id-array row per bucket — strictly
+      // fewer bytes than the old shape's second bucket-stream shuffle.
+      .repartition(spark.sparkContext.defaultParallelism)
+      // streaming generator, not explode(graft_bucket_pairs(...)): a
+      // materialized expansion of a cap-sized bucket is ~n²/2 row objects
+      // in one task (gigabytes at maxBucketSize 10000)
+      .select(call_function("graft_pair_gen", col("__ids")))
       .distinct()
   }
 

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
@@ -861,4 +862,65 @@ case class Md5BandKeys(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Md5BandKeys =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_pair_gen(ids)`: streaming in-bucket pair generator — emits
+  * (id_a, id_b) rows for all i < j over a SORTED member-id array via a
+  * LAZY iterator, never materializing the n·(n−1)/2 pair array.
+  *
+  * Why a Generator and not explode(pairs-array kernel): a capped LSH bucket
+  * can legally hold `maxBucketSize` members (10 000 on the embedding
+  * path), and the materialized expansion is then ~50M row objects —
+  * gigabytes of transient allocation in one task. The generator yields
+  * one reused-then-copied row at a time; downstream operators (the
+  * cross-band distinct's partial hash agg) consume each row before the
+  * next exists. Interpreted eval runs once per BUCKET (not per pair), so
+  * CodegenFallback costs nothing measurable; the pair loop itself is two
+  * long-indexed reads per row.
+  */
+case class PairsGenerator(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false)))
+  override def prettyName: String = "graft_pair_gen"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) Iterator.empty
+    else {
+      val ids = raw.asInstanceOf[ArrayData]
+      val n = ids.numElements()
+      if (n < 2) Iterator.empty
+      else new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        private var a = ids.getLong(0)
+        override def hasNext: Boolean = i < n - 1
+        override def next(): InternalRow = {
+          // fresh row per pair: GenerateExec's consumer may hold a
+          // reference across next() (the joined-output projection), so a
+          // shared mutable buffer would corrupt emitted pairs
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](a, ids.getLong(j)))
+          j += 1
+          if (j == n) { i += 1; j = i + 1; if (i < n - 1) a = ids.getLong(i) }
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PairsGenerator =
+    copy(child = newChild)
 }

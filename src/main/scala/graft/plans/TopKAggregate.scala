@@ -124,3 +124,95 @@ case class TopKByScore(
     copy(idExpr = newChildren(0), scoreExpr = newChildren(1),
       kExpr = newChildren(2))
 }
+
+/** Bounded per-group id collect for capped LSH buckets: gathers member ids
+  * up to cap+1, emits the SORTED array when the group fits (size ≤ cap)
+  * and NULL when it overflows.
+  *
+  * Why (Dedup.lshCandidatePairs): the count-then-join cap shape paid a
+  * count aggregate, a broadcast cap join, a bucket self-join, and two
+  * persists — three passes over the bucket stream — to produce in-bucket
+  * pairs. Collecting the ids directly needs ONE exchange and the pair
+  * expansion becomes a narrow in-task generator. The buffer is bounded at
+  * cap+1 on BOTH update and merge, so a degenerate bucket (every empty
+  * doc, a boilerplate shingle) costs 8·(cap+1) bytes per task, never an
+  * unbounded collect_list — the reason Spark's own collect_list cannot be
+  * used here at 100 TB. Ids within a (band, key) group are distinct by
+  * construction (one band key per band per doc), so no dedup pass is
+  * needed and `size ≤ cap` means the array is exhaustive for the bucket.
+  */
+case class CollectCapped(
+    idExpr: Expression,
+    capExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.ArrayBuffer[Long]] {
+
+  private lazy val cap: Int = capExpr match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_collect_capped cap must be an integer literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = capExpr match {
+    case Literal(v: Int, IntegerType) if v > 0 => idExpr.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_collect_capped requires a bigint id, got ${t.simpleString}")
+    }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_collect_capped cap must be a positive integer literal, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(idExpr, capExpr)
+  override def prettyName: String = "graft_collect_capped"
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Long] =
+    mutable.ArrayBuffer.empty[Long]
+
+  override def update(
+      buf: mutable.ArrayBuffer[Long],
+      input: InternalRow): mutable.ArrayBuffer[Long] = {
+    val idV = idExpr.eval(input)
+    // size cap+1 IS the overflow marker; past it nothing more is kept
+    if (idV != null && buf.size <= cap) buf += idV.asInstanceOf[Long]
+    buf
+  }
+
+  override def merge(
+      b1: mutable.ArrayBuffer[Long],
+      b2: mutable.ArrayBuffer[Long]): mutable.ArrayBuffer[Long] = {
+    val it = b2.iterator
+    while (it.hasNext && b1.size <= cap) b1 += it.next()
+    b1
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[Long]): Any =
+    if (buf.size > cap) null
+    else new GenericArrayData(buf.sorted.toArray)
+
+  override def serialize(buf: mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf += bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectCapped =
+    copy(idExpr = newChildren(0), capExpr = newChildren(1))
+}

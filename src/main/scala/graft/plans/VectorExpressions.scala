@@ -287,6 +287,11 @@ object GraftFunctions {
     "graft_topk" ->
       ((exprs: Seq[Expression]) =>
         TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()),
+    "graft_collect_capped" ->
+      ((exprs: Seq[Expression]) =>
+        CollectCapped(exprs(0), exprs(1)).toAggregateExpression()),
+    "graft_pair_gen" ->
+      ((exprs: Seq[Expression]) => PairsGenerator(exprs(0))),
     "graft_lsh_bucket" ->
       ((exprs: Seq[Expression]) => HyperplaneSketch(exprs(0), exprs(1))),
     "graft_bpe" ->

@@ -167,6 +167,49 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.lshCandidatePairs(m, "doc_id").count() === 0)
   }
 
+  test("lshCandidatePairs: capped buckets, cross-band dedup, exact in-bucket pairs") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("band_keys", ArrayType(LongType))))
+    // band identity is (position, key): ids 1-3 share band-0 key 10
+    // (pairs (1,2),(1,3),(2,3)); ids 2,3 ALSO share band-1 key 77 — the
+    // duplicate (2,3) must collapse in the cross-band distinct; ids 4-9
+    // share band-0 key 55, a 6-member bucket that exceeds cap 5 and must
+    // contribute NOTHING (their band-1 keys are singletons)
+    val rows = Seq(
+      Row(1L, Seq(10L, 99L)), Row(2L, Seq(10L, 77L)), Row(3L, Seq(10L, 77L))) ++
+      (4L to 9L).map(i => Row(i, Seq(55L, 100L + i)))
+    val d = df(schema, rows: _*).repartition(3) // partial buffers must merge
+    val pairs = Dedup.lshCandidatePairs(d, "id", maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("graft_collect_capped + graft_pair_gen expression semantics") {
+    graft.plans.GraftFunctions.register(spark)
+    val schema = StructType(Seq(StructField("g", LongType),
+      StructField("id", LongType)))
+    // group 1: 3 ids delivered unsorted across partitions → SORTED array;
+    // group 2: 4 ids > cap 3 → NULL overflow marker
+    val d = df(schema,
+      Row(1L, 30L), Row(1L, 10L), Row(1L, 20L),
+      Row(2L, 1L), Row(2L, 2L), Row(2L, 3L), Row(2L, 4L))
+      .repartition(4)
+    val got = d.groupBy(col("g"))
+      .agg(expr("graft_collect_capped(id, 3)").as("ids"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(got(1L) === Some(Seq(10L, 20L, 30L)))
+    assert(got(2L) === None)
+    // generator: i<j pairs of a sorted array; null and size<2 emit nothing
+    val arrSchema = StructType(Seq(
+      StructField("ids", ArrayType(LongType, containsNull = false))))
+    val pairs = df(arrSchema, Row(Seq(1L, 2L, 3L)))
+      .select(expr("graft_pair_gen(ids)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(df(arrSchema, Row(null), Row(Seq(7L)), Row(Seq.empty[Long]))
+      .select(expr("graft_pair_gen(ids)")).count() === 0)
+  }
+
   // ---------------- As-of join ----------------
 
   test("asOf picks latest right row at-or-before each left row") {
@@ -265,7 +308,8 @@ class OperatorSpec extends SparkSpec {
       "graft_cms_atleast", "graft_strip_lines", "graft_bloom_any",
       "graft_winnow", "graft_tokens",
       "graft_minhash", "graft_lsh_bands",
-      "graft_minhash_md5", "graft_lsh_bands_md5"))
+      "graft_minhash_md5", "graft_lsh_bands_md5",
+      "graft_collect_capped", "graft_pair_gen"))
     assert(builders("graft_tokens")(Seq(Literal.create("A b,c9")))
       .isInstanceOf[TokenizeAscii])
     val shArr = Literal.create(Seq("a b c"), ArrayType(StringType))

@@ -160,6 +160,26 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("lshCandidatePairs plan: one bounded-collect agg, no bucket self-join") {
+    // gated on the operator directly (the registry consumers run the pair
+    // stage inside eager CC/checkpoint actions, so their RETURNED plan
+    // doesn't show it). Round-12 shape: bounded collect + streaming
+    // graft_pair_gen generator — the old count→cap-join→self-join chain
+    // (two persists, three passes over the bucket stream) must not return
+    val docs = graft.sources.Tables.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val p = graft.operators.Dedup
+      .lshCandidatePairs(
+        graft.operators.Dedup.minhashed(docs, "text", "doc_id"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_collect_capped"), p.take(800))
+    assert(p.contains("graft_pair_gen"), p.take(800))
+    assert(!p.contains("InMemoryTableScan"), "pair stage must not persist")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pair stage must not join")
+  }
+
   test("q_ann_ivf_md5: per-row cell math, broadcast cap, equi-join probing") {
     val p = plan("q_ann_ivf_md5")
     // the sorted (sim6, cell) array re-evaluates per INPUT row in each
