@@ -396,28 +396,40 @@ object Curation {
     // measured ~0.4 s off the sf0.1 wall clock). The require and every
     // downstream consumer stay on the caller's thread.
     val guardF = evalSet.map { ev =>
-      // BOTH eval-side jobs live on the future thread: the eager
-      // checkpoint (so the shingle set materializes once as blocks —
-      // a lazy persist kept the distinct's 32 shuffle partitions alive
-      // into the Bloom agg, allocating a 1 MB partial Bloom buffer per
-      // partition; over checkpoint blocks AQE coalesces the tiny frame
-      // first and the agg builds ~one partial) and the combined Bloom +
-      // broadcast-size-guard agg over it. The exact-verify broadcast
-      // below reads the same blocks. (r11 A/B: dropping this checkpoint
-      // for a coalesce(1) agg + recomputed broadcast subtree measured
-      // 1.9-2.4 s vs 1.7-2.3 s — no gain, worse eval-reuse posture.)
+      // ONE eval-side job on the future thread (round 12, verdict r11
+      // item 1 — cut the action floor): the Bloom filter and the
+      // broadcast-size guard ride the shingle-set checkpoint as observe
+      // metrics instead of a second standalone agg action over the
+      // checkpointed blocks (the DeltaCurate diff-count pattern). The
+      // exact-verify broadcast below reads the same blocks. The eager
+      // checkpoint itself stays: a lazy persist kept the distinct's 32
+      // shuffle partitions alive into downstream consumers, and the r11
+      // A/B (coalesce(1) agg + recomputed broadcast subtree) measured
+      // 1.9-2.4 s vs 1.7-2.3 s — no gain, worse eval-reuse posture.
       scala.concurrent.Future {
+        val obs = org.apache.spark.sql.Observation()
         val evalShingles = Similarity.spreadIfNarrow(ev)
           .select(explode(
             TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
             .as("sh"))
           .distinct()
+          .observe(obs,
+            expr(s"graft_bloom_agg(xxhash64(sh), 1000000L, " +
+              s"${8L * 1000000L}L)").as("__bf"),
+            count(lit(1)).as("__n"))
           .localCheckpoint()
-        val guard = evalShingles
-          .select(xxhash64(col("sh")).as("__h"))
-          .agg(expr(s"graft_bloom_agg(__h, 1000000L, ${8L * 1000000L}L)")
-            .as("__bf"), count(lit(1)).as("__n")).head()
-        (evalShingles, guard)
+        // the checkpoint action has run, so the metrics are in. A MISSING
+        // key means an empty-relation rewrite cut the CollectMetrics node
+        // out of the executed plan — possible ONLY when the eval shingle
+        // set is genuinely empty, which is exactly the nothing-to-verify
+        // case the null-Bloom branch below already handles; an empty map
+        // here is therefore a correct "empty eval", never a silent wrong
+        // default (contrast DeltaCurate, where a missing removed-count
+        // must fail).
+        val m = obs.get
+        (evalShingles,
+          m.get("__bf").orNull.asInstanceOf[Array[Byte]],
+          m.get("__n").map(_.asInstanceOf[Long]).getOrElse(0L))
       }(scala.concurrent.ExecutionContext.global)
     }
     // Job 1: gate + shingles + fingerprint in one pass, materialized
@@ -435,14 +447,13 @@ object Curation {
       .localCheckpoint()
     val decontaminated = guardF match {
       case Some(fut) =>
-        val (evalShingles, guard) = scala.concurrent.Await.result(
-          fut, scala.concurrent.duration.Duration.Inf)
-        require(guard.getLong(1) <= MaxEvalShingles,
-          s"curate eval set explodes to ${guard.getLong(1)} distinct " +
+        val (evalShingles, bf, nEvalShingles) = scala.concurrent.Await
+          .result(fut, scala.concurrent.duration.Duration.Inf)
+        require(nEvalShingles <= MaxEvalShingles,
+          s"curate eval set explodes to $nEvalShingles distinct " +
             s"shingles (> $MaxEvalShingles) — the exact verify broadcasts " +
             "this side entirely; decontaminate in chunks or pre-filter " +
             "the eval set")
-        val bf = guard.getAs[Array[Byte]]("__bf")
         if (bf == null) base // empty eval set: nothing can be contaminated
         else {
           // two stages: a DOCUMENT-level codegen Bloom scan
@@ -471,7 +482,7 @@ object Curation {
           // below is correct either way; past capacity we just skip the
           // saturated prefilter.
           val probed =
-            if (guard.getLong(1) <= CurateBloomCapacity)
+            if (nEvalShingles <= CurateBloomCapacity)
               base.filter(
                 call_function("graft_bloom_any", lit(bf), col("__sh")))
             else base
@@ -529,7 +540,13 @@ object Curation {
     // pipeline behind `losers` runs exactly once, inside this job.
     // relies on the idCol-uniqueness precondition (scaladoc): keepers has
     // one row per fingerprint, so survivor ids are distinct iff ids are —
-    // no defensive .distinct() exchange on the hot path
+    // no defensive .distinct() exchange on the hot path.
+    // r12 A/B (the r11 verdict's unexplored base-side pair): dropping THIS
+    // checkpoint and letting the final action's two split halves share the
+    // LSH subtree via AQE exchange reuse measured 1.81-1.91 s vs
+    // 1.40-1.85 s with it, interleaved same-sitting — reuse does not
+    // reliably dedupe the pair pipeline across the union halves, so the
+    // tiny id-set materialization stays.
     val survivorIds = keepers.select(col(idCol))
       .join(losers, Seq(idCol), "left_anti")
       .localCheckpoint()
