@@ -544,7 +544,10 @@ object Similarity {
     // boundary (argmax element, generator input, group key) — never per
     // candidate pair. Re-evaluating the subtree three times inside one
     // job is cheaper than a checkpoint materialization job + wait
-    // (profiled: 1.8 s → 1.1 s at sf0.1).
+    // (profiled: 1.8 s → 1.1 s at sf0.1). r12 re-A/B on the narrower
+    // (id, __v) frame alone: 1.35 s with the checkpoint vs 1.31 s
+    // without, same sitting — still no gain; the triple single-file
+    // scan is cheap and fully overlapped by AQE's independent stages.
     val base = e.withColumn("__cells", array_sort(array(scored: _*)))
     val assigned = base.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
       element_at(col("__cells"), 1).getField("c").as("cell"))
@@ -556,15 +559,17 @@ object Similarity {
     val probes = base.select(col(idCol).as("q_id"), col("__v").as("q_vec"),
       explode(slice(col("__cells"), 1, nProbe)).as("p"))
       .select(col("q_id"), col("q_vec"), col("p").getField("c").as("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim4").desc, col("n_id"))
-    probes.join(corpus, Seq("cell"))
+    // graft_topk, not a row_number window (round 12): the heap aggregate
+    // elects (sim4 DESC, n_id ASC) — bit-identical to the window since
+    // each n_id appears at most once per q_id (a point lives in exactly
+    // one cell) — and the post-scoring exchange carries O(queries × k)
+    // rows instead of sorting the full candidate stream per partition
+    val verified = probes.join(corpus, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(call_function("graft_cosine", col("q_vec"), col("n_vec")), 4)
           .as("sim4"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKPerQuery(verified, k)
   }
 
   def annLshMd5(
@@ -593,14 +598,14 @@ object Similarity {
       col("__v").as("q_vec"))
     val c = bounded.select(col("__bucket"), col(idCol).as("n_id"),
       col("__v").as("n_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim4").desc, col("n_id"))
-    a.join(c, Seq("__bucket"))
+    // graft_topk, not a row_number window — see annIvfMd5: identical
+    // election (sim4 DESC, n_id ASC; n_id unique per q_id — one bucket
+    // per vector), O(queries × k) exchange instead of a full pair sort
+    val scored = a.join(c, Seq("__bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(expr("graft_cosine(q_vec, n_vec)"), 4).as("sim4"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Approximate top-k: score only same-bucket pairs. Degenerate buckets
