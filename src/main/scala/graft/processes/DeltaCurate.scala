@@ -119,16 +119,40 @@ object DeltaCurate {
     // rows are still counted; DeltaCurateSpec pins that.)
     val statusObs = Observation()
     val gatedObs = Observation()
-    val statuses = SnapshotDiff.diff(prevSnap, newSnap, idCol, textCol)
-      .observe(statusObs,
-        count(when(col("status") === "added", 1)).as("added"),
-        count(when(col("status") === "changed", 1)).as("changed"),
-        count(when(col("status") === "removed", 1)).as("removed"))
+    // Bootstrap fast path (round 12): a STATICALLY-empty previous
+    // snapshot (the limit(0) bootstrap idiom) makes every new row an
+    // "added" by definition, so the full-outer fingerprint diff — which
+    // would otherwise run for REAL against the empty side, because
+    // AQEPropagateEmptyRelation is excluded around this action to
+    // protect the observe metrics — is skipped entirely and the status
+    // counts ride the new snapshot directly (changed/removed are
+    // identically zero). Decision-identical: diff against an empty side
+    // labels every row "added", and the added count is the new-snapshot
+    // row count either way. Runtime-empty (but not statically-empty)
+    // prev snapshots still take the diff; only the provable case skips.
+    val bootstrapEmpty = prevSnap.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
     // the delta: documents the previous snapshot did not have in this form
-    val delta0 = newSnap.join(
-      statuses.filter(col("status").isin("added", "changed"))
-        .select(col(idCol)),
-      Seq(idCol), "left_semi")
+    val delta0 =
+      if (bootstrapEmpty)
+        newSnap.observe(statusObs,
+          count(lit(1)).as("added"),
+          count(when(lit(false), 1)).as("changed"),
+          count(when(lit(false), 1)).as("removed"))
+      else {
+        val statuses = SnapshotDiff.diff(prevSnap, newSnap, idCol, textCol)
+          .observe(statusObs,
+            count(when(col("status") === "added", 1)).as("added"),
+            count(when(col("status") === "changed", 1)).as("changed"),
+            count(when(col("status") === "removed", 1)).as("removed"))
+        newSnap.join(
+          statuses.filter(col("status").isin("added", "changed"))
+            .select(col(idCol)),
+          Seq(idCol), "left_semi")
+      }
     // the SAME text-rewrite order as batch curate and streaming ingest
     // (round-9 review finding: run previously ignored cfg.dedupLinesSep
     // and cfg.c4, so the same Config produced divergent fingerprints —
