@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleRehearsal [sfDir] [blowup] [outDir] [legs]
   * `legs` is a comma list filtering which legs run (curate, pipeline,
-  * spans, heavy, entropy, winnow, vector, events, dq, delta); default
+  * spans, heavy, entropy, winnow, vector, events, dq, delta, skew); default
   * "all". Prints one JSON line, mirroring the Bench contract.
   */
 object ScaleRehearsal {
@@ -190,13 +190,15 @@ object ScaleRehearsal {
     val eventsJson = if (on("events")) eventsLeg(spark, sfDir, blowup) else ""
     val dqJson = if (on("dq")) dqLeg(spark, docs0, blown, blowup) else ""
     val deltaJson = if (on("delta")) deltaLeg(spark, docs0, blowup, cfg) else ""
+    val skewJson = if (on("skew")) skewLeg(spark, docs0, blowup) else ""
     sampling = false
 
     println(
       s"""{"metric":"scale_rehearsal","sf":"$sfDir","blowup":$blowup,""" +
       s""""rows_in":$nIn,"peak_cache_bytes":$peakCache""" +
       curateJson + pipelineJson + spansJson + heavyJson + entropyJson +
-      winnowJson + vectorJson + eventsJson + dqJson + deltaJson + "}")
+      winnowJson + vectorJson + eventsJson + dqJson + deltaJson +
+      skewJson + "}")
     spark.stop()
   }
 
@@ -302,6 +304,94 @@ object ScaleRehearsal {
     * overflow in the micro arithmetic, or a row-dropping scan defect
     * all break the equality.
     */
+  /** Skewed-join rehearsal (round-11 verdict item 4): every other leg
+    * blows data up ~uniformly, but the reference's real join shape is a
+    * provider-keyed fact stream where ONE hub holds a disproportionate
+    * share (the `groupBy(provider)` exchanges behind MqReports.scala:
+    * 93-111 — hubs span orders of magnitude). This leg builds that
+    * shape — hub0 owns 40% of rows (`doc_id % 10 < 4`, invariant under
+    * the id shift since the blowup stride is a multiple of 10), a ~500-
+    * provider tail owns the rest — joins it to a 20-rows-per-provider
+    * dim with broadcast DISABLED (at 100 TB the dim does not broadcast;
+    * the shuffle join is the regime being rehearsed), and runs BOTH
+    * mitigation paths at 1× and N×:
+    *  - plain shuffle join under AQE's skew-join split (default on);
+    *  - [[graft.operators.SkewJoin.saltedInnerJoin]], 8 salt buckets.
+    * In-run gates (a green line IS the proof, like the other legs):
+    *  (a) both paths agree bit-exactly at N× (row count + payload sum);
+    *  (b) the salted wall stays sublinear: ≤ 0.7·N·wall(1×) + 2 s slack;
+    *  (c) `Profiling.joinSkewReport` names hub0 as the top key with
+    *      ≥30% estimated-output share — the histogram an operator would
+    *      consult BEFORE choosing to salt.
+    */
+  private def skewLeg(spark: SparkSession,
+      docs0: org.apache.spark.sql.DataFrame, blowup: Int): String = {
+    def withProvider(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      when(col("doc_id") % 10 < 4, lit("hub0"))
+        .otherwise(concat(lit("p"), (col("doc_id") % 499).cast("string")))
+        .as("provider"))
+    val left1 = withProvider(docs0.select(col("doc_id"))).localCheckpoint()
+    val leftN = withProvider((0 until blowup).map { k =>
+      docs0.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"))
+    }.reduce(_.union(_))).localCheckpoint()
+    // 20 attribute rows per provider: big enough that the join output is
+    // 20× the fact stream, small enough to checkpoint once. Derived from
+    // the N× provider space — the id shift changes the %499 tail key, so
+    // a 1×-derived dim would silently drop blown copies from the inner
+    // join (caught by the fan-out gate below); the 1× providers are the
+    // k=0 subset, so one dim serves both scales
+    val dim = leftN.select(col("provider")).distinct()
+      .select(col("provider"),
+        explode(sequence(lit(0L), lit(19L))).as("attr"))
+      // bounded payload: a raw xxhash64 sum overflows ANSI long addition
+      // over the 20×N-row join output
+      .withColumn("payload",
+        pmod(xxhash64(col("provider"), col("attr")), lit(1000000L)))
+      .localCheckpoint()
+    def agg(joined: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = joined.agg(count(lit(1)).as("n"),
+        sum(col("payload")).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val thKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevTh = spark.conf.get(thKey)
+    spark.conf.set(thKey, "-1")
+    try {
+      val (wPlain1, _) = timed(agg(left1.join(dim, Seq("provider"))))
+      val (wPlainN, rPlain) = timed(agg(leftN.join(dim, Seq("provider"))))
+      val (wSalt1, _) = timed(agg(graft.operators.SkewJoin
+        .saltedInnerJoin(left1, dim, "provider", 8, Seq(col("doc_id")))))
+      val (wSaltN, rSalt) = timed(agg(graft.operators.SkewJoin
+        .saltedInnerJoin(leftN, dim, "provider", 8, Seq(col("doc_id")))))
+      require(rPlain == rSalt,
+        s"salted join diverged from the plain join at $blowup×: " +
+          s"$rSalt vs $rPlain")
+      require(rPlain._1 == 20L * leftN.count(),
+        s"join fan-out wrong: ${rPlain._1} rows")
+      require(wSaltN <= 0.7 * blowup * wSalt1 + 2.0,
+        f"salted join wall superlinear at $blowup×: $wSaltN%.1f s vs " +
+          f"$wSalt1%.1f s at 1×")
+      val top = graft.operators.Profiling.joinSkewReport(
+        leftN, "provider", dim, "provider", topK = 1).head()
+      require(top.getAs[String]("key") == "hub0",
+        s"skew report top key is ${top.getAs[String]("key")}, not hub0")
+      val share = top.getAs[Long]("share_micro")
+      require(share >= 300000L,
+        s"hub0 share_micro $share < 300000 — fixture lost its skew")
+      def r1(x: Double): Double = math.round(x * 10.0) / 10.0
+      s""","skew_plain_sec_1x":${r1(wPlain1)},"skew_plain_sec":${r1(wPlainN)},""" +
+        s""""skew_salted_sec_1x":${r1(wSalt1)},"skew_salted_sec":${r1(wSaltN)},""" +
+        s""""skew_rows":${rPlain._1},"skew_top_key":"hub0",""" +
+        s""""skew_share_micro":$share"""
+    } finally spark.conf.set(thKey, prevTh)
+  }
+
   private def dqLeg(spark: SparkSession,
       docs0: org.apache.spark.sql.DataFrame,
       blown: org.apache.spark.sql.DataFrame, blowup: Int): String = {
