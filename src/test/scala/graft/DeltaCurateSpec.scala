@@ -402,4 +402,58 @@ class DeltaCurateSpec extends SparkSpec {
     dropTable("dc_fp__old"); dropTable("dc_fp__compact")
     cleanTables()
   }
+
+  test("a reader racing compaction sees the old or the new index, never torn state") {
+    cleanTables()
+    val m0 = (1 to 12).map(i => (i.toLong, doc(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+      "dc_fp", "dc_sig", buckets = 4)
+    def fpSet(): Set[String] = spark.table("dc_fp").select(col("fp"))
+      .collect().map(_.get(0).toString).toSet
+    val s0 = fpSet()
+    // compaction keeps only half the corpus live, so post-compaction
+    // content differs from s0 — the reader must observe one or the
+    // other, never a mixture or a half-written __compact sibling
+    val corpus = m0.filter(col("doc_id") <= 6)
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+    val transientMisses = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var done = false
+    val reader = new Thread(() => {
+      while (!done) {
+        // a reader CAN transiently fail to resolve the live name between
+        // the two swap renames (the scaladoc's guarantee is that a
+        // recoverable copy always exists, not that the live name is
+        // never briefly absent) — such reads are retried; the contract
+        // pinned here is that every SUCCESSFUL read is s0 or s1
+        try observed.add(fpSet())
+        catch { case scala.util.control.NonFatal(_) =>
+          transientMisses.incrementAndGet() }
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    try {
+      DeltaCurate.compact(corpus, "doc_id", "text", "dc_fp", "dc_sig",
+        buckets = 4)
+      // a second compaction over the same corpus is content-idempotent,
+      // giving the racing reader another full swap window to catch
+      DeltaCurate.compact(corpus, "doc_id", "text", "dc_fp", "dc_sig",
+        buckets = 4)
+    } finally {
+      done = true
+      reader.join(30000)
+    }
+    val s1 = fpSet()
+    assert(s1 != s0 && s1.subsetOf(s0), "compaction must shrink the index")
+    import scala.jdk.CollectionConverters._
+    val reads = observed.asScala.toSeq
+    assert(reads.nonEmpty, "reader never completed a read")
+    val torn = reads.filterNot(s => s == s0 || s == s1)
+    assert(torn.isEmpty,
+      s"reader observed ${torn.size} torn states, e.g. " +
+        s"${torn.headOption.map(_.take(3))} (valid: old=${s0.size} rows, " +
+        s"new=${s1.size} rows; ${transientMisses.get()} transient misses)")
+    cleanTables()
+  }
 }
