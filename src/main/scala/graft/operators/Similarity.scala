@@ -548,7 +548,16 @@ object Similarity {
     // (id, __v) frame alone: 1.35 s with the checkpoint vs 1.31 s
     // without, same sitting — still no gain; the triple single-file
     // scan is cheap and fully overlapped by AQE's independent stages.
-    val base = e.withColumn("__cells", array_sort(array(scored: _*)))
+    // ONE fused codegen kernel, not array_sort(array(struct(...))):
+    // array_sort is a higher-order function (interpreted CodegenFallback)
+    // and the sorted-cells expression re-evaluates in all three
+    // consumers; the kernel also carries the centroid table as ONE plan
+    // literal instead of nCells arrays inlined three times (what AQE
+    // re-canonicalized on every stage submission). Bit-parity with the
+    // expression form pinned by OperatorSpec + the hash oracle.
+    val centStr = centroids.map(_.mkString(",")).mkString(";")
+    val base = e.withColumn("__cells",
+      call_function("graft_ivf_cells", col("__v"), lit(centStr)))
     val assigned = base.select(col(idCol).as("n_id"), col("__v").as("n_vec"),
       element_at(col("__cells"), 1).getField("c").as("cell"))
     val keptCells = assigned.groupBy(col("cell"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, XXH64}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Custom Catalyst expressions for the vector hot path (SURVEY.md §7.3: UDF
@@ -271,6 +271,104 @@ private[plans] object VectorExprChecks {
   }
 }
 
+/** `graft_ivf_cells(vec, centroidsLit)`: the SORTED (negS, c) IVF cell
+  * array in ONE fused codegen pass — kernel replacement for
+  * `array_sort(array(struct(-round(graft_cosine(v, c0), 6), 0L), ...))`.
+  *
+  * Why: `array_sort` is a higher-order function and evaluates
+  * INTERPRETED (CodegenFallback), and annIvfMd5's three consumers each
+  * re-evaluated the whole sorted-array expression per row; the nCells
+  * per-centroid literal arrays were also inlined THREE times into the
+  * plan, which is what AQE re-canonicalizes on every stage submission.
+  * This kernel carries the centroid table as ONE string literal parsed
+  * once per executor (the [[MapSumScore]] pattern) and computes
+  * cosine → round(6) → negate → sort in a tight loop.
+  *
+  * Bit-parity contract (pinned by an OperatorSpec kernel≡expression
+  * ScalaCheck spec and the q_ann_ivf_md5 / q_kmeans hash oracles):
+  *  - cosine accumulates dot/nx/ny left-to-right in one loop and
+  *    divides by sqrt(nx)·sqrt(ny), exactly like [[CosineSimilarity]]
+  *    (zero denominator → 0.0);
+  *  - rounding is Spark Round's double path —
+  *    `BigDecimal.valueOf(x).setScale(6, HALF_UP).doubleValue()` —
+  *    negated AFTER rounding like the expression form;
+  *  - the sort is ascending (negS, c) via `java.lang.Double.compare` /
+  *    `Long.compare`, Spark's lexicographic struct ordering.
+  * Centroids serialize via `Double.toString` (shortest round-trip
+  * representation), so the literal is value-exact.
+  */
+case class IvfCells(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val centOk = right.foldable && right.dataType == StringType &&
+      right.eval() != null
+    if (vecOk && centOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, non-null string literal), " +
+        s"got (${left.dataType.simpleString}, ${right.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("negS", DoubleType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_ivf_cells"
+
+  @transient private lazy val centroids: Array[Array[Double]] =
+    right.eval().toString.split(';').map(_.split(',').map(_.toDouble))
+
+  def compute(vecRaw: Any): ArrayData = {
+    val v = vecRaw.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val cells = new Array[(Double, Long)](centroids.length)
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      if (c.length != n)
+        throw new IllegalArgumentException(
+          s"$prettyName: vector lengths differ (${c.length} vs $n)")
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = c(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      val r = java.math.BigDecimal.valueOf(cos)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      cells(ci) = (-r, ci.toLong)
+      ci += 1
+    }
+    java.util.Arrays.sort(cells, new java.util.Comparator[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val d = java.lang.Double.compare(a._1, b._1)
+        if (d != 0) d else java.lang.Long.compare(a._2, b._2)
+      }
+    })
+    new GenericArrayData(cells.map { case (s, c) =>
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](s, c))
+    })
+  }
+
+  override protected def nullSafeEval(vec: Any, cent: Any): Any = compute(vec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("iver", this, classOf[IvfCells].getName)
+    nullSafeCodeGen(ctx, ev, (vec, _) => s"${ev.value} = $ref.compute($vec);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfCells =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for the custom expressions (temp functions, usable
   * from `expr(...)` / SQL). Idempotent. `all` is the single source of truth,
   * shared with [[GraftExtensions]] so per-session registration and
@@ -292,6 +390,8 @@ object GraftFunctions {
         CollectCapped(exprs(0), exprs(1)).toAggregateExpression()),
     "graft_pair_gen" ->
       ((exprs: Seq[Expression]) => PairsGenerator(exprs(0))),
+    "graft_ivf_cells" ->
+      ((exprs: Seq[Expression]) => IvfCells(exprs(0), exprs(1))),
     "graft_lsh_bucket" ->
       ((exprs: Seq[Expression]) => HyperplaneSketch(exprs(0), exprs(1))),
     "graft_bpe" ->

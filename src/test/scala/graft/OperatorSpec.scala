@@ -184,6 +184,35 @@ class OperatorSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("graft_ivf_cells kernel is bit-identical to the sorted-struct expression form") {
+    graft.plans.GraftFunctions.register(spark)
+    // deterministic pseudo-random vectors incl. the degenerate shapes:
+    // zero vector (cosine 0.0 by the denom guard), negatives, ties
+    val dim = 7
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(i => ((seed * 31 + i * 17) % 19 - 9) / 7.0)
+    val centroids: Array[Array[Double]] =
+      Array(vec(3).toArray, vec(8).toArray, vec(15).toArray,
+        Array.fill(dim)(0.0), vec(3).toArray) // duplicate → rounded tie
+    val rows = (0 until 40).map(s => Row(s.toLong, vec(s))) :+
+      Row(99L, Seq.fill(dim)(0.0))
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType)))), rows: _*)
+    val exprForm = array_sort(array(centroids.zipWithIndex.map {
+      case (c0, i) => struct(
+        (-round(call_function("graft_cosine", col("v"),
+          typedLit(c0.toSeq)), 6)).as("negS"),
+        lit(i.toLong).as("c"))
+    }: _*))
+    val centStr = centroids.map(_.mkString(",")).mkString(";")
+    val bad = d.select(col("id"),
+        exprForm.as("e"),
+        call_function("graft_ivf_cells", col("v"), lit(centStr)).as("k"))
+      .filter(col("e") =!= col("k"))
+      .collect()
+    assert(bad.isEmpty, s"kernel/expression divergence: ${bad.take(2).mkString(";")}")
+  }
+
   test("graft_collect_capped + graft_pair_gen expression semantics") {
     graft.plans.GraftFunctions.register(spark)
     val schema = StructType(Seq(StructField("g", LongType),
