@@ -180,20 +180,27 @@ class PlanAuditSpec extends SparkSpec {
       "pair stage must not join")
   }
 
-  test("q_ann_ivf_md5: per-row cell math, broadcast cap, equi-join probing") {
+  test("q_ann_ivf_md5: fused cell kernel, broadcast cap, equi-join probing") {
     val p = plan("q_ann_ivf_md5")
-    // the sorted (sim6, cell) array re-evaluates per INPUT row in each
-    // of its three consumers (argmax element, generator input, group
-    // key) — cheap codegen cosines, deliberately NOT checkpointed (see
-    // annIvfMd5 scaladoc). The gate pins what matters: the cell column
-    // is materialized at projection/exchange boundaries, so the cosine
-    // array must never appear in a JOIN condition (per-candidate-pair
-    // re-evaluation would be the generator-projection failure class).
-    assert(!p.contains("graft_cosine(__v") ||
-      !p.contains("Join") || {
-        val joinCond = p.linesIterator.filter(_.contains("Join")).mkString
-        !joinCond.contains("graft_cosine")
-      }, p.take(800))
+    // round 12: the sorted (negS, cell) array is ONE graft_ivf_cells
+    // kernel call per consumer (centroid table rides as a single string
+    // literal) — the array_sort(array(struct(...))) expression form
+    // evaluated the sort INTERPRETED (array_sort is a HOF) and inlined
+    // nCells centroid arrays three times into the plan; neither may
+    // return. The cell column is materialized at projection/exchange
+    // boundaries, so the kernel must never appear in a JOIN condition
+    // (per-candidate-pair re-evaluation would be the
+    // generator-projection failure class).
+    assert(p.contains("graft_ivf_cells"), p.take(800))
+    assert(!p.contains("array_sort"), "interpreted HOF sort returned")
+    // the VERIFY cosine (q_vec, n_vec) stays; the per-centroid cell
+    // scoring form over __v must not
+    assert(!p.contains("graft_cosine(__v"),
+      "per-centroid expression form returned")
+    assert({
+      val joinCond = p.linesIterator.filter(_.contains("Join")).mkString
+      !joinCond.contains("graft_ivf_cells")
+    }, p.take(800))
     // cell cap joins as a broadcast; candidate pairing stays equi-join
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct") &&
