@@ -338,7 +338,7 @@ class OperatorSpec extends SparkSpec {
       "graft_winnow", "graft_tokens",
       "graft_minhash", "graft_lsh_bands",
       "graft_minhash_md5", "graft_lsh_bands_md5",
-      "graft_collect_capped", "graft_pair_gen"))
+      "graft_collect_capped", "graft_pair_gen", "graft_ivf_cells"))
     assert(builders("graft_tokens")(Seq(Literal.create("A b,c9")))
       .isInstanceOf[TokenizeAscii])
     val shArr = Literal.create(Seq("a b c"), ArrayType(StringType))
