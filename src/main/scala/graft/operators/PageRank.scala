@@ -49,9 +49,21 @@ object PageRank {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    require(n > 0, "PageRank: empty graph")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // ONE setup action (round 12, the action-floor discipline): node
+    // count and dangling-node EXISTENCE ride the same left-join
+    // aggregate — this also first-touch-materializes the nodes persist —
+    // instead of a nodes.count() action plus a danglingNodes limit-probe
+    // action. outdeg evaluation count is unchanged-or-better: the old
+    // probe materialized danglingNodes (one outdeg subtree) up front;
+    // now that frame only materializes (in round 1's job) when dangling
+    // nodes actually exist.
+    val hdr = nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("src").isNull, 1)).as("__nd")).head()
+    val n = hdr.getLong(0)
+    require(n > 0, "PageRank: empty graph")
+    val hasDangling = hdr.getLong(1) > 0
     val withDeg = e.join(outdeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (1.0 - damping) / n
@@ -65,11 +77,12 @@ object PageRank {
         nodes("node") === outdeg("src"), "left_anti")
       .select(col("node").as("__dn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hasDangling = danglingNodes.limit(1).count() > 0
 
-    var ranks = nodes
+    // initial ranks stay LAZY (no checkpoint action): round 1's three
+    // reads are a cheap withColumn over the already-materialized nodes
+    // blocks, and the round-1 checkpoint truncates the lineage anyway
+    var ranks: DataFrame = nodes
       .withColumn("rank", round(lit(1.0 / n), 8))
-      .localCheckpoint()
     var it = 0
     while (it < iters) {
       val contribs = withDeg
