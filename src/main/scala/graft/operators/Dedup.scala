@@ -478,6 +478,16 @@ object Dedup {
       minhashedDf: DataFrame,
       idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
+    // explicit contract (the pre-round-12 join shape accepted any id
+    // type): the bounded-collect buffer is a long array. Fail at the API
+    // with an actionable message instead of a CollectCapped
+    // TypeCheckFailure deep in analysis.
+    require(minhashedDf.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"lshCandidatePairs requires a bigint '$idCol' (bounded-collect " +
+        s"contract) — got ${minhashedDf.schema(idCol).dataType.simpleString}; " +
+        "cast the id or mint one (zipWithUniqueId / monotonic id + join) " +
+        "before pairing")
     val spark = minhashedDf.sparkSession
     graft.plans.GraftFunctions.register(spark)
     minhashedDf
