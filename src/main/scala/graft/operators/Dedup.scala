@@ -467,7 +467,7 @@ object Dedup {
     * per group on BOTH update and merge — a degenerate bucket (every
     * empty doc, a boilerplate shingle) costs 8·(cap+1) bytes per task
     * buffer, never an unbounded collect_list, and evaluates to NULL as
-    * the overflow marker; `graft_bucket_pairs` expands the surviving
+    * the overflow marker; `graft_pair_gen` expands the surviving
     * (sorted, exhaustive) member arrays in two tight long-loops — a
     * nested interpreted-HOF expansion measured ~3× slower at ~10M
     * candidates when this shape was first considered. Upstream
@@ -504,7 +504,7 @@ object Dedup {
       // exchange carries one capped id-array row per bucket — strictly
       // fewer bytes than the old shape's second bucket-stream shuffle.
       .repartition(spark.sparkContext.defaultParallelism)
-      // streaming generator, not explode(graft_bucket_pairs(...)): a
+      // streaming generator, not explode of a materialized pairs array: a
       // materialized expansion of a cap-sized bucket is ~n²/2 row objects
       // in one task (gigabytes at maxBucketSize 10000)
       .select(call_function("graft_pair_gen", col("__ids")))
