@@ -304,79 +304,177 @@ object ScaleRehearsal {
     * overflow in the micro arithmetic, or a row-dropping scan defect
     * all break the equality.
     */
-  /** Skewed-join rehearsal (round-11 verdict item 4): every other leg
-    * blows data up ~uniformly, but the reference's real join shape is a
+  /** Skewed-join rehearsal (round-11 verdict item 4; rebuilt round 13 so
+    * the gates BIND — verdict r12 #3 + ADVICE r12): every other leg blows
+    * data up ~uniformly, but the reference's real join shape is a
     * provider-keyed fact stream where ONE hub holds a disproportionate
     * share (the `groupBy(provider)` exchanges behind MqReports.scala:
     * 93-111 — hubs span orders of magnitude). This leg builds that
     * shape — hub0 owns 40% of rows (`doc_id % 10 < 4`, invariant under
     * the id shift since the blowup stride is a multiple of 10), a ~500-
-    * provider tail owns the rest — joins it to a 20-rows-per-provider
-    * dim with broadcast DISABLED (at 100 TB the dim does not broadcast;
-    * the shuffle join is the regime being rehearsed), and runs BOTH
-    * mitigation paths at 1× and N×:
-    *  - plain shuffle join under AQE's skew-join split (default on);
+    * provider tail owns the rest. Each doc fans out ×200 on the fact
+    * side, carrying an incompressible-ish per-row payload (without one,
+    * the provider-only shuffle of 1M rows lz4-compressed to 391 KB and
+    * AQE *coalesced the whole fact side into one partition* — the r12
+    * fixture was invisible to the byte-based skew detector), and joins a
+    * 800-rows-per-provider dim with broadcast DISABLED (at 100 TB the dim
+    * does not broadcast; the shuffle join is the regime being rehearsed).
+    * At blowup 10 / sf0.1 the join emits 8×10⁹ rows and the plain wall is
+    * ~5 s — measured signal, not slack. Both mitigation paths run at 1×
+    * and N×:
+    *  - plain shuffle join under AQE's skew-join split, with the split
+    *    thresholds scaled to the fixture (256 KB skew threshold / 128 KB
+    *    advisory) the same way broadcast is disabled: hub0's ~20 MB
+    *    compressed partition must present the same RELATIVE skew a 100 TB
+    *    hub partition presents against the 256 MB default;
     *  - [[graft.operators.SkewJoin.saltedInnerJoin]], 8 salt buckets.
     * In-run gates (a green line IS the proof, like the other legs):
-    *  (a) both paths agree bit-exactly at N× (row count + payload sum);
-    *  (b) the salted wall stays sublinear: ≤ 0.7·N·wall(1×) + 2 s slack;
-    *  (c) `Profiling.joinSkewReport` names hub0 as the top key with
-    *      ≥30% estimated-output share — the histogram an operator would
-    *      consult BEFORE choosing to salt.
+    *  (a) both paths agree bit-exactly at N× (row count + both payload
+    *    sums);
+    *  (b) the salted wall stays sublinear: ≤ 0.7·N·wall(1×) + a slack
+    *    PROPORTIONAL to wall(1×) (0.25·wall1, floored at 0.3 s), not the
+    *    old flat +2 s that dwarfed a 0.3 s fixture — measured round 13:
+    *    slack ≈ 0.6 s ≈ 9% of the ~7 s salted N× wall, and the bound
+    *    sits ~2.7× above the measured wall, so a salting regression that
+    *    replicates the FACT side across buckets (~8×) or a quadratic
+    *    candidate blowup (~10× linear) both trip it decisively;
+    *  (c) AQE actually SPLIT the skewed partition on the plain N× join
+    *    (sum of numSkewedPartitions over the executed plan ≥ 1) — this
+    *    distinguishes "AQE handled the skew" from "the box was fast
+    *    enough to hide it". Measured round 13: 1 skewed partition split
+    *    10 ways, and the split plain join BEAT the salted path (4.6 vs
+    *    6.7 s) — the operator guidance this leg exists to validate;
+    *  (d) `Profiling.joinSkewReport` names hub0 as the top key with
+    *    ≥30% estimated-output share — the histogram an operator would
+    *    consult BEFORE choosing to salt.
+    * Wall-clock gate (b) carries [[HostLoad]] contention evidence
+    * (ADVICE r12): each timed window records external-core usage, and a
+    * failing gate re-measures the salted pair once before hard-failing,
+    * so a co-tenant burst on this ~1.7×-swinging host cannot fail the
+    * leg spuriously; the failure message carries the ext-core figures of
+    * both attempts. All aggs run via collect() — head() would plan a
+    * SEPARATE limited QueryExecution, leaving the inspected plan's
+    * metrics at zero (observed round 13).
     */
   private def skewLeg(spark: SparkSession,
       docs0: org.apache.spark.sql.DataFrame, blowup: Int): String = {
+    val factFan = 200L
+    val attrs = 800L
     def withProvider(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id"),
+      explode(sequence(lit(0L), lit(factFan - 1))).as("f"),
       when(col("doc_id") % 10 < 4, lit("hub0"))
         .otherwise(concat(lit("p"), (col("doc_id") % 499).cast("string")))
         .as("provider"))
+      // the fact-side payload rides the shuffle (the agg sums it), keeping
+      // the hub partition's COMPRESSED bytes proportional to its rows —
+      // the signal AQE's skew detector actually reads
+      .withColumn("pay", pmod(xxhash64(col("doc_id"), col("f")), lit(1000000L)))
     val left1 = withProvider(docs0.select(col("doc_id"))).localCheckpoint()
     val leftN = withProvider((0 until blowup).map { k =>
       docs0.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"))
     }.reduce(_.union(_))).localCheckpoint()
-    // 20 attribute rows per provider: big enough that the join output is
-    // 20× the fact stream, small enough to checkpoint once. Derived from
+    val nLeftN = leftN.count()
+    // 800 attribute rows per provider: big enough that the join output is
+    // 800× the fact stream, small enough to checkpoint once. Derived from
     // the N× provider space — the id shift changes the %499 tail key, so
     // a 1×-derived dim would silently drop blown copies from the inner
     // join (caught by the fan-out gate below); the 1× providers are the
     // k=0 subset, so one dim serves both scales
     val dim = leftN.select(col("provider")).distinct()
       .select(col("provider"),
-        explode(sequence(lit(0L), lit(19L))).as("attr"))
+        explode(sequence(lit(0L), lit(attrs - 1))).as("attr"))
       // bounded payload: a raw xxhash64 sum overflows ANSI long addition
-      // over the 20×N-row join output
+      // over the 800×N-row join output
       .withColumn("payload",
         pmod(xxhash64(col("provider"), col("attr")), lit(1000000L)))
       .localCheckpoint()
-    def agg(joined: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = joined.agg(count(lit(1)).as("n"),
-        sum(col("payload")).as("s")).head()
-      (r.getLong(0), r.getLong(1))
+    // (count, dim-payload sum, fact-payload sum) plus the DataFrame whose
+    // executed plan carries the AQE skew metrics for gate (c)
+    def agg(joined: org.apache.spark.sql.DataFrame)
+        : ((Long, Long, Long), org.apache.spark.sql.DataFrame) = {
+      val df = joined.agg(count(lit(1)).as("n"), sum(col("payload")).as("s"),
+        sum(col("pay")).as("sp"))
+      val r = df.collect()(0)
+      ((r.getLong(0), r.getLong(1), r.getLong(2)), df)
     }
-    def timed[A](f: => A): (Double, A) = {
+    // wall + external-core usage over the exact window (HostLoad): the
+    // evidence gate (b) needs before it may hard-fail on a shared host
+    def timedExt[A](f: => A): (Double, Double, A) = {
+      val j0 = HostLoad.cpuJiffies()
       val t0 = System.nanoTime()
       val a = f
-      ((System.nanoTime() - t0) / 1e9, a)
+      val w = (System.nanoTime() - t0) / 1e9
+      (w, HostLoad.externalCores(j0, HostLoad.cpuJiffies(), w), a)
     }
-    val thKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prevTh = spark.conf.get(thKey)
-    spark.conf.set(thKey, "-1")
+    // every AQEShuffleReadExec in the final adaptive plan, including under
+    // nested stages; numSkewedPartitions sums to 0 when OptimizeSkewedJoin
+    // never fired
+    def skewedPartitions(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case other => other.children.flatMap(nodes)
+      })
+      nodes(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numSkewedPartitions").map(_.value)).sum
+    }
+    val confKeys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k")
+    val prev = confKeys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confKeys.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val (wPlain1, _) = timed(agg(left1.join(dim, Seq("provider"))))
-      val (wPlainN, rPlain) = timed(agg(leftN.join(dim, Seq("provider"))))
-      val (wSalt1, _) = timed(agg(graft.operators.SkewJoin
-        .saltedInnerJoin(left1, dim, "provider", 8, Seq(col("doc_id")))))
-      val (wSaltN, rSalt) = timed(agg(graft.operators.SkewJoin
-        .saltedInnerJoin(leftN, dim, "provider", 8, Seq(col("doc_id")))))
+      // untimed warmup: JIT/codegen spin-up otherwise lands on the 1×
+      // plain wall and distorts every ratio derived from it
+      agg(left1.join(dim, Seq("provider")))
+      val (wPlain1, _, _) = timedExt(agg(left1.join(dim, Seq("provider"))))
+      val (wPlainN, extPlainN, (rPlain, dfPlainN)) =
+        timedExt(agg(leftN.join(dim, Seq("provider"))))
+      def saltPair(): (Double, Double, Double, Double, (Long, Long, Long)) = {
+        val (w1, e1, _) = timedExt(agg(graft.operators.SkewJoin
+          .saltedInnerJoin(left1, dim, "provider", 8,
+            Seq(col("doc_id"), col("f")))))
+        val (wN, eN, (r, _)) = timedExt(agg(graft.operators.SkewJoin
+          .saltedInnerJoin(leftN, dim, "provider", 8,
+            Seq(col("doc_id"), col("f")))))
+        (w1, e1, wN, eN, r)
+      }
+      var (wSalt1, extSalt1, wSaltN, extSaltN, rSalt) = saltPair()
+      def slack(w1: Double): Double = math.max(0.3, 0.25 * w1)
+      def sublinear(wN: Double, w1: Double): Boolean =
+        wN <= 0.7 * blowup * w1 + slack(w1)
+      var saltAttempts = 1
+      if (!sublinear(wSaltN, wSalt1)) {
+        // retry once before hard-failing (ADVICE r12): the first pair may
+        // have been measured under a co-tenant burst
+        val first = (wSalt1, extSalt1, wSaltN, extSaltN)
+        val again = saltPair()
+        saltAttempts = 2
+        require(again._5 == rSalt,
+          s"salted join result drifted across reruns: ${again._5} vs $rSalt")
+        wSalt1 = again._1; extSalt1 = again._2
+        wSaltN = again._3; extSaltN = again._4
+        require(sublinear(wSaltN, wSalt1),
+          f"salted join wall superlinear at $blowup× in BOTH attempts: " +
+            f"attempt1 ${first._3}%.1f s (ext ${first._4}%.1f cores) vs " +
+            f"${first._1}%.1f s at 1× (ext ${first._2}%.1f); attempt2 " +
+            f"$wSaltN%.1f s (ext $extSaltN%.1f) vs $wSalt1%.1f s at 1× " +
+            f"(ext $extSalt1%.1f)")
+      }
       require(rPlain == rSalt,
         s"salted join diverged from the plain join at $blowup×: " +
           s"$rSalt vs $rPlain")
-      require(rPlain._1 == 20L * leftN.count(),
-        s"join fan-out wrong: ${rPlain._1} rows")
-      require(wSaltN <= 0.7 * blowup * wSalt1 + 2.0,
-        f"salted join wall superlinear at $blowup×: $wSaltN%.1f s vs " +
-          f"$wSalt1%.1f s at 1×")
+      require(rPlain._1 == attrs * nLeftN,
+        s"join fan-out wrong: ${rPlain._1} rows, expected ${attrs * nLeftN}")
+      val nSkewed = skewedPartitions(dfPlainN)
+      require(nSkewed >= 1L,
+        s"AQE never split the skewed partition on the plain $blowup× join " +
+          "(numSkewedPartitions = 0) — the leg measured nothing; check the " +
+          "scaled skew thresholds against the fixture's partition sizes")
       val top = graft.operators.Profiling.joinSkewReport(
         leftN, "provider", dim, "provider", topK = 1).head()
       require(top.getAs[String]("key") == "hub0",
@@ -385,11 +483,20 @@ object ScaleRehearsal {
       require(share >= 300000L,
         s"hub0 share_micro $share < 300000 — fixture lost its skew")
       def r1(x: Double): Double = math.round(x * 10.0) / 10.0
+      def r2(x: Double): Double = math.round(x * 100.0) / 100.0
       s""","skew_plain_sec_1x":${r1(wPlain1)},"skew_plain_sec":${r1(wPlainN)},""" +
         s""""skew_salted_sec_1x":${r1(wSalt1)},"skew_salted_sec":${r1(wSaltN)},""" +
+        s""""skew_gate_slack_sec":${r2(slack(wSalt1))},""" +
+        s""""skew_salt_attempts":$saltAttempts,""" +
+        s""""skew_ext_cores_plain":${r1(extPlainN)},""" +
+        s""""skew_ext_cores_salted":${r1(extSaltN)},""" +
+        s""""skew_aqe_split_partitions":$nSkewed,""" +
         s""""skew_rows":${rPlain._1},"skew_top_key":"hub0",""" +
         s""""skew_share_micro":$share"""
-    } finally spark.conf.set(thKey, prevTh)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   private def dqLeg(spark: SparkSession,

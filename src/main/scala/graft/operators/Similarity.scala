@@ -530,14 +530,10 @@ object Similarity {
     val e = spreadIfNarrow(df.filter(col(vecCol).isNotNull))
       .select(col(idCol),
         graft.functions.VectorFunctions.asDouble(col(vecCol)).as("__v"))
-    // ascending (−sim6, cell) = (sim6 DESC, cell ASC) — the assignment
-    // is element 1, the probe set the first nProbe elements
-    val scored = centroids.zipWithIndex.map { case (c0, i) =>
-      struct(
-        (-round(call_function("graft_cosine",
-          col("__v"), typedLit(c0.toSeq)), 6)).as("negS"),
-        lit(i.toLong).as("c"))
-    }
+    // Cell order is ascending (−sim6, cell) = (sim6 DESC, cell ASC) — the
+    // assignment is element 1, the probe set the first nProbe elements.
+    // The reference expression form lives ONLY in OperatorSpec's kernel
+    // parity property (no shadow copy here to drift).
     // NOT checkpointed (unlike the md5-fold LSH sketch): the sorted
     // cell array is nCells cheap codegen cosines per row, and its three
     // consumers each materialize `cell` at a projection/exchange

@@ -901,20 +901,49 @@ case class PairsGenerator(child: Expression)
       val ids = raw.asInstanceOf[ArrayData]
       val n = ids.numElements()
       if (n < 2) Iterator.empty
-      else new Iterator[InternalRow] {
-        private var i = 0
-        private var j = 1
-        private var a = ids.getLong(0)
-        override def hasNext: Boolean = i < n - 1
-        override def next(): InternalRow = {
-          // fresh row per pair: GenerateExec's consumer may hold a
-          // reference across next() (the joined-output projection), so a
-          // shared mutable buffer would corrupt emitted pairs
-          val row = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(Array[Any](a, ids.getLong(j)))
-          j += 1
-          if (j == n) { i += 1; j = i + 1; if (i < n - 1) a = ids.getLong(i) }
-          row
+      else {
+        // The member array arrives SORTED, so duplicate ids sit adjacent.
+        // Collapse them before pairing: a duplicated id must not emit the
+        // degenerate (x, x) pair the replaced self-join's id_a < id_b
+        // predicate filtered — downstream nearDupPairs would score it at
+        // jaccard 1.0 and drop the document as a near-dup of itself.
+        var m = 1
+        var k = 1
+        while (k < n) {
+          if (ids.getLong(k) != ids.getLong(k - 1)) m += 1
+          k += 1
+        }
+        if (m < 2) Iterator.empty
+        else {
+          val vals: Int => Long =
+            if (m == n) ids.getLong
+            else {
+              val arr = new Array[Long](m)
+              arr(0) = ids.getLong(0)
+              var w = 1; var r = 1
+              while (r < n) {
+                val v = ids.getLong(r)
+                if (v != arr(w - 1)) { arr(w) = v; w += 1 }
+                r += 1
+              }
+              arr(_)
+            }
+          new Iterator[InternalRow] {
+            private var i = 0
+            private var j = 1
+            private var a = vals(0)
+            override def hasNext: Boolean = i < m - 1
+            override def next(): InternalRow = {
+              // fresh row per pair: GenerateExec's consumer may hold a
+              // reference across next() (the joined-output projection), so a
+              // shared mutable buffer would corrupt emitted pairs
+              val row = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](a, vals(j)))
+              j += 1
+              if (j == m) { i += 1; j = i + 1; if (i < m - 1) a = vals(i) }
+              row
+            }
+          }
         }
       }
     }

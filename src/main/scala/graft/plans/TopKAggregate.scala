@@ -176,8 +176,14 @@ case class CollectCapped(
       buf: mutable.ArrayBuffer[Long],
       input: InternalRow): mutable.ArrayBuffer[Long] = {
     val idV = idExpr.eval(input)
+    // fail fast, don't drop: lshCandidatePairs requires a non-null bigint
+    // id, and silently skipping nulls would let a cap+1-row bucket with a
+    // null id pass as cap-sized instead of overflowing
+    if (idV == null) throw new IllegalArgumentException(
+      "graft_collect_capped: id is NULL — the caller must supply a " +
+        "non-null bigint id column")
     // size cap+1 IS the overflow marker; past it nothing more is kept
-    if (idV != null && buf.size <= cap) buf += idV.asInstanceOf[Long]
+    if (buf.size <= cap) buf += idV.asInstanceOf[Long]
     buf
   }
 

@@ -237,6 +237,39 @@ class OperatorSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(df(arrSchema, Row(null), Row(Seq(7L)), Row(Seq.empty[Long]))
       .select(expr("graft_pair_gen(ids)")).count() === 0)
+    // ADVICE r12: duplicate ids in a (sorted) bucket must not emit the
+    // degenerate (x, x) self-pair the replaced self-join's id_a < id_b
+    // filtered — nearDupPairs would score it at jaccard 1.0 and drop the
+    // doc as a near-dup of itself. Adjacent duplicates collapse; the pair
+    // set equals the pairs of DISTINCT members, with no (x, x) and no
+    // duplicate (x, y).
+    val dupPairs = df(arrSchema, Row(Seq(1L, 1L, 2L, 3L, 3L, 3L)))
+      .select(expr("graft_pair_gen(ids)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(dupPairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // all-duplicates bucket: one distinct member → no pairs at all
+    assert(df(arrSchema, Row(Seq(5L, 5L, 5L)))
+      .select(expr("graft_pair_gen(ids)")).count() === 0)
+  }
+
+  test("graft_collect_capped fails fast on a null id (ADVICE r12)") {
+    graft.plans.GraftFunctions.register(spark)
+    val schema = StructType(Seq(StructField("g", LongType),
+      StructField("id", LongType)))
+    // a null id silently skipped would let a cap+1 bucket containing a
+    // null pass as cap-sized instead of overflowing — fail fast instead,
+    // matching lshCandidatePairs' non-null bigint id contract
+    val d = df(schema, Row(1L, 10L), Row(1L, null))
+    val e = intercept[Exception] {
+      d.groupBy(col("g"))
+        .agg(expr("graft_collect_capped(id, 3)").as("ids")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("graft_collect_capped: id is NULL")),
+      s"unexpected failure: $e")
   }
 
   // ---------------- As-of join ----------------
