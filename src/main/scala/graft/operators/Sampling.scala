@@ -202,10 +202,19 @@ object Sampling {
     */
   def trainTestSplit(df: DataFrame, keyCol: String,
       testFraction: Double): (DataFrame, DataFrame) = {
+    val t = testFlag(col(keyCol), testFraction)
+    (df.filter(!t), df.filter(t))
+  }
+
+  /** [[trainTestSplit]]'s decision as a boolean COLUMN (true = test) — for
+    * single-frame consumers (Curation.curateFlagged) that want the split
+    * flag without duplicating the upstream plan into two filtered halves.
+    * Single source of truth: trainTestSplit filters exactly this flag.
+    */
+  def testFlag(key: Column, testFraction: Double): Column = {
     require(testFraction >= 1.0 / Buckets && testFraction < 1,
       s"testFraction=$testFraction out of [${1.0 / Buckets}, 1)")
-    val h = unitHash(col(keyCol))
-    (df.filter(h >= testFraction), df.filter(h < testFraction))
+    unitHash(key) < testFraction
   }
 
   /** Group-disjoint train/test split: the draw hashes `groupCol` (a

@@ -353,14 +353,20 @@ case class BloomAnyContain(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val bloomOk = left.foldable && left.dataType == BinaryType
+    // BinaryBlob is accepted alongside foldable constants: it is a plan
+    // constant in every way that matters here (eval() ignores the row),
+    // but deliberately reports foldable = false so ConstantFolding cannot
+    // rewrite it back into the megabyte Literal it exists to avoid
+    val bloomOk = (left.foldable || left.isInstanceOf[BinaryBlob]) &&
+      left.dataType == BinaryType
     val arrOk = right.dataType match {
       case ArrayType(StringType, _) => true
       case _ => false
     }
     if (bloomOk && arrOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (foldable binary, array<string>), got " +
+      s"$prettyName requires (foldable binary or graft_binary_blob, " +
+        s"array<string>), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -952,4 +958,76 @@ case class PairsGenerator(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): PairsGenerator =
     copy(child = newChild)
+}
+
+/** Opaque binary constant for megabyte-scale plan constants (Bloom filter
+  * bytes): a `lit(bytes)` Literal hashes and compares its FULL payload on
+  * every plan canonicalization — and AQE canonicalizes/compares plans per
+  * stage submission (exchange-reuse maps are keyed by canonicalized
+  * plans), so a 1 MB Bloom literal was costing repeated full-array
+  * Arrays.hashCode walks in the driver hot loop (measured on
+  * q_curate_full: part of a 0.6 s plan-time gap). This leaf carries the
+  * bytes OUTSIDE the Literal machinery with a once-computed content hash:
+  * equality stays content-based (reuse across identical filters still
+  * fires; different filters never alias) at O(1) per comparison after the
+  * first, and toString renders a fingerprint, not 2M hex chars.
+  *
+  * Deliberately NOT foldable: ConstantFolding would rewrite a foldable
+  * constant back into the Literal this exists to avoid. Consumers that
+  * gate on `foldable` (BloomAnyContain) accept this class explicitly.
+  */
+case class BinaryBlob(bytes: Array[Byte])
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = bytes == null
+  override def foldable: Boolean = false
+  override def prettyName: String = "graft_binary_blob"
+
+  @transient private lazy val contentHash: Int =
+    if (bytes == null) 0 else java.util.Arrays.hashCode(bytes)
+
+  override def hashCode(): Int = contentHash
+
+  override def equals(other: Any): Boolean = other match {
+    case b: BinaryBlob =>
+      (b eq this) || ((b.bytes eq bytes) ||
+        (b.hashCode == hashCode &&
+          java.util.Arrays.equals(b.bytes, bytes)))
+    case _ => false
+  }
+
+  override def toString: String =
+    s"graft_binary_blob(len=${if (bytes == null) -1 else bytes.length}, " +
+      s"xxh=$contentHash)"
+
+  override def eval(input: InternalRow): Any = bytes
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("blob", this, classOf[BinaryBlob].getName)
+    if (bytes == null)
+      ev.copy(code = code"""
+        byte[] ${ev.value} = null;
+        boolean ${ev.isNull} = true;""")
+    else
+      ev.copy(code = code"""
+        byte[] ${ev.value} = $ref.bytes();""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+}
+
+object BinaryBlob {
+  /** Rewrites a binary Literal into a [[BinaryBlob]] — applied by the
+    * function REGISTRY builders of blob-aware kernels, so call sites keep
+    * the natural `lit(bytes)` spelling while the RESOLVED plan (the one
+    * AQE canonicalizes per stage) carries the blob. The unresolved tree
+    * holds the Literal only through analysis — a handful of walks, not
+    * the per-stage-submission hot loop.
+    */
+  def fromLiteral(e: Expression): Expression = e match {
+    case org.apache.spark.sql.catalyst.expressions
+      .Literal(b: Array[Byte], BinaryType) => BinaryBlob(b)
+    case other => other
+  }
 }

@@ -222,3 +222,115 @@ case class CollectCapped(
       newChildren: IndexedSeq[Expression]): CollectCapped =
     copy(idExpr = newChildren(0), capExpr = newChildren(1))
 }
+
+/** Bounded edge-list collect for small-graph fast paths: gathers (src, dst)
+  * long pairs up to cap+1 pairs, emits an INTERLEAVED array<bigint>
+  * [s0, d0, s1, d1, …] when the group fits (≤ cap pairs) and NULL when it
+  * overflows — the same buffer/overflow contract as [[CollectCapped]].
+  *
+  * Why (ConnectedComponents.run): the transitive-dedup fast path previously
+  * paid a SEPARATE collect job over the checkpointed edge blocks. Riding
+  * this aggregate on the checkpoint's `observe` hands the driver the whole
+  * edge list inside the materialization action — zero extra jobs — while
+  * the cap bounds what a task buffer (and the metric accumulator) can ever
+  * hold: 16·(cap+1) bytes, never an unbounded collect_list. Graphs past the
+  * cap emit NULL and fall back to the block collect / star loop, paying
+  * nothing extra for having tried (the aggregate rides an action that runs
+  * anyway).
+  *
+  * Edge order is partition-dependent and deliberately unspecified: the
+  * union-find consumer is order-insensitive (min-root merge).
+  */
+case class CollectPairsCapped(
+    srcExpr: Expression,
+    dstExpr: Expression,
+    capExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.ArrayBuffer[Long]] {
+
+  private lazy val cap: Int = capExpr match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_collect_pairs_capped cap must be an integer literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = capExpr match {
+    case Literal(v: Int, IntegerType) if v > 0 =>
+      (srcExpr.dataType, dstExpr.dataType) match {
+        case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+        case (a, b) => TypeCheckResult.TypeCheckFailure(
+          s"graft_collect_pairs_capped requires bigint ids, got " +
+            s"(${a.simpleString}, ${b.simpleString})")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_collect_pairs_capped cap must be a positive integer literal, " +
+        s"got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(srcExpr, dstExpr, capExpr)
+  override def prettyName: String = "graft_collect_pairs_capped"
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Long] =
+    mutable.ArrayBuffer.empty[Long]
+
+  // buffer holds 2·pairs longs; 2·(cap+1) IS the overflow marker
+  override def update(
+      buf: mutable.ArrayBuffer[Long],
+      input: InternalRow): mutable.ArrayBuffer[Long] = {
+    val s = srcExpr.eval(input)
+    val d = dstExpr.eval(input)
+    // fail fast, don't drop (the CollectCapped null lesson, ADVICE r12):
+    // a silently skipped null edge would under-count the graph
+    if (s == null || d == null) throw new IllegalArgumentException(
+      "graft_collect_pairs_capped: null edge endpoint — callers must " +
+        "filter null ids first")
+    if (buf.size <= 2 * cap) {
+      buf += s.asInstanceOf[Long]
+      buf += d.asInstanceOf[Long]
+    }
+    buf
+  }
+
+  override def merge(
+      b1: mutable.ArrayBuffer[Long],
+      b2: mutable.ArrayBuffer[Long]): mutable.ArrayBuffer[Long] = {
+    val it = b2.iterator
+    while (it.hasNext && b1.size <= 2 * cap) {
+      b1 += it.next()
+      // pairs always travel together: b2's length is even by construction
+      b1 += it.next()
+    }
+    b1
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[Long]): Any =
+    if (buf.size > 2 * cap) null
+    else new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf += bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectPairsCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectPairsCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectPairsCapped =
+    copy(srcExpr = newChildren(0), dstExpr = newChildren(1),
+      capExpr = newChildren(2))
+}

@@ -388,6 +388,10 @@ object GraftFunctions {
     "graft_collect_capped" ->
       ((exprs: Seq[Expression]) =>
         CollectCapped(exprs(0), exprs(1)).toAggregateExpression()),
+    "graft_collect_pairs_capped" ->
+      ((exprs: Seq[Expression]) =>
+        CollectPairsCapped(exprs(0), exprs(1), exprs(2))
+          .toAggregateExpression()),
     "graft_pair_gen" ->
       ((exprs: Seq[Expression]) => PairsGenerator(exprs(0))),
     "graft_ivf_cells" ->
@@ -431,7 +435,8 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(exprs(0), exprs(1))),
     "graft_bloom_any" ->
-      ((exprs: Seq[Expression]) => BloomAnyContain(exprs(0), exprs(1))))
+      ((exprs: Seq[Expression]) =>
+        BloomAnyContain(BinaryBlob.fromLiteral(exprs(0)), exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -380,10 +380,14 @@ object TextQueries {
       import graft.operators.Curation
       val docs = t(s, dir, "documents")
       val eval = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
-      val (train, test) = Curation.curate(docs, "doc_id", "text", "lang",
+      // curateFlagged, not curate + unionByName: the union of the two
+      // filtered halves carries TWO copies of the survivor join in the
+      // final plan; train ∪ test = all survivors, so aggregating the
+      // flagged frame directly is row-identical with one copy
+      Curation.curateFlagged(docs, "doc_id", "text", "lang",
         Curation.Config(minTokens = 30, maxStopRatio = 0.6, langs = Seq("en")),
         evalSet = Some(eval))
-      train.unionByName(test)
+        .drop("__is_test")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(size(toks)), 4).as("avg_tokens"))

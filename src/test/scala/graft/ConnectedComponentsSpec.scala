@@ -82,6 +82,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("mid-tier graphs (past the observed-edge cap, under driverMaxEdges) " +
+    "still union-find correctly via the block collect") {
+    // 150k edges > ObservedEdgeCap (131072), so the observe collect
+    // evaluates to NULL and the fast path must fall back to the one
+    // block-collect job — pin that tier against the oracle. 1500 chains
+    // of 100 nodes each keep the oracle cheap.
+    val edges = (0 until 1500).flatMap { c =>
+      val base = c * 1000L
+      (0 until 100).map(i => (base + i, base + i + 1))
+    }
+    val got = ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === unionFind(edges))
+  }
+
   test("duplicate and reversed edges are tolerated") {
     val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

@@ -252,6 +252,39 @@ class OperatorSpec extends SparkSpec {
       .select(expr("graft_pair_gen(ids)")).count() === 0)
   }
 
+  test("graft_collect_pairs_capped: interleaved pairs, cross-partition " +
+    "merge, NULL overflow, null-endpoint fail-fast") {
+    graft.plans.GraftFunctions.register(spark)
+    val schema = StructType(Seq(StructField("g", LongType),
+      StructField("s", LongType), StructField("d", LongType)))
+    // group 1: 3 pairs ≤ cap 3 → exhaustive interleaved array;
+    // group 2: 4 pairs > cap 3 → NULL overflow marker
+    val d = df(schema,
+      Row(1L, 10L, 11L), Row(1L, 20L, 21L), Row(1L, 30L, 31L),
+      Row(2L, 1L, 2L), Row(2L, 3L, 4L), Row(2L, 5L, 6L), Row(2L, 7L, 8L))
+      .repartition(4)
+    val got = d.groupBy(col("g"))
+      .agg(expr("graft_collect_pairs_capped(s, d, 3)").as("e"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    // order is partition-dependent; pairs must stay adjacent (even index =
+    // src, odd = its dst) and the set must be exhaustive
+    val g1 = got(1L).get
+    assert(g1.length === 6)
+    val pairsOf = g1.grouped(2).map(p => (p(0), p(1))).toSet
+    assert(pairsOf === Set((10L, 11L), (20L, 21L), (30L, 31L)))
+    assert(got(2L) === None)
+    val bad = df(schema, Row(1L, 10L, null))
+    val e = intercept[Exception] {
+      bad.groupBy(col("g"))
+        .agg(expr("graft_collect_pairs_capped(s, d, 3)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("graft_collect_pairs_capped: null edge")),
+      s"unexpected failure: $e")
+  }
+
   test("graft_collect_capped fails fast on a null id (ADVICE r12)") {
     graft.plans.GraftFunctions.register(spark)
     val schema = StructType(Seq(StructField("g", LongType),
@@ -371,7 +404,8 @@ class OperatorSpec extends SparkSpec {
       "graft_winnow", "graft_tokens",
       "graft_minhash", "graft_lsh_bands",
       "graft_minhash_md5", "graft_lsh_bands_md5",
-      "graft_collect_capped", "graft_pair_gen", "graft_ivf_cells"))
+      "graft_collect_capped", "graft_collect_pairs_capped",
+      "graft_pair_gen", "graft_ivf_cells"))
     assert(builders("graft_tokens")(Seq(Literal.create("A b,c9")))
       .isInstanceOf[TokenizeAscii])
     val shArr = Literal.create(Seq("a b c"), ArrayType(StringType))
