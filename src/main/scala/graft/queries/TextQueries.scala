@@ -1260,6 +1260,31 @@ object TextQueries {
         .survivors.select(col("doc_id"))
     }),
 
+    // BOOTSTRAP half of the index-produce path, as its own bench row
+    // (verdict r12 item 4 — the combined row's 38 jobs span TWO full
+    // run() invocations and no committed number isolated either): same
+    // drop-then-build preamble, month-0 run only. The increment's
+    // marginal cost is q_delta_index_write − this row, read from the
+    // same sweep. Rows-only by the same contract (the deliverable is
+    // the two freshly-bootstrapped bucketed tables; the decision side
+    // is hash-oracled by q_delta_curate).
+    "q_delta_index_bootstrap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      for (tb <- Seq("dib_fp", "dib_sig")) {
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tb)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val cfg = graft.operators.Curation.Config(
+        minTokens = 30, maxStopRatio = 1.0, langs = Seq("en"))
+      graft.processes.DeltaCurate.run(docs.limit(0), docs,
+        "doc_id", "text", "lang", cfg, "dib_fp", "dib_sig", buckets = 8)
+        .survivors.select(col("doc_id"))
+    }),
+
     // Token-blocklist screen, ORACLED: per-doc blocklist hit count /
     // fraction / drop decision via the codegen literal-map kernel — a
     // pure narrow map stage (no join, no shuffle). Blocklist words are

@@ -158,7 +158,8 @@ object VectorQueries {
     "q_ann_ivf_md5" -> ((s, dir) =>
       graft.operators.Similarity.annIvfMd5(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
-        fitted = Some(kmFitted(s, dir)))),
+        fitted = Some(kmFitted(s, dir)),
+        fittedCellCounts = Some(kmCellCounts(s, dir)))),
 
     // ORACLED hyperplane sketch: md5-derived hyperplanes (cross-engine
     // identical) — proves the sign-of-projection bucketing end to end;
@@ -339,6 +340,19 @@ object VectorQueries {
     kmCache.getOrElseUpdate(dir,
       graft.operators.Clustering.kmeansFit(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2))
+
+  /** The IVF inverted-list directory (per-cell counts), memoized per dir
+    * WITH the centroids it was counted under — pure data, same contract as
+    * the centroid memo. Keeps annIvfMd5's maxCellSize gate out of the
+    * steady-state query (one histogram pass at fit time instead of a
+    * corpus scan + count agg + broadcast build per run).
+    */
+  private val kmCellCache = scala.collection.concurrent.TrieMap
+    .empty[String, Map[Long, Long]]
+  private def kmCellCounts(s: SparkSession, dir: String): Map[Long, Long] =
+    kmCellCache.getOrElseUpdate(dir,
+      graft.operators.Similarity.ivfCellCounts(
+        t(s, dir, "embeddings"), "vec_id", "embedding", kmFitted(s, dir)))
 
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, Array[Array[Array[Double]]]]
