@@ -29,6 +29,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** Node count at or below which the iteration loop uses the
+    * broadcast-iterate regime (rank frame ≈ 16 B/node ⇒ ≤ ~16 MB
+    * broadcasts) with AQE off for the loop's internal actions.
+    */
+  private val SmallGraphNodes = 1000000L
+
   /** (node, rank) after `iters` rounds over the directed multigraph
     * `edges` (parallel edges count once per occurrence). Node set =
     * union of sources and destinations.
@@ -83,33 +89,60 @@ object PageRank {
     // blocks, and the round-1 checkpoint truncates the lineage anyway
     var ranks: DataFrame = nodes
       .withColumn("rank", round(lit(1.0 / n), 8))
-    var it = 0
-    while (it < iters) {
-      val contribs = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
-        .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      // dangling mass rides the round's ONE job as a broadcast 1-row
-      // cross join instead of a separate driver-side scalar agg — same
-      // arithmetic ((__in + dm/n) with dm summed over dangling ranks,
-      // identically rounded), half the jobs per round. Both subtrees
-      // read the checkpointed `ranks` blocks.
-      val next0 = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-      val withMass =
-        if (!hasDangling) next0.withColumn("__dm", lit(0.0))
-        else next0.crossJoin(broadcast(
-          ranks.join(danglingNodes, ranks("node") === col("__dn"))
-            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))))
-      val next = withMass
-        .select(col("node"),
-          round(lit(base) +
-            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
-              col("__dm") / lit(n.toDouble)), 8).as("rank"))
-        .localCheckpoint()
-      ranks.unpersist()
-      ranks = next
-      it += 1
+    // Small-graph iteration regime (round 13): with n known (the header
+    // agg), a graph whose rank frame broadcasts (≤ SmallGraphNodes ×
+    // 16 B ≈ 16 MB) iterates with EXPLICIT broadcast hints on the rank
+    // and contribution sides and AQE disabled for the loop's internal
+    // actions. Rationale: AQE's per-stage replanning dominated the row's
+    // wall on fixture-scale graphs (JobProfile: 1.38 s of a 2.63 s wall
+    // in withFinalPlanUpdate across 24 jobs — each tiny round replanned
+    // 3-4 stages to conclude what the hint states up front), and a
+    // checkpointed rank frame never benefits from runtime re-planning at
+    // this size. Large graphs keep the AQE shuffle-iterate path
+    // untouched — there the rank exchange is real data movement AQE
+    // should size. The conf flip is scoped to the loop (the driver owns
+    // the session during an iterative fit — the ConnectedComponents /
+    // Bench sequential-execution contract) and restored in finally; the
+    // RETURNED frame is checkpoint blocks, so callers plan against it
+    // under their own conf.
+    val smallGraph = n <= SmallGraphNodes
+    val spark = edges.sparkSession
+    val adaptiveKey = "spark.sql.adaptive.enabled"
+    val prevAdaptive = spark.conf.get(adaptiveKey)
+    if (smallGraph) spark.conf.set(adaptiveKey, "false")
+    try {
+      var it = 0
+      while (it < iters) {
+        val rankSide = if (smallGraph) broadcast(ranks) else ranks
+        val contribs0 = withDeg
+          .join(rankSide, withDeg("src") === ranks("node"))
+          .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
+          .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+        val contribs = if (smallGraph) broadcast(contribs0) else contribs0
+        // dangling mass rides the round's ONE job as a broadcast 1-row
+        // cross join instead of a separate driver-side scalar agg — same
+        // arithmetic ((__in + dm/n) with dm summed over dangling ranks,
+        // identically rounded), half the jobs per round. Both subtrees
+        // read the checkpointed `ranks` blocks.
+        val next0 = nodes
+          .join(contribs, nodes("node") === contribs("dst"), "left")
+        val withMass =
+          if (!hasDangling) next0.withColumn("__dm", lit(0.0))
+          else next0.crossJoin(broadcast(
+            ranks.join(danglingNodes, ranks("node") === col("__dn"))
+              .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))))
+        val next = withMass
+          .select(col("node"),
+            round(lit(base) +
+              lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                col("__dm") / lit(n.toDouble)), 8).as("rank"))
+          .localCheckpoint()
+        ranks.unpersist()
+        ranks = next
+        it += 1
+      }
+    } finally {
+      if (smallGraph) spark.conf.set(adaptiveKey, prevAdaptive)
     }
     // the returned frame is localCheckpoint-materialized, so the working
     // frames can be released now
