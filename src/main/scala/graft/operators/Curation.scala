@@ -557,11 +557,15 @@ object Curation {
     // verify probes are broadcast-join lookups. The pair-greedy path keeps
     // the dedup — `losers = id_b` feeds a left_anti, which also ignores
     // duplicates, so both branches are decision-identical either way.
+    // spreadBeforeExpand = false too: keeper shingle buckets are sparse
+    // (the cap and the class-collapse upstream bound them), the verified
+    // pair set is a few hundred rows, and the spread exchange costs a
+    // stage + an AQE re-optimization round per run
     val pairs = Dedup.nearDupPairsFromShingled(
       deconKeepers.select(col(idCol), col("__sh").as("sh")), idCol,
       cfg.nearDupThreshold,
       verifySide = Some(keepers.select(col(idCol), col("__sh").as("sh"))),
-      dedupPairs = false)
+      dedupPairs = false, spreadBeforeExpand = false)
     val losers =
       if (cfg.transitiveNearDups)
         ConnectedComponents.run(pairs, "id_a", "id_b")

@@ -481,11 +481,22 @@ object Dedup {
     * subsumes it, so the pair-level exchange is pure extra wall there.
     * Callers that EMIT pairs (q_neardup_pairs et al.) keep the default.
     */
+  /** `spreadBeforeExpand = false` skips the pre-expansion repartition —
+    * for pipelines whose bucket population is known-sparse (curate's
+    * keeper shingle buckets: a few hundred verified pairs), where the
+    * generator's output fits one task trivially and the exchange is a
+    * pure extra stage (and an extra AQE re-optimization round). Dense
+    * workloads (the 4-bit embedding tables, 10k-member buckets) MUST
+    * keep the default: AQE sizes the post-agg stage by array bytes, not
+    * generated rows, and collapses the expansion into one 1.1 s task
+    * (measured round 12).
+    */
   def lshCandidatePairs(
       minhashedDf: DataFrame,
       idCol: String,
       maxBucketSize: Int = 1000,
-      dedupPairs: Boolean = true): DataFrame = {
+      dedupPairs: Boolean = true,
+      spreadBeforeExpand: Boolean = true): DataFrame = {
     // explicit contract (the pre-round-12 join shape accepted any id
     // type): the bounded-collect buffer is a long array. Fail at the API
     // with an actionable message instead of a CollectCapped
@@ -511,7 +522,8 @@ object Dedup {
       // tables) otherwise collapse into ONE 1.1 s task (measured). The
       // exchange carries one capped id-array row per bucket — strictly
       // fewer bytes than the old shape's second bucket-stream shuffle.
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(b => if (spreadBeforeExpand)
+        b.repartition(spark.sparkContext.defaultParallelism) else b)
       // streaming generator, not explode of a materialized pairs array: a
       // materialized expansion of a cap-sized bucket is ~n²/2 row objects
       // in one task (gigabytes at maxBucketSize 10000)
@@ -609,10 +621,11 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       verifySide: Option[DataFrame] = None,
-      dedupPairs: Boolean = true): DataFrame = {
+      dedupPairs: Boolean = true,
+      spreadBeforeExpand: Boolean = true): DataFrame = {
     val pairs = lshCandidatePairs(
       minhashedFromShingles(shingled, "sh", idCol, k, bands), idCol,
-      dedupPairs = dedupPairs)
+      dedupPairs = dedupPairs, spreadBeforeExpand = spreadBeforeExpand)
     // both verify sides join the IDENTICAL projection (aliased, keyed via
     // the join condition) rather than two side-renamed copies, so the two
     // verify subtrees canonicalize identically. At fixture scale this is
