@@ -265,9 +265,36 @@ object Similarity {
     * usual vector-index contract); duplicate ids yield duplicate rows here
     * and duplicate candidates downstream.
     */
+  /** [[ivfCells]]'s one-pass seed-cell centroid fit as PURE DATA —
+    * (cell, centroid) pairs, memoizable per fixture dir like the md5
+    * family's kmeans fit (round 13: q_ann_ivf re-ran this aggregate +
+    * collect every bench run). Null-vector-only seed cells are dropped
+    * here exactly as the inline fit does (their rows re-assign to the
+    * nearest surviving centroid).
+    */
+  def ivfCellsFit(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): Seq[(Long, Seq[Double])] = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    fitCells(spreadIfNarrow(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__seed_cell", pmod(xxhash64(col(idCol)), lit(nCells.toLong))))
+  }
+
+  private def fitCells(v: DataFrame): Seq[(Long, Seq[Double])] =
+    v.groupBy(col("__seed_cell").as("cell"))
+      .agg(expr("graft_vector_avg(__v)").as("centroid"))
+      .collect()
+      // a seed cell of only-null vectors averages to a null centroid —
+      // unusable as an assignment target, so it is dropped
+      .toIndexedSeq
+      .filter(r => !r.isNullAt(r.fieldIndex("centroid")))
+      .map(r => (r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq))
+
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, maxInlineDoubles: Long = 1L << 18,
-      persistInput: Boolean = true): DataFrame = {
+      persistInput: Boolean = true,
+      fitted: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     // the (id, vec) projection feeds the eager training aggregate AND the
     // assignment scan below — persist so the parquet scan + float→double
@@ -284,25 +311,23 @@ object Similarity {
       .withColumn("__seed_cell", pmod(xxhash64(col(idCol)), lit(nCells.toLong)))
     val v =
       if (persistInput) base.persist(StorageLevel.MEMORY_AND_DISK) else base
-    val centroids: Array[Row] = v.groupBy(col("__seed_cell").as("cell"))
-      .agg(expr("graft_vector_avg(__v)").as("centroid"))
-      .collect()
-      // a seed cell of only-null vectors averages to a null centroid —
-      // unusable as an assignment target, so it is dropped (its rows
-      // re-assign to the nearest surviving centroid)
-      .filter(r => !r.isNullAt(r.fieldIndex("centroid")))
+    // `fitted` (the memoized [[ivfCellsFit]] result) skips the training
+    // aggregate + collect entirely — the md5 family's fitted-model
+    // discipline applied to the xxhash path (round 13): the seed-cell
+    // centroid table is pure data keyed by (fixture, nCells)
+    val centroids: Seq[(Long, Seq[Double])] =
+      fitted.getOrElse(fitCells(v))
     if (centroids.isEmpty) {
       // empty input: keep the schema contract (id, cell, __v)
       return v.select(col(idCol), lit(null).cast("bigint").as("cell"),
         col("__v"))
     }
-    val dim = centroids.head.getAs[scala.collection.Seq[Double]]("centroid").length
+    val dim = centroids.head._2.length
     if (centroids.length.toLong * dim <= maxInlineDoubles) {
-      val centArr = array(centroids.map { r =>
+      val centArr = array(centroids.map { case (cell, cent) =>
         struct(
-          typedLit(r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
-            .as("centroid"),
-          lit(r.getAs[Long]("cell")).as("cell"))
+          typedLit(cent).as("centroid"),
+          lit(cell).as("cell"))
       }.toIndexedSeq: _*)
       // per-row argmax via lexicographic array_max on (sim, -cell): highest
       // similarity wins, ties break to the lowest cell id — the same order
@@ -324,10 +349,7 @@ object Similarity {
       // cannot silently change shape across the maxInlineDoubles
       // threshold.
       import df.sparkSession.implicits._
-      val centDf = centroids.toIndexedSeq
-        .map(r => (r.getAs[Long]("cell"),
-          r.getAs[scala.collection.Seq[Double]]("centroid").toSeq))
-        .toDF("__cc", "__centroid")
+      val centDf = centroids.toIndexedSeq.toDF("__cc", "__centroid")
       v.withColumn("__row", monotonically_increasing_id())
         .crossJoin(broadcast(centDf))
         .select(col("__row"), col(idCol), col("__v"),
@@ -361,7 +383,8 @@ object Similarity {
     */
   def annIvf(df: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16, maxCellSize: Int = 100000,
-      saltFactor: Int = 8): DataFrame = {
+      saltFactor: Int = 8,
+      fitted: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     // (id, cell, unit vector) is the IVF index itself, read three times
     // below (cap count + both self-join sides) — materialize it ONCE,
@@ -376,7 +399,8 @@ object Similarity {
     // recovery; the storage footprint matches what an index build would
     // materialize anyway. persistInput = false: materializing BOTH the
     // raw projection and this derived frame would hold the vectors twice.
-    val cells = ivfCells(df, idCol, vecCol, nCells, persistInput = false)
+    val cells = ivfCells(df, idCol, vecCol, nCells, persistInput = false,
+      fitted = fitted)
       .withColumn("__v", normalize(col("__v")))
       .localCheckpoint()
     val keptCells = cells.groupBy(col("cell"))

@@ -527,6 +527,104 @@ class OperatorSpec extends SparkSpec {
     assert(trainIds.union(testIds) === survivors)
   }
 
+  test("curateFlagged materializes exactly three frames (round-13 fusion " +
+    "gate) and the Bloom rides the plan as a blob, not a Literal") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and runs far away " * 4
+    val docs = Seq(
+      (1L, base + "alpha beta gamma delta epsilon zeta", "en", "s1"),
+      (2L, base + "alpha beta gamma delta epsilon zeta", "en", "s1"),
+      (3L, base + "alpha beta gamma delta epsilon zeta extra", "en", "s1"),
+      (4L, base + "totally different closing words here now then", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    // eval shares shingles ONLY with doc 4's distinctive tail (the
+    // shared `base` prefix would contaminate every doc)
+    val eval = Seq("totally different closing words here now then")
+      .toDF("text")
+    val cfg = Curation.Config(minTokens = 30, maxStopRatio = 0.9,
+      langs = Seq("en"), nearDupThreshold = 0.8, testFraction = 0.25)
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val flagged =
+      try {
+        val f = Curation.curateFlagged(docs, "doc_id", "text", "lang", cfg,
+          evalSet = Some(eval))
+        // listener events are async: wait for the list to settle
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = -1
+        var lastChange = System.nanoTime()
+        while (System.nanoTime() < deadline &&
+            (actions.size() != last ||
+              System.nanoTime() - lastChange < 1000000000L)) {
+          if (actions.size() != last) { last = actions.size(); lastChange = System.nanoTime() }
+          Thread.sleep(50)
+        }
+        f
+      } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val acts = actions.asScala.toList.filter(_ != "rdd")
+    // the round-13 action floor on the (default) pair-greedy path: the
+    // eval Bloom checkpoint (overlapped) and the merged gate+shingle+
+    // exact-dedup keeper checkpoint — the LSH pair chain and the
+    // survivor anti-joins stay fully LAZY (the r12 shape materialized
+    // five frames). The RETURNED frame is lazy — the terminal action
+    // belongs to the caller; `rdd` events are the spread probes. A
+    // regression that adds a materialization fails this count.
+    assert(acts.length === 2 && acts.forall(_ == "localCheckpoint"),
+      s"expected exactly 2 localCheckpoint actions, got $acts")
+    // the megabyte eval Bloom must ride the lazy survivor chain as the
+    // opaque content-hashed blob — a lit() Literal here re-pays a
+    // full-array hash on every AQE canonicalization (round-13 finding)
+    val plan = flagged.queryExecution.sparkPlan.toString
+    assert(plan.contains("graft_bloom_any(graft_binary_blob(len="), plan.take(2000))
+    // decision parity with the two-frame API on the same input
+    val survivors = flagged.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L), s"survivors: $survivors")
+    // transitive path: ONE more materialization (CC's edge checkpoint,
+    // whose observe carries the count AND the fast-path edge list) and
+    // NO separate signature/collect action after it
+    val actions2 = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener2 = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions2.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener2)
+    try {
+      Curation.curateFlagged(docs, "doc_id", "text", "lang",
+        cfg.copy(transitiveNearDups = true), evalSet = Some(eval))
+      val deadline2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last2 = -1
+      var lastChange2 = System.nanoTime()
+      while (System.nanoTime() < deadline2 &&
+          (actions2.size() != last2 ||
+            System.nanoTime() - lastChange2 < 1000000000L)) {
+        if (actions2.size() != last2) { last2 = actions2.size(); lastChange2 = System.nanoTime() }
+        Thread.sleep(50)
+      }
+    } finally spark.listenerManager.unregister(listener2)
+    val acts2 = actions2.asScala.toList.filter(_ != "rdd")
+    assert(acts2.length === 3 && acts2.forall(_ == "localCheckpoint"),
+      s"expected exactly 3 localCheckpoint actions on the transitive " +
+        s"path (a 4th = the CC fast path lost its observed edge list), " +
+        s"got $acts2")
+  }
+
   test("curate with line dedup scores the cleaned page, not the boilerplate") {
     import graft.operators.Curation
     import spark.implicits._
