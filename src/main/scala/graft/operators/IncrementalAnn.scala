@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental ANN index maintenance ([EXT]) — the vector analog of the
+  * delta fingerprint/signature indexes ([[graft.processes.DeltaCurate]],
+  * [[Dedup.incrementalNearDupMd5]]): when a new embedding batch lands
+  * (continuously-ingested corpus), do NOT rebuild the vector index; assign
+  * the batch to the index's FIXED coarse cells and append its inverted-list
+  * rows to the persisted, cell-bucketed index table.
+  *
+  * The index is two managed tables:
+  *  - `<indexTable>`            — (cell BIGINT, id BIGINT, vec ARRAY<DOUBLE>)
+  *                                bucketed by `cell`: each bucket IS an
+  *                                inverted list, appends add one file per
+  *                                bucket, probes join one-sided (the index
+  *                                side never shuffles).
+  *  - `<indexTable>_centroids`  — (cell BIGINT, centroid ARRAY<DOUBLE>), the
+  *                                coarse quantizer, written ONCE at
+  *                                bootstrap and read (bounded, ≤ nCells
+  *                                rows) by every later append and query.
+  *
+  * Centroids are FIXED at bootstrap on purpose — the real-system IVF
+  * contract: incremental inserts assign against the trained quantizer;
+  * re-training is an offline rebuild, not an append. That makes the whole
+  * chain deterministic and gives the decision contract the spec pins and
+  * the q_ann_incr_md5 oracle replays in SQL:
+  *
+  *   query(bootstrap(A) then append(B))
+  *     ≡ [[Similarity.annIvfMd5]] over A ∪ B with
+  *       `fitted = Clustering.kmeansFit(A)`
+  *
+  * i.e. appending then querying equals batch-building under the bootstrap
+  * centroids — the sequential-composition parity the delta-curation family
+  * established for text dedup, applied to vectors.
+  *
+  * At 100 TB: the fit touches only the bootstrap batch (k·dim literal
+  * centroids, corpus never shuffles — [[Clustering.kmeansFit]]); an append
+  * is one narrow codegen assignment pass ([[graft.plans.VectorExpressions]]
+  * `graft_ivf_cells`, centroid table as ONE plan literal) plus one exchange
+  * on `cell` (one file per bucket per append — the small-files discipline
+  * of the delta index writers); a query probes `nProbe` cells one-sided
+  * against the bucketed scan and elects top-k through the bounded
+  * `graft_topk` heap (O(queries × k) exchange). The `maxCellSize` gate
+  * reads the index's `cell` column only (parquet column pruning — a
+  * directory-sized scan, not a vector scan).
+  */
+object IncrementalAnn {
+
+  /** The centroid sidecar's table name for a given index table. */
+  def centroidsTableName(indexTable: String): String =
+    indexTable + "_centroids"
+
+  /** Append `batch` to the index, bootstrapping it (k-means fit + both
+    * tables) when absent. Returns the centroids in force, so a caller
+    * chaining appends with queries pays the bounded sidecar read once.
+    *
+    * Crash ordering at bootstrap: the SIDECAR is written first — an index
+    * table without its quantizer is unreadable (every later append would
+    * assign against nothing), while a sidecar without an index table just
+    * re-bootstraps the data rows on the next append under the SAME
+    * (deterministic) centroids. A half-state is detected and failed
+    * actionably rather than silently refit.
+    *
+    * `fitted` short-circuits the quantizer acquisition (the fitted-model
+    * memo discipline): at bootstrap it replaces the k-means fit; on a
+    * later append it replaces the sidecar read (two bounded collect jobs
+    * a chained append-after-append caller otherwise pays per call). On a
+    * non-bootstrap append the caller MUST pass the value a prior
+    * append/bootstrap for THIS index returned — anything else silently
+    * assigns the batch under a different quantizer than the index's
+    * earlier rows (the same trust contract as annIvfMd5's
+    * `fittedCellCounts`); when in doubt, omit it and pay the sidecar
+    * read. The spec pins fitted-path ≡ sidecar-read-path equivalence.
+    */
+  def append(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexTable: String,
+      nCells: Int = 8,
+      iters: Int = 2,
+      fitted: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    require(nCells > 0 && nCells <= 10000,
+      s"nCells must be in (0, 10000], got $nCells")
+    val spark = batch.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val centTable = centroidsTableName(indexTable)
+    val idxExists = spark.catalog.tableExists(indexTable)
+    val centExists = spark.catalog.tableExists(centTable)
+    if (idxExists && !centExists) throw new IllegalStateException(
+      s"index table $indexTable exists without its centroid sidecar " +
+        s"$centTable — the quantizer is lost; rebuild the index (drop " +
+        s"$indexTable and re-bootstrap)")
+    val centroids: Array[Array[Double]] = fitted.getOrElse(
+      if (centExists) loadCentroids(spark, centTable)
+      else Clustering.kmeansFit(batch, idCol, vecCol, nCells, iters))
+    // the bucket count ALWAYS follows the quantizer in force — `nCells`
+    // sizes the bootstrap FIT only; a later append against a 4-cell index
+    // must write 4 buckets no matter what the caller passed (a mismatch
+    // against the existing table's bucket spec is a saveAsTable error)
+    val cells = centroids.length
+    if (!centExists) {
+      import spark.implicits._
+      centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").saveAsTable(centTable)
+    }
+    assignCells(batch, idCol, vecCol, centroids)
+      // one file per bucket per append: repartition(n, c) is
+      // HashPartitioning(murmur3(c) pmod n) — the same mapping as the
+      // bucket id — so every task holds exactly one bucket (the
+      // DeltaCurate.run small-files rule; an unspread append writes up to
+      // partitions × nCells files, an accumulating tax on every probe)
+      .repartition(cells, col("cell"))
+      .write.mode(if (idxExists) "append" else "overwrite")
+      .bucketBy(cells, "cell").sortBy("cell")
+      .saveAsTable(indexTable)
+    centroids
+  }
+
+  /** Top-k neighbors from the index for every query vector: assign each
+    * query its `nProbe` nearest cells (narrow kernel pass), join the
+    * probes one-sided against the bucketed index scan, verify with the
+    * round-4 cosine, elect (sim4 DESC, n_id ASC) top-k via the bounded
+    * `graft_topk` heap — the [[Similarity.annIvfMd5]] probe contract
+    * against persisted state.
+    *
+    * `excludeSelf` drops candidates whose index id equals the query id
+    * (on by default: self-querying a corpus member should return its
+    * neighbors, not itself; ids are assumed to share one namespace).
+    *
+    * Degenerate cells (> `maxCellSize` members — a collapsed fit) are
+    * excluded from probing, failing closed exactly like the batch family.
+    * The count pass reads ONLY the index's `cell` column (column-pruned
+    * directory scan) and aggregates exchange-free on the bucket column.
+    *
+    * `fitted` skips the sidecar read for callers chaining a query after
+    * an append (whose return value IS the sidecar content) — the same
+    * trust contract as [[append]]'s `fitted`: it must be THIS index's
+    * quantizer or probes hit the wrong cells.
+    */
+  def query(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexTable: String,
+      k: Int,
+      nProbe: Int = 2,
+      maxCellSize: Int = 10000,
+      excludeSelf: Boolean = true,
+      fitted: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val spark = queries.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val centroids = fitted.getOrElse(
+      loadCentroids(spark, centroidsTableName(indexTable)))
+    require(nProbe <= centroids.length,
+      s"nProbe=$nProbe exceeds the index's ${centroids.length} cells")
+    val centStr = centroids.map(_.mkString(",")).mkString(";")
+    val probes = Similarity.spreadIfNarrow(
+        queries.filter(col(vecCol).isNotNull))
+      .select(col(idCol).as("q_id"),
+        graft.functions.VectorFunctions.asDouble(col(vecCol)).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        explode(slice(
+          call_function("graft_ivf_cells", col("q_vec"), lit(centStr)),
+          1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_vec"), col("p").getField("c").as("cell"))
+    val idx = spark.table(indexTable)
+    // cap gate: per-cell counts over the cell column only — the scan is
+    // column-pruned to one int column and the agg is exchange-free (the
+    // bucketed read already satisfies the group-by distribution); the
+    // kept-cell table is ≤ nCells rows, broadcast
+    val okCells = idx.select(col("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCellSize)
+      .select(col("cell"))
+    // one-sided probe join: the PROBE side (queries × nProbe rows)
+    // broadcasts; the bucketed index scan never shuffles
+    val cand = idx.join(broadcast(okCells), Seq("cell"))
+      .join(broadcast(probes), Seq("cell"))
+    val scored = (if (excludeSelf) cand.filter(col("q_id") =!= col("id"))
+      else cand)
+      .select(col("q_id"), col("id").as("n_id"),
+        round(call_function("graft_cosine", col("q_vec"), col("vec")), 4)
+          .as("sim4"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
+  /** The one narrow assignment pass every writer shares: (cell, id, vec)
+    * for each non-null vector under the given centroids — element 1 of the
+    * fused `graft_ivf_cells` kernel's (sim6 DESC, cell ASC) order, the
+    * identical argmax the batch family and the oracle replay use.
+    */
+  private def assignCells(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val centStr = centroids.map(_.mkString(",")).mkString(";")
+    Similarity.spreadIfNarrow(batch.filter(col(vecCol).isNotNull))
+      .select(col(idCol).as("id"),
+        graft.functions.VectorFunctions.asDouble(col(vecCol)).as("vec"))
+      .select(
+        element_at(call_function("graft_ivf_cells", col("vec"), lit(centStr)),
+          1).getField("c").as("cell"),
+        col("id"), col("vec"))
+  }
+
+  /** Bounded sidecar read: ≤ nCells (cell, centroid) rows, ordered by
+    * cell so index position = cell id (the kernel's centroid-table
+    * contract).
+    */
+  private def loadCentroids(
+      spark: SparkSession, centTable: String): Array[Array[Double]] = {
+    if (!spark.catalog.tableExists(centTable))
+      throw new IllegalStateException(
+        s"centroid sidecar $centTable does not exist — bootstrap the " +
+          "index with append() first")
+    val rows = spark.table(centTable)
+      .orderBy(col("cell")).collect()
+    require(rows.nonEmpty, s"centroid sidecar $centTable is empty")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i.toLong,
+        s"centroid sidecar $centTable is not dense: expected cell $i, " +
+          s"got ${r.getLong(0)} — the quantizer rows are corrupt")
+    }
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+}

@@ -238,7 +238,7 @@ object Similarity {
     * O(queries × k) rows — a row_number window would shuffle and sort the
     * entire scored pair stream. Expects (q_id, n_id, sim4).
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("q_id"))
       .agg(expr(s"graft_topk(n_id, sim4, $k)").as("topk"))

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, IncrementalAnn, Similarity}
+
+/** Incremental ANN index: the sequential-composition parity contract
+  * (bootstrap + append + query ≡ batch annIvfMd5 under the bootstrap
+  * centroids), the frozen-quantizer rule, the sidecar crash ordering, the
+  * one-file-per-bucket append layout, and the one-sided query plan.
+  */
+class IncrementalAnnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshIndex(name: String): Unit = {
+    dropTable(name)
+    dropTable(IncrementalAnn.centroidsTableName(name))
+  }
+
+  /** Deterministic non-degenerate 8-dim float vectors. */
+  private def vecs(ids: Seq[Int]): DataFrame =
+    ids.map { i =>
+      (i.toLong,
+        (0 until 8).map(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+
+  private val allIds = 0 until 40
+  private def bootIds = allIds.filterNot(_ % 4 == 0)
+  private def incrIds = allIds.filter(_ % 4 == 0)
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double, Long)] =
+    df.select(col("q_id"), col("n_id"), col("sim4"), col("rn"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+  test("bootstrap + append + query equals batch annIvfMd5 under the " +
+    "bootstrap centroids (sequential-composition parity)") {
+    freshIndex("ia_par")
+    val boot = vecs(bootIds)
+    val incr = vecs(incrIds)
+    val all = vecs(allIds)
+    val c1 = IncrementalAnn.append(boot, "vec_id", "embedding", "ia_par",
+      nCells = 4)
+    val c2 = IncrementalAnn.append(incr, "vec_id", "embedding", "ia_par",
+      nCells = 4)
+    // the quantizer is FROZEN at bootstrap: the second append loads the
+    // sidecar, never refits (a refit on the increment would silently
+    // desynchronize the index's earlier assignments)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    val fittedBoot = Clustering.kmeansFit(boot, "vec_id", "embedding", 4, 2)
+    assert(c1.map(_.toSeq).toSeq === fittedBoot.map(_.toSeq).toSeq,
+      "bootstrap centroids must equal a plain kmeansFit on the bootstrap batch")
+    val viaIndex = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_par", k = 3, nProbe = 2))
+    val viaBatch = rows(Similarity.annIvfMd5(all, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2, fitted = Some(fittedBoot),
+      fittedCellCounts = Some(Similarity.ivfCellCounts(
+        all, "vec_id", "embedding", fittedBoot))))
+    assert(viaIndex === viaBatch)
+    assert(viaIndex.nonEmpty)
+    // the fitted chaining shortcut (skip the sidecar read) is
+    // path-equivalent to the sidecar-read path
+    val viaFitted = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_par", k = 3, nProbe = 2, fitted = Some(c2)))
+    assert(viaFitted === viaIndex)
+  }
+
+  test("a fitted-chained append assigns identically to a sidecar-read append") {
+    freshIndex("ia_chain")
+    freshIndex("ia_chain2")
+    val boot = vecs(bootIds)
+    val incr = vecs(incrIds)
+    val cents = IncrementalAnn.append(boot, "vec_id", "embedding",
+      "ia_chain", nCells = 4)
+    IncrementalAnn.append(incr, "vec_id", "embedding", "ia_chain")
+    IncrementalAnn.append(boot, "vec_id", "embedding", "ia_chain2",
+      nCells = 4)
+    IncrementalAnn.append(incr, "vec_id", "embedding", "ia_chain2",
+      fitted = Some(cents))
+    val a = spark.table("ia_chain").orderBy("id")
+      .select("cell", "id").as[(Long, Long)].collect().toSeq
+    val b = spark.table("ia_chain2").orderBy("id")
+      .select("cell", "id").as[(Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
+  test("sidecar crash ordering: index-without-sidecar fails actionably; " +
+    "sidecar-without-index re-bootstraps under the SAME centroids") {
+    freshIndex("ia_crash")
+    val boot = vecs(bootIds)
+    val cents = IncrementalAnn.append(boot, "vec_id", "embedding",
+      "ia_crash", nCells = 4)
+    // half-state A: quantizer lost — unrecoverable, must fail with the
+    // rebuild instruction rather than silently refit on the increment
+    dropTable(IncrementalAnn.centroidsTableName("ia_crash"))
+    val ex = intercept[IllegalStateException] {
+      IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding",
+        "ia_crash", nCells = 4)
+    }
+    assert(ex.getMessage.contains("centroid sidecar"))
+    // half-state B: sidecar survived, data table lost (the crash window
+    // between the bootstrap's two writes) — the next append re-bootstraps
+    // the DATA under the persisted centroids, no refit
+    freshIndex("ia_crash2")
+    val c0 = IncrementalAnn.append(boot, "vec_id", "embedding",
+      "ia_crash2", nCells = 4)
+    dropTable("ia_crash2")
+    val c1 = IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding",
+      "ia_crash2", nCells = 4)
+    assert(c0.map(_.toSeq).toSeq === c1.map(_.toSeq).toSeq)
+    // index now holds ONLY the re-bootstrapped batch
+    assert(spark.table("ia_crash2").count() === incrIds.length.toLong)
+    assert(cents.map(_.toSeq).toSeq === c0.map(_.toSeq).toSeq)
+  }
+
+  test("query contracts: missing sidecar, nProbe bound, excludeSelf") {
+    freshIndex("ia_q")
+    intercept[IllegalStateException] {
+      IncrementalAnn.query(vecs(allIds), "vec_id", "embedding", "ia_q",
+        k = 1)
+    }
+    IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding", "ia_q",
+      nCells = 4)
+    intercept[IllegalArgumentException] {
+      IncrementalAnn.query(vecs(allIds), "vec_id", "embedding", "ia_q",
+        k = 1, nProbe = 5)
+    }
+    // a corpus member querying with excludeSelf = false elects ITSELF at
+    // rank 1 with sim4 = 1.0 (the self-cosine)
+    val self = IncrementalAnn.query(vecs(Seq(bootIds.head)), "vec_id",
+      "embedding", "ia_q", k = 1, excludeSelf = false)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(self.toSeq === Seq(
+      (bootIds.head.toLong, bootIds.head.toLong, 1.0, 1L)))
+  }
+
+  test("each append adds at most one file per bucket (inverted-list layout)") {
+    def bucketFiles(table: String): Map[Int, Int] = {
+      val loc = spark.sql(s"DESC FORMATTED $table")
+        .filter(col("col_name") === "Location").head.getString(1)
+      val rx = "_(\\d{5})\\.".r
+      Option(new java.io.File(new java.net.URI(loc)).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }
+    freshIndex("ia_files")
+    IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding", "ia_files",
+      nCells = 4)
+    val after1 = bucketFiles("ia_files")
+    after1.foreach { case (b, n) =>
+      assert(n <= 1, s"bucket $b has $n files after bootstrap")
+    }
+    IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding", "ia_files",
+      nCells = 4)
+    bucketFiles("ia_files").foreach { case (b, n) =>
+      val grew = n - after1.getOrElse(b, 0)
+      assert(grew <= 1, s"bucket $b grew by $grew files in one append")
+    }
+    assert(bucketFiles("ia_files").values.sum >= 2,
+      "expected the appends to land visible bucket files")
+  }
+
+  test("query plan is one-sided: the bucketed index never shuffles " +
+    "(broadcast probes, bounded top-k exchange only)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    freshIndex("ia_plan")
+    IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding", "ia_plan",
+      nCells = 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = IncrementalAnn.query(vecs(allIds), "vec_id", "embedding",
+        "ia_plan", k = 3).queryExecution.executedPlan
+      val p = plan.toString
+      assert(!p.contains("SortMergeJoin"), p)
+      // allowed exchanges: the probe side's round-robin spread and the
+      // graft_topk aggregation on q_id (O(queries × k) after partial
+      // agg). Anything hash-partitioned on the index's columns means the
+      // inverted lists moved — the regression this gate exists to catch.
+      val hashEx = plan.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
+      assert(hashEx.forall(_.outputPartitioning.toString.contains("q_id")),
+        p)
+      assert(hashEx.size <= 1, p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
