@@ -187,6 +187,7 @@ object ScaleRehearsal {
     }
 
     val vectorJson = if (on("vector")) vectorLeg(spark, sfDir, blowup) else ""
+    val iannJson = if (on("iann")) iannLeg(spark, sfDir, blowup) else ""
     val eventsJson = if (on("events")) eventsLeg(spark, sfDir, blowup) else ""
     val dqJson = if (on("dq")) dqLeg(spark, docs0, blown, blowup) else ""
     val deltaJson = if (on("delta")) deltaLeg(spark, docs0, blowup, cfg) else ""
@@ -197,7 +198,7 @@ object ScaleRehearsal {
       s"""{"metric":"scale_rehearsal","sf":"$sfDir","blowup":$blowup,""" +
       s""""rows_in":$nIn,"peak_cache_bytes":$peakCache""" +
       curateJson + pipelineJson + spansJson + heavyJson + entropyJson +
-      winnowJson + vectorJson + eventsJson + dqJson + deltaJson +
+      winnowJson + vectorJson + iannJson + eventsJson + dqJson + deltaJson +
       skewJson + "}")
     spark.stop()
   }
@@ -293,6 +294,89 @@ object ScaleRehearsal {
       s""","vec_wall_${blowup}x":${r1(wallN)}""" +
       s""","vec_recall_lsh":${r4(rLsh)},"vec_recall_ivf":${r4(rIvf)}""" +
       s""","vec_recall_pq":${r4(rPq)}"""
+  }
+
+  /** Incremental-ANN rehearsal at the blowup: the 100 TB claim for the
+    * persisted vector index ([[graft.operators.IncrementalAnn]]) is that
+    * an APPEND costs work proportional to the BATCH — one narrow
+    * assignment pass + one bucketed write — not to the index it lands in.
+    * Copy 0 bootstraps the index (fit + sidecar + first append); copies
+    * 1..N−1 then append ONE AT A TIME, so the index under the last append
+    * is (N−1)× bigger than under the first. Asserted in-run:
+    *  (a) per-append wall stays FLAT as the index grows — the last
+    *      append ≤ 1.5 × the first + 2 s absolute slack (an append that
+    *      re-read or re-shuffled the index would scale with N and blow
+    *      through this);
+    *  (b) the final index holds exactly N × the batch rows (nothing
+    *      dropped, nothing double-written);
+    *  (c) probe recall@3 vs the exact brute-force baseline on a sampled
+    *      query set holds the IVF-family floor — the frozen bootstrap
+    *      quantizer must keep placing each copy's perturbed
+    *      near-neighbors in probed cells as the corpus grows N×.
+    */
+  private def iannLeg(spark: SparkSession, sfDir: String,
+      blowup: Int): String = {
+    import graft.operators.{IncrementalAnn, Similarity}
+    val e0 = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val dim = e0.select(size(col("embedding"))).head.getInt(0)
+    def copy(k: Int) = e0.select(
+      (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === lit(k % dim), x + lit(0.001f * (k + 1)))
+          .otherwise(x)).as("embedding"))
+      .localCheckpoint()
+    val table = "iann_rehearsal"
+    for (tb <- Seq(table, IncrementalAnn.centroidsTableName(table))) {
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tb)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val copies = (0 until blowup).map(copy)
+    val (wBoot, cents) = timed(
+      IncrementalAnn.append(copies(0), "vec_id", "embedding", table))
+    val appendWalls = (1 until blowup).map { k =>
+      timed(IncrementalAnn.append(copies(k), "vec_id", "embedding", table,
+        fitted = Some(cents)))._1
+    }
+    val (wFirst, wLast) = (appendWalls.head, appendWalls.last)
+    require(wLast <= 1.5 * wFirst + 2.0,
+      f"incremental-ANN append grew with the index: first $wFirst%.2f s " +
+        f"vs last $wLast%.2f s under a ${blowup - 1}x bigger index")
+    val nBatch = e0.filter(col("embedding").isNotNull).count()
+    val nIdx = spark.table(table).count()
+    require(nIdx == blowup * nBatch,
+      s"index holds $nIdx rows, expected ${blowup * nBatch}")
+    // recall@3 on a sampled query set vs the exact brute-force baseline
+    // over the SAME union corpus the index holds
+    val all = copies.reduce(_.union(_)).localCheckpoint()
+    val sample = all.filter(col("vec_id") % 53 === 0).localCheckpoint()
+    val sampleIds = sample.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnBruteForce(
+        sample, all, "vec_id", "embedding", 3)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (wQuery, got) = timed(
+      IncrementalAnn.query(sample, "vec_id", "embedding", table, k = 3,
+        fitted = Some(cents))
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val recall = got.filter(p => sampleIds.contains(p._1))
+      .intersect(exact).size.toDouble / exact.size
+    require(recall >= 0.13,
+      f"incremental-ANN recall@3 $recall%.4f under the IVF floor at $blowup×")
+    def r1(x: Double): Double = math.round(x * 10.0) / 10.0
+    def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    s""","iann_rows":$nIdx,"iann_boot_sec":${r1(wBoot)}""" +
+      s""","iann_append_first_sec":${r1(wFirst)}""" +
+      s""","iann_append_last_sec":${r1(wLast)}""" +
+      s""","iann_query_sec":${r1(wQuery)},"iann_recall":${r4(recall)}"""
   }
 
   /** Data-quality rehearsal at the blowup: constraint-audit RATES are
