@@ -91,8 +91,9 @@ object IncrementalAnn {
     val centExists = spark.catalog.tableExists(centTable)
     if (idxExists && !centExists) throw new IllegalStateException(
       s"index table $indexTable exists without its centroid sidecar " +
-        s"$centTable — the quantizer is lost; rebuild the index (drop " +
-        s"$indexTable and re-bootstrap)")
+        s"$centTable — run recover($indexTable) if a rebuild crashed " +
+        s"mid-swap; otherwise the quantizer is lost: drop $indexTable " +
+        "and re-bootstrap")
     val centroids: Array[Array[Double]] = fitted.getOrElse(
       if (centExists) loadCentroids(spark, centTable)
       else Clustering.kmeansFit(batch, idCol, vecCol, nCells, iters))
@@ -189,6 +190,137 @@ object IncrementalAnn {
         round(call_function("graft_cosine", col("q_vec"), col("vec")), 4)
           .as("sim4"))
     Similarity.topKPerQuery(scored, k)
+  }
+
+  /** Re-train the quantizer on `corpus` and rewrite the whole index under
+    * it — the OFFLINE maintenance op of a real IVF index (inserts assign
+    * against the frozen quantizer; distribution drift is fixed by a
+    * rebuild, never by an append). Returns the new centroids.
+    *
+    * Swap protocol (the [[graft.processes.DeltaCurate]] rename-aside rule
+    * extended to a COUPLED table pair): both `__rebuild` siblings are
+    * fully written BEFORE any rename, then the index swaps
+    * (`t → t__old`, `t__rebuild → t`, drop `t__old`), then the sidecar
+    * swaps the same way. The index swap is the COMMIT POINT: a crash
+    * before it rolls the rebuild back (the live pair was never touched),
+    * a crash after it rolls forward (the sidecar sibling provably exists
+    * and is complete, because writes precede every rename). [[recover]]
+    * applies exactly that rule and runs automatically at the start of
+    * every rebuild.
+    *
+    * Readers: rebuild is an OFFLINE op by contract — the quantizer
+    * CHANGES, so even a perfectly atomic swap changes query results;
+    * between the two swaps a concurrent reader could pair a new index
+    * with the old sidecar. Single-writer, no-concurrent-readers, like a
+    * real index re-train.
+    */
+  def rebuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexTable: String,
+      nCells: Int = 8,
+      iters: Int = 2): Array[Array[Double]] = {
+    require(nCells > 0 && nCells <= 10000,
+      s"nCells must be in (0, 10000], got $nCells")
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val centTable = centroidsTableName(indexTable)
+    recover(spark, indexTable)
+    require(spark.catalog.tableExists(indexTable) &&
+        spark.catalog.tableExists(centTable),
+      s"rebuild needs an existing index — bootstrap $indexTable with " +
+        "append() first")
+    // a previous crashed rebuild may have left sibling DIRS without
+    // catalog entries (recover() dropped the entries) — clear them so the
+    // managed-table create below cannot die on LOCATION_ALREADY_EXISTS
+    Seq(indexTable, centTable).foreach { t =>
+      dropTableAndDir(spark, t + RebuildSuffix)
+    }
+    val centroids = Clustering.kmeansFit(corpus, idCol, vecCol,
+      nCells, iters)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").saveAsTable(centTable + RebuildSuffix)
+    assignCells(corpus, idCol, vecCol, centroids)
+      .repartition(centroids.length, col("cell"))
+      .write.mode("overwrite")
+      .bucketBy(centroids.length, "cell").sortBy("cell")
+      .saveAsTable(indexTable + RebuildSuffix)
+    // commit point: the index swap; then the sidecar swap
+    swapIn(spark, indexTable)
+    swapIn(spark, centTable)
+    centroids
+  }
+
+  /** Complete or abort a rebuild that crashed mid-swap, per the commit
+    * rule in [[rebuild]]'s scaladoc:
+    *  - index `__rebuild` sibling still present → the commit point was
+    *    not passed (writes may even be half-done) → ROLL BACK: drop both
+    *    siblings; if the crash split the index swap's two renames
+    *    (live name missing, `__old` present), restore `__old` first.
+    *  - index sibling consumed but the sidecar's still present → the
+    *    commit point WAS passed → ROLL FORWARD: finish the sidecar swap
+    *    (its sibling is provably complete — writes precede renames).
+    *  - stray `__old` copies after both swaps → drop them.
+    * Idempotent; safe to call on a healthy index (no-op). Runs
+    * automatically at the start of [[rebuild]].
+    */
+  def recover(spark: SparkSession, indexTable: String): Unit = {
+    val centTable = centroidsTableName(indexTable)
+    val idxReb = indexTable + RebuildSuffix
+    if (spark.catalog.tableExists(idxReb)) {
+      // pre-commit: roll back. The index swap may have died between its
+      // renames — live name gone, __old holding the only live copy.
+      if (!spark.catalog.tableExists(indexTable) &&
+          spark.catalog.tableExists(indexTable + OldSuffix))
+        spark.sql(s"ALTER TABLE ${indexTable + OldSuffix} " +
+          s"RENAME TO $indexTable")
+      spark.sql(s"DROP TABLE IF EXISTS $idxReb")
+      spark.sql(s"DROP TABLE IF EXISTS ${centTable + RebuildSuffix}")
+    } else if (spark.catalog.tableExists(centTable + RebuildSuffix)) {
+      // post-commit: roll forward the sidecar swap from wherever it died
+      if (spark.catalog.tableExists(centTable) &&
+          !spark.catalog.tableExists(centTable + OldSuffix))
+        spark.sql(s"ALTER TABLE $centTable " +
+          s"RENAME TO ${centTable + OldSuffix}")
+      if (!spark.catalog.tableExists(centTable))
+        spark.sql(s"ALTER TABLE ${centTable + RebuildSuffix} " +
+          s"RENAME TO $centTable")
+    }
+    Seq(indexTable, centTable).foreach { t =>
+      if (spark.catalog.tableExists(t + OldSuffix) &&
+          spark.catalog.tableExists(t))
+        spark.sql(s"DROP TABLE ${t + OldSuffix}")
+    }
+  }
+
+  private val RebuildSuffix = "__rebuild"
+  private val OldSuffix = "__old"
+
+  /** `t → t__old`, `t__rebuild → t`, drop `t__old` — at every instant a
+    * complete copy exists under a recoverable name (the rename-aside
+    * rule; [[recover]] handles every crash window).
+    */
+  private def swapIn(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table + OldSuffix}")
+    spark.sql(s"ALTER TABLE ${table + RebuildSuffix} RENAME TO $table")
+    spark.sql(s"DROP TABLE ${table + OldSuffix}")
+  }
+
+  /** Drop a table AND its warehouse dir (a previous crash can leave the
+    * dir behind with no catalog entry, poisoning the next managed-table
+    * create with LOCATION_ALREADY_EXISTS).
+    */
+  private def dropTableAndDir(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
   }
 
   /** The one narrow assignment pass every writer shares: (cell, id, vec)

@@ -163,6 +163,97 @@ class IncrementalAnnSpec extends SparkSpec {
       "expected the appends to land visible bucket files")
   }
 
+  test("rebuild retrains the quantizer: result equals batch annIvfMd5 " +
+    "under the NEW full-corpus fit; sidecar and row count follow") {
+    freshIndex("ia_rb")
+    Seq("ia_rb__rebuild", "ia_rb__old", "ia_rb_centroids__rebuild",
+      "ia_rb_centroids__old").foreach(dropTable)
+    val all = vecs(allIds)
+    val old = IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding",
+      "ia_rb", nCells = 4)
+    IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding", "ia_rb")
+    val newCents = IncrementalAnn.rebuild(all, "vec_id", "embedding",
+      "ia_rb", nCells = 4)
+    val refFit = Clustering.kmeansFit(all, "vec_id", "embedding", 4, 2)
+    assert(newCents.map(_.toSeq).toSeq === refFit.map(_.toSeq).toSeq)
+    assert(newCents.map(_.toSeq).toSeq !== old.map(_.toSeq).toSeq,
+      "fixture too symmetric: the full-corpus fit should differ from the " +
+        "bootstrap-slice fit")
+    assert(spark.table("ia_rb").count() === allIds.length.toLong)
+    // the sidecar now carries the new generation
+    val sidecar = spark.table(
+        IncrementalAnn.centroidsTableName("ia_rb"))
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    assert(sidecar === newCents.map(_.toSeq).toSeq)
+    val viaIndex = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_rb", k = 3, nProbe = 2))
+    val viaBatch = rows(Similarity.annIvfMd5(all, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2, fitted = Some(newCents),
+      fittedCellCounts = Some(Similarity.ivfCellCounts(
+        all, "vec_id", "embedding", newCents))))
+    assert(viaIndex === viaBatch)
+    // no swap debris
+    Seq("ia_rb__rebuild", "ia_rb__old", "ia_rb_centroids__rebuild",
+      "ia_rb_centroids__old").foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"$t left behind"))
+  }
+
+  test("recover: pre-commit crash rolls BACK; post-commit crash rolls " +
+    "the sidecar swap FORWARD; idempotent on a healthy index") {
+    import spark.implicits._
+    freshIndex("ia_rc")
+    Seq("ia_rc__rebuild", "ia_rc__old", "ia_rc_centroids__rebuild",
+      "ia_rc_centroids__old").foreach(dropTable)
+    val boot = vecs(bootIds)
+    val all = vecs(allIds)
+    IncrementalAnn.append(boot, "vec_id", "embedding", "ia_rc", nCells = 4)
+    val before = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_rc", k = 3))
+    // window A — crash before the commit point (both __rebuild siblings
+    // written, live pair untouched): recover drops the siblings, the
+    // live generation is unchanged
+    spark.table("ia_rc").write.saveAsTable("ia_rc__rebuild")
+    spark.table("ia_rc_centroids").write
+      .saveAsTable("ia_rc_centroids__rebuild")
+    IncrementalAnn.recover(spark, "ia_rc")
+    assert(!spark.catalog.tableExists("ia_rc__rebuild"))
+    assert(!spark.catalog.tableExists("ia_rc_centroids__rebuild"))
+    assert(rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_rc", k = 3)) === before)
+    // window B — crash BETWEEN the index swap's two renames (live name
+    // missing, __old holding the only live copy, siblings present):
+    // still pre-commit, recover restores __old and drops the siblings
+    spark.table("ia_rc").write.saveAsTable("ia_rc__rebuild")
+    spark.table("ia_rc_centroids").write
+      .saveAsTable("ia_rc_centroids__rebuild")
+    spark.sql("ALTER TABLE ia_rc RENAME TO ia_rc__old")
+    IncrementalAnn.recover(spark, "ia_rc")
+    assert(spark.catalog.tableExists("ia_rc"))
+    assert(!spark.catalog.tableExists("ia_rc__old"))
+    assert(!spark.catalog.tableExists("ia_rc__rebuild"))
+    assert(rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_rc", k = 3)) === before)
+    // window C — crash AFTER the commit point (index sibling consumed,
+    // sidecar sibling still waiting): recover completes the sidecar swap
+    val newCents = Clustering.kmeansFit(all, "vec_id", "embedding", 4, 2)
+    dropTable("ia_rc_centroids__rebuild")
+    newCents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").write
+      .saveAsTable("ia_rc_centroids__rebuild")
+    IncrementalAnn.recover(spark, "ia_rc")
+    assert(!spark.catalog.tableExists("ia_rc_centroids__rebuild"))
+    assert(!spark.catalog.tableExists("ia_rc_centroids__old"))
+    val sidecar = spark.table("ia_rc_centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(sidecar === newCents.map(_.toSeq).toSeq,
+      "the forward-rolled sidecar must carry the rebuild generation")
+    // idempotent on the now-healthy index
+    IncrementalAnn.recover(spark, "ia_rc")
+    assert(spark.catalog.tableExists("ia_rc") &&
+      spark.catalog.tableExists("ia_rc_centroids"))
+  }
+
   test("query plan is one-sided: the bucketed index never shuffles " +
     "(broadcast probes, bounded top-k exchange only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
