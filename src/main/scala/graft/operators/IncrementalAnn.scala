@@ -109,7 +109,7 @@ object IncrementalAnn {
         .toDF("cell", "centroid")
         .write.mode("overwrite").saveAsTable(centTable)
     }
-    assignCells(batch, idCol, vecCol, centroids)
+    assign(batch, idCol, vecCol, centroids)
       // one file per bucket per append: repartition(n, c) is
       // HashPartitioning(murmur3(c) pmod n) — the same mapping as the
       // bucket id — so every task holds exactly one bucket (the
@@ -244,7 +244,7 @@ object IncrementalAnn {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode("overwrite").saveAsTable(centTable + RebuildSuffix)
-    assignCells(corpus, idCol, vecCol, centroids)
+    assign(corpus, idCol, vecCol, centroids)
       .repartition(centroids.length, col("cell"))
       .write.mode("overwrite")
       .bucketBy(centroids.length, "cell").sortBy("cell")
@@ -323,12 +323,76 @@ object IncrementalAnn {
     if (fs.exists(loc)) { fs.delete(loc, true); () }
   }
 
+  /** Quantizer staleness report — the "when to rebuild" signal. PSI
+    * between the INDEX's cell distribution and a new batch's assignment
+    * under the same (frozen) quantizer: a batch that no longer looks like
+    * the corpus the quantizer was trained on concentrates into few cells,
+    * degrading probe recall and skewing the inverted lists — exactly the
+    * drift [[rebuild]] exists to fix. One row per cell with both counts
+    * and the 6-decimal PSI contribution (sum = the PSI; the usual
+    * working rule: < 0.1 stable, > 0.25 rebuild).
+    *
+    * Cost: one column-pruned directory scan of the index (`cell` only,
+    * exchange-free agg on the bucket column), one narrow kernel pass over
+    * the batch, and a ≤ nCells-row join — at 100 TB this is the cheap
+    * monitoring pass a real system runs per ingest. The epsilon/rounding
+    * contract mirrors [[Profiling.psi]].
+    */
+  def quantizerDrift(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexTable: String,
+      fitted: Option[Array[Array[Double]]] = None): DataFrame = {
+    val spark = batch.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val centroids = fitted.getOrElse(
+      loadCentroids(spark, centroidsTableName(indexTable)))
+    cellDrift(spark.table(indexTable).select(col("cell")),
+      batch, idCol, vecCol, centroids)
+  }
+
+  /** [[quantizerDrift]] over FRAMES: `indexCells` is any frame carrying
+    * the index's `cell` column (the table scan, or an [[assign]] result
+    * for catalog-free callers — the q_ann_drift oracle surface).
+    */
+  def cellDrift(
+      indexCells: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val p = indexCells.select(col("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_index"))
+    val c = assign(batch, idCol, vecCol, centroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_batch"))
+    // tiny (≤ nCells rows) joined frame, materialized once; totals come
+    // from it rather than re-scanning either input (the Profiling.psi
+    // totals rule), and the epsilon floor keeps empty-on-one-side cells
+    // finite with the same 1e-6 / round-6 contract
+    val joined = p.join(c, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+      .localCheckpoint()
+    val eps = lit(1e-6)
+    val pr = greatest(col("n_index") / col("__ti"), eps)
+    val qr = greatest(col("n_batch") / col("__tb"), eps)
+    joined
+      .crossJoin(broadcast(joined.agg(
+        sum(col("n_index")).as("__ti"), sum(col("n_batch")).as("__tb"))))
+      .select(col("cell"), col("n_index"), col("n_batch"),
+        round((pr - qr) * log(pr / qr), 6).as("psi6"))
+  }
+
   /** The one narrow assignment pass every writer shares: (cell, id, vec)
     * for each non-null vector under the given centroids — element 1 of the
     * fused `graft_ivf_cells` kernel's (sim6 DESC, cell ASC) order, the
-    * identical argmax the batch family and the oracle replay use.
+    * identical argmax the batch family and the oracle replay use. Public:
+    * it is also the catalog-free "what WOULD this batch look like in the
+    * index" surface ([[cellDrift]] consumers).
     */
-  private def assignCells(
+  def assign(
       batch: DataFrame,
       idCol: String,
       vecCol: String,

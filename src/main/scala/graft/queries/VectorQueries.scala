@@ -203,6 +203,24 @@ object VectorQueries {
         fitted = Some(cents))
     }),
 
+    // ORACLED quantizer-drift report (the "when to rebuild" signal for
+    // the incremental ANN index): PSI between the bootstrap index's cell
+    // distribution and the month-1 batch's assignment under the same
+    // frozen quantizer. Pure frames (the catalog-free cellDrift surface
+    // — decision-identical to reading the table, whose content IS the
+    // assignment by the spec-pinned parity); DuckDB refits the bootstrap
+    // k-means, assigns both slices, and replays the epsilon/ln/round-6
+    // PSI contract (the q_dq_psi precedent).
+    "q_ann_drift" -> ((s, dir) => {
+      import graft.operators.IncrementalAnn
+      val e = t(s, dir, "embeddings")
+      val cents = iannFitted(s, dir)
+      val idx = IncrementalAnn.assign(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", cents).select(col("cell"))
+      IncrementalAnn.cellDrift(idx, e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", cents)
+    }),
+
     // ORACLED hyperplane sketch: md5-derived hyperplanes (cross-engine
     // identical) — proves the sign-of-projection bucketing end to end;
     // the xxhash64 form above stays the fast path. Heavy narrow map
@@ -899,6 +917,42 @@ object VectorQueries {
                ORDER BY sim4 DESC, n_id) AS rn
            FROM cand)
          WHERE rn <= 3""",
+
+    // Quantizer-drift replay: bootstrap fit, both slices assigned under
+    // it, per-cell counts full-outer joined, then the q_dq_psi
+    // epsilon/ln/round-6 PSI contract per cell. DuckDB `/` on integers
+    // is float division (the // form is the integer one), matching
+    // Spark's long/long → double.
+    "q_ann_drift" ->
+      s"""${kmeansCtesOver(" AND vec_id % 4 != 0")},
+         alle AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         fina AS (
+           SELECT vec_id, c,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, centroid), 6)
+                 DESC, c) AS r
+           FROM alle CROSS JOIN c2),
+         pa AS (
+           SELECT c AS cell, count(*) AS n_index FROM fina
+           WHERE r = 1 AND vec_id % 4 != 0 GROUP BY c),
+         ca AS (
+           SELECT c AS cell, count(*) AS n_batch FROM fina
+           WHERE r = 1 AND vec_id % 4 = 0 GROUP BY c),
+         j AS (
+           SELECT coalesce(pa.cell, ca.cell) AS cell,
+             coalesce(n_index, 0) AS n_index,
+             coalesce(n_batch, 0) AS n_batch
+           FROM pa FULL OUTER JOIN ca ON ca.cell = pa.cell),
+         tt AS (
+           SELECT sum(n_index) AS ti, sum(n_batch) AS tb FROM j)
+         SELECT cell, CAST(n_index AS BIGINT) AS n_index,
+           CAST(n_batch AS BIGINT) AS n_batch,
+           round((greatest(n_index / ti, 1e-6) - greatest(n_batch / tb, 1e-6))
+             * ln(greatest(n_index / ti, 1e-6) / greatest(n_batch / tb, 1e-6)),
+             6) AS psi6
+         FROM j, tt""",
 
     // SemDeDup replay: same fit, then the pairwise within-cluster rule
     // as a plain EXISTS — dropped iff a lower-id same-cluster point

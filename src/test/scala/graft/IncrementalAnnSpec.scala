@@ -254,6 +254,38 @@ class IncrementalAnnSpec extends SparkSpec {
       spark.catalog.tableExists("ia_rc_centroids"))
   }
 
+  test("quantizerDrift: table and frames surfaces agree; an off-" +
+    "distribution batch scores a larger PSI than an in-distribution one") {
+    import spark.implicits._
+    freshIndex("ia_drift")
+    val boot = vecs(bootIds)
+    val cents = IncrementalAnn.append(boot, "vec_id", "embedding",
+      "ia_drift", nCells = 4)
+    val inDist = vecs(incrIds)
+    def drift(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "n_index", "n_batch", "psi6")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val viaTable = drift(IncrementalAnn.quantizerDrift(
+      inDist, "vec_id", "embedding", "ia_drift"))
+    val viaFrames = drift(IncrementalAnn.cellDrift(
+      IncrementalAnn.assign(boot, "vec_id", "embedding", cents)
+        .select(col("cell")),
+      inDist, "vec_id", "embedding", cents))
+    assert(viaTable === viaFrames,
+      "the persisted index IS the assignment — both surfaces must agree")
+    val psiIn = viaTable.toSeq.map(_._4).sum
+    // a constant-direction batch collapses into one cell: the staleness
+    // signal the report exists to raise
+    val shifted = (1000 until 1040).map(i =>
+      (i.toLong, (0 until 8).map(d => (d + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val psiShift = drift(IncrementalAnn.quantizerDrift(
+      shifted, "vec_id", "embedding", "ia_drift")).toSeq.map(_._4).sum
+    assert(psiShift > psiIn + 0.1,
+      f"shifted-batch PSI $psiShift%.4f should exceed in-distribution " +
+        f"PSI $psiIn%.4f decisively")
+  }
+
   test("query plan is one-sided: the bucketed index never shuffles " +
     "(broadcast probes, bounded top-k exchange only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
