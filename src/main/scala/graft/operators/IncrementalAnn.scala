@@ -407,6 +407,14 @@ object IncrementalAnn {
         col("id"), col("vec"))
   }
 
+  /** The index's quantizer, read from the sidecar — the public form of
+    * the bounded read every append/query pays when not fitted-chained
+    * (a long-lived caller, e.g. the streaming ingest, reads it once and
+    * chains it through every micro-batch).
+    */
+  def centroids(spark: SparkSession, indexTable: String): Array[Array[Double]] =
+    loadCentroids(spark, centroidsTableName(indexTable))
+
   /** Bounded sidecar read: ≤ nCells (cell, centroid) rows, ordered by
     * cell so index position = cell id (the kernel's centroid-table
     * contract).

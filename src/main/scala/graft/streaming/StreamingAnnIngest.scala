@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.IncrementalAnn
+
+/** Continuous ingest into the incremental ANN index ([EXT], §2.I): a
+  * `foreachBatch` writer that assigns each micro-batch under the index's
+  * FROZEN quantizer and appends its inverted-list rows — the literal
+  * streaming form of the contract [[graft.operators.IncrementalAnn]]
+  * establishes for batch appends.
+  *
+  * The index MUST be bootstrapped before the stream starts: a stream
+  * cannot train the quantizer (the k-means fit is a multi-pass batch job
+  * over a materialized corpus) — the frozen-quantizer insert rule,
+  * restated for streaming. The sidecar is read ONCE at stream start and
+  * fitted-chained through every micro-batch (zero per-batch sidecar
+  * jobs); it cannot change underneath the stream because [[IncrementalAnn
+  * .rebuild]] is single-writer/offline by contract.
+  *
+  * Delivery: `foreachBatch` re-delivers the last in-flight batch with the
+  * SAME batchId after a restart, so the ingest keeps a one-column commit
+  * log (`<indexTable>_ingest_log`) and SKIPS already-committed batch ids —
+  * exactly-once index content across restarts. The append lands BEFORE
+  * the log row on purpose: a crash between the two duplicates that batch
+  * on retry rather than losing it (at-least-once within the crash window;
+  * duplicate index rows degrade nothing but candidate-list size, whereas
+  * a silently missing batch is undetectable). The log is one bigint row
+  * per micro-batch — years of minutely batches fit in one file block.
+  */
+object StreamingAnnIngest {
+
+  def ingestLogTableName(indexTable: String): String =
+    indexTable + "_ingest_log"
+
+  /** Start the ingest: `vectors` is a STREAMING frame carrying
+    * (`idCol`, `vecCol`). Returns the running query; the caller owns its
+    * lifecycle.
+    */
+  def start(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexTable: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = vectors.sparkSession
+    // fail fast at START, not first batch: an unbootstrapped index is a
+    // deployment error the operator should see synchronously
+    val cents = IncrementalAnn.centroids(spark, indexTable)
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        ingestBatch(df, batchId, idCol, vecCol, indexTable, cents)
+      }
+      .start()
+  }
+
+  /** One micro-batch: skip if the commit log already holds `batchId`
+    * (the foreachBatch retry), else append then log. Package-private so
+    * the idempotence contract is testable without restart machinery.
+    */
+  private[graft] def ingestBatch(
+      df: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      indexTable: String,
+      cents: Array[Array[Double]]): Unit = {
+    val spark = df.sparkSession
+    val log = ingestLogTableName(indexTable)
+    val seen = spark.catalog.tableExists(log) &&
+      !spark.table(log).filter(col("batch_id") === batchId).isEmpty
+    if (!seen) {
+      IncrementalAnn.append(df, idCol, vecCol, indexTable,
+        fitted = Some(cents))
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id")
+        .write.mode(if (spark.catalog.tableExists(log)) "append"
+          else "overwrite")
+        .saveAsTable(log)
+    }
+  }
+}

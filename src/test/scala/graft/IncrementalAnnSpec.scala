@@ -286,6 +286,63 @@ class IncrementalAnnSpec extends SparkSpec {
         f"PSI $psiIn%.4f decisively")
   }
 
+  test("streaming ingest: micro-batches append under the frozen quantizer; " +
+    "a re-delivered batchId is skipped (exactly-once index content)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAnnIngest
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    freshIndex("ia_stream")
+    dropTable(StreamingAnnIngest.ingestLogTableName("ia_stream"))
+    // an unbootstrapped index fails at START, not first batch
+    val memEarly = MemoryStream[(Long, Seq[Float])]
+    intercept[IllegalStateException] {
+      StreamingAnnIngest.start(
+        memEarly.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "ia_stream",
+        java.nio.file.Files.createTempDirectory("ia-stream").toString)
+    }
+    val cents = IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding",
+      "ia_stream", nCells = 4)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def tup(ids: Seq[Int]) = vecs(ids).as[(Long, Seq[Float])].collect()
+    val q = StreamingAnnIngest.start(
+      mem.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "ia_stream",
+      java.nio.file.Files.createTempDirectory("ia-stream").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(tup(incrIds.take(5)).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(tup(incrIds.drop(5)).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ia_stream")
+      .select("cell", "id").as[(Long, Long)].collect().toSet
+    // reference: plain batch appends of the same slices
+    freshIndex("ia_stream_ref")
+    IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding",
+      "ia_stream_ref", nCells = 4)
+    IncrementalAnn.append(vecs(incrIds.take(5)), "vec_id", "embedding",
+      "ia_stream_ref", fitted = Some(cents))
+    IncrementalAnn.append(vecs(incrIds.drop(5)), "vec_id", "embedding",
+      "ia_stream_ref", fitted = Some(cents))
+    val ref = spark.table("ia_stream_ref")
+      .select("cell", "id").as[(Long, Long)].collect().toSet
+    assert(streamed === ref)
+    // foreachBatch retry: the SAME batchId must not double-append
+    val nBefore = spark.table("ia_stream").count()
+    StreamingAnnIngest.ingestBatch(vecs(incrIds.take(5)), 0L,
+      "vec_id", "embedding", "ia_stream", cents)
+    assert(spark.table("ia_stream").count() === nBefore,
+      "a re-delivered batchId re-appended — the commit log must skip it")
+    // a NEW batchId appends normally
+    StreamingAnnIngest.ingestBatch(vecs(Seq(999)), 99L,
+      "vec_id", "embedding", "ia_stream", cents)
+    assert(spark.table("ia_stream").count() === nBefore + 1)
+  }
+
   test("query plan is one-sided: the bucketed index never shuffles " +
     "(broadcast probes, bounded top-k exchange only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
