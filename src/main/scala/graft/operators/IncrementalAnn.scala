@@ -87,6 +87,13 @@ object IncrementalAnn {
     val spark = batch.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val centTable = centroidsTableName(indexTable)
+    // a writer self-heals a crashed rebuild FIRST (the rewriteBucketed
+    // recover-at-start rule): without this, a crash between the two
+    // rebuild swaps leaves a live pair of a NEW index with the OLD
+    // sidecar, and an append would silently assign against the wrong
+    // quantizer. recover() is idempotent and catalog-only — on a healthy
+    // or fresh index it is a handful of tableExists probes.
+    recover(spark, indexTable)
     val idxExists = spark.catalog.tableExists(indexTable)
     val centExists = spark.catalog.tableExists(centTable)
     if (idxExists && !centExists) throw new IllegalStateException(
@@ -157,6 +164,16 @@ object IncrementalAnn {
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     val spark = queries.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    // a READER must not mutate the catalog, but it must also never pair
+    // a half-swapped rebuild's new index with the old sidecar (silently
+    // wrong probes) — detect the crash residue and fail actionably
+    if (spark.catalog.tableExists(
+        centroidsTableName(indexTable) + RebuildSuffix) ||
+        spark.catalog.tableExists(indexTable + RebuildSuffix))
+      throw new IllegalStateException(
+        s"a rebuild of $indexTable crashed mid-swap (__rebuild residue " +
+          "present) — run IncrementalAnn.recover, or rebuild again, " +
+          "before querying")
     val centroids = fitted.getOrElse(
       loadCentroids(spark, centroidsTableName(indexTable)))
     require(nProbe <= centroids.length,

@@ -254,6 +254,37 @@ class IncrementalAnnSpec extends SparkSpec {
       spark.catalog.tableExists("ia_rc_centroids"))
   }
 
+  test("crashed-rebuild residue: a writer self-heals at append; a reader " +
+    "fails actionably instead of pairing new index with old sidecar") {
+    import spark.implicits._
+    freshIndex("ia_heal")
+    Seq("ia_heal__rebuild", "ia_heal__old", "ia_heal_centroids__rebuild",
+      "ia_heal_centroids__old").foreach(dropTable)
+    IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding", "ia_heal",
+      nCells = 4)
+    // manufacture the post-commit crash window: the sidecar's __rebuild
+    // sibling is waiting, the live pair is inconsistent
+    val newCents = Clustering.kmeansFit(vecs(allIds), "vec_id",
+      "embedding", 4, 2)
+    newCents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").write
+      .saveAsTable("ia_heal_centroids__rebuild")
+    val ex = intercept[IllegalStateException] {
+      IncrementalAnn.query(vecs(allIds), "vec_id", "embedding", "ia_heal",
+        k = 1)
+    }
+    assert(ex.getMessage.contains("crashed mid-swap"))
+    // the writer heals: recover-at-start forward-rolls the sidecar, the
+    // batch then assigns under the NEW quantizer read from it
+    val cents = IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding",
+      "ia_heal")
+    assert(cents.map(_.toSeq).toSeq === newCents.map(_.toSeq).toSeq)
+    assert(!spark.catalog.tableExists("ia_heal_centroids__rebuild"))
+    // and the reader works again
+    assert(IncrementalAnn.query(vecs(allIds), "vec_id", "embedding",
+      "ia_heal", k = 1).count() > 0L)
+  }
+
   test("quantizerDrift: table and frames surfaces agree; an off-" +
     "distribution batch scores a larger PSI than an in-distribution one") {
     import spark.implicits._
