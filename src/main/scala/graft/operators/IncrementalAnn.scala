@@ -438,6 +438,15 @@ object IncrementalAnn {
     */
   private def loadCentroids(
       spark: SparkSession, centTable: String): Array[Array[Double]] = {
+    // EVERY sidecar read refuses crashed-rebuild residue (not just
+    // query's explicit pre-check): a reader that consumed the OLD
+    // sidecar next to a NEW index would be silently wrong — centroids(),
+    // quantizerDrift, and the streaming ingest all arrive here
+    if (spark.catalog.tableExists(centTable + RebuildSuffix))
+      throw new IllegalStateException(
+        s"a rebuild around $centTable crashed mid-swap (__rebuild " +
+          "residue present) — run IncrementalAnn.recover, or rebuild " +
+          "again, before reading the quantizer")
     if (!spark.catalog.tableExists(centTable))
       throw new IllegalStateException(
         s"centroid sidecar $centTable does not exist — bootstrap the " +

@@ -29,6 +29,11 @@ import graft.operators.IncrementalAnn
   * duplicate index rows degrade nothing but candidate-list size, whereas
   * a silently missing batch is undetectable). The log is one bigint row
   * per micro-batch — years of minutely batches fit in one file block.
+  *
+  * ONE ingest stream per index: batch ids are per-query, so two streams
+  * writing the same index would each maintain their own id sequence and
+  * the commit log could not distinguish them — the same single-writer
+  * rule every index writer in this codebase carries.
   */
 object StreamingAnnIngest {
 
