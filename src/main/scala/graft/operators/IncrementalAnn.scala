@@ -198,8 +198,18 @@ object IncrementalAnn {
       .filter(col("__n") <= maxCellSize)
       .select(col("cell"))
     // one-sided probe join: the PROBE side (queries × nProbe rows)
-    // broadcasts; the bucketed index scan never shuffles
-    val cand = idx.join(broadcast(okCells), Seq("cell"))
+    // broadcasts; the index side never HASH-shuffles. But a bucketed scan
+    // is task-per-bucket and non-splittable, so on a small-nCells index
+    // the whole verify pass is bound to nCells tasks no matter how many
+    // cores exist (measured: 8 tasks max through a 30k-row verify on 32
+    // cores) — and the broadcast join gains nothing from the bucketing.
+    // spreadIfNarrow applies the standing rule: round-robin the candidate
+    // side up to the session parallelism ONLY when the scan is narrower
+    // (at real scale a 10k-list index already exceeds any executor count
+    // and this is a no-op; the okCells agg above keeps its exchange-free
+    // bucketed path untouched).
+    val cand = Similarity.spreadIfNarrow(idx)
+      .join(broadcast(okCells), Seq("cell"))
       .join(broadcast(probes), Seq("cell"))
     val scored = (if (excludeSelf) cand.filter(col("q_id") =!= col("id"))
       else cand)
