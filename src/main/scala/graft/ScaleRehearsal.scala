@@ -362,8 +362,16 @@ object ScaleRehearsal {
         sample, all, "vec_id", "embedding", 3)
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxCellSize scales with the corpus: the default 10000 cap exists to
+    // fail closed on DEGENERATE fits, and at 100× a healthy 8-cell index
+    // legitimately holds ~25k rows per cell — first observed as recall 0.0
+    // when the gate (correctly) excluded every cell. A real deployment at
+    // this growth point rebuilds with more cells (exactly the signal
+    // quantizerDrift/list sizes raise); the leg keeps nCells fixed to keep
+    // the flat-append claim comparable across blowups.
     val (wQuery, got) = timed(
       IncrementalAnn.query(sample, "vec_id", "embedding", table, k = 3,
+        maxCellSize = math.max(10000, (2L * nIdx / 8).toInt),
         fitted = Some(cents))
         .select("q_id", "n_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
