@@ -381,10 +381,39 @@ object ScaleRehearsal {
       f"incremental-ANN recall@3 $recall%.4f under the IVF floor at $blowup×")
     def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    // Past ~50× the fixed-8-cell index is beyond its design point (the
+    // 100× first attempt proved it: ~25k-row inverted lists, every one
+    // over the default cap) — the lifecycle answer is REBUILD with more
+    // cells, so demonstrate it end to end: refit at 64 cells, rewrite,
+    // re-query. Gates: recall holds, and the query gets decisively
+    // faster (probing 2 of 64 small lists instead of 2 of 8 oversized
+    // ones cuts the candidate stream ~8×).
+    val rebuildJson =
+      if (blowup < 50) ""
+      else {
+        val (wRebuild, cents2) = timed(IncrementalAnn.rebuild(
+          all, "vec_id", "embedding", table, nCells = 64))
+        val (wQuery2, got2) = timed(
+          IncrementalAnn.query(sample, "vec_id", "embedding", table, k = 3,
+            fitted = Some(cents2))
+            .select("q_id", "n_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        val recall2 = got2.filter(p => sampleIds.contains(p._1))
+          .intersect(exact).size.toDouble / exact.size
+        require(recall2 >= 0.13,
+          f"post-rebuild recall@3 $recall2%.4f under the floor at $blowup×")
+        require(wQuery2 <= 0.75 * wQuery,
+          f"rebuild to 64 cells did not speed the oversized-list query: " +
+            f"$wQuery2%.1f s vs $wQuery%.1f s")
+        s""","iann_rebuild_sec":${r1(wRebuild)}""" +
+          s""","iann_query_rebuilt_sec":${r1(wQuery2)}""" +
+          s""","iann_recall_rebuilt":${r4(recall2)}"""
+      }
     s""","iann_rows":$nIdx,"iann_boot_sec":${r1(wBoot)}""" +
       s""","iann_append_first_sec":${r1(wFirst)}""" +
       s""","iann_append_last_sec":${r1(wLast)}""" +
-      s""","iann_query_sec":${r1(wQuery)},"iann_recall":${r4(recall)}"""
+      s""","iann_query_sec":${r1(wQuery)},"iann_recall":${r4(recall)}""" +
+      rebuildJson
   }
 
   /** Data-quality rehearsal at the blowup: constraint-audit RATES are
