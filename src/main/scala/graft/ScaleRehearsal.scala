@@ -371,7 +371,11 @@ object ScaleRehearsal {
     // the flat-append claim comparable across blowups.
     val (wQuery, got) = timed(
       IncrementalAnn.query(sample, "vec_id", "embedding", table, k = 3,
-        maxCellSize = math.max(10000, (2L * nIdx / 8).toInt),
+        // clamped before the narrowing cast (ADVICE r13): past ~8.6B rows
+        // 2L*nIdx/8 wraps negative as an Int and math.max would silently
+        // fall back to 10000, re-tripping the cap gate at extreme blowups
+        maxCellSize = math.min(Int.MaxValue.toLong,
+          math.max(10000L, 2L * nIdx / 8)).toInt,
         fitted = Some(cents))
         .select("q_id", "n_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
@@ -381,18 +385,100 @@ object ScaleRehearsal {
       f"incremental-ANN recall@3 $recall%.4f under the IVF floor at $blowup×")
     def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
-    // Past ~50× the fixed-8-cell index is beyond its design point (the
-    // 100× first attempt proved it: ~25k-row inverted lists, every one
-    // over the default cap) — the lifecycle answer is REBUILD with more
-    // cells, so demonstrate it end to end: refit at 64 cells, rewrite,
-    // re-query. Gates: recall holds, and the query gets decisively
-    // faster (probing 2 of 64 small lists instead of 2 of 8 oversized
-    // ones cuts the candidate stream ~8×).
+    // Corpus-sized probe sub-leg (verdict r13 #1): self-query the WHOLE
+    // union corpus against the index and gate, on the EXECUTED plan, that
+    // the large side never broadcast and the bucketed index never
+    // shuffled — the regime the probe-size gate exists for. The byte
+    // threshold is scaled to the miniature fixture (the standing
+    // rehearsal practice, like maxCellSize above): 8 MB puts this
+    // corpus-sized probe set (≥ 30× the base table) in the shuffle
+    // regime while the sampled query set above stays broadcast — the
+    // same ratio the production 32 MB default draws at real scale.
+    val probeJson =
+      if (blowup < 30) ""
+      else {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+        import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec}
+        val dfBig = IncrementalAnn.query(all, "vec_id", "embedding", table,
+          k = 3,
+          maxCellSize = math.min(Int.MaxValue.toLong,
+            math.max(10000L, 2L * nIdx / 8)).toInt,
+          fitted = Some(cents), probeBroadcastBytes = 8L << 20)
+        // collect() on THIS df — count()/head() would plan a separate
+        // QueryExecution, leaving the inspected plan unexecuted (the
+        // round-13 skew-leg lesson); queries × k rows ≈ 3·nIdx, tens of
+        // MB at 100×, bounded by construction
+        val (wProbeAll, nProbeRows) = timed(dfBig.collect().length.toLong)
+        require(nProbeRows > 0L, "corpus-sized probe returned no rows")
+        // walk the ADAPTIVE executed plan through its materialized stages
+        def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+          case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+          case q: QueryStageExec => allNodes(q.plan)
+          case other => other.children.flatMap(allNodes)
+        })
+        val nodes = allNodes(dfBig.queryExecution.executedPlan)
+        val bcasts = nodes.collect { case b: BroadcastExchangeExec => b }
+        require(bcasts.nonEmpty, "expected the okCells broadcast")
+        bcasts.foreach { b =>
+          require(allNodes(b).collect { case g: GenerateExec => g }.isEmpty,
+            s"the corpus-sized probe side was BROADCAST at $blowup×:\n$b")
+        }
+        // "the index never shuffles" = no exchange between the index scan
+        // and the join; the walk stops at aggregate boundaries (rows past
+        // a partial agg are bounded topk buffers / okCells counts, not
+        // index rows — the IncrementalAnnSpec gate's rule)
+        import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        def belowNoAgg(p: SparkPlan): Seq[SparkPlan] = p match {
+          case _: BaseAggregateExec => Seq.empty
+          case a: AdaptiveSparkPlanExec => p +: belowNoAgg(a.executedPlan)
+          case q: QueryStageExec => p +: belowNoAgg(q.plan)
+          case other => other +: other.children.flatMap(belowNoAgg)
+        }
+        nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+          require(e.children.flatMap(belowNoAgg).collect {
+            case f: FileSourceScanExec
+                if f.tableIdentifier.exists(
+                  _.table.equalsIgnoreCase(table)) => f
+          }.isEmpty,
+            s"the bucketed index moved through an exchange at $blowup×:\n$e")
+        }
+        s""","iann_probe_all_sec":${r1(wProbeAll)}""" +
+          s""","iann_probe_all_rows":$nProbeRows"""
+      }
+    // Maintenance is POLICY-driven (verdict r13 #3): consult
+    // maintenancePolicy with the PRODUCTION cap (10000 — the scaled cap
+    // above exists only so the flat-append gate's query can run) and the
+    // most recent ingest batch as the drift probe. At ≥ 50× healthy
+    // growth trips the list cap (the 100× first attempt measured ~25k-row
+    // lists) and the policy demands a rebuild, recommending the cell
+    // count the round-13 leg hard-coded by hand (total/5000 → pow2 = 64
+    // at 100×); below that the policy must stay quiet.
+    val polRow = IncrementalAnn.maintenancePolicy(
+      IncrementalAnn.quantizerDrift(copies.last, "vec_id", "embedding",
+        table, fitted = Some(cents)),
+      nCells = cents.length, maxCellSize = 10000L).collect().head
+    val polRebuild = polRow.getAs[Long]("rebuild")
+    val polCells = polRow.getAs[Long]("recommended_cells")
+    val polJson =
+      s""","iann_policy_rebuild":$polRebuild""" +
+        s""","iann_policy_cells":$polCells""" +
+        s""","iann_policy_max_list":${polRow.getAs[Long]("max_list")}""" +
+        s""","iann_policy_psi_micro":${polRow.getAs[Long]("psi_micro")}"""
+    require((blowup >= 50) == (polRebuild == 1L),
+      s"maintenancePolicy decision ($polRebuild) contradicts the known " +
+        s"lifecycle shape at $blowup× (healthy lists ≈ ${nIdx / 8} vs " +
+        "cap 10000)")
+    // The rebuild the policy demands, exercised THROUGH the policy's own
+    // recommendation: refit at its cell count, rewrite, re-query. Gates:
+    // recall holds, and the query gets decisively faster (probing 2 of
+    // `polCells` small lists instead of 2 of 8 oversized ones).
     val rebuildJson =
-      if (blowup < 50) ""
+      if (polRebuild != 1L) ""
       else {
         val (wRebuild, cents2) = timed(IncrementalAnn.rebuild(
-          all, "vec_id", "embedding", table, nCells = 64))
+          all, "vec_id", "embedding", table, nCells = polCells.toInt))
         val (wQuery2, got2) = timed(
           IncrementalAnn.query(sample, "vec_id", "embedding", table, k = 3,
             fitted = Some(cents2))
@@ -403,8 +489,8 @@ object ScaleRehearsal {
         require(recall2 >= 0.13,
           f"post-rebuild recall@3 $recall2%.4f under the floor at $blowup×")
         require(wQuery2 <= 0.75 * wQuery,
-          f"rebuild to 64 cells did not speed the oversized-list query: " +
-            f"$wQuery2%.1f s vs $wQuery%.1f s")
+          f"rebuild to $polCells cells did not speed the oversized-list " +
+            f"query: $wQuery2%.1f s vs $wQuery%.1f s")
         s""","iann_rebuild_sec":${r1(wRebuild)}""" +
           s""","iann_query_rebuilt_sec":${r1(wQuery2)}""" +
           s""","iann_recall_rebuilt":${r4(recall2)}"""
@@ -413,7 +499,7 @@ object ScaleRehearsal {
       s""","iann_append_first_sec":${r1(wFirst)}""" +
       s""","iann_append_last_sec":${r1(wLast)}""" +
       s""","iann_query_sec":${r1(wQuery)},"iann_recall":${r4(recall)}""" +
-      rebuildJson
+      probeJson + polJson + rebuildJson
   }
 
   /** Data-quality rehearsal at the blowup: constraint-audit RATES are

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
 import scala.collection.mutable
 
 /** Bounded top-k-by-score aggregate: keeps the k best (score desc, id asc)
-  * pairs per group in a fixed-size heap.
+  * pairs per group in a fixed-size heap, one entry per DISTINCT id.
   *
   * Why (SURVEY.md §2.E top-k at scale): ranking grouped candidates with a
   * `row_number()` window shuffles and sorts EVERY scored row — for
@@ -20,6 +20,20 @@ import scala.collection.mutable
   * TypedImperativeAggregate, each map task forwards at most k entries per
   * group, so the exchange carries O(groups × k) instead of O(pairs): the
   * difference between a terabyte shuffle and a megabyte one at corpus scale.
+  *
+  * Ids are DEDUPED inside the heap (ADVICE r13): a candidate whose id is
+  * already held either replaces the held copy (strictly better score) or
+  * is dropped — so a duplicated candidate row (e.g. a crash-window
+  * re-append in the incremental ANN index, or any future multi-block
+  * probe that surfaces the same neighbor twice) costs zero top-k slots
+  * instead of displacing a real neighbor. The check is an O(k) scan per
+  * accepted insert on a ≤ k-element buffer — no extra exchange, unlike a
+  * `dropDuplicates` pass over the full scored stream. For every existing
+  * caller the ids within a group are distinct by construction (a corpus
+  * vector lives in exactly one IVF cell; cross-join pairs are unique), so
+  * dedup is a provable no-op there; it changes results only where
+  * duplicates were a bug. The same rule applies across partial-aggregate
+  * merges.
   *
   * Output: array<struct<id:bigint, score:double>> sorted best-first; explode
   * with posexplode to recover (rank, id, score) rows.
@@ -86,7 +100,19 @@ case class TopKByScore(
 
   private def add(buf: mutable.PriorityQueue[(Double, Long)],
       score: Double, id: Long): Unit = {
-    if (buf.size < k) buf.enqueue((score, id))
+    // one heap entry per id: a duplicate either upgrades the held copy
+    // (strictly better score — rebuild the ≤ k-element queue without it)
+    // or is dropped. PriorityQueue has no remove, but k is single-digit
+    // in every caller, so the rebuild is a handful of enqueues.
+    val held = buf.find(_._2 == id)
+    if (held.isDefined) {
+      if (score > held.get._1) {
+        val rest = buf.toArray.filter(_._2 != id)
+        buf.clear()
+        rest.foreach(buf.enqueue(_))
+        buf.enqueue((score, id))
+      }
+    } else if (buf.size < k) buf.enqueue((score, id))
     else if (worstFirst.compare((score, id), buf.head) < 0) {
       // strictly better than the current worst
       buf.dequeue(); buf.enqueue((score, id))

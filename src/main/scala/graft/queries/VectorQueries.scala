@@ -221,6 +221,52 @@ object VectorQueries {
         "vec_id", "embedding", cents)
     }),
 
+    // ORACLED bootstrap half of the incremental-index produce path — the
+    // q_delta_index_bootstrap split (verdict r13 #2: isolate the
+    // increment's marginal cost as q_ann_incr_md5 − this row, read from
+    // the same sweep), but STRONGER than the delta family's rows-only
+    // split: the freshly-bootstrapped index table's content is itself
+    // the (cell, id) assignment under the bootstrap fit, which DuckDB
+    // replays exactly — so the hash gate covers the persisted bootstrap
+    // state, not just downstream decisions. Same drop-then-build
+    // preamble, own table names.
+    "q_ann_incr_bootstrap" -> ((s, dir) => {
+      import graft.operators.IncrementalAnn
+      val e = t(s, dir, "embeddings")
+      for (tb <- Seq("iannb_idx", "iannb_idx_centroids")) {
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tb)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      IncrementalAnn.append(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", "iannb_idx",
+        fitted = Some(iannFitted(s, dir)))
+      s.table("iannb_idx").select(col("cell"), col("id"))
+    }),
+
+    // ORACLED maintenance decision (verdict r13 #3): the policy that
+    // consumes the drift report — PSI + inverted-list histogram vs the
+    // probe cap → rebuild/no-rebuild + recommended cell count. The cap
+    // is scaled to the fixture (32: the bootstrap slice pigeonholes
+    // ≥ ⌈375/8⌉ = 47 rows into some cell at sf0.01, so over_cap trips
+    // deterministically at every sf and the pow2 recommendation path is
+    // actually exercised); DuckDB replays the whole decision — integer
+    // ceil-div, the powers-of-two floor, both flags — over the same
+    // k-means CTEs as q_ann_drift.
+    "q_ann_policy" -> ((s, dir) => {
+      import graft.operators.IncrementalAnn
+      val e = t(s, dir, "embeddings")
+      val cents = iannFitted(s, dir)
+      val idx = IncrementalAnn.assign(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", cents).select(col("cell"))
+      val drift = IncrementalAnn.cellDrift(idx,
+        e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", cents)
+      IncrementalAnn.maintenancePolicy(drift, nCells = cents.length,
+        maxCellSize = 32L)
+    }),
+
     // ORACLED hyperplane sketch: md5-derived hyperplanes (cross-engine
     // identical) — proves the sign-of-projection bucketing end to end;
     // the xxhash64 form above stays the fast path. Heavy narrow map
@@ -953,6 +999,86 @@ object VectorQueries {
              * ln(greatest(n_index / ti, 1e-6) / greatest(n_batch / tb, 1e-6)),
              6) AS psi6
          FROM j, tt""",
+
+    // Bootstrap-index replay: the k-means fit on the bootstrap slice,
+    // then the (cell, id) assignment of THAT slice only — the persisted
+    // content of the freshly-bootstrapped index table.
+    "q_ann_incr_bootstrap" ->
+      s"""${kmeansCtesOver(" AND vec_id % 4 != 0")},
+         boote AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id % 4 != 0),
+         fina AS (
+           SELECT vec_id, c,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, centroid), 6)
+                 DESC, c) AS r
+           FROM boote CROSS JOIN c2)
+         SELECT c AS cell, vec_id AS id FROM fina WHERE r = 1""",
+
+    // Maintenance-policy replay: the q_ann_drift frame folded to one
+    // decision row — integer micro-unit PSI sum (associative, so the
+    // cross-engine addition order cannot flip a round-6 boundary), the
+    // cap/drift flags, and the powers-of-two recommendation via exact
+    // integer ceil-division (// is DuckDB's integer division).
+    "q_ann_policy" ->
+      s"""${kmeansCtesOver(" AND vec_id % 4 != 0")},
+         alle AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         fina AS (
+           SELECT vec_id, c,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, centroid), 6)
+                 DESC, c) AS r
+           FROM alle CROSS JOIN c2),
+         pa AS (
+           SELECT c AS cell, count(*) AS n_index FROM fina
+           WHERE r = 1 AND vec_id % 4 != 0 GROUP BY c),
+         ca AS (
+           SELECT c AS cell, count(*) AS n_batch FROM fina
+           WHERE r = 1 AND vec_id % 4 = 0 GROUP BY c),
+         j AS (
+           SELECT coalesce(pa.cell, ca.cell) AS cell,
+             coalesce(n_index, 0) AS n_index,
+             coalesce(n_batch, 0) AS n_batch
+           FROM pa FULL OUTER JOIN ca ON ca.cell = pa.cell),
+         tt AS (
+           SELECT sum(n_index) AS ti, sum(n_batch) AS tb FROM j),
+         drift AS (
+           -- round-6 FIRST (the proven q_ann_drift agreement point),
+           -- THEN the exact micro conversion — mirroring the Spark
+           -- pipeline step for step
+           SELECT n_index, n_batch,
+             CAST(round(round((greatest(n_index / ti, 1e-6)
+                 - greatest(n_batch / tb, 1e-6))
+               * ln(greatest(n_index / ti, 1e-6)
+                 / greatest(n_batch / tb, 1e-6)), 6) * 1e6) AS BIGINT)
+               AS psi_micro_cell
+           FROM j, tt),
+         agg AS (
+           SELECT CAST(sum(n_index) AS BIGINT) AS n_index_rows,
+             CAST(sum(n_batch) AS BIGINT) AS n_batch_rows,
+             CAST(max(n_index) AS BIGINT) AS max_list,
+             CAST(sum(psi_micro_cell) AS BIGINT) AS psi_micro
+           FROM drift),
+         powers(p) AS (VALUES ${(0 to 20)
+             .map(i => s"(${1L << i})").mkString(",")})
+         SELECT CAST(8 AS BIGINT) AS n_cells, n_index_rows, n_batch_rows,
+           max_list, psi_micro,
+           CAST(CASE WHEN max_list > 32 THEN 1 ELSE 0 END AS BIGINT)
+             AS over_cap,
+           CAST(CASE WHEN psi_micro > 250000 THEN 1 ELSE 0 END AS BIGINT)
+             AS drifted,
+           CAST(CASE WHEN max_list > 32 OR psi_micro > 250000
+             THEN 1 ELSE 0 END AS BIGINT) AS rebuild,
+           CAST(CASE WHEN max_list > 32 OR psi_micro > 250000 THEN
+             (SELECT min(p) FROM powers
+              WHERE p >= (n_index_rows + n_batch_rows + 15) // 16
+                AND p >= 8)
+             ELSE 8 END AS BIGINT) AS recommended_cells
+         FROM agg""",
 
     // SemDeDup replay: same fit, then the pairwise within-cluster rule
     // as a plain EXISTS — dropped iff a lower-id same-cluster point

@@ -485,6 +485,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("graft_topk keeps one heap entry per distinct id (ADVICE r13): " +
+    "duplicates cost no slots, a better copy upgrades, across merges") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    // duplicated candidate rows (the incremental-ANN crash-window shape):
+    // id 10 appears three times with equal score, id 20 twice with
+    // different scores. Correct distinct top-2: (20 @ 0.95), (10 @ 0.9) —
+    // a slot-counting heap would instead return (10, 10) or (20, 20).
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 10L, 0.9), (1L, 10L, 0.9),
+      (1L, 20L, 0.6), (1L, 20L, 0.95),
+      (1L, 30L, 0.5))
+    // force many partitions so dedup must also hold across partial-
+    // aggregate merges, not just within one update stream
+    val scored = rows.toDF("q_id", "n_id", "sim4").repartition(6)
+    val got = scored.groupBy(col("q_id"))
+      .agg(expr("graft_topk(n_id, sim4, 2)").as("topk"))
+      .select(posexplode(col("topk")))
+      .select(col("col.id"), col("col.score"))
+      .as[(Long, Double)].collect().toSeq.sortBy(-_._2)
+    assert(got === Seq((20L, 0.95), (10L, 0.9)))
+    // reference semantics: best score per id, then (score desc, id asc)
+    // top-k — the window+dropDuplicates composition the heap replaces
+    val ref = rows.map { case (_, id, s) => (id, s) }
+      .groupBy(_._1).map { case (id, g) => (id, g.map(_._2).max) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(2)
+    assert(got === ref)
+    // distinct-id inputs (every existing caller) are untouched: top-3 of
+    // unique ids is the plain (score desc, id asc) prefix
+    val uniq = Seq((1L, 1L, 0.3), (1L, 2L, 0.7), (1L, 3L, 0.5),
+      (1L, 4L, 0.7)).toDF("q_id", "n_id", "sim4").repartition(3)
+    val got3 = uniq.groupBy(col("q_id"))
+      .agg(expr("graft_topk(n_id, sim4, 3)").as("topk"))
+      .select(posexplode(col("topk")))
+      .select(col("col.id")).as[Long].collect().toSet
+    assert(got3 === Set(2L, 4L, 3L))
+  }
+
   test("IVF cells: identical vectors share a cell; probe finds the twin") {
     val vecs = df(
       StructType(Seq(StructField("vec_id", LongType),
