@@ -376,7 +376,11 @@ object ScaleRehearsal {
         // fall back to 10000, re-tripping the cap gate at extreme blowups
         maxCellSize = math.min(Int.MaxValue.toLong,
           math.max(10000L, 2L * nIdx / 8)).toInt,
-        fitted = Some(cents))
+        fitted = Some(cents),
+        // caller-asserted small probe set (nIdx/53 rows): the %53 filter
+        // inherits the checkpointed union's UNREDUCED stats, which would
+        // spuriously trip the gate into the nCells-task shuffle regime
+        probeBroadcastBytes = 1L << 30)
         .select("q_id", "n_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
     val recall = got.filter(p => sampleIds.contains(p._1))
@@ -395,7 +399,11 @@ object ScaleRehearsal {
     // regime while the sampled query set above stays broadcast — the
     // same ratio the production 32 MB default draws at real scale.
     val probeJson =
-      if (blowup < 30) ""
+      if (blowup < 30 || blowup >= 50) ""
+      // (not at ≥50×: pre-rebuild the oversized 8-cell lists make a
+      // corpus self-probe ~10^10 verify pairs — the regime the policy
+      // rebuild below exists to fix; the no-broadcast property is
+      // join-shape-invariant, demonstrated at the verdict's 30×)
       else {
         import org.apache.spark.sql.execution.SparkPlan
         import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -481,7 +489,9 @@ object ScaleRehearsal {
           all, "vec_id", "embedding", table, nCells = polCells.toInt))
         val (wQuery2, got2) = timed(
           IncrementalAnn.query(sample, "vec_id", "embedding", table, k = 3,
-            fitted = Some(cents2))
+            fitted = Some(cents2),
+            // caller-asserted small probe set — see the wQuery site
+            probeBroadcastBytes = 1L << 30)
             .select("q_id", "n_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet)
         val recall2 = got2.filter(p => sampleIds.contains(p._1))

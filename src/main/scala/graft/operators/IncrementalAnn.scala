@@ -167,6 +167,14 @@ object IncrementalAnn {
     * purpose: a round-robin spread of the index scan would destroy the
     * bucket distribution the shuffle regime relies on. Same shape as the
     * batch family's un-hinted probe join ([[Similarity.annIvfMd5]]).
+    *
+    * Estimate caveat: without CBO, filters and localCheckpoint barriers
+    * inherit their child's sizeInBytes UNREDUCED, so a heavily-filtered
+    * probe frame can estimate at the unfiltered size and land in the
+    * shuffle regime — correct, but bound to nCells tasks on a
+    * small-cell index. A caller that KNOWS its probe set is small (e.g.
+    * a sampled query set cut from a checkpointed corpus) should say so
+    * via `probeBroadcastBytes`.
     */
   def query(
       queries: DataFrame,
@@ -232,6 +240,15 @@ object IncrementalAnn {
     val probeSmall =
       queries.queryExecution.optimizedPlan.stats.sizeInBytes *
         nProbe <= probeBroadcastBytes
+    // shuffle_hash, not sort-merge, in the large regime: SMJ buffers each
+    // equal-key (= cell) group, and an inverted list is ONE key with
+    // thousands of rows — past the 4096-row in-memory threshold the
+    // buffered group spills, and every probe row of that cell re-iterates
+    // the spilled array (measured: a 30×-rehearsal corpus self-probe at
+    // 523 s under SMJ vs ~30 s hash). The hash build holds one
+    // partition's probe rows (probes/nCells — bounded by the same cell
+    // cap economics as the lists), streams the index, and keeps the same
+    // one-sided distribution contract.
     val cand =
       if (probeSmall)
         Similarity.spreadIfNarrow(idx)
@@ -239,7 +256,7 @@ object IncrementalAnn {
           .join(broadcast(probes), Seq("cell"))
       else
         idx.join(broadcast(okCells), Seq("cell"))
-          .join(probes, Seq("cell"))
+          .join(probes.hint("shuffle_hash"), Seq("cell"))
     val scored = (if (excludeSelf) cand.filter(col("q_id") =!= col("id"))
       else cand)
       .select(col("q_id"), col("id").as("n_id"),

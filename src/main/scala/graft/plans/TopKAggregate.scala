@@ -100,23 +100,36 @@ case class TopKByScore(
 
   private def add(buf: mutable.PriorityQueue[(Double, Long)],
       score: Double, id: Long): Unit = {
-    // one heap entry per id: a duplicate either upgrades the held copy
-    // (strictly better score — rebuild the ≤ k-element queue without it)
-    // or is dropped. PriorityQueue has no remove, but k is single-digit
-    // in every caller, so the rebuild is a handful of enqueues.
-    val held = buf.find(_._2 == id)
-    if (held.isDefined) {
-      if (score > held.get._1) {
-        val rest = buf.toArray.filter(_._2 != id)
-        buf.clear()
-        rest.foreach(buf.enqueue(_))
-        buf.enqueue((score, id))
-      }
-    } else if (buf.size < k) buf.enqueue((score, id))
-    else if (worstFirst.compare((score, id), buf.head) < 0) {
-      // strictly better than the current worst
-      buf.dequeue(); buf.enqueue((score, id))
+    // The membership check runs ONLY on the accept path: the hot reject
+    // path (a pair at or under the heap floor — the overwhelming
+    // majority of a Q×N candidate stream; expected accepts per group are
+    // ~k·ln(n)) stays the old single comparison, no allocation. A
+    // rejected duplicate is always correct to drop: its held copy is in
+    // the heap, hence ≥ the floor, hence ≥ the rejected candidate.
+    if (buf.size < k) {
+      val held = buf.find(_._2 == id)
+      if (held.isEmpty) buf.enqueue((score, id))
+      else if (score > held.get._1) replace(buf, score, id)
+    } else if (worstFirst.compare((score, id), buf.head) < 0) {
+      val held = buf.find(_._2 == id)
+      if (held.isEmpty) {
+        // strictly better than the current worst, id not yet held
+        buf.dequeue(); buf.enqueue((score, id))
+      } else if (score > held.get._1) replace(buf, score, id)
+      // else: a worse/equal copy of a held id — drop
     }
+  }
+
+  /** Upgrade the held copy of `id` to `score` — rebuild the ≤ k-element
+    * queue without it (PriorityQueue has no remove; k is single-digit in
+    * every caller, so this is a handful of enqueues on a rare path).
+    */
+  private def replace(buf: mutable.PriorityQueue[(Double, Long)],
+      score: Double, id: Long): Unit = {
+    val rest = buf.toArray.filter(_._2 != id)
+    buf.clear()
+    rest.foreach(buf.enqueue(_))
+    buf.enqueue((score, id))
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
