@@ -326,13 +326,7 @@ object ScaleRehearsal {
           .otherwise(x)).as("embedding"))
       .localCheckpoint()
     val table = "iann_rehearsal"
-    for (tb <- Seq(table, IncrementalAnn.centroidsTableName(table))) {
-      spark.sql(s"DROP TABLE IF EXISTS $tb")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), tb)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    IncrementalAnn.dropIndex(spark, table)
     def timed[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime()
       val a = f
@@ -369,13 +363,16 @@ object ScaleRehearsal {
     // this growth point rebuilds with more cells (exactly the signal
     // quantizerDrift/list sizes raise); the leg keeps nCells fixed to keep
     // the flat-append claim comparable across blowups.
+    // scaled cap, shared by the timed query and the corpus-probe sub-leg
+    // (one definition so the two sites cannot desynchronize); clamped
+    // before the narrowing cast (ADVICE r13): past ~8.6B rows 2L*nIdx/8
+    // wraps negative as an Int and math.max would silently fall back to
+    // 10000, re-tripping the cap gate at extreme blowups
+    val scaledCap = math.min(Int.MaxValue.toLong,
+      math.max(10000L, 2L * nIdx / 8)).toInt
     val (wQuery, got) = timed(
       IncrementalAnn.query(sample, "vec_id", "embedding", table, k = 3,
-        // clamped before the narrowing cast (ADVICE r13): past ~8.6B rows
-        // 2L*nIdx/8 wraps negative as an Int and math.max would silently
-        // fall back to 10000, re-tripping the cap gate at extreme blowups
-        maxCellSize = math.min(Int.MaxValue.toLong,
-          math.max(10000L, 2L * nIdx / 8)).toInt,
+        maxCellSize = scaledCap,
         fitted = Some(cents),
         // caller-asserted small probe set (nIdx/53 rows): the %53 filter
         // inherits the checkpointed union's UNREDUCED stats, which would
@@ -410,9 +407,7 @@ object ScaleRehearsal {
         import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
         import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec}
         val dfBig = IncrementalAnn.query(all, "vec_id", "embedding", table,
-          k = 3,
-          maxCellSize = math.min(Int.MaxValue.toLong,
-            math.max(10000L, 2L * nIdx / 8)).toInt,
+          k = 3, maxCellSize = scaledCap,
           fitted = Some(cents), probeBroadcastBytes = 8L << 20)
         // collect() on THIS df — count()/head() would plan a separate
         // QueryExecution, leaving the inspected plan unexecuted (the
@@ -474,10 +469,25 @@ object ScaleRehearsal {
         s""","iann_policy_cells":$polCells""" +
         s""","iann_policy_max_list":${polRow.getAs[Long]("max_list")}""" +
         s""","iann_policy_psi_micro":${polRow.getAs[Long]("psi_micro")}"""
-    require((blowup >= 50) == (polRebuild == 1L),
-      s"maintenancePolicy decision ($polRebuild) contradicts the known " +
-        s"lifecycle shape at $blowup× (healthy lists ≈ ${nIdx / 8} vs " +
-        "cap 10000)")
+    // Decision cross-check against the DATA's own shape, not the blowup
+    // number (review finding r14: `blowup >= 50` hard-coded the sf0.1
+    // fixture's row count — any other sfDir, a documented CLI arg, would
+    // fail the leg even when the policy decided correctly). The average
+    // list size is an INDEPENDENT estimator of the cap signal (the
+    // policy reads max_list), so this is a genuine cross-check with a
+    // dead band for the avg<cap<max boundary zone where either decision
+    // is defensible.
+    val avgList = nIdx.toDouble / cents.length
+    if (avgList > 12000.0)
+      require(polRebuild == 1L,
+        s"maintenancePolicy stayed quiet with average lists at $avgList " +
+          s"rows against cap 10000 at $blowup×")
+    else if (avgList < 8000.0)
+      require(polRebuild == 0L,
+        s"maintenancePolicy demanded a rebuild with average lists at " +
+          s"$avgList rows against cap 10000 at $blowup× (psi_micro " +
+          s"${polRow.getAs[Long]("psi_micro")} — an in-distribution " +
+          "uniform blowup must not trip the drift flag)")
     // The rebuild the policy demands, exercised THROUGH the policy's own
     // recommendation: refit at its cell count, rewrite, re-query. Gates:
     // recall holds, and the query gets decisively faster (probing 2 of

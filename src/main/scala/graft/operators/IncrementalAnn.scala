@@ -52,6 +52,17 @@ object IncrementalAnn {
   def centroidsTableName(indexTable: String): String =
     indexTable + "_centroids"
 
+  /** Drop an index and its sidecar, tables AND storage dirs — the
+    * idempotence preamble every drop-then-rebuild caller needs (the
+    * registered produce rows, the rehearsal leg). One shared helper
+    * (review finding r14): the per-caller copies hand-built
+    * `<warehouse>/<name>` paths, the exact pattern [[dropTableAndDir]]'s
+    * catalog resolution exists to avoid.
+    */
+  def dropIndex(spark: SparkSession, indexTable: String): Unit =
+    Seq(indexTable, centroidsTableName(indexTable))
+      .foreach(dropTableAndDir(spark, _))
+
   /** Append `batch` to the index, bootstrapping it (k-means fit + both
     * tables) when absent. Returns the centroids in force, so a caller
     * chaining appends with queries pays the bounded sidecar read once.
@@ -240,15 +251,15 @@ object IncrementalAnn {
     val probeSmall =
       queries.queryExecution.optimizedPlan.stats.sizeInBytes *
         nProbe <= probeBroadcastBytes
-    // shuffle_hash, not sort-merge, in the large regime: SMJ buffers each
-    // equal-key (= cell) group, and an inverted list is ONE key with
-    // thousands of rows — past the 4096-row in-memory threshold the
-    // buffered group spills, and every probe row of that cell re-iterates
-    // the spilled array (measured: a 30×-rehearsal corpus self-probe at
-    // 523 s under SMJ vs ~30 s hash). The hash build holds one
-    // partition's probe rows (probes/nCells — bounded by the same cell
-    // cap economics as the lists), streams the index, and keeps the same
-    // one-sided distribution contract.
+    // The large regime joins UN-HINTED (Spark picks sort-merge): an
+    // interleaved A/B at the 30× rehearsal measured SMJ and shuffle_hash
+    // at parity (523 vs 530 s — the wall is the bucket-bound task count,
+    // not the join; per-core throughput matches the broadcast path), and
+    // SMJ's buffered-group spill degrades GRACEFULLY when a drifted
+    // corpus-sized query batch concentrates its probes into few cells —
+    // nothing caps probe rows per cell (maxCellSize caps the lists, not
+    // the probes), so a hash build of the probe side could OOM exactly
+    // where SMJ spills and survives.
     val cand =
       if (probeSmall)
         Similarity.spreadIfNarrow(idx)
@@ -256,7 +267,7 @@ object IncrementalAnn {
           .join(broadcast(probes), Seq("cell"))
       else
         idx.join(broadcast(okCells), Seq("cell"))
-          .join(probes.hint("shuffle_hash"), Seq("cell"))
+          .join(probes, Seq("cell"))
     val scored = (if (excludeSelf) cand.filter(col("q_id") =!= col("id"))
       else cand)
       .select(col("q_id"), col("id").as("n_id"),
@@ -345,6 +356,14 @@ object IncrementalAnn {
       indexTable: String,
       nCells: Int = 8,
       iters: Int = 2): Array[Array[Double]] = {
+    // self-heal BEFORE the eager spark.table() analysis (review finding
+    // r14): a prior rebuild crashed between swapIn's two renames leaves
+    // the live name missing with __old holding the only copy — the
+    // designated reconciliation op must recover that state itself, like
+    // every other writer entry point, not die on TABLE_NOT_FOUND before
+    // rebuild()'s own recover() can run. recover is idempotent; the
+    // second call inside rebuild() is a handful of catalog probes.
+    recover(spark, indexTable)
     val corpus = spark.table(indexTable)
       .select(col("id"), col("vec")).dropDuplicates("id")
     rebuild(corpus, "id", "vec", indexTable, nCells, iters)
@@ -377,8 +396,13 @@ object IncrementalAnn {
     *    that puts the EXPECTED list size (total rows incl. the batch)
     *    at or under half the cap — headroom so the very next appends
     *    don't re-trip the gate — and never fewer cells than now; when
-    *    not rebuilding, the current `n_cells`. NULL past 2^20 cells
-    *    (a corpus that big needs capacity planning, not a heuristic).
+    *    not rebuilding, the current `n_cells`. SATURATES at
+    *    `maxRecommendedCells` (default 10000 — the writers' own nCells
+    *    limit, so the recommendation is always one [[rebuild]] will
+    *    accept; review finding r14): a corpus needing more cells than
+    *    the writers allow needs capacity planning beyond this
+    *    heuristic, the saturated rebuild still helps (more cells than
+    *    now), and `over_cap` re-trips afterward to keep signaling.
     *
     * Everything is exact integer/round-6 arithmetic over a ≤ nCells-row
     * frame, so the whole DECISION is hash-oracled (q_ann_policy replays
@@ -390,12 +414,17 @@ object IncrementalAnn {
       drift: DataFrame,
       nCells: Int,
       maxCellSize: Long = 10000L,
-      psiThreshold: Double = 0.25): DataFrame = {
+      psiThreshold: Double = 0.25,
+      maxRecommendedCells: Int = 10000): DataFrame = {
     require(nCells > 0, s"nCells must be positive, got $nCells")
     require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
+    require(maxRecommendedCells >= nCells,
+      s"maxRecommendedCells ($maxRecommendedCells) must be >= the " +
+        s"current cell count ($nCells)")
     val target = maxCellSize / 2
     val psiMicroThreshold = math.round(psiThreshold * 1e6)
-    val powers = array((0 to 20).map(i => lit(1L << i)): _*)
+    val powers = array((0 to 20).map(i => 1L << i)
+      .filter(_ <= maxRecommendedCells).map(lit): _*)
     drift
       .agg(
         sum(col("n_index")).as("n_index_rows"),
@@ -414,10 +443,15 @@ object IncrementalAnn {
         when(col("rebuild") === 1L,
           // smallest power of two ≥ both ceil(total/target) and the
           // current cell count — exact integer division (`div`), no
-          // float log2 boundary risk
-          array_min(filter(powers, p =>
-            p >= expr(s"(n_index_rows + n_batch_rows + ${target - 1}) " +
-              s"div $target") && p >= lit(nCells.toLong))))
+          // float log2 boundary risk; when even the largest allowed
+          // power can't reach the target list size, SATURATE at the
+          // writers' limit instead of recommending a cell count
+          // rebuild() would reject (or NULL, which callers would NPE on)
+          coalesce(
+            array_min(filter(powers, p =>
+              p >= expr(s"(n_index_rows + n_batch_rows + ${target - 1}) " +
+                s"div $target") && p >= lit(nCells.toLong))),
+            lit(maxRecommendedCells.toLong)))
           .otherwise(lit(nCells.toLong)))
   }
 

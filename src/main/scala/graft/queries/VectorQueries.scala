@@ -180,13 +180,7 @@ object VectorQueries {
     "q_ann_incr_md5" -> ((s, dir) => {
       import graft.operators.IncrementalAnn
       val e = t(s, dir, "embeddings")
-      for (tb <- Seq("iann_idx", "iann_idx_centroids")) {
-        s.sql(s"DROP TABLE IF EXISTS $tb")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), tb)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      IncrementalAnn.dropIndex(s, "iann_idx")
       // the bootstrap fit is memoized per dir (the fitted-model
       // discipline: deterministic pure data, index-BUILD work — its
       // collect actions don't belong in the timed produce chain); the
@@ -233,13 +227,7 @@ object VectorQueries {
     "q_ann_incr_bootstrap" -> ((s, dir) => {
       import graft.operators.IncrementalAnn
       val e = t(s, dir, "embeddings")
-      for (tb <- Seq("iannb_idx", "iannb_idx_centroids")) {
-        s.sql(s"DROP TABLE IF EXISTS $tb")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), tb)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      IncrementalAnn.dropIndex(s, "iannb_idx")
       IncrementalAnn.append(e.filter(col("vec_id") % 4 =!= 0),
         "vec_id", "embedding", "iannb_idx",
         fitted = Some(iannFitted(s, dir)))
@@ -1074,9 +1062,9 @@ object VectorQueries {
            CAST(CASE WHEN max_list > 32 OR psi_micro > 250000
              THEN 1 ELSE 0 END AS BIGINT) AS rebuild,
            CAST(CASE WHEN max_list > 32 OR psi_micro > 250000 THEN
-             (SELECT min(p) FROM powers
+             coalesce((SELECT min(p) FROM powers
               WHERE p >= (n_index_rows + n_batch_rows + 15) // 16
-                AND p >= 8)
+                AND p >= 8 AND p <= 10000), 10000)
              ELSE 8 END AS BIGINT) AS recommended_cells
          FROM agg""",
 

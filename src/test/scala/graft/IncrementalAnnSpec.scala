@@ -474,6 +474,14 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(drifted.getAs[Long]("drifted") === 1L)
     assert(drifted.getAs[Long]("rebuild") === 1L)
     assert(drifted.getAs[Long]("recommended_cells") === 4L)
+    // saturation (review finding r14): when even the largest allowed
+    // power of two cannot reach the target list size, recommend the
+    // writers' limit itself — never a cell count rebuild() would
+    // reject, never NULL. cap 3 → target 1 → needed 60 → pow2 64 > 16
+    val sat = IncrementalAnn.maintenancePolicy(selfDrift, nCells = 4,
+      maxCellSize = 3L, maxRecommendedCells = 16).collect().head
+    assert(sat.getAs[Long]("rebuild") === 1L)
+    assert(sat.getAs[Long]("recommended_cells") === 16L)
   }
 
   test("rebuildFromIndex reconciles crash-window duplicates exactly; " +
@@ -513,6 +521,17 @@ class IncrementalAnnSpec extends SparkSpec {
     val refFit = Clustering.kmeansFit(all, "vec_id", "embedding", 4, 2)
     assert(c2.map(_.toSeq).toSeq === refFit.map(_.toSeq).toSeq,
       "the refit must see each id once — duplicates would shift the fit")
+    // self-heal (review finding r14): the reconciliation op must recover
+    // a crashed swap itself — here the worst window (live name missing,
+    // __old holding the only copy, __rebuild residue present) — not die
+    // on TABLE_NOT_FOUND during its eager corpus read
+    spark.table("ia_dup").write.saveAsTable("ia_dup__rebuild")
+    spark.table("ia_dup_centroids").write
+      .saveAsTable("ia_dup_centroids__rebuild")
+    spark.sql("ALTER TABLE ia_dup RENAME TO ia_dup__old")
+    val c3 = IncrementalAnn.rebuildFromIndex(spark, "ia_dup", nCells = 4)
+    assert(c3.map(_.toSeq).toSeq === refFit.map(_.toSeq).toSeq)
+    assert(spark.table("ia_dup").count() === allIds.length.toLong)
   }
 
   test("query plan is one-sided: the bucketed index never shuffles " +
