@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.asDouble
+
+/** IVF+PQ compound ANN ([EXT]): the production composition of the two
+  * index halves this engine already ships separately — a coarse quantizer
+  * routes every vector to an inverted-list cell ([[Similarity.annIvfMd5]]'s
+  * contract), and the RESIDUAL against that cell's centroid is product-
+  * quantized into `m` small codes ([[Pq]]'s contract). A query probes its
+  * `nProbe` nearest cells and scores candidates by asymmetric distance:
+  *
+  *   score(q, x) ≈ dot(q, cellCentroid) + Σⱼ dot(qⱼ, codebookⱼ(codeⱼ))
+  *
+  * — the inner product decomposed as coarse term + residual LUT lookups,
+  * so a candidate costs one per-(query, cell) scalar plus `m` table reads
+  * and NO access to the original vector.
+  *
+  * Why this is the 100 TB shape: IVF alone keeps full vectors in its lists
+  * (the verify pass re-reads every candidate's 64 doubles); PQ alone scans
+  * the WHOLE code table per query (no routing). Composed, a 100 TB vector
+  * corpus becomes ~2 TB of (cell, codes) rows, the probe set touches
+  * `nProbe/nCells` of it, and the scan never rehydrates an embedding —
+  * residual quantization also centers each cell's distribution at the
+  * origin, so the shared codebooks spend their 2^bits resolution on the
+  * local spread instead of the global layout (the FAISS IVFADC design).
+  *
+  * Determinism contract (every step reuses a proven cross-engine piece):
+  *  - cell assignment/probe order: `graft_ivf_cells` — round-6 cosine,
+  *    (sim6 DESC, cell ASC), the q_ann_ivf_md5 contract;
+  *  - residual: exact element-wise double subtraction (`graft_residual`,
+  *    replayed by DuckDB `list_transform` — bit-identical inputs to the
+  *    code argmax on both engines);
+  *  - codebook fit/assignment: [[Pq]] verbatim over the residual frame
+  *    (round-6 cosine argmax, ties to the smaller code; fitted codebooks
+  *    embed as value-exact literals in the oracle);
+  *  - ADC fold: fixed order `w + (((l0 + l1) + l2) + … )`, LUT terms and
+  *    the coarse term w round-6 BEFORE the fold, final score round-4,
+  *    top-k ties to the smaller neighbor id.
+  *
+  * Scale shape: the index build is one narrow codegen pass (assign →
+  * residual → argmax, zero shuffles). The query side is gated + broadcast
+  * carrying per-query LUTs (m·k rounded dots) and one coarse term per
+  * probed cell; the code table streams; the only post-scoring exchange is
+  * the bounded `graft_topk` partial aggregate at O(queries × k).
+  */
+object IvfPq {
+
+  /** (idCol, cell, __v, __rv): coarse assignment + residual per vector —
+    * the shared first stage of fit/index (one definition, codegen end to
+    * end: the sorted-cells kernel feeds the residual kernel).
+    */
+  private def withResidual(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]]): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val centStr = coarse.map(_.mkString(",")).mkString(";")
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cell",
+        element_at(call_function("graft_ivf_cells", col("__v"), lit(centStr)),
+          1).getField("c"))
+      .withColumn("__rv",
+        call_function("graft_residual", col("__v"), lit(centStr), col("cell")))
+  }
+
+  /** Residual codebooks under the given coarse centroids — [[Pq.fit]] on
+    * the residual frame (same md5 seed draw over the ids, same Lloyd
+    * rounds; `centroids(j)(c)` = codeword `c` of residual subspace `j`).
+    */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      iters: Int): Array[Array[Array[Double]]] =
+    Pq.fit(withResidual(df, idCol, vecCol, coarse), idCol, "__rv",
+      m, k, iters)
+
+  /** The compound index: (idCol, cell, codes array<long>) — one compact
+    * row per vector, the only thing the query path ever scans.
+    */
+  def index(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    Pq.codesKeeping(withResidual(df, idCol, vecCol, coarse), idCol, "__rv",
+      codebooks, Seq("cell"))
+
+  /** Exploded index for oracle comparison: (idCol, cell, subspace, code) —
+    * derived from [[index]] (one assignment definition; the [[Pq.encode]]
+    * review lesson).
+    */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    index(df, idCol, vecCol, coarse, codebooks)
+      .select(col(idCol), col("cell"),
+        posexplode(col("codes")).as(Seq("__j", "code")))
+      .select(col(idCol), col("cell"),
+        col("__j").cast("long").as("subspace"), col("code"))
+
+  /** ADC top-k over the probed cells. Output (q_id, n_id, adc4, rn); the
+    * query's own row is excluded. The broadcast rows widen by an
+    * m·k-double LUT each (the [[Pq.annPq]] byte cap applies) plus the
+    * nProbe fan-out; the code-table side never shuffles.
+    */
+  def annIvfPq(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nProbe: Int = 2,
+      maxQueryRows: Long = 100000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(nProbe >= 1 && nProbe <= coarse.length,
+      s"nProbe out of [1, ${coarse.length}]: $nProbe")
+    val spark = queries.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val lutDoubles = m.toLong * codebooks.head.length
+    val effectiveCap = math.max(1L,
+      math.min(maxQueryRows, (1L << 27) / math.max(1L, lutDoubles)))
+    Similarity.requireBroadcastable(queries, effectiveCap,
+      s"annIvfPq query side (each row carries a $lutDoubles-double LUT " +
+        s"and fans out $nProbe probe cells)",
+      "batched query slices")
+    val centStr = coarse.map(_.mkString(",")).mkString(";")
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // per-query LUT over the RESIDUAL codebooks: luts[j][c] =
+    // round6(dot(q_j, codebook_{j,c})) — the query stays un-residualized
+    // (asymmetric: dot(q, cell + r̂) = dot(q, cell) + dot(q, r̂))
+    val luts = array((0 until m).map { j =>
+      array(codebooks(j).indices.map { c =>
+        round(call_function("graft_dot",
+          slice(col("__qv"), j * sub + 1, sub),
+          typedLit(codebooks(j)(c).toSeq)), 6)
+      }: _*)
+    }: _*)
+    val probes = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__cells",
+        call_function("graft_ivf_cells", col("__qv"), lit(centStr)))
+      .withColumn("__luts", luts)
+      .select(col("q_id"), col("__luts"), col("__qv"),
+        explode(slice(col("__cells"), 1, nProbe)).as("p"))
+      .withColumn("cell", col("p").getField("c"))
+      // the coarse half of the decomposed inner product, one scalar per
+      // (query, probed cell), rounded like the LUT terms
+      .withColumn("w6", round(call_function("graft_dot", col("__qv"),
+        element_at(coarseLit, col("cell").cast("int") + 1)), 6))
+      .select(col("q_id"), col("cell"), col("w6"), col("__luts"))
+    val idx = Similarity.spreadIfNarrow(
+      index(corpus, idCol, vecCol, coarse, codebooks)
+        .select(col(idCol).as("n_id"), col("cell"), col("codes").as("__codes")))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("__luts"), j + 1),
+        col("__codes")(j).cast("int") + 1)).reduce(_ + _)
+    // a vector lives in exactly one cell and the probe cells are distinct,
+    // so (q_id, n_id) pairs are unique — graft_topk's distinct-id election
+    // matches a row_number window bit for bit
+    val scored = idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(col("w6") + adc, 4).as("sim4"))
+    Similarity.topKPerQuery(scored, k).withColumnRenamed("sim4", "adc4")
+  }
+}

@@ -116,15 +116,35 @@ object Pq {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[Array[Array[Double]]]): DataFrame = {
+      centroids: Array[Array[Array[Double]]]): DataFrame =
+    codesKeeping(df, idCol, vecCol, centroids, Nil)
+
+  /** [[codes]] carrying extra columns through the projection (IvfPq keeps
+    * the coarse `cell` next to the codes without a join-back) — still the
+    * ONE assignment definition. The argmax runs in the fused
+    * `graft_pq_codes` kernel: the expression form's m·k codeword literals
+    * generated a processNext past the JIT huge-method limit, executing
+    * the encode stage in the bytecode interpreter (profiled 2.3 s task
+    * CPU for a 2000-row pass; see [[graft.plans.PqCodes]]). Kernel ≡
+    * expression parity is pinned by PqSpec (the expression form lives
+    * ONLY there and in [[fit]]'s exploded-frame assignment, whose
+    * codebooks the hash oracles replay).
+    */
+  private[operators] def codesKeeping(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Array[Double]]],
+      keep: Seq[String]): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val m = centroids.length
-    val sub = centroids.head.head.length
+    val cbStr = centroids.map(_.map(_.mkString(",")).mkString(";"))
+      .mkString("|")
+    val kept = keep.map(col)
     df.filter(col(vecCol).isNotNull)
-      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .select(col(idCol), array((0 until m).map(j =>
-        subspaceArgmax(slice(col("__v"), j * sub + 1, sub),
-          centroids(j))): _*).as("codes"))
+      .select(col(idCol) +: kept :+ asDouble(col(vecCol)).as("__v"): _*)
+      .select(col(idCol) +: kept :+
+        call_function("graft_pq_codes", col("__v"), lit(cbStr))
+          .as("codes"): _*)
   }
 
   /** ADC approximate top-k: every query scores every document as
@@ -202,8 +222,12 @@ object Pq {
   /** Argmax code for one subvector against one subspace's codebook:
     * 6-decimal-rounded cosine, ties to the smaller code — the
     * [[Clustering]] withCluster trick (max of (sim, -code) structs).
+    * Used by [[fit]]'s exploded-frame assignment (m·k-row aggregate at
+    * fit time) and by PqSpec's kernel≡expression parity property; the
+    * per-row encode path runs the fused kernel instead (see
+    * [[codesKeeping]]).
     */
-  private def subspaceArgmax(sv: Column, cents: Array[Array[Double]]): Column = {
+  private[graft] def subspaceArgmax(sv: Column, cents: Array[Array[Double]]): Column = {
     val scoredC = cents.zipWithIndex.map { case (cv, c) =>
       struct(
         round(call_function("graft_cosine", sv, typedLit(cv.toSeq)), 6)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -369,6 +369,178 @@ case class IvfCells(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_residual(vec, centroidsLit, cell)`: `vec − centroids(cell)` in one
+  * codegen pass — the residual a document carries into product quantization
+  * under its coarse IVF cell (IvfPq). Kernel instead of
+  * `zip_with(v, element_at(lit, cell+1), _ - _)` for the same two reasons as
+  * [[IvfCells]]: `zip_with` is a higher-order function (interpreted
+  * CodegenFallback, breaking the encode stage's WholeStageCodegen span) and
+  * the per-cell literal table would otherwise inline as nCells arrays that
+  * AQE re-canonicalizes per stage. The centroid table rides as ONE string
+  * literal parsed once per executor (the [[IvfCells]]/[[MapSumScore]]
+  * pattern; `Double.toString` is shortest-round-trip, so it is value-exact).
+  *
+  * Oracle replay: plain element-wise double subtraction — DuckDB's
+  * `list_transform(range(1, dim+1), i -> v[i] - cv[i])` produces
+  * bit-identical doubles, so downstream round-6 code argmaxes agree.
+  * A cell index outside the table or a length mismatch fails fast
+  * (corrupt assignment, never a silently-truncated residual).
+  */
+case class VecResidual(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = first.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val centOk = second.foldable && second.dataType == StringType &&
+      second.eval() != null
+    val cellOk = third.dataType == LongType
+    if (vecOk && centOk && cellOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, non-null string literal, " +
+        s"bigint), got (${first.dataType.simpleString}, ${second.sql}, " +
+        s"${third.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_residual"
+
+  @transient private lazy val centroids: Array[Array[Double]] =
+    second.eval().toString.split(';').map(_.split(',').map(_.toDouble))
+
+  def compute(vecRaw: Any, cellRaw: Any): ArrayData = {
+    val v = vecRaw.asInstanceOf[ArrayData]
+    val cell = cellRaw.asInstanceOf[Long]
+    if (cell < 0 || cell >= centroids.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: cell $cell outside centroid table " +
+          s"(${centroids.length} cells)")
+    val c = centroids(cell.toInt)
+    val n = v.numElements()
+    if (c.length != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector lengths differ (${c.length} vs $n)")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = v.getDouble(i) - c(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(vec: Any, cent: Any, cell: Any): Any =
+    compute(vec, cell)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vres", this, classOf[VecResidual].getName)
+    nullSafeCodeGen(ctx, ev,
+      (vec, _, cell) => s"${ev.value} = $ref.compute($vec, $cell);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): VecResidual =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_pq_codes(vec, codebooksLit)`: all `m` product-quantization code
+  * argmaxes in ONE fused loop — kernel replacement for the expression form
+  * `array(subspaceArgmax(slice(v, …), codebook_0), …)` (per subspace an
+  * `array_max` over k `round(graft_cosine(slice, lit), 6)` structs).
+  *
+  * Why: with m·k = 32 codeword literals the expression form's generated
+  * `processNext` exceeds the JIT's huge-method limit, so the encode stage
+  * executes in the BYTECODE INTERPRETER — profiled at 2.3 s of task CPU
+  * for a 2000-row × 40-cosine pass that is arithmetically microseconds
+  * (q_ivfpq_codes 2.9 s → this kernel; q_pq_codes had carried the same
+  * tax). The codebooks ride as ONE string literal parsed once per
+  * executor (the [[IvfCells]] pattern).
+  *
+  * Bit-parity contract (pinned by PqSpec's kernel≡expression property and
+  * the q_pq_codes / q_ann_pq_md5 / q_ivfpq_codes hash oracles):
+  *  - per (subspace, codeword): cosine over the subspace WINDOW of the
+  *    vector, dot/nx/ny accumulated left-to-right exactly like
+  *    [[CosineSimilarity]] (zero denominator → 0.0), rounded via
+  *    `BigDecimal.valueOf(x).setScale(6, HALF_UP)`;
+  *  - argmax per subspace: strictly-greater update scanning codes
+  *    ascending = ties to the smaller code, the expression form's
+  *    max-of-(s, −c)-structs order.
+  * Literal format: subspaces joined by '|', codewords by ';', dims by ','
+  * (`Double.toString` shortest-round-trip, value-exact).
+  */
+case class PqCodes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cbOk = right.foldable && right.dataType == StringType &&
+      right.eval() != null
+    if (vecOk && cbOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, non-null string literal), " +
+        s"got (${left.dataType.simpleString}, ${right.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  @transient private lazy val codebooks: Array[Array[Array[Double]]] =
+    right.eval().toString.split('|')
+      .map(_.split(';').map(_.split(',').map(_.toDouble)))
+
+  def compute(vecRaw: Any): ArrayData = {
+    val v = vecRaw.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    if (v.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length ${v.numElements()} != m*sub " +
+          s"(${m} * ${sub})")
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val off = j * sub
+      var best = Double.NegativeInfinity
+      var bestC = 0L
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var i = 0
+        while (i < sub) {
+          val xi = v.getDouble(off + i); val yi = w(i)
+          dot += xi * yi; nx += xi * xi; ny += yi * yi
+          i += 1
+        }
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        val cos = if (denom == 0.0) 0.0 else dot / denom
+        val s = java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (s > best) { best = s; bestC = c.toLong }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(vec: Any, cb: Any): Any = compute(vec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqcr", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, (vec, _) => s"${ev.value} = $ref.compute($vec);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for the custom expressions (temp functions, usable
   * from `expr(...)` / SQL). Idempotent. `all` is the single source of truth,
   * shared with [[GraftExtensions]] so per-session registration and
@@ -396,6 +568,10 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => PairsGenerator(exprs(0))),
     "graft_ivf_cells" ->
       ((exprs: Seq[Expression]) => IvfCells(exprs(0), exprs(1))),
+    "graft_residual" ->
+      ((exprs: Seq[Expression]) => VecResidual(exprs(0), exprs(1), exprs(2))),
+    "graft_pq_codes" ->
+      ((exprs: Seq[Expression]) => PqCodes(exprs(0), exprs(1))),
     "graft_lsh_bucket" ->
       ((exprs: Seq[Expression]) => HyperplaneSketch(exprs(0), exprs(1))),
     "graft_bpe" ->

@@ -417,6 +417,28 @@ object VectorQueries {
         e.filter(col("vec_id") % 40 === 0), e, "vec_id", "embedding",
         fittedPq(s, dir), k = 3)
     }),
+
+    // ORACLED IVF+PQ compound index content: coarse cell (the q_kmeans
+    // centroids, shared with q_ann_ivf_md5) + the 4 residual-PQ codes per
+    // vector — the (cell, codes) row a 100 TB deployment persists instead
+    // of raw vectors. DuckDB replays assign -> exact residual subtraction
+    // -> rounded-cosine code argmax under the embedded fitted tables.
+    "q_ivfpq_codes" -> ((s, dir) =>
+      graft.operators.IvfPq.encode(t(s, dir, "embeddings"), "vec_id",
+        "embedding", kmFitted(s, dir), fittedIvfPq(s, dir))),
+
+    // ORACLED IVF+PQ ADC query chain (probe -> coarse term + residual LUT
+    // fold -> top-k) on the q_ann_pq_md5 query subset: the FAISS-style
+    // composition of the two hash-checked families (cell routing cuts the
+    // candidates to nProbe/nCells, the codes replace the verify pass's
+    // vector re-reads). CONTRACT: subset/nProbe/k here must match the
+    // ivfPqOracle constants.
+    "q_ann_ivfpq_md5" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.IvfPq.annIvfPq(
+        e.filter(col("vec_id") % 40 === 0), e, "vec_id", "embedding",
+        kmFitted(s, dir), fittedIvfPq(s, dir), k = 3, nProbe = 2)
+    }),
   )
 
   /** One PQ fit per sf dir (q_pq_codes and q_ann_pq share it; the fit is
@@ -475,6 +497,19 @@ object VectorQueries {
     pqCache.getOrElseUpdate(dir,
       graft.operators.Pq.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 4, k = 8, iters = 2))
+
+  /** Residual-PQ codebooks under the q_kmeans coarse centroids, memoized
+    * per dir with the fittedPq contract (pure codebook doubles,
+    * deterministic fit — quantizer training is once-per-index-generation
+    * work; repeat runs measure encode/probe/ADC).
+    */
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private def fittedIvfPq(
+      s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    ivfPqCache.getOrElseUpdate(dir,
+      graft.operators.IvfPq.fit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", kmFitted(s, dir), m = 4, k = 8, iters = 2))
 
   /** DuckDB replay of the PQ ENCODE under the fitted codebooks (available
     * once the fit has run — Verify executes every query before dumping
@@ -541,6 +576,106 @@ object VectorQueries {
              GROUP BY l.q_id, d.n_id),
            adc AS (
              SELECT q_id, n_id, round($fold, 4) AS adc4 FROM pv)
+           SELECT q_id, n_id, adc4, rn FROM (
+             SELECT q_id, n_id, adc4,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc4 DESC, n_id) AS BIGINT) AS rn
+             FROM adc)
+           WHERE rn <= 3""")
+    }
+
+  /** DuckDB replay of the IVF+PQ compound under the fitted tables: the
+    * coarse centroids AND the residual codebooks embed as value-exact
+    * literals once both fits have run (the [[pqOracle]] contract — Verify
+    * executes every query before dumping oracle SQL). The chain: coarse
+    * argmax (round-6 cosine, smaller-cell ties — the q_ann_ivf_md5 assign
+    * contract), EXACT element-wise residual subtraction
+    * (`list_transform` ≡ `graft_residual`, bit-identical doubles), the
+    * q_pq_codes rounded-cosine code argmax over residual slices, then for
+    * the query row the round-6 coarse dot + round-6 LUT dots folded in
+    * Spark's fixed order and rounded to 4. Constants (nProbe=2, query
+    * subset vec_id % 40, k=3) mirror the registry calls — keep in sync.
+    */
+  private def ivfPqOracle: Map[String, String] =
+    if (kmCache.size != 1 || ivfPqCache.size != 1) Map.empty
+    else {
+      val coarse = kmCache.values.head
+      val cents = ivfPqCache.values.head
+      val m = cents.length
+      val sub = cents.head.head.length
+      val dim = coarse.head.length
+      val crows = coarse.zipWithIndex.map { case (cv, cell) =>
+        s"($cell, CAST(${cv.mkString("[", ", ", "]")} AS DOUBLE[]))"
+      }
+      val rows = for {
+        j <- cents.indices
+        c <- cents(j).indices
+      } yield s"($j, $c, CAST(${cents(j)(c).mkString("[", ", ", "]")} AS DOUBLE[]))"
+      val ctes =
+        s"""WITH e AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE embedding IS NOT NULL),
+           ccent(cell, cv) AS (VALUES ${crows.mkString(",\n             ")}),
+           casg AS (
+             SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+                   DESC, c.cell) AS r
+             FROM e CROSS JOIN ccent c),
+           res AS (
+             SELECT a.vec_id, a.cell,
+               list_transform(range(1, ${dim + 1}), i -> a.v[i] - c.cv[i]) AS rv
+             FROM casg a JOIN ccent c USING (cell) WHERE a.r = 1),
+           cent(j, c, cw) AS (VALUES ${rows.mkString(",\n             ")}),
+           sub AS (
+             SELECT vec_id, cell, j,
+               list_slice(rv, j * $sub + 1, j * $sub + $sub) AS sv
+             FROM res CROSS JOIN (SELECT unnest(range($m)) AS j)),
+           scored AS (
+             SELECT vec_id, cell, j, c,
+               round(list_cosine_similarity(sv, cw), 6) AS s
+             FROM sub JOIN cent USING (j)),
+           ranked AS (
+             SELECT vec_id, cell, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY s DESC, c) AS r
+             FROM scored)"""
+      val pivots = (0 until m).map(j =>
+        s"max(CASE WHEN l.j = $j THEN l.l END) AS l$j")
+        .mkString(",\n             ")
+      val fold = (1 until m).foldLeft("l0")((acc, j) => s"($acc + l$j)")
+      Map(
+        "q_ivfpq_codes" ->
+          s"""$ctes
+           SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+             CAST(j AS BIGINT) AS subspace, CAST(c AS BIGINT) AS code
+           FROM ranked WHERE r = 1""",
+        "q_ann_ivfpq_md5" ->
+          s"""$ctes,
+           codes AS (
+             SELECT vec_id AS n_id, cell, j, c AS code FROM ranked WHERE r = 1),
+           q AS (
+             SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 40 = 0),
+           prb AS (
+             SELECT ca.vec_id AS q_id, ca.cell,
+               round(list_dot_product(ca.v, cc.cv), 6) AS w6
+             FROM casg ca JOIN ccent cc USING (cell)
+             WHERE ca.r <= 2 AND ca.vec_id % 40 = 0),
+           lut AS (
+             SELECT q.q_id, ct.j, ct.c,
+               round(list_dot_product(
+                 list_slice(q.qv, ct.j * $sub + 1, ct.j * $sub + $sub),
+                 ct.cw), 6) AS l
+             FROM q CROSS JOIN cent ct),
+           pv AS (
+             SELECT p.q_id, d.n_id, p.w6,
+             $pivots
+             FROM prb p JOIN codes d USING (cell)
+               JOIN lut l ON l.q_id = p.q_id AND l.j = d.j AND l.c = d.code
+             WHERE d.n_id <> p.q_id
+             GROUP BY p.q_id, d.n_id, p.w6),
+           adc AS (
+             SELECT q_id, n_id, round(w6 + $fold, 4) AS adc4 FROM pv)
            SELECT q_id, n_id, adc4, rn FROM (
              SELECT q_id, n_id, adc4,
                CAST(row_number() OVER (PARTITION BY q_id
@@ -617,7 +752,8 @@ object VectorQueries {
              AS r
          FROM e CROSS JOIN c2)"""
 
-  def oracles: Map[String, String] = staticOracles ++ pqOracle
+  def oracles: Map[String, String] =
+    staticOracles ++ pqOracle ++ ivfPqOracle
 
   /** One greedy MMR step as CTEs: score+rank the remaining pool, take
     * the winner, update the redundancy term for the rest.

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, IvfPq, Pq, Similarity}
+
+/** IVF+PQ compound: residual-kernel parity with the expression form,
+  * index/encode single-definition parity, residual centering, ADC recall
+  * above chance with determinism, the query-side size gate, and the
+  * one-sided plan shape (probe side broadcasts, code-table side never
+  * hash-shuffles).
+  */
+class IvfPqSpec extends SparkSpec {
+
+  private lazy val e =
+    graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+  private lazy val coarse =
+    Clustering.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+
+  private lazy val cents =
+    IvfPq.fit(e, "vec_id", "embedding", coarse, m = 4, k = 8, iters = 2)
+
+  test("graft_residual kernel equals the zip_with expression form and " +
+    "fails fast on a cell outside the table") {
+    graft.plans.GraftFunctions.register(spark)
+    val centStr = coarse.map(_.mkString(",")).mkString(";")
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val base = e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell",
+        element_at(call_function("graft_ivf_cells", col("v"), lit(centStr)),
+          1).getField("c"))
+    val mism = base
+      .withColumn("k",
+        call_function("graft_residual", col("v"), lit(centStr), col("cell")))
+      .withColumn("x", zip_with(col("v"),
+        element_at(coarseLit, col("cell").cast("int") + 1), (a, b) => a - b))
+      // bit-exact, not approximate: both forms are plain double subtraction
+      .filter(not(col("k") === col("x")))
+      .count()
+    assert(mism === 0L)
+    val err = intercept[Exception] {
+      base.withColumn("bad",
+        call_function("graft_residual", col("v"), lit(centStr), lit(99L)))
+        .collect()
+    }
+    assert(err.getMessage.contains("outside centroid table") ||
+      Option(err.getCause).exists(_.getMessage.contains("outside centroid table")))
+  }
+
+  test("index carries (cell, codes); encode is its exploded view; shapes " +
+    "and ranges hold") {
+    val n = e.count()
+    val idx = IvfPq.index(e, "vec_id", "embedding", coarse, cents)
+    assert(idx.count() === n)
+    assert(idx.filter(col("cell") < 0 || col("cell") >= 8).count() === 0)
+    val enc = IvfPq.encode(e, "vec_id", "embedding", coarse, cents)
+    assert(enc.count() === n * 4)
+    assert(enc.filter(col("code") < 0 || col("code") >= 8).count() === 0)
+    val compact = idx.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val exploded = enc.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> (rows.head.getLong(1),
+          rows.sortBy(_.getLong(2)).map(_.getLong(3)).toSeq)
+      }
+    assert(compact === exploded)
+  }
+
+  test("residuals are centered: the per-cell subtraction shrinks the " +
+    "vectors the codebooks must cover") {
+    graft.plans.GraftFunctions.register(spark)
+    val centStr = coarse.map(_.mkString(",")).mkString(";")
+    val norms = e.filter(col("embedding").isNotNull)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell",
+        element_at(call_function("graft_ivf_cells", col("v"), lit(centStr)),
+          1).getField("c"))
+      .withColumn("rv",
+        call_function("graft_residual", col("v"), lit(centStr), col("cell")))
+      .select(
+        sqrt(call_function("graft_dot", col("v"), col("v"))).as("nv"),
+        sqrt(call_function("graft_dot", col("rv"), col("rv"))).as("nr"))
+      .agg(avg(col("nv")).as("nv"), avg(col("nr")).as("nr"))
+      .collect().head
+    assert(norms.getDouble(1) < norms.getDouble(0),
+      s"residual norm ${norms.getDouble(1)} !< raw norm ${norms.getDouble(0)}")
+  }
+
+  test("ADC top-3 over probed cells beats chance and reruns identically") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnBruteForce(e, e, "vec_id", "embedding", 3))
+    val got = pairs(IvfPq.annIvfPq(e, e, "vec_id", "embedding", coarse,
+      cents, k = 3, nProbe = 2))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // two pruning sources stack: the 4x8 residual codebook's
+    // reconstruction error (the PqSpec bound) AND the 2-of-8 cell probe
+    // discarding true neighbors outside the probed cells; random top-3
+    // would recall ~0.6%
+    assert(recall > 0.05, s"IVF+PQ recall@3 $recall")
+    val again = pairs(IvfPq.annIvfPq(e, e, "vec_id", "embedding", coarse,
+      cents, k = 3, nProbe = 2))
+    assert(got === again)
+  }
+
+  test("query side fails fast past the broadcast gate") {
+    val err = intercept[IllegalArgumentException] {
+      IvfPq.annIvfPq(e, e, "vec_id", "embedding", coarse, cents, k = 3,
+        nProbe = 2, maxQueryRows = 10)
+    }
+    assert(err.getMessage.contains("batched query slices"))
+  }
+
+  test("plan shape: the probe side (with its explode) broadcasts; the " +
+    "code-table side reaches the join without a hash exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = IvfPq.annIvfPq(e.filter(col("vec_id") % 40 === 0), e,
+        "vec_id", "embedding", coarse, cents, k = 3, nProbe = 2)
+      val plan = df.queryExecution.executedPlan
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, s"expected the probe-side broadcast:\n$plan")
+      assert(bcasts.exists(_.collect { case g: GenerateExec => g }.nonEmpty),
+        s"no broadcast carries the probe explode:\n$plan")
+      // the only hash exchange is the bounded q_id topk exchange, which
+      // sits above the partial aggregate — so no hash exchange may have a
+      // scan below it without crossing an aggregate boundary (the
+      // IncrementalAnnSpec gate's rule); RoundRobin spreads are the
+      // narrow-input spreadIfNarrow, not data movement semantics
+      def belowNoAgg(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BaseAggregateExec => Seq.empty
+        case other => other +: other.children.flatMap(belowNoAgg)
+      }
+      plan.collect {
+        case ex: ShuffleExchangeExec
+            if ex.outputPartitioning.isInstanceOf[HashPartitioning] => ex
+      }.foreach { ex =>
+        assert(ex.children.flatMap(belowNoAgg)
+            .collect { case f: FileSourceScanExec => f }.isEmpty,
+          s"the code-table side moved through a hash exchange:\n$ex")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

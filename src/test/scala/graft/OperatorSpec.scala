@@ -405,7 +405,8 @@ class OperatorSpec extends SparkSpec {
       "graft_minhash", "graft_lsh_bands",
       "graft_minhash_md5", "graft_lsh_bands_md5",
       "graft_collect_capped", "graft_collect_pairs_capped",
-      "graft_pair_gen", "graft_ivf_cells"))
+      "graft_pair_gen", "graft_ivf_cells", "graft_residual",
+      "graft_pq_codes"))
     assert(builders("graft_tokens")(Seq(Literal.create("A b,c9")))
       .isInstanceOf[TokenizeAscii])
     val shArr = Literal.create(Seq("a b c"), ArrayType(StringType))

@@ -23,6 +23,21 @@ class PqSpec extends SparkSpec {
     assert(cents.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
   }
 
+  test("graft_pq_codes kernel equals the expression argmax form") {
+    graft.plans.GraftFunctions.register(spark)
+    val cbStr = cents.map(_.map(_.mkString(",")).mkString(";")).mkString("|")
+    val m = cents.length
+    val sub = cents.head.head.length
+    val mism = e.filter(col("embedding").isNotNull)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("k", call_function("graft_pq_codes", col("v"), lit(cbStr)))
+      .withColumn("x", array((0 until m).map(j =>
+        Pq.subspaceArgmax(slice(col("v"), j * sub + 1, sub), cents(j))): _*))
+      .filter(not(col("k") === col("x")))
+      .count()
+    assert(mism === 0L)
+  }
+
   test("encode emits one code per (vector, subspace), codes within [0, k)") {
     val n = e.count()
     val enc = Pq.encode(e, "vec_id", "embedding", cents)
