@@ -51,6 +51,28 @@ object Mmr {
       vecCol: String,
       k: Int,
       lambda: Double = 0.7): DataFrame = {
+    val l10 = checkArgs(candidates, k, lambda)
+    // the whole greedy loop runs inside ONE partial-aggregable kernel
+    // (graft_mmr): the unrolled k-window/k-join plan form cost more in
+    // AQE replanning than in compute (profiled 1.67 s driver replan +
+    // a coalesced single-task tail on O(q × c) data — see
+    // [[graft.plans.MmrSelect]]); kernel ≡ unrolled parity is pinned by
+    // MmrSpec and the q_mmr_rerank hash oracle
+    candidates.select(
+        col(qCol), col(idCol).cast("long").as("__id"),
+        round(col(relCol) * 10000).cast("long").as("__rel4"),
+        col(vecCol).as("__v"))
+      .groupBy(col(qCol))
+      .agg(expr(s"graft_mmr(__id, __rel4, __v, $k, ${l10.toInt})")
+        .as("__picks"))
+      .select(col(qCol), posexplode(col("__picks")).as(Seq("__pos", "__p")))
+      .select(col(qCol), col("__p.id").as(idCol),
+        (col("__p.sc").cast("double") / lit(1e7)).as("mmr6"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
+  private def checkArgs(
+      candidates: DataFrame, k: Int, lambda: Double): Double = {
     require(k > 0 && k <= 100, s"k must be in (0, 100], got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
     val l10 = math.rint(lambda * 10)
@@ -59,6 +81,25 @@ object Mmr {
     require(!candidates.columns.exists(_.startsWith("__")),
       "input must not contain __-prefixed working columns")
     graft.plans.GraftFunctions.register(candidates.sparkSession)
+    l10
+  }
+
+  /** The unrolled plan form of [[rerank]] — k window argmaxes + k joins.
+    * Retired from the production path (plan costs dominate; see the
+    * [[rerank]] scaladoc) but kept as the independently-derived REFERENCE
+    * for MmrSpec's kernel ≡ unrolled parity property: the two
+    * implementations share no selection code, so a drift in either
+    * trips the spec.
+    */
+  private[graft] def rerankUnrolled(
+      candidates: DataFrame,
+      qCol: String,
+      idCol: String,
+      relCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val l10 = checkArgs(candidates, k, lambda)
     // score over denominator 10^7: 100·l10·rel₄ − (10−l10)·ms₆ with
     // rel₄ = rel·10⁴ and ms₆ = ms·10⁶ recovered as exact integers
     val wRel = 100L * l10.toLong

@@ -373,3 +373,222 @@ case class CollectPairsCapped(
     copy(srcExpr = newChildren(0), dstExpr = newChildren(1),
       capExpr = newChildren(2))
 }
+
+/** Per-group greedy maximal-marginal-relevance selection: collects a
+  * query's (id, rel4, vector) candidates and runs the WHOLE k-step greedy
+  * loop inside the aggregate's eval — one q_id exchange for the entire
+  * re-rank.
+  *
+  * Why ([[graft.operators.Mmr]]): the unrolled plan form is k window
+  * argmaxes + k equi-joins + a k-way union over O(queries × c) frames —
+  * tiny data, but the PLAN costs dominate: profiled 1.67 s of AQE
+  * replanning (withFinalPlanUpdate re-canonicalizes the nested
+  * window/join/union tree per stage) plus a single-task tail stage where
+  * AQE coalesced the final steps by their few shuffled bytes (the
+  * round-12 post-aggregation lesson). As ONE partial-aggregable pass the
+  * plan is scan → partial collect → exchange on q_id → greedy eval:
+  * q_mmr_rerank 2.0 → ~1.1 s with the knn candidate stage unchanged.
+  *
+  * Bit-parity contract with the unrolled form (pinned by MmrSpec's
+  * kernel ≡ unrolled property and the q_mmr_rerank hash oracle):
+  *  - step score = 100·l10·rel4 − (10−l10)·ms6, EXACT longs (the Mmr
+  *    integer-scoring contract); argmax ties to the smaller id;
+  *  - redundancy update: cosine accumulated left-to-right like
+  *    [[graft.plans.CosineSimilarity]] (zero denominator → 0.0), round-6
+  *    via BigDecimal HALF_UP, ×10⁶ re-rounded at scale 0 HALF_UP then
+  *    truncated to long — exactly `round(round(cos, 6) * 1e6).cast(long)`
+  *    — and ratcheted with max against the working ms6 (init 0: the
+  *    CLAMPED variant, negative cosines never bonus);
+  *  - emit order = selection order; fewer than k candidates yield fewer
+  *    entries.
+  * The buffer is the group's candidate list — BOUNDED BY CONTRACT (MMR
+  * inputs are ANN-stage candidate lists, ≤ c per query); a group past
+  * `maxCandidates` (4096) fails fast on update AND merge rather than
+  * silently dropping or OOMing (feeding a corpus-sized group to a greedy
+  * O(n·k) re-rank is a caller bug, never a degradation to absorb).
+  *
+  * Output: array<struct<id:bigint, sc:bigint>> in selection order; the
+  * caller divides sc by 10⁷ for the emitted mmr6 and takes rank from
+  * posexplode position.
+  */
+case class MmrSelect(
+    idExpr: Expression,
+    rel4Expr: Expression,
+    vecExpr: Expression,
+    kExpr: Expression,
+    l10Expr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Long, Array[Double])]] {
+
+  private val maxCandidates = 4096
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_mmr $name must be an integer literal, got $other")
+  }
+  private lazy val k: Int = intLit(kExpr, "k")
+  private lazy val l10: Int = intLit(l10Expr, "l10")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val kOk = kExpr match {
+      case Literal(v: Int, IntegerType) if v > 0 => true
+      case _ => false
+    }
+    val lOk = l10Expr match {
+      case Literal(v: Int, IntegerType) if v >= 0 && v <= 10 => true
+      case _ => false
+    }
+    val inOk = (idExpr.dataType, rel4Expr.dataType, vecExpr.dataType) match {
+      case (LongType, LongType, ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (kOk && lOk && inOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_mmr requires (bigint id, bigint rel4, array<double> vec, " +
+        s"int-literal k > 0, int-literal l10 in [0,10]); got " +
+        s"(${idExpr.dataType.simpleString}, ${rel4Expr.dataType.simpleString}, " +
+        s"${vecExpr.dataType.simpleString}, $kExpr, $l10Expr)")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("sc", LongType))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] =
+    Seq(idExpr, rel4Expr, vecExpr, kExpr, l10Expr)
+  override def prettyName: String = "graft_mmr"
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Long, Long, Array[Double])] =
+    mutable.ArrayBuffer.empty
+
+  private def bound(buf: mutable.ArrayBuffer[(Long, Long, Array[Double])]): Unit =
+    if (buf.size > maxCandidates)
+      throw new IllegalArgumentException(
+        s"graft_mmr: a group exceeded $maxCandidates candidates — MMR " +
+          "re-ranks bounded ANN candidate lists; cut the corpus with a " +
+          "top-c stage first")
+
+  override def update(
+      buf: mutable.ArrayBuffer[(Long, Long, Array[Double])],
+      input: InternalRow): mutable.ArrayBuffer[(Long, Long, Array[Double])] = {
+    val idV = idExpr.eval(input)
+    val relV = rel4Expr.eval(input)
+    val vecV = vecExpr.eval(input)
+    if (idV != null && relV != null) {
+      if (vecV == null)
+        throw new IllegalArgumentException(
+          s"graft_mmr: null candidate vector for id $idV — the redundancy " +
+            "term is undefined; filter null vectors before re-ranking")
+      val arr = vecV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val v = new Array[Double](arr.numElements())
+      var i = 0
+      while (i < v.length) { v(i) = arr.getDouble(i); i += 1 }
+      buf += ((idV.asInstanceOf[Long], relV.asInstanceOf[Long], v))
+      bound(buf)
+    }
+    buf
+  }
+
+  override def merge(
+      b1: mutable.ArrayBuffer[(Long, Long, Array[Double])],
+      b2: mutable.ArrayBuffer[(Long, Long, Array[Double])]): mutable.ArrayBuffer[(Long, Long, Array[Double])] = {
+    b1 ++= b2
+    bound(b1)
+    b1
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[(Long, Long, Array[Double])]): Any = {
+    val n = buf.size
+    val wRel = 100L * l10
+    val wMs = 10L - l10
+    val ms6 = new Array[Long](n)
+    val taken = new Array[Boolean](n)
+    val picks = math.min(k, n)
+    val out = new Array[Any](picks)
+    var s = 0
+    while (s < picks) {
+      var bi = -1; var bSc = Long.MinValue; var bId = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val sc = wRel * buf(i)._2 - wMs * ms6(i)
+          if (sc > bSc || (sc == bSc && buf(i)._1 < bId)) {
+            bi = i; bSc = sc; bId = buf(i)._1
+          }
+        }
+        i += 1
+      }
+      out(s) = new GenericInternalRow(Array[Any](buf(bi)._1, bSc))
+      taken(bi) = true
+      if (s + 1 < picks) {
+        val bv = buf(bi)._3
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val v = buf(j)._3
+            if (v.length != bv.length)
+              throw new IllegalArgumentException(
+                s"graft_mmr: vector lengths differ (${v.length} vs ${bv.length})")
+            var dot = 0.0; var nx = 0.0; var ny = 0.0
+            var d = 0
+            while (d < v.length) {
+              val xi = v(d); val yi = bv(d)
+              dot += xi * yi; nx += xi * xi; ny += yi * yi
+              d += 1
+            }
+            val denom = math.sqrt(nx) * math.sqrt(ny)
+            val cos = if (denom == 0.0) 0.0 else dot / denom
+            val r6 = java.math.BigDecimal.valueOf(cos)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            val m = java.math.BigDecimal.valueOf(r6 * 1e6)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .doubleValue().toLong
+            if (m > ms6(j)) ms6(j) = m
+          }
+          j += 1
+        }
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[(Long, Long, Array[Double])]): Array[Byte] = {
+    val dim = if (buf.isEmpty) 0 else buf.head._3.length
+    val bb = ByteBuffer.allocate(8 + buf.size * (16 + 8 * dim))
+    bb.putInt(buf.size); bb.putInt(dim)
+    buf.foreach { case (id, rel, v) =>
+      require(v.length == dim,
+        s"graft_mmr: ragged candidate vectors ($dim vs ${v.length})")
+      bb.putLong(id); bb.putLong(rel)
+      var i = 0
+      while (i < dim) { bb.putDouble(v(i)); i += 1 }
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Long, Long, Array[Double])] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt; val dim = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      val id = bb.getLong; val rel = bb.getLong
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { v(i) = bb.getDouble; i += 1 }
+      buf += ((id, rel, v))
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MmrSelect =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MmrSelect =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MmrSelect =
+    copy(idExpr = newChildren(0), rel4Expr = newChildren(1),
+      vecExpr = newChildren(2), kExpr = newChildren(3),
+      l10Expr = newChildren(4))
+}

@@ -557,6 +557,10 @@ object GraftFunctions {
     "graft_topk" ->
       ((exprs: Seq[Expression]) =>
         TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()),
+    "graft_mmr" ->
+      ((exprs: Seq[Expression]) =>
+        MmrSelect(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))
+          .toAggregateExpression()),
     "graft_collect_capped" ->
       ((exprs: Seq[Expression]) =>
         CollectCapped(exprs(0), exprs(1)).toAggregateExpression()),

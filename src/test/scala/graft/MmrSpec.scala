@@ -44,6 +44,43 @@ class MmrSpec extends SparkSpec {
     assert(out.agg(max(col("rank"))).head().getLong(0) === 2L)
   }
 
+  test("graft_mmr kernel equals the unrolled window/join form on real " +
+    "vectors (every column, every lambda in the grid)") {
+    val e = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    val knn = graft.operators.Similarity
+      .knnBruteForce(e, e, "vec_id", "embedding", 6)
+    val vecs = e.select(col("vec_id").as("n_id"),
+      col("embedding").cast("array<double>").as("nv"))
+    val c = knn.join(vecs, Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("sim4"), col("nv"))
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    for (lam <- Seq(0.0, 0.3, 0.7, 1.0)) {
+      val viaKernel = rows(
+        Mmr.rerank(c, "q_id", "n_id", "sim4", "nv", k = 3, lambda = lam))
+      val viaUnrolled = rows(
+        Mmr.rerankUnrolled(c, "q_id", "n_id", "sim4", "nv", k = 3,
+          lambda = lam))
+      assert(viaKernel === viaUnrolled, s"lambda $lam")
+    }
+  }
+
+  test("graft_mmr fails fast past the candidate bound") {
+    import spark.implicits._
+    val big = (0 until 5000).map(i => (1L, i.toLong, 0.5, Seq(1.0, 0.0)))
+      .toDF("q_id", "n_id", "rel", "v")
+    val err = intercept[Exception] {
+      Mmr.rerank(big, "q_id", "n_id", "rel", "v", k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("exceeded 4096 candidates")))
+  }
+
   test("lambda must be a multiple of 0.1") {
     val e = intercept[IllegalArgumentException] {
       Mmr.rerank(cand, "q_id", "n_id", "rel", "v", k = 2, lambda = 0.75)

@@ -406,7 +406,7 @@ class OperatorSpec extends SparkSpec {
       "graft_minhash_md5", "graft_lsh_bands_md5",
       "graft_collect_capped", "graft_collect_pairs_capped",
       "graft_pair_gen", "graft_ivf_cells", "graft_residual",
-      "graft_pq_codes"))
+      "graft_pq_codes", "graft_mmr"))
     assert(builders("graft_tokens")(Seq(Literal.create("A b,c9")))
       .isInstanceOf[TokenizeAscii])
     val shArr = Literal.create(Seq("a b c"), ArrayType(StringType))
