@@ -303,8 +303,13 @@ object ScaleRehearsal {
       (coarse, IvfPq.fit(df, "vec_id", "embedding", coarse,
         m = 4, k = 8, iters = 2))
     }
+    // the timed closure keeps its last models so the recall pass below
+    // reuses the blown-scale fits instead of paying a third full fit
+    // pass over the 10× frame (review finding)
+    var lastModels: (Array[Array[Double]], Array[Array[Array[Double]]]) = null
     def ivfPqCount(df: org.apache.spark.sql.DataFrame): Long = {
       val (coarse, cbs) = ivfPqModels(df)
+      lastModels = (coarse, cbs)
       IvfPq.index(df, "vec_id", "embedding", coarse, cbs).count() +
         IvfPq.annIvfPq(df.filter(col("vec_id") % 40 === 0), df,
           "vec_id", "embedding", coarse, cbs, k = 3, nProbe = 2).count()
@@ -315,7 +320,7 @@ object ScaleRehearsal {
     require(ipWallN <= 0.7 * blowup * ipWall1 + 2.0,
       f"IVF+PQ wall superlinear at $blowup×: $ipWallN%.1f s vs " +
         f"$ipWall1%.1f s at 1×")
-    val (coarseN, cbsN) = ivfPqModels(blown)
+    val (coarseN, cbsN) = lastModels
     val rIvfPq = recallOf(IvfPq.annIvfPq(sample, blown, "vec_id",
       "embedding", coarseN, cbsN, k = 3, nProbe = 2))
     // floor = the IvfPqSpec sf0.001 floor (the lsh/ivf/pq convention:

@@ -133,9 +133,14 @@ object IvfPq {
     graft.plans.GraftFunctions.register(spark)
     val m = codebooks.length
     val sub = codebooks.head.head.length
+    // __luts attaches BEFORE the probe explode, so the broadcast carries
+    // nProbe copies of each query's m·k LUT — the byte cap divides by the
+    // fan-out too (review finding: annPq's formula alone under-gates by
+    // up to nCells×)
     val lutDoubles = m.toLong * codebooks.head.length
     val effectiveCap = math.max(1L,
-      math.min(maxQueryRows, (1L << 27) / math.max(1L, lutDoubles)))
+      math.min(maxQueryRows,
+        (1L << 27) / math.max(1L, lutDoubles * nProbe)))
     Similarity.requireBroadcastable(queries, effectiveCap,
       s"annIvfPq query side (each row carries a $lutDoubles-double LUT " +
         s"and fans out $nProbe probe cells)",

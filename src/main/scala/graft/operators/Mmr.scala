@@ -58,8 +58,12 @@ object Mmr {
     // a coalesced single-task tail on O(q × c) data — see
     // [[graft.plans.MmrSelect]]); kernel ≡ unrolled parity is pinned by
     // MmrSpec and the q_mmr_rerank hash oracle
+    // no cast on the id: graft_mmr requires a bigint id (the graft_topk
+    // convention) and REFUSES anything else at analysis time — a cast
+    // would turn non-numeric ids into nulls the kernel silently drops
+    // (review finding)
     candidates.select(
-        col(qCol), col(idCol).cast("long").as("__id"),
+        col(qCol), col(idCol).as("__id"),
         round(col(relCol) * 10000).cast("long").as("__rel4"),
         col(vecCol).as("__v"))
       .groupBy(col(qCol))

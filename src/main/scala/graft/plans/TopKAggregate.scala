@@ -475,18 +475,22 @@ case class MmrSelect(
     val idV = idExpr.eval(input)
     val relV = rel4Expr.eval(input)
     val vecV = vecExpr.eval(input)
-    if (idV != null && relV != null) {
-      if (vecV == null)
-        throw new IllegalArgumentException(
-          s"graft_mmr: null candidate vector for id $idV — the redundancy " +
-            "term is undefined; filter null vectors before re-ranking")
-      val arr = vecV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val v = new Array[Double](arr.numElements())
-      var i = 0
-      while (i < v.length) { v(i) = arr.getDouble(i); i += 1 }
-      buf += ((idV.asInstanceOf[Long], relV.asInstanceOf[Long], v))
-      bound(buf)
-    }
+    // a null id, relevance, or vector is a corrupt candidate row, not a
+    // degradation to absorb: silently skipping would DIVERGE from the
+    // unrolled reference (which window-sorts nulls last) with no signal
+    // (review finding) — the greedy selection's inputs must be total
+    if (idV == null || relV == null || vecV == null)
+      throw new IllegalArgumentException(
+        "graft_mmr: null candidate field (id, relevance, and vector must " +
+          s"all be non-null; got id=$idV, rel4=$relV, " +
+          s"vec=${if (vecV == null) "null" else "…"}) — filter or repair " +
+          "candidates before re-ranking")
+    val arr = vecV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val v = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < v.length) { v(i) = arr.getDouble(i); i += 1 }
+    buf += ((idV.asInstanceOf[Long], relV.asInstanceOf[Long], v))
+    bound(buf)
     buf
   }
 
@@ -530,17 +534,7 @@ case class MmrSelect(
             if (v.length != bv.length)
               throw new IllegalArgumentException(
                 s"graft_mmr: vector lengths differ (${v.length} vs ${bv.length})")
-            var dot = 0.0; var nx = 0.0; var ny = 0.0
-            var d = 0
-            while (d < v.length) {
-              val xi = v(d); val yi = bv(d)
-              dot += xi * yi; nx += xi * xi; ny += yi * yi
-              d += 1
-            }
-            val denom = math.sqrt(nx) * math.sqrt(ny)
-            val cos = if (denom == 0.0) 0.0 else dot / denom
-            val r6 = java.math.BigDecimal.valueOf(cos)
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            val r6 = VecMath.cosine6(v, bv)
             val m = java.math.BigDecimal.valueOf(r6 * 1e6)
               .setScale(0, java.math.RoundingMode.HALF_UP)
               .doubleValue().toLong

@@ -271,6 +271,51 @@ private[plans] object VectorExprChecks {
   }
 }
 
+/** The ONE in-kernel definition of the bit-parity-critical rounded
+  * cosine: dot/nx/ny accumulated LEFT TO RIGHT in a single loop,
+  * `dot / (sqrt(nx)·sqrt(ny))` with zero denominator → 0.0, rounded via
+  * `BigDecimal.valueOf(x).setScale(6, HALF_UP)` — exactly
+  * [[CosineSimilarity]]'s operation sequence (which keeps its own copy
+  * only because its codegen template inlines the loop as generated
+  * Java). Every interpreted kernel that scores against a literal
+  * codeword table ([[IvfCells]], [[PqCodes]], [[MmrSelect]]) calls
+  * THIS, so a future rounding/guard tweak cannot silently fork the
+  * cross-engine determinism contract (review finding: four verbatim
+  * copies had accumulated). Callers validate lengths first with their
+  * own messages.
+  */
+private[plans] object VecMath {
+  def cosine6(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < a.length) {
+      val xi = a(i); val yi = b(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    finish(dot, nx, ny)
+  }
+
+  /** Cosine of `v[off, off + w.length)` against `w`. */
+  def cosine6Window(v: ArrayData, off: Int, w: Array[Double]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < w.length) {
+      val xi = v.getDouble(off + i); val yi = w(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    finish(dot, nx, ny)
+  }
+
+  private def finish(dot: Double, nx: Double, ny: Double): Double = {
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    val cos = if (denom == 0.0) 0.0 else dot / denom
+    java.math.BigDecimal.valueOf(cos)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
 /** `graft_ivf_cells(vec, centroidsLit)`: the SORTED (negS, c) IVF cell
   * array in ONE fused codegen pass — kernel replacement for
   * `array_sort(array(struct(-round(graft_cosine(v, c0), 6), 0L), ...))`.
@@ -331,17 +376,7 @@ case class IvfCells(left: Expression, right: Expression)
       if (c.length != n)
         throw new IllegalArgumentException(
           s"$prettyName: vector lengths differ (${c.length} vs $n)")
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      var i = 0
-      while (i < n) {
-        val xi = v.getDouble(i); val yi = c(i)
-        dot += xi * yi; nx += xi * xi; ny += yi * yi
-        i += 1
-      }
-      val denom = math.sqrt(nx) * math.sqrt(ny)
-      val cos = if (denom == 0.0) 0.0 else dot / denom
-      val r = java.math.BigDecimal.valueOf(cos)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val r = VecMath.cosine6Window(v, 0, c)
       cells(ci) = (-r, ci.toLong)
       ci += 1
     }
@@ -508,18 +543,7 @@ case class PqCodes(left: Expression, right: Expression)
       var bestC = 0L
       var c = 0
       while (c < cb.length) {
-        val w = cb(c)
-        var dot = 0.0; var nx = 0.0; var ny = 0.0
-        var i = 0
-        while (i < sub) {
-          val xi = v.getDouble(off + i); val yi = w(i)
-          dot += xi * yi; nx += xi * xi; ny += yi * yi
-          i += 1
-        }
-        val denom = math.sqrt(nx) * math.sqrt(ny)
-        val cos = if (denom == 0.0) 0.0 else dot / denom
-        val s = java.math.BigDecimal.valueOf(cos)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val s = VecMath.cosine6Window(v, off, cb(c))
         if (s > best) { best = s; bestC = c.toLong }
         c += 1
       }

@@ -68,6 +68,22 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("graft_mmr fails fast on a null candidate field (never a silent " +
+    "divergence from the unrolled reference)") {
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, 10L, Some(0.9), Some(Seq(1.0, 0.0))),
+      (1L, 11L, None, Some(Seq(0.0, 1.0)))
+    ).toDF("q_id", "n_id", "rel", "v")
+    val err = intercept[Exception] {
+      Mmr.rerank(withNull, "q_id", "n_id", "rel", "v", k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("null candidate field")))
+  }
+
   test("graft_mmr fails fast past the candidate bound") {
     import spark.implicits._
     val big = (0 until 5000).map(i => (1L, i.toLong, 0.5, Seq(1.0, 0.0)))
