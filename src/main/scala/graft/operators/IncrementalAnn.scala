@@ -526,7 +526,7 @@ object IncrementalAnn {
     * `__rebuild` siblings this module itself creates, so deleting the
     * resolved dir cannot touch external user data.
     */
-  private def dropTableAndDir(spark: SparkSession, table: String): Unit = {
+  private[operators] def dropTableAndDir(spark: SparkSession, table: String): Unit = {
     val catalog = spark.sessionState.catalog
     val parsed = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val ident = parsed.copy(database =

@@ -126,11 +126,31 @@ object IvfPq {
       k: Int,
       nProbe: Int = 2,
       maxQueryRows: Long = 100000L): DataFrame = {
-    require(k >= 1, s"k must be positive, got $k")
+    val probes = probeFrame(queries, idCol, vecCol, coarse, codebooks,
+      nProbe, maxQueryRows)
+    val idx = Similarity.spreadIfNarrow(
+      index(corpus, idCol, vecCol, coarse, codebooks)
+        .select(col(idCol).as("n_id"), col("cell"),
+          col("codes").as("__codes")))
+    adcTopK(probes, idx, codebooks.length, k)
+  }
+
+  /** The gated broadcast-side probe frame — (q_id, cell, w6, __luts), one
+    * row per (query, probed cell): the ONE definition of the query half,
+    * shared by the in-memory [[annIvfPq]] and the persisted
+    * [[queryPersisted]] so the two paths cannot drift.
+    */
+  private def probeFrame(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int,
+      maxQueryRows: Long): DataFrame = {
     require(nProbe >= 1 && nProbe <= coarse.length,
       s"nProbe out of [1, ${coarse.length}]: $nProbe")
-    val spark = queries.sparkSession
-    graft.plans.GraftFunctions.register(spark)
+    graft.plans.GraftFunctions.register(queries.sparkSession)
     val m = codebooks.length
     val sub = codebooks.head.head.length
     // __luts attaches BEFORE the probe explode, so the broadcast carries
@@ -157,7 +177,7 @@ object IvfPq {
           typedLit(codebooks(j)(c).toSeq)), 6)
       }: _*)
     }: _*)
-    val probes = queries.filter(col(vecCol).isNotNull)
+    queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("__cells",
         call_function("graft_ivf_cells", col("__qv"), lit(centStr)))
@@ -170,9 +190,15 @@ object IvfPq {
       .withColumn("w6", round(call_function("graft_dot", col("__qv"),
         element_at(coarseLit, col("cell").cast("int") + 1)), 6))
       .select(col("q_id"), col("cell"), col("w6"), col("__luts"))
-    val idx = Similarity.spreadIfNarrow(
-      index(corpus, idCol, vecCol, coarse, codebooks)
-        .select(col(idCol).as("n_id"), col("cell"), col("codes").as("__codes")))
+  }
+
+  /** Score + elect: the fixed-order ADC fold over the probe/index join and
+    * the bounded top-k — the shared back half of both query paths.
+    * `idx` must be (n_id, cell, __codes).
+    */
+  private def adcTopK(probes: DataFrame, idx: DataFrame, m: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
     val adc = (0 until m).map(j =>
       element_at(element_at(col("__luts"), j + 1),
         col("__codes")(j).cast("int") + 1)).reduce(_ + _)
@@ -184,5 +210,104 @@ object IvfPq {
       .select(col("q_id"), col("n_id"),
         round(col("w6") + adc, 4).as("sim4"))
     Similarity.topKPerQuery(scored, k).withColumnRenamed("sim4", "adc4")
+  }
+
+  /** The models sidecar's table name for a persisted compound index. */
+  def modelsTableName(indexTable: String): String = indexTable + "__ivfpq"
+
+  /** Drop a persisted compound index and its models sidecar, tables AND
+    * storage dirs (the [[IncrementalAnn.dropIndex]] catalog-resolved
+    * preamble, shared — not a fourth hand-built-path copy).
+    */
+  def dropPersisted(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String): Unit =
+    Seq(indexTable, modelsTableName(indexTable))
+      .foreach(IncrementalAnn.dropTableAndDir(spark, _))
+
+  /** Persist the compound index: the (id, cell, codes) table bucketed by
+    * `cell` (`coarse.length` buckets — one inverted list per bucket, the
+    * [[IncrementalAnn]] layout) plus a one-row models sidecar carrying
+    * both quantizers in the kernels' exact string serialization
+    * (`Double.toString` shortest-round-trip, so a later
+    * [[queryPersisted]] session reconstructs value-identical models).
+    *
+    * BUILD-ONCE contract, stated plainly: this is the encode-once /
+    * query-many path (the in-memory [[annIvfPq]] re-encodes its corpus
+    * per call — fine for one-shot analytics, wrong at 100 TB). Both
+    * writes are idempotent overwrites; the MODELS write runs LAST as the
+    * commit point, so a crash mid-persist leaves either the old pair or
+    * an index awaiting its sidecar — [[queryPersisted]] requires the
+    * sidecar and fails with the repair instruction (rerun persistIndex).
+    * Incremental appends, coupled-pair swaps, and enumerated crash
+    * windows are deliberately NOT duplicated here: that lifecycle is
+    * [[IncrementalAnn]]'s contract; this surface is the read-optimized
+    * compressed index.
+    */
+  def persistIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      indexTable: String): Unit = {
+    val spark = df.sparkSession
+    val cells = coarse.length
+    index(df, idCol, vecCol, coarse, codebooks)
+      // one file per bucket: repartition(n, cell) is the same
+      // murmur3-pmod mapping as the bucket id (the IncrementalAnn rule)
+      .repartition(cells, col("cell"))
+      .write.mode("overwrite")
+      .bucketBy(cells, "cell").sortBy("cell")
+      .saveAsTable(indexTable)
+    import spark.implicits._
+    Seq((coarse.map(_.mkString(",")).mkString(";"),
+        codebooks.map(_.map(_.mkString(",")).mkString(";")).mkString("|")))
+      .toDF("coarse", "codebooks")
+      .write.mode("overwrite").saveAsTable(modelsTableName(indexTable))
+  }
+
+  /** ADC top-k against a PERSISTED compound index — the 100 TB read path:
+    * the scan touches only the PROBED buckets. The union of probed cells
+    * across the query batch is bounded by nCells, so it collects
+    * driver-side (one tiny job) and becomes an `isin` on the bucket
+    * column — Spark prunes unprobed bucket FILES from the scan, which at
+    * production cell counts means reading nProbe/nCells of the index
+    * from storage instead of all of it. Scoring is [[annIvfPq]]'s own
+    * probeFrame/adcTopK (shared code), so persisted ≡ in-memory results
+    * bit for bit (spec-pinned).
+    */
+  def queryPersisted(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexTable: String,
+      k: Int,
+      nProbe: Int = 2,
+      maxQueryRows: Long = 100000L): DataFrame = {
+    val spark = queries.sparkSession
+    val modelsTable = modelsTableName(indexTable)
+    if (!spark.catalog.tableExists(modelsTable))
+      throw new IllegalStateException(
+        s"no models sidecar $modelsTable for index $indexTable — " +
+          "persistIndex did not complete (the sidecar is its commit " +
+          "point); rerun persistIndex to repair")
+    val mr = spark.table(modelsTable).collect()
+    require(mr.length == 1,
+      s"models sidecar $modelsTable must hold exactly one row, " +
+        s"got ${mr.length}")
+    val coarse = mr.head.getString(0).split(';')
+      .map(_.split(',').map(_.toDouble))
+    val codebooks = mr.head.getString(1).split('|')
+      .map(_.split(';').map(_.split(',').map(_.toDouble)))
+    val probes = probeFrame(queries, idCol, vecCol, coarse, codebooks,
+      nProbe, maxQueryRows)
+    // bounded ≤ nCells: the distinct probed cells ARE the bucket filter
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.table(indexTable)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("n_id"), col("cell"),
+        col("codes").as("__codes"))
+    adcTopK(probes, idx, codebooks.length, k)
   }
 }

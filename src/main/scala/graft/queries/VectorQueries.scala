@@ -439,6 +439,23 @@ object VectorQueries {
         e.filter(col("vec_id") % 40 === 0), e, "vec_id", "embedding",
         kmFitted(s, dir), fittedIvfPq(s, dir), k = 3, nProbe = 2)
     }),
+
+    // ORACLED persisted compound chain (encode-once / query-many — the
+    // 100 TB read path): drop -> persistIndex (bucketed codes table +
+    // models sidecar) -> queryPersisted (sidecar-loaded models, probed-
+    // cell bucket pruning, shared probeFrame/adcTopK scoring). Same
+    // oracle SQL as q_ann_ivfpq_md5: the persisted path must reproduce
+    // the in-memory chain exactly, THROUGH the sidecar round-trip and
+    // the pruned scan.
+    "q_ann_ivfpq_pers_md5" -> ((s, dir) => {
+      import graft.operators.IvfPq
+      val e = t(s, dir, "embeddings")
+      IvfPq.dropPersisted(s, "ivfpq_idx")
+      IvfPq.persistIndex(e, "vec_id", "embedding", kmFitted(s, dir),
+        fittedIvfPq(s, dir), "ivfpq_idx")
+      IvfPq.queryPersisted(e.filter(col("vec_id") % 40 === 0),
+        "vec_id", "embedding", "ivfpq_idx", k = 3, nProbe = 2)
+    }),
   )
 
   /** One PQ fit per sf dir (q_pq_codes and q_ann_pq share it; the fit is
@@ -644,14 +661,12 @@ object VectorQueries {
         s"max(CASE WHEN l.j = $j THEN l.l END) AS l$j")
         .mkString(",\n             ")
       val fold = (1 until m).foldLeft("l0")((acc, j) => s"($acc + l$j)")
-      Map(
-        "q_ivfpq_codes" ->
-          s"""$ctes
-           SELECT vec_id, CAST(cell AS BIGINT) AS cell,
-             CAST(j AS BIGINT) AS subspace, CAST(c AS BIGINT) AS code
-           FROM ranked WHERE r = 1""",
-        "q_ann_ivfpq_md5" ->
-          s"""$ctes,
+      // shared by q_ann_ivfpq_md5 AND q_ann_ivfpq_pers_md5: the persisted
+      // chain must reproduce the in-memory one exactly (through the
+      // sidecar round-trip and the pruned bucket scan), so ONE replay
+      // oracles both
+      val queryChainSql =
+        s"""$ctes,
            codes AS (
              SELECT vec_id AS n_id, cell, j, c AS code FROM ranked WHERE r = 1),
            q AS (
@@ -681,7 +696,15 @@ object VectorQueries {
                CAST(row_number() OVER (PARTITION BY q_id
                  ORDER BY adc4 DESC, n_id) AS BIGINT) AS rn
              FROM adc)
-           WHERE rn <= 3""")
+           WHERE rn <= 3"""
+      Map(
+        "q_ivfpq_codes" ->
+          s"""$ctes
+           SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+             CAST(j AS BIGINT) AS subspace, CAST(c AS BIGINT) AS code
+           FROM ranked WHERE r = 1""",
+        "q_ann_ivfpq_md5" -> queryChainSql,
+        "q_ann_ivfpq_pers_md5" -> queryChainSql)
     }
 
   /** The k-means fit replay shared by q_kmeans and q_semdedup_kmeans:

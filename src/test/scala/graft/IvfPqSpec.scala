@@ -115,6 +115,59 @@ class IvfPqSpec extends SparkSpec {
     assert(err.getMessage.contains("batched query slices"))
   }
 
+  test("persisted index: queryPersisted reproduces annIvfPq exactly " +
+    "through the sidecar round-trip; the scan is PRUNED to the probed " +
+    "buckets; a missing sidecar fails with the repair instruction") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    dropTable("ivfpq_spec_idx")
+    dropTable(IvfPq.modelsTableName("ivfpq_spec_idx"))
+    IvfPq.persistIndex(e, "vec_id", "embedding", coarse, cents,
+      "ivfpq_spec_idx")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val queries = e.filter(col("vec_id") % 40 === 0)
+    val viaMem = rows(IvfPq.annIvfPq(queries, e, "vec_id", "embedding",
+      coarse, cents, k = 3, nProbe = 2))
+    val viaDisk = rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_spec_idx", k = 3, nProbe = 2))
+    assert(viaDisk === viaMem)
+    // bucket pruning: ONE query probes exactly nProbe cells — the index
+    // scan's bucket set must shrink to those, not read all 8 buckets
+    val one = e.filter(col("vec_id") === 0L)
+    val pruned = IvfPq.queryPersisted(one, "vec_id", "embedding",
+      "ivfpq_spec_idx", k = 3, nProbe = 2)
+    pruned.collect()
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(q.plan)
+      case other => other.children.flatMap(allNodes)
+    })
+    val scans = allNodes(pruned.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(
+            _.table.equalsIgnoreCase("ivfpq_spec_idx")) => f
+    }
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    scans.foreach { f =>
+      val sel = f.optionalBucketSet.map(_.cardinality())
+      assert(sel.exists(_ <= 2),
+        s"index scan read ${sel.getOrElse("ALL")} of 8 buckets:\n$f")
+    }
+    // commit-point contract: an index whose sidecar is missing refuses
+    // with the repair instruction instead of silently refitting
+    dropTable(IvfPq.modelsTableName("ivfpq_spec_idx"))
+    val err = intercept[IllegalStateException] {
+      IvfPq.queryPersisted(queries, "vec_id", "embedding",
+        "ivfpq_spec_idx", k = 3, nProbe = 2)
+    }
+    assert(err.getMessage.contains("rerun persistIndex"))
+    dropTable("ivfpq_spec_idx")
+  }
+
   test("plan shape: the probe side (with its explode) broadcasts; the " +
     "code-table side reaches the join without a hash exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
