@@ -522,21 +522,32 @@ object IncrementalAnn {
     * exists its real `location` is read from the metadata (captured
     * BEFORE the drop); for the entry-less leftover-dir case the catalog's
     * own `defaultTablePath` computes the would-be managed location,
-    * honoring the database's directory. Only ever called on the managed
-    * `__rebuild` siblings this module itself creates, so deleting the
-    * resolved dir cannot touch external user data.
+    * honoring the database's directory.
+    *
+    * EXTERNAL tables are dropped catalog-only — their data is not ours to
+    * delete (review finding: since [[graft.operators.IvfPq.dropPersisted]]
+    * shares this helper, a user-supplied name could be an external table
+    * over shared data; recursively deleting its location would destroy it
+    * where `DROP TABLE` correctly leaves it). Managed tables and
+    * entry-less leftover dirs keep the full table+dir cleanup.
     */
   private[operators] def dropTableAndDir(spark: SparkSession, table: String): Unit = {
     val catalog = spark.sessionState.catalog
     val parsed = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val ident = parsed.copy(database =
       parsed.database.orElse(Some(catalog.getCurrentDatabase)))
+    val meta =
+      if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident))
+      else None
+    val external = meta.exists(_.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
     val loc = new org.apache.hadoop.fs.Path(
-      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
-      else catalog.defaultTablePath(ident))
+      meta.map(_.location).getOrElse(catalog.defaultTablePath(ident)))
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    if (!external) {
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
   }
 
   /** Quantizer staleness report — the "when to rebuild" signal. PSI

@@ -126,6 +126,9 @@ object IvfPq {
       k: Int,
       nProbe: Int = 2,
       maxQueryRows: Long = 100000L): DataFrame = {
+    // validate BEFORE the broadcast gate spends a Spark job on the probe
+    // side (review finding: a bad k should fail instantly)
+    require(k >= 1, s"k must be positive, got $k")
     val probes = probeFrame(queries, idCol, vecCol, coarse, codebooks,
       nProbe, maxQueryRows)
     val idx = Similarity.spreadIfNarrow(
@@ -162,7 +165,7 @@ object IvfPq {
       math.min(maxQueryRows,
         (1L << 27) / math.max(1L, lutDoubles * nProbe)))
     Similarity.requireBroadcastable(queries, effectiveCap,
-      s"annIvfPq query side (each row carries a $lutDoubles-double LUT " +
+      s"IvfPq query side (each row carries a $lutDoubles-double LUT " +
         s"and fans out $nProbe probe cells)",
       "batched query slices")
     val centStr = coarse.map(_.mkString(",")).mkString(";")
@@ -233,13 +236,25 @@ object IvfPq {
     *
     * BUILD-ONCE contract, stated plainly: this is the encode-once /
     * query-many path (the in-memory [[annIvfPq]] re-encodes its corpus
-    * per call — fine for one-shot analytics, wrong at 100 TB). Both
-    * writes are idempotent overwrites; the MODELS write runs LAST as the
-    * commit point, so a crash mid-persist leaves either the old pair or
-    * an index awaiting its sidecar — [[queryPersisted]] requires the
-    * sidecar and fails with the repair instruction (rerun persistIndex).
-    * Incremental appends, coupled-pair swaps, and enumerated crash
-    * windows are deliberately NOT duplicated here: that lifecycle is
+    * per call — fine for one-shot analytics, wrong at 100 TB).
+    *
+    * Crash ordering — correct for REBUILDS too (review finding: a
+    * models-last write alone protects only the first build; a re-persist
+    * crashing between the index overwrite and the sidecar overwrite
+    * would leave NEW codes under the OLD quantizers, which
+    * [[queryPersisted]] would score silently wrong — the exact
+    * new-index/old-sidecar hazard [[IncrementalAnn.append]] documents):
+    *   1. DROP the models sidecar (table + dir) — from here every reader
+    *      fails closed with the repair instruction;
+    *   2. overwrite the index table (self-healing a crashed prior
+    *      overwrite's entry-less leftover dir first — the
+    *      LOCATION_ALREADY_EXISTS window, so "rerun persistIndex"
+    *      actually repairs);
+    *   3. write the models sidecar — the COMMIT POINT: its existence
+    *      asserts the pair is consistent, because it is only ever
+    *      written immediately after the index it describes.
+    * Incremental appends, coupled-pair swaps, and richer recovery are
+    * deliberately NOT duplicated here: that lifecycle is
     * [[IncrementalAnn]]'s contract; this surface is the read-optimized
     * compressed index.
     */
@@ -252,6 +267,11 @@ object IvfPq {
       indexTable: String): Unit = {
     val spark = df.sparkSession
     val cells = coarse.length
+    IncrementalAnn.dropTableAndDir(spark, modelsTableName(indexTable))
+    // writer self-heal: a crashed prior overwrite can leave the index dir
+    // with no catalog entry; clear it so this (managed) create succeeds
+    if (!spark.catalog.tableExists(indexTable))
+      IncrementalAnn.dropTableAndDir(spark, indexTable)
     index(df, idCol, vecCol, coarse, codebooks)
       // one file per bucket: repartition(n, cell) is the same
       // murmur3-pmod mapping as the bucket id (the IncrementalAnn rule)
@@ -299,15 +319,28 @@ object IvfPq {
       .map(_.split(',').map(_.toDouble))
     val codebooks = mr.head.getString(1).split('|')
       .map(_.split(';').map(_.split(',').map(_.toDouble)))
+    require(k >= 1, s"k must be positive, got $k")
+    // materialize the (gated, bounded) probe frame ONCE: both the
+    // probed-cell collect below and the returned query plan consume it —
+    // unmaterialized, each would re-run the per-query kernel pass and
+    // the source scan (review finding; the checkpoint-what-is-consumed-
+    // across-actions rule)
     val probes = probeFrame(queries, idCol, vecCol, coarse, codebooks,
-      nProbe, maxQueryRows)
+      nProbe, maxQueryRows).localCheckpoint()
     // bounded ≤ nCells: the distinct probed cells ARE the bucket filter
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val idx = spark.table(indexTable)
-      .filter(col("cell").isin(probedCells: _*))
-      .select(col(idCol).as("n_id"), col("cell"),
-        col("codes").as("__codes"))
+    // spreadIfNarrow: the pruned bucketed scan is task-per-bucket and
+    // NON-splittable (the r13 lesson) — ≤ nProbe-of-few-cells buckets
+    // would otherwise run the whole ADC scoring in that many tasks; the
+    // round-robin spread is safe here because the join broadcasts the
+    // PROBE side (the scan's bucket distribution is not what keeps the
+    // index exchange-free — the broadcast join needs no partitioning)
+    val idx = Similarity.spreadIfNarrow(
+      spark.table(indexTable)
+        .filter(col("cell").isin(probedCells: _*))
+        .select(col(idCol).as("n_id"), col("cell"),
+          col("codes").as("__codes")))
     adcTopK(probes, idx, codebooks.length, k)
   }
 }

@@ -168,6 +168,38 @@ class IvfPqSpec extends SparkSpec {
     dropTable("ivfpq_spec_idx")
   }
 
+  test("persistIndex self-heals the entry-less leftover-dir crash window " +
+    "and never deletes an EXTERNAL table's data") {
+    import java.nio.file.{Files, Paths}
+    // (a) crashed prior overwrite: index dir exists, no catalog entry —
+    // rerun must repair, not die on LOCATION_ALREADY_EXISTS
+    dropTable("ivfpq_heal_idx")
+    dropTable(IvfPq.modelsTableName("ivfpq_heal_idx"))
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val leftover = Paths.get(warehouse, "ivfpq_heal_idx")
+    Files.createDirectories(leftover)
+    Files.write(leftover.resolve("junk"), Array[Byte](1, 2, 3))
+    IvfPq.persistIndex(e, "vec_id", "embedding", coarse, cents,
+      "ivfpq_heal_idx")
+    assert(IvfPq.queryPersisted(e.filter(col("vec_id") === 0L), "vec_id",
+      "embedding", "ivfpq_heal_idx", k = 3, nProbe = 2).count() === 3)
+    dropTable("ivfpq_heal_idx")
+    dropTable(IvfPq.modelsTableName("ivfpq_heal_idx"))
+    // (b) an EXTERNAL table occupying a name handed to dropPersisted:
+    // the catalog entry goes, the DATA must survive (it is not ours)
+    val extDir = Files.createTempDirectory("ivfpq_ext").toFile
+    spark.range(5).toDF("x").write.mode("overwrite")
+      .parquet(extDir.getAbsolutePath)
+    spark.sql("DROP TABLE IF EXISTS ivfpq_ext_t")
+    spark.sql(s"CREATE TABLE ivfpq_ext_t USING parquet " +
+      s"LOCATION '${extDir.getAbsolutePath}'")
+    IvfPq.dropPersisted(spark, "ivfpq_ext_t")
+    assert(!spark.catalog.tableExists("ivfpq_ext_t"))
+    assert(spark.read.parquet(extDir.getAbsolutePath).count() === 5,
+      "dropPersisted deleted an external table's data")
+  }
+
   test("plan shape: the probe side (with its explode) broadcasts; the " +
     "code-table side reaches the join without a hash exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
