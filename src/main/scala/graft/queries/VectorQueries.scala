@@ -456,6 +456,67 @@ object VectorQueries {
       IvfPq.queryPersisted(e.filter(col("vec_id") % 40 === 0),
         "vec_id", "embedding", "ivfpq_idx", k = 3, nProbe = 2)
     }),
+
+    // ORACLED incremental compound-index lifecycle (verdict r14 #1 — the
+    // continuous-ingest shape for the COMPRESSED index): month 0
+    // (vec_id % 4 != 0) trains both quantizers and persists the bucketed
+    // codes table + models sidecar; month 1 appends its codes under the
+    // FROZEN models (one narrow encode pass + one bucketed write — cost
+    // ∝ the batch); the query probes the persisted union. The oracle is
+    // the SAME chain as q_ann_ivfpq_md5 under the bootstrap-fit literals:
+    // bootstrap-persist + append + query ≡ batch persistIndex over the
+    // union (sequential-composition parity, the q_ann_incr_md5 contract
+    // applied to codes — also spec-pinned bit-exactly in IvfPqSpec).
+    // Index state drops and rebuilds per invocation (the produce-row
+    // idempotence preamble).
+    "q_ann_ivfpq_incr_md5" -> ((s, dir) => {
+      import graft.operators.IvfPq
+      val e = t(s, dir, "embeddings")
+      IvfPq.dropPersisted(s, "ivfpqi_idx")
+      val models = (iannFitted(s, dir), ivfPqIncrFitted(s, dir))
+      IvfPq.persistIndex(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", models._1, models._2, "ivfpqi_idx")
+      IvfPq.appendPersisted(e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", "ivfpqi_idx", fitted = Some(models))
+      IvfPq.queryPersisted(e.filter(col("vec_id") % 40 === 0),
+        "vec_id", "embedding", "ivfpqi_idx", k = 3, nProbe = 2)
+    }),
+
+    // ORACLED code-space drift report (the when-to-re-train signal for
+    // the compressed index — quantizerDrift's sibling over CODES):
+    // per-(subspace, code) PSI between the bootstrap slice's code
+    // histogram and the increment's codes under the same frozen models.
+    // Catalog-free frames (the cellDrift/q_ann_drift pattern): the
+    // persisted table's content IS the index() assignment by the
+    // spec-pinned append parity. DuckDB replays the code argmax for both
+    // slices and the epsilon/ln/round-6 PSI with per-subspace totals.
+    "q_ivfpq_code_drift" -> ((s, dir) => {
+      import graft.operators.IvfPq
+      val e = t(s, dir, "embeddings")
+      val (coarse, cbs) = (iannFitted(s, dir), ivfPqIncrFitted(s, dir))
+      IvfPq.codeDriftFrames(
+        IvfPq.index(e.filter(col("vec_id") % 4 =!= 0), "vec_id",
+          "embedding", coarse, cbs).select(col("codes")),
+        e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        coarse, cbs)
+    }),
+
+    // ORACLED code-space maintenance decision (q_ann_policy's sibling):
+    // the drift frame folded to one row — per-subspace integer micro-unit
+    // PSI sums, the WORST subspace elected (one collapsed subspace wrecks
+    // ADC resolution even when the others are healthy), stale flag at the
+    // 0.25 working rule. DuckDB replays the per-subspace grouping, the
+    // micro conversion, and the max.
+    "q_ivfpq_policy" -> ((s, dir) => {
+      import graft.operators.IvfPq
+      val e = t(s, dir, "embeddings")
+      val (coarse, cbs) = (iannFitted(s, dir), ivfPqIncrFitted(s, dir))
+      IvfPq.stalenessPolicy(IvfPq.codeDriftFrames(
+        IvfPq.index(e.filter(col("vec_id") % 4 =!= 0), "vec_id",
+          "embedding", coarse, cbs).select(col("codes")),
+        e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        coarse, cbs))
+    }),
   )
 
   /** One PQ fit per sf dir (q_pq_codes and q_ann_pq share it; the fit is
@@ -527,6 +588,23 @@ object VectorQueries {
     ivfPqCache.getOrElseUpdate(dir,
       graft.operators.IvfPq.fit(t(s, dir, "embeddings"), "vec_id",
         "embedding", kmFitted(s, dir), m = 4, k = 8, iters = 2))
+
+  /** The incremental compound family's BOOTSTRAP-slice residual
+    * codebooks, fitted under the iannFitted coarse centroids (the same
+    * frozen-quantizer month-0 contract as q_ann_incr_md5), memoized per
+    * dir with the fittedIvfPq contract — quantizer training is
+    * once-per-index-generation work; repeat runs measure the persist/
+    * append/query produce chain, the rows' deliverable.
+    */
+  private val ivfPqIncrCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]]
+  private def ivfPqIncrFitted(
+      s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    ivfPqIncrCache.getOrElseUpdate(dir,
+      graft.operators.IvfPq.fit(
+        t(s, dir, "embeddings").filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", iannFitted(s, dir), m = 4, k = 8,
+        iters = 2))
 
   /** DuckDB replay of the PQ ENCODE under the fitted codebooks (available
     * once the fit has run — Verify executes every query before dumping
@@ -613,11 +691,14 @@ object VectorQueries {
     * Spark's fixed order and rounded to 4. Constants (nProbe=2, query
     * subset vec_id % 40, k=3) mirror the registry calls — keep in sync.
     */
-  private def ivfPqOracle: Map[String, String] =
-    if (kmCache.size != 1 || ivfPqCache.size != 1) Map.empty
-    else {
-      val coarse = kmCache.values.head
-      val cents = ivfPqCache.values.head
+  /** The compound-chain CTE block (assign → residual → code argmax under
+    * the GIVEN literal model tables) — parameterized by the models so the
+    * full-fit family (q_ivfpq_codes / q_ann_ivfpq_md5 / ..pers..) and the
+    * bootstrap-fit incremental family (q_ann_ivfpq_incr_md5 /
+    * q_ivfpq_code_drift / q_ivfpq_policy) share one replay definition.
+    */
+  private def ivfPqCtes(coarse: Array[Array[Double]],
+      cents: Array[Array[Array[Double]]]): String = {
       val m = cents.length
       val sub = cents.head.head.length
       val dim = coarse.head.length
@@ -628,7 +709,6 @@ object VectorQueries {
         j <- cents.indices
         c <- cents(j).indices
       } yield s"($j, $c, CAST(${cents(j)(c).mkString("[", ", ", "]")} AS DOUBLE[]))"
-      val ctes =
         s"""WITH e AS (
              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE embedding IS NOT NULL),
@@ -657,16 +737,23 @@ object VectorQueries {
                row_number() OVER (PARTITION BY vec_id, j
                  ORDER BY s DESC, c) AS r
              FROM scored)"""
+  }
+
+  /** The probe → coarse term + LUT fold → top-3 replay over [[ivfPqCtes]]
+    * — the ONE query-chain definition (q_ann_ivfpq_md5, the persisted
+    * sibling, and the incremental produce row all return exactly this
+    * chain's result by contract).
+    */
+  private def ivfPqQueryChainSql(coarse: Array[Array[Double]],
+      cents: Array[Array[Array[Double]]]): String = {
+      val m = cents.length
+      val sub = cents.head.head.length
+      val ctes = ivfPqCtes(coarse, cents)
       val pivots = (0 until m).map(j =>
         s"max(CASE WHEN l.j = $j THEN l.l END) AS l$j")
         .mkString(",\n             ")
       val fold = (1 until m).foldLeft("l0")((acc, j) => s"($acc + l$j)")
-      // shared by q_ann_ivfpq_md5 AND q_ann_ivfpq_pers_md5: the persisted
-      // chain must reproduce the in-memory one exactly (through the
-      // sidecar round-trip and the pruned bucket scan), so ONE replay
-      // oracles both
-      val queryChainSql =
-        s"""$ctes,
+      s"""$ctes,
            codes AS (
              SELECT vec_id AS n_id, cell, j, c AS code FROM ranked WHERE r = 1),
            q AS (
@@ -697,14 +784,98 @@ object VectorQueries {
                  ORDER BY adc4 DESC, n_id) AS BIGINT) AS rn
              FROM adc)
            WHERE rn <= 3"""
+  }
+
+  /** Per-(subspace, code) histogram-PSI replay over [[ivfPqCtes]] — the
+    * q_ivfpq_code_drift oracle (index side = bootstrap slice, batch side
+    * = increment slice, both assigned under the same literal models; the
+    * q_ann_drift epsilon/ln/round-6 contract with per-subspace totals).
+    */
+  private def ivfPqDriftCtes(coarse: Array[Array[Double]],
+      cents: Array[Array[Array[Double]]]): String =
+    s"""${ivfPqCtes(coarse, cents)},
+       cds AS (SELECT vec_id, j, c FROM ranked WHERE r = 1),
+       pa AS (
+         SELECT j, c, count(*) AS n_index FROM cds
+         WHERE vec_id % 4 != 0 GROUP BY j, c),
+       ca AS (
+         SELECT j, c, count(*) AS n_batch FROM cds
+         WHERE vec_id % 4 = 0 GROUP BY j, c),
+       jt AS (
+         SELECT coalesce(pa.j, ca.j) AS j, coalesce(pa.c, ca.c) AS c,
+           coalesce(n_index, 0) AS n_index,
+           coalesce(n_batch, 0) AS n_batch
+         FROM pa FULL OUTER JOIN ca ON ca.j = pa.j AND ca.c = pa.c),
+       tt AS (
+         SELECT j, sum(n_index) AS ti, sum(n_batch) AS tb
+         FROM jt GROUP BY j)"""
+
+  private def ivfPqOracle: Map[String, String] =
+    if (kmCache.size != 1 || ivfPqCache.size != 1) Map.empty
+    else {
+      val coarse = kmCache.values.head
+      val cents = ivfPqCache.values.head
+      // shared by q_ann_ivfpq_md5 AND q_ann_ivfpq_pers_md5: the persisted
+      // chain must reproduce the in-memory one exactly (through the
+      // sidecar round-trip and the pruned bucket scan), so ONE replay
+      // oracles both
+      val queryChainSql = ivfPqQueryChainSql(coarse, cents)
       Map(
         "q_ivfpq_codes" ->
-          s"""$ctes
+          s"""${ivfPqCtes(coarse, cents)}
            SELECT vec_id, CAST(cell AS BIGINT) AS cell,
              CAST(j AS BIGINT) AS subspace, CAST(c AS BIGINT) AS code
            FROM ranked WHERE r = 1""",
         "q_ann_ivfpq_md5" -> queryChainSql,
         "q_ann_ivfpq_pers_md5" -> queryChainSql)
+    }
+
+  /** The incremental compound family's replays, under the BOOTSTRAP-slice
+    * models (iannFitted coarse + ivfPqIncrFitted codebooks — embedded as
+    * value-exact literals once the fits have run, the [[pqOracle]]
+    * contract). The produce row's oracle is the SAME query chain as the
+    * in-memory/persisted rows': bootstrap-persist + append + query must
+    * equal batch persistIndex over the union — sequential-composition
+    * parity, so one replay definition oracles the whole lifecycle.
+    */
+  private def ivfPqIncrOracle: Map[String, String] =
+    if (iannCache.size != 1 || ivfPqIncrCache.size != 1) Map.empty
+    else {
+      val coarse = iannCache.values.head
+      val cents = ivfPqIncrCache.values.head
+      val drift = ivfPqDriftCtes(coarse, cents)
+      Map(
+        "q_ann_ivfpq_incr_md5" -> ivfPqQueryChainSql(coarse, cents),
+        "q_ivfpq_code_drift" ->
+          s"""$drift
+           SELECT CAST(jt.j AS BIGINT) AS subspace,
+             CAST(jt.c AS BIGINT) AS code,
+             CAST(n_index AS BIGINT) AS n_index,
+             CAST(n_batch AS BIGINT) AS n_batch,
+             round((greatest(n_index / ti, 1e-6)
+                 - greatest(n_batch / tb, 1e-6))
+               * ln(greatest(n_index / ti, 1e-6)
+                 / greatest(n_batch / tb, 1e-6)), 6) AS psi6
+           FROM jt JOIN tt ON tt.j = jt.j""",
+        "q_ivfpq_policy" ->
+          s"""$drift,
+           per AS (
+             -- round-6 FIRST, then the exact micro conversion — the
+             -- q_ann_policy agreement point, per subspace
+             SELECT jt.j, sum(n_index) AS ti2, sum(n_batch) AS tb2,
+               sum(CAST(round(round((greatest(n_index / ti, 1e-6)
+                   - greatest(n_batch / tb, 1e-6))
+                 * ln(greatest(n_index / ti, 1e-6)
+                   / greatest(n_batch / tb, 1e-6)), 6) * 1e6) AS BIGINT))
+                 AS psi
+             FROM jt JOIN tt ON tt.j = jt.j GROUP BY jt.j)
+           SELECT CAST(count(*) AS BIGINT) AS m_subspaces,
+             CAST(max(ti2) AS BIGINT) AS n_index_rows,
+             CAST(max(tb2) AS BIGINT) AS n_batch_rows,
+             CAST(max(psi) AS BIGINT) AS max_psi_micro,
+             CAST(CASE WHEN max(psi) > 250000 THEN 1 ELSE 0 END AS BIGINT)
+               AS stale
+           FROM per""")
     }
 
   /** The k-means fit replay shared by q_kmeans and q_semdedup_kmeans:
@@ -776,7 +947,7 @@ object VectorQueries {
          FROM e CROSS JOIN c2)"""
 
   def oracles: Map[String, String] =
-    staticOracles ++ pqOracle ++ ivfPqOracle
+    staticOracles ++ pqOracle ++ ivfPqOracle ++ ivfPqIncrOracle
 
   /** One greedy MMR step as CTEs: score+rank the remaining pool, take
     * the winner, update the redundancy term for the rest.

@@ -534,6 +534,127 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(spark.table("ia_dup").count() === allIds.length.toLong)
   }
 
+  test("cell-cap gate counts DISTINCT ids (ADVICE r14): crash-window " +
+    "duplicates cannot push a near-cap cell over the gate and silently " +
+    "exclude its neighbors") {
+    freshIndex("ia_cap")
+    freshIndex("ia_cap_ref")
+    val cents = IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding",
+      "ia_cap", nCells = 4)
+    IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding", "ia_cap",
+      fitted = Some(cents))
+    // the streaming append-before-log crash window: the batch lands twice
+    IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding", "ia_cap",
+      fitted = Some(cents))
+    IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding",
+      "ia_cap_ref", nCells = 4)
+    IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding",
+      "ia_cap_ref", fitted = Some(cents))
+    // cap = the duplicated index's largest DISTINCT list: every cell
+    // passes a distinct-count gate on both indexes, while the duplicated
+    // index's RAW row count exceeds the cap for every cell holding a
+    // duplicated member — a raw-count gate would exclude those cells
+    val perCell = spark.table("ia_cap")
+      .groupBy(col("cell"))
+      .agg(countDistinct(col("id")).as("d"), count(lit(1)).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cap = perCell.map(_._2).max
+    assert(perCell.exists { case (_, d, r) => d <= cap && r > cap },
+      s"fixture vacuous: no cell's raw count exceeds the distinct cap " +
+        s"($perCell)")
+    val all = vecs(allIds)
+    val dup = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_cap", k = 3, maxCellSize = cap.toInt))
+    val ref = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_cap_ref", k = 3, maxCellSize = cap.toInt))
+    assert(dup === ref)
+    assert(dup.nonEmpty)
+    // non-vacuity of the equality: the ref results actually USE a cell a
+    // raw-count gate would have dropped (its exclusion would be visible)
+    val overRawCells = perCell.collect { case (c, _, r) if r > cap => c }
+      .toSet
+    val cellOf = spark.table("ia_cap_ref").select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref.exists(p => overRawCells.contains(cellOf(p._2))),
+      "no elected neighbor lives in an over-raw cell — the gate " +
+        "difference would be invisible")
+  }
+
+  test("streaming ingest surfaces the maintenance decision on the policy " +
+    "cadence (verdict r14 #6): an in-distribution batch reads quiet, a " +
+    "drifted batch trips rebuild=1, off-cadence/re-delivered/empty " +
+    "batches stay silent; e2e through a drifted MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAnnIngest
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    freshIndex("ia_cad")
+    dropTable(StreamingAnnIngest.ingestLogTableName("ia_cad"))
+    val cents = IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding",
+      "ia_cad", nCells = 4)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    def ing(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingAnnIngest.ingestBatch(df, id, "vec_id", "embedding",
+        "ia_cad", cents, policyEvery = 2, onPolicy = r => { seen.add(r); () })
+    // cadence hit, self-distributed batch: decision surfaces and is quiet
+    // (batch = the index's own bootstrap rows -> per-cell counts equal ->
+    // PSI exactly 0; lists far under the 10000 default cap)
+    ing(vecs(bootIds), 0L)
+    assert(seen.size === 1)
+    assert(seen.peek.getAs[Long]("rebuild") === 0L)
+    assert(seen.peek.getAs[Long]("psi_micro") === 0L)
+    // off-cadence batch: appended, no decision
+    ing(vecs(Seq(500)), 1L)
+    assert(seen.size === 1)
+    // cadence hit, drifted batch (constant direction collapses into one
+    // cell): the PSI signal trips the rebuild demand — surfaced, NOT
+    // acted on (rebuild stays offline/single-writer by contract)
+    val shifted = (1000 until 1040).map(i =>
+      (i.toLong, (0 until 8).map(d => (d + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    ing(shifted, 2L)
+    assert(seen.size === 2)
+    val last = seen.toArray(Array.empty[org.apache.spark.sql.Row]).last
+    assert(last.getAs[Long]("drifted") === 1L)
+    assert(last.getAs[Long]("rebuild") === 1L)
+    // a re-delivered batchId is skipped by the commit log BEFORE the
+    // cadence check — a foreachBatch retry cannot double-fire the signal
+    ing(shifted, 2L)
+    assert(seen.size === 2)
+    // an empty cadence batch is skipped (its all-zero histogram would
+    // read as pure drift)
+    ing(vecs(Seq.empty), 4L)
+    assert(seen.size === 2)
+    // e2e: the same signal through a real stream — policyEvery = 1 so the
+    // drifted micro-batch trips the sink from inside foreachBatch. A
+    // FRESH index: ia_cad's commit log already holds batch id 0 from the
+    // unit calls above, and a new stream's ids restart at 0 (the skip
+    // would silently no-op the whole leg).
+    freshIndex("ia_cad2")
+    dropTable(StreamingAnnIngest.ingestLogTableName("ia_cad2"))
+    IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding", "ia_cad2",
+      nCells = 4)
+    val e2e = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnnIngest.start(
+      mem.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "ia_cad2",
+      java.nio.file.Files.createTempDirectory("ia-cad").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      policyEvery = 1,
+      onPolicy = Some(r => { e2e.add(r); () }))
+    try {
+      mem.addData(shifted.as[(Long, Seq[Float])].collect().toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!e2e.isEmpty, "the stream never surfaced a policy decision")
+    assert(e2e.peek.getAs[Long]("rebuild") === 1L,
+      s"drifted stream batch read ${e2e.peek} — expected a rebuild demand")
+  }
+
   test("query plan is one-sided: the bucketed index never shuffles " +
     "(broadcast probes, bounded top-k exchange only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

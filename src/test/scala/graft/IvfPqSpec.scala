@@ -200,6 +200,109 @@ class IvfPqSpec extends SparkSpec {
       "dropPersisted deleted an external table's data")
   }
 
+  test("appendPersisted: bootstrap-persist + append + query equals batch " +
+    "persistIndex over the union (sequential-composition parity, verdict " +
+    "r14 #1); the sidecar-read path matches the fitted path; duplicates " +
+    "are query-invisible (at-least-once); both halves fail closed") {
+    val boot = e.filter(col("vec_id") % 4 =!= 0)
+    val incr = e.filter(col("vec_id") % 4 === 0)
+    val queries = e.filter(col("vec_id") % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    def content(table: String): Set[(Long, Long, Seq[Long])] =
+      spark.table(table).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    Seq("ivfpq_inc_idx", "ivfpq_inc_ref").foreach { t =>
+      dropTable(t); dropTable(IvfPq.modelsTableName(t))
+    }
+    IvfPq.persistIndex(boot, "vec_id", "embedding", coarse, cents,
+      "ivfpq_inc_idx")
+    val chained = IvfPq.appendPersisted(incr, "vec_id", "embedding",
+      "ivfpq_inc_idx", fitted = Some((coarse, cents)))
+    assert(chained._1.map(_.toSeq).toSeq === coarse.map(_.toSeq).toSeq)
+    // reference: one batch persistIndex over the union, SAME models
+    IvfPq.persistIndex(e, "vec_id", "embedding", coarse, cents,
+      "ivfpq_inc_ref")
+    assert(content("ivfpq_inc_idx") === content("ivfpq_inc_ref"),
+      "appended (id, cell, codes) content must equal the batch build's")
+    val viaIncr = rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_inc_idx", k = 3, nProbe = 2))
+    val viaBatch = rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_inc_ref", k = 3, nProbe = 2))
+    assert(viaIncr === viaBatch)
+    assert(viaIncr.nonEmpty)
+    // at-least-once: a crash-window re-append duplicates the batch; the
+    // graft_topk distinct-id election keeps query results IDENTICAL —
+    // this second call also exercises the sidecar-read path (no fitted),
+    // which must encode exactly like the fitted-chained call
+    val nBefore = spark.table("ivfpq_inc_idx").count()
+    IvfPq.appendPersisted(incr, "vec_id", "embedding", "ivfpq_inc_idx")
+    assert(spark.table("ivfpq_inc_idx").count() ===
+      nBefore + incr.count())
+    val dupCodes = spark.table("ivfpq_inc_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSet
+    assert(dupCodes === content("ivfpq_inc_ref"),
+      "the sidecar-read re-append must assign identically (duplicates " +
+        "collapse under the set compare)")
+    assert(rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_inc_idx", k = 3, nProbe = 2)) === viaIncr,
+      "duplicated rows changed query results")
+    // fail closed, half A: sidecar gone (persist never completed) — the
+    // models are unknowable, refuse with the repair instruction
+    dropTable(IvfPq.modelsTableName("ivfpq_inc_idx"))
+    val errA = intercept[IllegalStateException] {
+      IvfPq.appendPersisted(incr, "vec_id", "embedding", "ivfpq_inc_idx")
+    }
+    assert(errA.getMessage.contains("rerun persistIndex"))
+    // fail closed, half B: index table gone while the sidecar stands — an
+    // append-mode write would silently CREATE a batch-only index
+    IvfPq.persistIndex(boot, "vec_id", "embedding", coarse, cents,
+      "ivfpq_inc_idx")
+    dropTable("ivfpq_inc_idx")
+    val errB = intercept[IllegalStateException] {
+      IvfPq.appendPersisted(incr, "vec_id", "embedding", "ivfpq_inc_idx")
+    }
+    assert(errB.getMessage.contains("inconsistent"))
+    Seq("ivfpq_inc_idx", "ivfpq_inc_ref").foreach { t =>
+      dropTable(t); dropTable(IvfPq.modelsTableName(t))
+    }
+  }
+
+  test("codeDrift + stalenessPolicy: a self-distributed batch reads " +
+    "exactly zero PSI and stays fresh; a collapsed batch trips stale " +
+    "on the worst subspace") {
+    val idxCodes = IvfPq.index(e, "vec_id", "embedding", coarse, cents)
+      .select(col("codes"))
+    val n = e.filter(col("embedding").isNotNull).count()
+    // self-distribution: batch = the corpus itself -> per-(subspace,
+    // code) counts equal -> every round-6 PSI contribution is exactly 0
+    val fresh = IvfPq.stalenessPolicy(IvfPq.codeDriftFrames(
+      idxCodes, e, "vec_id", "embedding", coarse, cents)).collect().head
+    assert(fresh.getAs[Long]("m_subspaces") === 4L)
+    assert(fresh.getAs[Long]("n_index_rows") === n)
+    assert(fresh.getAs[Long]("n_batch_rows") === n)
+    assert(fresh.getAs[Long]("max_psi_micro") === 0L)
+    assert(fresh.getAs[Long]("stale") === 0L)
+    // collapsed batch: one constant vector repeated concentrates ALL of
+    // the batch's mass into one code per subspace — the quantization-
+    // staleness signal the policy exists to raise
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val constVec = (0 until dim).map(d => ((d % 7) - 3).toFloat / 3f)
+    import spark.implicits._
+    val collapsed = (5000 until 5040)
+      .map(i => (i.toLong, constVec)).toDF("vec_id", "embedding")
+    val stale = IvfPq.stalenessPolicy(IvfPq.codeDriftFrames(
+      idxCodes, collapsed, "vec_id", "embedding", coarse, cents))
+      .collect().head
+    assert(stale.getAs[Long]("n_batch_rows") === 40L)
+    assert(stale.getAs[Long]("max_psi_micro") > 250000L,
+      s"collapsed-batch PSI ${stale.getAs[Long]("max_psi_micro")} micro " +
+        "should exceed the 0.25 threshold decisively")
+    assert(stale.getAs[Long]("stale") === 1L)
+  }
+
   test("plan shape: the probe side (with its explode) broadcasts; the " +
     "code-table side reaches the join without a hash exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec

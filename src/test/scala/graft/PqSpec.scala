@@ -85,4 +85,32 @@ class PqSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("batched query slices"))
   }
+
+  test("broadcast row cap is denominated in BYTES (round-15 unit fix, " +
+    "verdict r14 #2 / ADVICE r14): admitted rows x fan-out x LUT doubles " +
+    "x 8 never exceeds the 128 MiB budget") {
+    // boundary: 2048-double LUT fanned out 8 ways = 131072 B per admitted
+    // query -> exactly 1024 rows fill 128 MiB. The pre-fix formula
+    // (budget / double COUNT) admitted 8192 rows here — a 1 GiB broadcast.
+    assert(Pq.lutBroadcastRowCap(Long.MaxValue, 2048L, 8L) === 1024L)
+    assert(Pq.lutBroadcastRowCap(Long.MaxValue, 2048L, 8L) * 8L * 2048L * 8L
+      === Pq.maxLutBroadcastBytes)
+    // grid: the cap is tight (cap bytes <= budget < cap+1 bytes) whenever
+    // the byte bound binds, and maxQueryRows/the >=1 floor bind otherwise
+    for (lut <- Seq(1L, 32L, 2048L, 64L * 256L);
+         fan <- Seq(1L, 2L, 8L, 100L)) {
+      val cap = Pq.lutBroadcastRowCap(Long.MaxValue, lut, fan)
+      assert(cap * 8L * lut * fan <= Pq.maxLutBroadcastBytes ||
+        cap === 1L,
+        s"cap $cap overshoots the byte budget at lut=$lut fan=$fan")
+      if (cap > 1L)
+        assert((cap + 1L) * 8L * lut * fan > Pq.maxLutBroadcastBytes,
+          s"cap $cap is not tight at lut=$lut fan=$fan")
+    }
+    // the row cap binds when smaller than the byte-derived cap
+    assert(Pq.lutBroadcastRowCap(10L, 4L, 1L) === 10L)
+    // floor at 1: even an over-budget single row is admitted (the gate
+    // message, not a zero cap, is the contract for absurd LUT sizes)
+    assert(Pq.lutBroadcastRowCap(Long.MaxValue, 1L << 27, 4L) === 1L)
+  }
 }
