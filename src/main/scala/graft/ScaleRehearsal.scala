@@ -701,6 +701,95 @@ object ScaleRehearsal {
     val edgeRow = psiOf(copies.last)
     def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    // CAPACITY close (the r14 iann 100× lifecycle applied to the
+    // compressed index): recall slides as fixed cells fill — and it is
+    // the COARSE policy that sees it (the cell histogram vs the
+    // production cap; the code-space signal correctly stays quiet —
+    // capacity is not drift). When the policy demands a rebuild, the
+    // re-train for THIS index is persistIndex at its recommended cell
+    // count (fresh coarse fit + residual codebooks on the union), and
+    // the gates are the iann leg's: recall holds the floor, the query
+    // gets decisively faster (probing 2 of `recommended` small cells
+    // instead of 2 of 8 saturated ones).
+    val pol = graft.operators.IncrementalAnn.maintenancePolicy(
+      graft.operators.IncrementalAnn.cellDrift(
+        spark.table(table).select(col("cell")),
+        copies.last, "vec_id", "embedding", models._1),
+      nCells = models._1.length, maxCellSize = 10000L).collect().head
+    val polRebuild = pol.getAs[Long]("rebuild")
+    val polCells = pol.getAs[Long]("recommended_cells")
+    val polJson =
+      s""","ivfpqp_coarse_rebuild":$polRebuild""" +
+        s""","ivfpqp_coarse_cells":$polCells""" +
+        s""","ivfpqp_coarse_max_list":${pol.getAs[Long]("max_list")}"""
+    val retrainJson =
+      if (polRebuild != 1L) ""
+      else {
+        def queryRecall(nProbe: Int): (Double, Double) = {
+          val (w, got) = timed(
+            IvfPq.queryPersisted(sample, "vec_id", "embedding", table,
+              k = 3, nProbe = nProbe)
+              .select("q_id", "n_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet)
+          (w, got.filter(p => sampleIds.contains(p._1))
+            .intersect(exact).size.toDouble / exact.size)
+        }
+        val t0 = System.nanoTime()
+        val coarse2 = Clustering.kmeansFit(all, "vec_id", "embedding",
+          k = polCells.toInt, iters = 2)
+        IvfPq.persistIndex(all, "vec_id", "embedding", coarse2,
+          IvfPq.fit(all, "vec_id", "embedding", coarse2,
+            m = 4, k = 8, iters = 2),
+          table)
+        val wRetrain = (System.nanoTime() - t0) / 1e9
+        val (wQuery2, recall2) = queryRecall(2)
+        require(recall2 >= 0.05,
+          f"post-re-train recall@3 $recall2%.4f under the floor")
+        require(wQuery2 <= 0.75 * wQuery,
+          f"re-train to $polCells cells did not speed the saturated " +
+            f"query: $wQuery2%.1f s vs $wQuery%.1f s")
+        // recall attribution, both dials MEASURED (floor-gated, values
+        // committed — the 100× runs refuted BOTH comfortable
+        // hypotheses): (a) coverage — query at the coverage-MATCHED
+        // nProbe (nProbe × polCells / nCells = the saturated index's
+        // 25% of the corpus): recall does NOT move (0.4715 vs 0.4722
+        // at nProbe=2) — not coverage-bound; (b) code budget —
+        // re-encode under the SAME retrained coarse with m=8 (2× code
+        // bytes): recall DROPS to 0.2765 — more, smaller subspaces
+        // carry LESS direction signal per spherical code. Diagnosis:
+        // this fixture's true top-3 are sibling copies whose residuals
+        // against a PURE cell are near zero, so their ADC scores sit
+        // inside the quantization noise floor — the saturated 8-cell
+        // index read HIGHER recall (0.5579) only because its residuals
+        // were larger and carried more signal. The operator guidance
+        // this leg validates: past saturation, the coarse re-train
+        // buys the wall (13→3 s); when candidates are near-ties the
+        // recall tool is the EXACT-verify index (IncrementalAnn reads
+        // 0.998 at this same scale in its own leg), not more code
+        // bytes — the documented compressed-vs-exact regime split.
+        val npMatched = math.max(2,
+          (2L * polCells / models._1.length).toInt)
+        val (wQueryM, recallM) = queryRecall(npMatched)
+        require(recallM >= 0.05,
+          f"coverage-matched recall $recallM%.4f under the floor")
+        val (wRefit8, _) = timed(
+          IvfPq.persistIndex(all, "vec_id", "embedding", coarse2,
+            IvfPq.fit(all, "vec_id", "embedding", coarse2,
+              m = 8, k = 8, iters = 2),
+            table))
+        val (wQuery8, recall8) = queryRecall(2)
+        require(recall8 >= 0.05,
+          f"m=8 recall $recall8%.4f under the floor")
+        s""","ivfpqp_retrain_sec":${r1(wRetrain)}""" +
+          s""","ivfpqp_query_retrained_sec":${r1(wQuery2)}""" +
+          s""","ivfpqp_recall_retrained":${r4(recall2)}""" +
+          s""","ivfpqp_nprobe_matched":$npMatched""" +
+          s""","ivfpqp_query_matched_sec":${r1(wQueryM)}""" +
+          s""","ivfpqp_recall_matched":${r4(recallM)}""" +
+          s""","ivfpqp_refit_m8_sec":${r1(wRefit8)}""" +
+          s""","ivfpqp_query_m8_sec":${r1(wQuery8)}""" +
+          s""","ivfpqp_recall_m8":${r4(recall8)}"""
+      }
     s""","ivfpqp_rows":$nIdx,"ivfpqp_fit_sec":${r1(wFit)}""" +
       s""","ivfpqp_persist_sec":${r1(wPersist)}""" +
       s""","ivfpqp_append_first_sec":${r1(wFirst)}""" +
@@ -709,7 +798,8 @@ object ScaleRehearsal {
       s""","ivfpqp_recall":${r4(recall)}""" +
       s""","ivfpqp_psi_micro":${staleRow.getAs[Long]("max_psi_micro")}""" +
       s""","ivfpqp_stale":${staleRow.getAs[Long]("stale")}""" +
-      s""","ivfpqp_psi_micro_edge":${edgeRow.getAs[Long]("max_psi_micro")}"""
+      s""","ivfpqp_psi_micro_edge":${edgeRow.getAs[Long]("max_psi_micro")}""" +
+      polJson + retrainJson
   }
 
   /** Data-quality rehearsal at the blowup: constraint-audit RATES are

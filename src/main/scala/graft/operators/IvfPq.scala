@@ -206,8 +206,12 @@ object IvfPq {
       element_at(element_at(col("__luts"), j + 1),
         col("__codes")(j).cast("int") + 1)).reduce(_ + _)
     // a vector lives in exactly one cell and the probe cells are distinct,
-    // so (q_id, n_id) pairs are unique — graft_topk's distinct-id election
-    // matches a row_number window bit for bit
+    // so (q_id, n_id) pairs are unique on a clean index — graft_topk's
+    // distinct-id election matches a row_number window bit for bit. An
+    // [[appendPersisted]] crash-window duplicate row breaks the
+    // uniqueness but NOT the election: the duplicate carries the same
+    // codes, hence the same adc4, and the heap keeps one entry per
+    // distinct id (spec-pinned query invariance)
     val scored = idx.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -422,8 +426,9 @@ object IvfPq {
     // this batch under a sidecar describing the full corpus
     if (!spark.catalog.tableExists(indexTable))
       throw new IllegalStateException(
-        s"index table $indexTable is missing while its models sidecar " +
-          "exists — the pair is inconsistent (a manual drop?); rerun " +
+        s"index table $indexTable is missing — an append would silently " +
+          "CREATE a batch-only index under models describing the full " +
+          "corpus (inconsistent pair; a manual drop?); rerun " +
           "persistIndex to rebuild both")
     val (coarse, codebooks) = models
     index(batch, idCol, vecCol, coarse, codebooks)

@@ -679,23 +679,19 @@ object VectorQueries {
            WHERE rn <= 3""")
     }
 
-  /** DuckDB replay of the IVF+PQ compound under the fitted tables: the
-    * coarse centroids AND the residual codebooks embed as value-exact
-    * literals once both fits have run (the [[pqOracle]] contract — Verify
-    * executes every query before dumping oracle SQL). The chain: coarse
-    * argmax (round-6 cosine, smaller-cell ties — the q_ann_ivf_md5 assign
-    * contract), EXACT element-wise residual subtraction
-    * (`list_transform` ≡ `graft_residual`, bit-identical doubles), the
-    * q_pq_codes rounded-cosine code argmax over residual slices, then for
-    * the query row the round-6 coarse dot + round-6 LUT dots folded in
-    * Spark's fixed order and rounded to 4. Constants (nProbe=2, query
-    * subset vec_id % 40, k=3) mirror the registry calls — keep in sync.
-    */
-  /** The compound-chain CTE block (assign → residual → code argmax under
-    * the GIVEN literal model tables) — parameterized by the models so the
-    * full-fit family (q_ivfpq_codes / q_ann_ivfpq_md5 / ..pers..) and the
-    * bootstrap-fit incremental family (q_ann_ivfpq_incr_md5 /
-    * q_ivfpq_code_drift / q_ivfpq_policy) share one replay definition.
+  /** DuckDB replay of the IVF+PQ compound under fitted tables: coarse
+    * centroids AND residual codebooks embed as value-exact literals once
+    * the fits have run (the [[pqOracle]] contract — Verify executes every
+    * query before dumping oracle SQL). The chain: coarse argmax (round-6
+    * cosine, smaller-cell ties — the q_ann_ivf_md5 assign contract),
+    * EXACT element-wise residual subtraction (`list_transform` ≡
+    * `graft_residual`, bit-identical doubles), the q_pq_codes rounded-
+    * cosine code argmax over residual slices. Parameterized by the
+    * models so the full-fit family (q_ivfpq_codes / q_ann_ivfpq_md5 /
+    * ..pers..) and the bootstrap-fit incremental family
+    * (q_ann_ivfpq_incr_md5 / q_ivfpq_code_drift / q_ivfpq_policy) share
+    * ONE replay definition. Constants downstream (nProbe=2, query subset
+    * vec_id % 40, k=3) mirror the registry calls — keep in sync.
     */
   private def ivfPqCtes(coarse: Array[Array[Double]],
       cents: Array[Array[Array[Double]]]): String = {

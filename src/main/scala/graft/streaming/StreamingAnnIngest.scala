@@ -35,7 +35,8 @@ import graft.operators.IncrementalAnn
   * duplicate rows cannot push a near-cap cell over `maxCellSize` and
   * silently exclude it from probing — the other half of the story,
   * closed round 15 per ADVICE r14) and costs only candidate-stream
-  * width, whereas a silently missing batch is undetectable. The duplicates are RECONCILED exactly
+  * width, whereas a silently missing batch is undetectable. The
+  * duplicates are RECONCILED exactly
   * at the next [[IncrementalAnn.rebuildFromIndex]], which drops
   * duplicate ids while rewriting the index anyway — the maintenance op
   * [[IncrementalAnn.maintenancePolicy]] schedules. The log is one
