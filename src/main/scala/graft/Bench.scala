@@ -147,8 +147,16 @@ object Bench {
     // of these rows is a graded number (sec = min of all runs incl. the
     // replay, same as the slow-tail rows), and their names are committed
     // as replayed_over_canonical so the comparison self-documents.
+    // prefer the dedicated canonical artifact: bench_detail.json is
+    // overwritten by every full sweep INCLUDING the round driver's
+    // (whose window may be loaded — exactly the values this comparison
+    // must not baseline on); bench_canonical.json is only ever written
+    // by the builder's keep-the-best-attempt rule
     val canonPath = sys.env.getOrElse("SPARK_GRAFT_CANONICAL_DETAIL",
-      "bench_detail.json")
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get("bench_canonical.json")))
+        "bench_canonical.json"
+      else "bench_detail.json")
     val canon: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(canonPath)), "UTF-8")
