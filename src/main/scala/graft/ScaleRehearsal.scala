@@ -772,6 +772,23 @@ object ScaleRehearsal {
         val (wQueryM, recallM) = queryRecall(npMatched)
         require(recallM >= 0.05,
           f"coverage-matched recall $recallM%.4f under the floor")
+        // (c) the refine stage — the dial that DOES move recall in the
+        // near-tie regime (round-15 operator, motivated by (a)+(b)):
+        // ADC top-64 from the retrained compressed index, then ONLY
+        // those ≤ 64-per-query candidates rehydrate vectors for the
+        // exact rerank. Gate: refined recall must at least hold the
+        // unrefined retrained reading (it re-elects from a superset by
+        // exact score); the measured recovery is the committed value.
+        val (wRefine, gotR) = timed(
+          IvfPq.queryPersistedRefined(sample, all, "vec_id", "embedding",
+            table, k = 3, c = 64, nProbe = 2)
+            .select("q_id", "n_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        val recallR = gotR.filter(p => sampleIds.contains(p._1))
+          .intersect(exact).size.toDouble / exact.size
+        require(recallR >= recall2 - 0.02,
+          f"refined recall $recallR%.4f fell below the unrefined " +
+            f"retrained reading $recall2%.4f")
         val (wRefit8, _) = timed(
           IvfPq.persistIndex(all, "vec_id", "embedding", coarse2,
             IvfPq.fit(all, "vec_id", "embedding", coarse2,
@@ -786,6 +803,8 @@ object ScaleRehearsal {
           s""","ivfpqp_nprobe_matched":$npMatched""" +
           s""","ivfpqp_query_matched_sec":${r1(wQueryM)}""" +
           s""","ivfpqp_recall_matched":${r4(recallM)}""" +
+          s""","ivfpqp_query_refined_sec":${r1(wRefine)}""" +
+          s""","ivfpqp_recall_refined":${r4(recallR)}""" +
           s""","ivfpqp_refit_m8_sec":${r1(wRefit8)}""" +
           s""","ivfpqp_query_m8_sec":${r1(wQuery8)}""" +
           s""","ivfpqp_recall_m8":${r4(recall8)}"""

@@ -341,6 +341,92 @@ object IvfPq {
     adcTopK(probes, idx, codebooks.length, k)
   }
 
+  /** Exact-rerank refinement stage (the FAISS refine shape — round 15,
+    * motivated by the rehearsal's own measurement): take a bounded ADC
+    * candidate frame (q_id, n_id) and re-score ONLY those pairs with the
+    * exact round-4 cosine from the original vectors, electing the final
+    * (sim4 DESC, n_id ASC) top-k. This is the recall tool for the regime
+    * the 100× leg measured — candidates whose ADC scores sit inside
+    * quantization noise (near-tie siblings with near-zero residuals) —
+    * while keeping the compressed index's scan economics: the corpus
+    * vector table is touched only for queries × C candidate rows
+    * (selective rehydration via a broadcast semi-style join; the corpus
+    * NEVER shuffles or broadcasts), not for the full probe stream the
+    * uncompressed verify pass would read.
+    *
+    * `candidates` must be bounded by construction (the ADC top-C of a
+    * gated query set: ≤ queries × C rows — both factors capped upstream,
+    * so no extra gate job is spent here); `queries` passes through the
+    * same broadcast economics as the ADC stage.
+    */
+  def refineExact(
+      candidates: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("__qv"))
+    val n = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("__nv"))
+    // broadcast the BOUNDED candidate pairs against the streaming corpus
+    // scan (the one-sided rule): only matching ids rehydrate
+    val hydrated = n.join(broadcast(candidates.select("q_id", "n_id")),
+        Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(call_function("graft_cosine", col("__qv"), col("__nv")), 4)
+          .as("sim4"))
+    Similarity.topKPerQuery(hydrated, k)
+  }
+
+  /** ADC top-C → exact top-k: the refined compound query (in-memory
+    * form). `c` is the refinement width — how many ADC candidates per
+    * query get their exact cosine computed (c = k degenerates to a pure
+    * re-scoring of the ADC set).
+    */
+  def annIvfPqRefined(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      c: Int,
+      nProbe: Int = 2,
+      maxQueryRows: Long = 100000L): DataFrame = {
+    require(c >= k, s"refinement width c=$c must be >= k=$k")
+    val cand = annIvfPq(queries, corpus, idCol, vecCol, coarse, codebooks,
+      k = c, nProbe = nProbe, maxQueryRows = maxQueryRows)
+    refineExact(cand, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** [[annIvfPqRefined]] against a PERSISTED index: ADC top-C from the
+    * pruned codes scan, exact rerank against `vectors` — the caller
+    * names where the original vectors live (the source corpus table, or
+    * an [[IncrementalAnn]] index's (id, vec) rows); the compound index
+    * itself deliberately stores no vectors.
+    */
+  def queryPersistedRefined(
+      queries: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexTable: String,
+      k: Int,
+      c: Int,
+      nProbe: Int = 2,
+      maxQueryRows: Long = 100000L): DataFrame = {
+    require(c >= k, s"refinement width c=$c must be >= k=$k")
+    val cand = queryPersisted(queries, idCol, vecCol, indexTable,
+      k = c, nProbe = nProbe, maxQueryRows = maxQueryRows)
+    refineExact(cand, queries, vectors, idCol, vecCol, k)
+  }
+
   /** Bounded models-sidecar read: (coarse, codebooks), value-identical to
     * what [[persistIndex]] serialized (`Double.toString` shortest round
     * trip). Fails CLOSED with the repair instruction when the sidecar is

@@ -457,6 +457,21 @@ object VectorQueries {
         "vec_id", "embedding", "ivfpq_idx", k = 3, nProbe = 2)
     }),
 
+    // ORACLED exact-rerank refinement (the FAISS refine stage, round 15 —
+    // motivated by the rehearsal's own measurement that ADC scores of
+    // near-tie candidates sit inside quantization noise): ADC top-10
+    // from the compound chain, then ONLY those ≤ 10-per-query pairs
+    // rehydrate their original vectors for an exact round-4 cosine
+    // re-election of the top-3. DuckDB replays the widened chain as a
+    // subquery plus two rehydration joins. CONTRACT: subset/nProbe/c/k
+    // here must match the ivfPqRefineSql constants.
+    "q_ann_ivfpq_refine_md5" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.IvfPq.annIvfPqRefined(
+        e.filter(col("vec_id") % 40 === 0), e, "vec_id", "embedding",
+        kmFitted(s, dir), fittedIvfPq(s, dir), k = 3, c = 10, nProbe = 2)
+    }),
+
     // ORACLED incremental compound-index lifecycle (verdict r14 #1 — the
     // continuous-ingest shape for the COMPRESSED index): month 0
     // (vec_id % 4 != 0) trains both quantizers and persists the bucketed
@@ -741,7 +756,7 @@ object VectorQueries {
     * chain's result by contract).
     */
   private def ivfPqQueryChainSql(coarse: Array[Array[Double]],
-      cents: Array[Array[Array[Double]]]): String = {
+      cents: Array[Array[Array[Double]]], limit: Int = 3): String = {
       val m = cents.length
       val sub = cents.head.head.length
       val ctes = ivfPqCtes(coarse, cents)
@@ -779,8 +794,33 @@ object VectorQueries {
                CAST(row_number() OVER (PARTITION BY q_id
                  ORDER BY adc4 DESC, n_id) AS BIGINT) AS rn
              FROM adc)
-           WHERE rn <= 3"""
+           WHERE rn <= $limit"""
   }
+
+  /** Exact-rerank replay over the ADC top-C chain (the refine oracle):
+    * the chain SQL (with its limit widened to the refinement width C)
+    * becomes a subquery whose candidate pairs are re-scored with the
+    * exact round-4 cosine from the original vectors and re-elected
+    * (sim4 DESC, n_id ASC) top-k — DuckDB replays selective rehydration
+    * as two plain joins.
+    */
+  private def ivfPqRefineSql(coarse: Array[Array[Double]],
+      cents: Array[Array[Array[Double]]], c: Int, k: Int): String =
+    s"""SELECT q_id, n_id, sim4, rn FROM (
+         SELECT t.q_id, t.n_id,
+           round(list_cosine_similarity(qq.qv, ev.v), 4) AS sim4,
+           CAST(row_number() OVER (PARTITION BY t.q_id
+             ORDER BY round(list_cosine_similarity(qq.qv, ev.v), 4)
+               DESC, t.n_id) AS BIGINT) AS rn
+         FROM (${ivfPqQueryChainSql(coarse, cents, c)}) t
+         JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL) ev
+           ON ev.vec_id = t.n_id
+         JOIN (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND vec_id % 40 = 0) qq
+           ON qq.q_id = t.q_id)
+       WHERE rn <= $k"""
 
   /** Per-(subspace, code) histogram-PSI replay over [[ivfPqCtes]] — the
     * q_ivfpq_code_drift oracle (index side = bootstrap slice, batch side
@@ -823,7 +863,9 @@ object VectorQueries {
              CAST(j AS BIGINT) AS subspace, CAST(c AS BIGINT) AS code
            FROM ranked WHERE r = 1""",
         "q_ann_ivfpq_md5" -> queryChainSql,
-        "q_ann_ivfpq_pers_md5" -> queryChainSql)
+        "q_ann_ivfpq_pers_md5" -> queryChainSql,
+        "q_ann_ivfpq_refine_md5" -> ivfPqRefineSql(coarse, cents,
+          c = 10, k = 3))
     }
 
   /** The incremental compound family's replays, under the BOOTSTRAP-slice

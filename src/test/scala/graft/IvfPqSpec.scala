@@ -270,6 +270,57 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("refineExact: the exact rerank of ADC top-C — recall at least the " +
+    "plain ADC chain's, C=k degenerates to a re-scoring of the same ids, " +
+    "persisted path matches in-memory bit for bit, reruns identically") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnBruteForce(e, e, "vec_id", "embedding", 3))
+    val plain = pairs(IvfPq.annIvfPq(e, e, "vec_id", "embedding", coarse,
+      cents, k = 3, nProbe = 2))
+    val refined = IvfPq.annIvfPqRefined(e, e, "vec_id", "embedding",
+      coarse, cents, k = 3, c = 10, nProbe = 2)
+    val refinedPairs = pairs(refined)
+    val rPlain = plain.intersect(exact).size.toDouble / exact.size
+    val rRef = refinedPairs.intersect(exact).size.toDouble / exact.size
+    assert(rRef >= rPlain,
+      f"refined recall $rRef%.4f < plain ADC recall $rPlain%.4f — the " +
+        "exact rerank of a superset candidate list lost ground")
+    assert(rRef > rPlain,
+      "fixture vacuous: refinement changed nothing — widen c or the " +
+        "assertion proves only equality")
+    // C = k: the SAME ids, re-scored (the rerank cannot invent or drop
+    // candidates when the width equals the output)
+    val sameIds = pairs(IvfPq.annIvfPqRefined(e, e, "vec_id", "embedding",
+      coarse, cents, k = 3, c = 3, nProbe = 2))
+    assert(sameIds === plain)
+    // determinism
+    assert(pairs(IvfPq.annIvfPqRefined(e, e, "vec_id", "embedding",
+      coarse, cents, k = 3, c = 10, nProbe = 2)) === refinedPairs)
+    // persisted ≡ in-memory through the sidecar round-trip and the
+    // pruned scan, scores included
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    dropTable("ivfpq_ref_idx")
+    dropTable(IvfPq.modelsTableName("ivfpq_ref_idx"))
+    IvfPq.persistIndex(e, "vec_id", "embedding", coarse, cents,
+      "ivfpq_ref_idx")
+    val queries = e.filter(col("vec_id") % 40 === 0)
+    assert(rows(IvfPq.queryPersistedRefined(queries, e, "vec_id",
+        "embedding", "ivfpq_ref_idx", k = 3, c = 10, nProbe = 2)) ===
+      rows(IvfPq.annIvfPqRefined(queries, e, "vec_id", "embedding",
+        coarse, cents, k = 3, c = 10, nProbe = 2)))
+    // c < k is a caller error
+    intercept[IllegalArgumentException] {
+      IvfPq.annIvfPqRefined(e, e, "vec_id", "embedding", coarse, cents,
+        k = 3, c = 2, nProbe = 2)
+    }
+    dropTable("ivfpq_ref_idx")
+    dropTable(IvfPq.modelsTableName("ivfpq_ref_idx"))
+  }
+
   test("codeDrift + stalenessPolicy: a self-distributed batch reads " +
     "exactly zero PSI and stays fresh; a collapsed batch trips stale " +
     "on the worst subspace") {
