@@ -317,6 +317,38 @@ class IvfPqSpec extends SparkSpec {
       IvfPq.annIvfPqRefined(e, e, "vec_id", "embedding", coarse, cents,
         k = 3, c = 2, nProbe = 2)
     }
+    // plan economics of the rerank stage: the VECTOR side streams — no
+    // shuffle exchange may have the embeddings scan below it without
+    // crossing an aggregate boundary (the one-sided family rule; the
+    // candidate pairs and the query vectors ride broadcasts)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = IvfPq.queryPersistedRefined(queries, e, "vec_id",
+      "embedding", "ivfpq_ref_idx", k = 3, c = 10, nProbe = 2)
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case other => other.children.flatMap(allNodes)
+    })
+    def belowNoAgg(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: BaseAggregateExec => Seq.empty
+      case a: AdaptiveSparkPlanExec => p +: belowNoAgg(a.executedPlan)
+      case q: QueryStageExec => p +: belowNoAgg(q.plan)
+      case other => other +: other.children.flatMap(belowNoAgg)
+    }
+    allNodes(df.queryExecution.executedPlan)
+      .collect { case ex: ShuffleExchangeExec => ex }
+      .foreach { ex =>
+        assert(ex.children.flatMap(belowNoAgg).collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains("embeddings")) => f
+        }.isEmpty,
+          s"the vector scan moved through an exchange in the rerank:\n$ex")
+      }
     dropTable("ivfpq_ref_idx")
     dropTable(IvfPq.modelsTableName("ivfpq_ref_idx"))
   }
