@@ -164,6 +164,16 @@ object Bench {
         .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // ADVICE r15: a canonical file that EXISTS but parses to nothing
+    // (format drift, truncation, hand edit) would silently turn the
+    // >25%-over-canonical self-certification off — make that loud. A
+    // genuinely missing file stays quiet (first sweep of a fresh repo).
+    if (canon.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(canonPath)))
+      System.err.println(s"[bench] WARN canonical detail $canonPath " +
+        "exists but parsed to ZERO rows — the over-canonical replay " +
+        "gate is OFF this sweep; check the file against the " +
+        "\"name\":{\"sec\":N layout the sidecar writer emits")
     val overCanonical: Set[String] = results.collect {
       case (name, q)
           if q.sec >= 0 &&

@@ -362,9 +362,82 @@ object ScaleRehearsal {
     *      quantizer must keep placing each copy's perturbed
     *      near-neighbors in probed cells as the corpus grows N×.
     */
+  /** Delete/compact rehearsal sub-leg (verdict r15 #1), shared by the
+    * uncompressed and compressed index legs so the two lifecycles are
+    * gated identically: tombstone the `vec_id % 10 == 3` slice (the
+    * copy-id shift is a multiple of 10, so the slice is ~10% of every
+    * copy), then gate — on whatever index state the leg ends in —
+    *  (a) no deleted id surfaces in any post-delete result (tombstone
+    *      read path);
+    *  (b) queries whose pre-delete top-k held NO deleted id keep
+    *      IDENTICAL results (removing corpus rows cannot change a top-k
+    *      they never occupied — an exact invariant, no second
+    *      brute-force pass needed);
+    *  (c) compaction shrinks the table by exactly the deleted row count
+    *      and clears the tombstone sidecar;
+    *  (d) the post-compact query equals the tombstone-path query bit for
+    *      bit and its wall stays within noise of the pre-delete wall.
+    */
+  private def deleteCompactSubLeg(
+      spark: SparkSession,
+      table: String,
+      tombTable: String,
+      idColName: String,
+      delIds: org.apache.spark.sql.DataFrame,
+      query: () => Set[(Long, Long)],
+      delete: org.apache.spark.sql.DataFrame => Unit,
+      compact: () => Long,
+      prefix: String): String = {
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def r1(x: Double): Double = math.round(x * 10.0) / 10.0
+    val (wQ0, q0) = timed(query())
+    val nBefore = spark.table(table).count()
+    val nDel = spark.table(table)
+      .filter(col(idColName) % 10 === 3).count()
+    require(nDel > 0L, s"$prefix delete slice is empty — the sub-leg " +
+      "would gate nothing")
+    val (wDelete, _) = timed(delete(delIds))
+    val (wTombQ, q1) = timed(query())
+    require(q1.forall(_._2 % 10 != 3),
+      s"a deleted id surfaced in $prefix post-delete results")
+    val clean = q0.groupBy(_._1)
+      .collect { case (q, ps) if ps.forall(_._2 % 10 != 3) => q }.toSet
+    require(clean.nonEmpty,
+      s"$prefix invariance gate vacuous: every query's top-k touched " +
+        "the deleted slice")
+    require(q0.filter(p => clean(p._1)) == q1.filter(p => clean(p._1)),
+      s"$prefix queries untouched by the delete changed results")
+    val (wCompact, nAfter) = timed(compact())
+    require(nAfter == nBefore - nDel,
+      s"$prefix compaction kept $nAfter rows, expected " +
+        s"${nBefore - nDel} ($nBefore - $nDel deleted)")
+    require(!spark.catalog.tableExists(tombTable),
+      s"$prefix compaction left the tombstone sidecar standing")
+    val (wCompQ, q2) = timed(query())
+    require(q2 == q1,
+      s"$prefix compaction changed query results at blowup")
+    require(wCompQ <= 1.5 * wQ0 + 2.0,
+      f"$prefix post-compact query slower than pre-delete: " +
+        f"$wCompQ%.1f s vs $wQ0%.1f s")
+    s""","${prefix}_delete_sec":${r1(wDelete)}""" +
+      s""","${prefix}_tomb_query_sec":${r1(wTombQ)}""" +
+      s""","${prefix}_compact_sec":${r1(wCompact)}""" +
+      s""","${prefix}_query_postcompact_sec":${r1(wCompQ)}""" +
+      s""","${prefix}_rows_postcompact":$nAfter"""
+  }
+
   private def iannLeg(spark: SparkSession, sfDir: String,
       blowup: Int): String = {
     import graft.operators.{IncrementalAnn, Similarity}
+    // appendWalls.head below and the staleness copies(1) probe both
+    // need at least one non-bootstrap copy (ADVICE r15 — fail with the
+    // precondition, not a NoSuchElementException)
+    require(blowup >= 2, "iann leg needs at least one append copy " +
+      s"(blowup >= 2), got $blowup")
     val e0 = graft.sources.Tables.table(spark, sfDir, "embeddings")
     val dim = e0.select(size(col("embedding"))).head.getInt(0)
     def copy(k: Int) = e0.select(
@@ -563,11 +636,25 @@ object ScaleRehearsal {
           s""","iann_query_rebuilt_sec":${r1(wQuery2)}""" +
           s""","iann_recall_rebuilt":${r4(recall2)}"""
       }
+    // delete/compact lifecycle on whatever state the leg ends in (the
+    // policy branch may have rebuilt at polCells — the sub-leg reads the
+    // sidecar quantizer through query either way)
+    val delJson = deleteCompactSubLeg(spark, table,
+      IncrementalAnn.tombstonesTableName(table), idColName = "id",
+      delIds = all.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+      query = () => IncrementalAnn.query(sample, "vec_id", "embedding",
+          table, k = 3, maxCellSize = scaledCap,
+          probeBroadcastBytes = 1L << 30)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      delete = ids => IncrementalAnn.deleteIds(ids, "vec_id", table),
+      compact = () => IncrementalAnn.compact(spark, table),
+      prefix = "iann")
     s""","iann_rows":$nIdx,"iann_boot_sec":${r1(wBoot)}""" +
       s""","iann_append_first_sec":${r1(wFirst)}""" +
       s""","iann_append_last_sec":${r1(wLast)}""" +
       s""","iann_query_sec":${r1(wQuery)},"iann_recall":${r4(recall)}""" +
-      probeJson + polJson + rebuildJson
+      probeJson + polJson + rebuildJson + delJson
   }
 
   /** Persisted IVF+PQ compound-index rehearsal at the blowup (verdict r14
@@ -599,6 +686,10 @@ object ScaleRehearsal {
   private def ivfPqPersistedLeg(spark: SparkSession, sfDir: String,
       blowup: Int): String = {
     import graft.operators.{Clustering, IvfPq, Similarity}
+    // appendWalls.head and the staleness copies(1) probe need at least
+    // one non-bootstrap copy (ADVICE r15)
+    require(blowup >= 2, "ivfpqp leg needs at least one append copy " +
+      s"(blowup >= 2), got $blowup")
     val e0 = graft.sources.Tables.table(spark, sfDir, "embeddings")
     val dim = e0.select(size(col("embedding"))).head.getInt(0)
     def copy(k: Int) = e0.select(
@@ -684,6 +775,30 @@ object ScaleRehearsal {
         s"index scan read ${sel.getOrElse("ALL")} of 8 buckets at " +
           s"$blowup× — bucket pruning regressed")
     }
+    // Refine-width curve (verdict r15 #4): C is the refine stage's one
+    // dial, and r15 picked C=64 from a single sitting — measure the
+    // recall-vs-wall trade at C ∈ {k, 2k, 8k, 64} against the
+    // as-appended index at BOTH blowups so a deployment picks C from
+    // data. Gate per point: the exact re-election of an ADC top-C
+    // superset can never lose recall vs plain ADC (small tolerance for
+    // tie reshuffles at equal round-4 scores); the curve itself is the
+    // committed value, not a pass/fail claim.
+    def r1e(x: Double): Double = math.round(x * 10.0) / 10.0
+    def r4e(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    val refineCurveJson = Seq(3, 6, 24, 64).map { c =>
+      val (wC, gotC) = timed(
+        IvfPq.queryPersistedRefined(sample, all, "vec_id", "embedding",
+          table, k = 3, c = c, nProbe = 2)
+          .select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val recallC = gotC.filter(p => sampleIds.contains(p._1))
+        .intersect(exact).size.toDouble / exact.size
+      require(recallC >= recall - 0.02,
+        f"refine C=$c recall $recallC%.4f fell below the plain ADC " +
+          f"reading $recall%.4f at $blowup×")
+      s""","ivfpqp_refine_c${c}_sec":${r1e(wC)}""" +
+        s""","ivfpqp_refine_c${c}_recall":${r4e(recallC)}"""
+    }.mkString
     // code-space staleness: the GATE reads the minimally-perturbed copy
     // (one dimension +0.002 — unambiguously in-distribution; the policy
     // must stay quiet), and the MOST-perturbed copy's reading is
@@ -809,6 +924,19 @@ object ScaleRehearsal {
           s""","ivfpqp_query_m8_sec":${r1(wQuery8)}""" +
           s""","ivfpqp_recall_m8":${r4(recall8)}"""
       }
+    // delete/compact lifecycle on whatever state the leg ends in (the
+    // retrain branch may have re-persisted — the sub-leg reads the
+    // sidecar models through queryPersisted either way)
+    val delJson = deleteCompactSubLeg(spark, table,
+      IvfPq.tombstonesTableName(table), idColName = "vec_id",
+      delIds = all.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+      query = () => IvfPq.queryPersisted(sample, "vec_id", "embedding",
+          table, k = 3, nProbe = 2)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      delete = ids => IvfPq.deletePersisted(ids, "vec_id", table),
+      compact = () => IvfPq.compactPersisted(spark, table),
+      prefix = "ivfpqp")
     s""","ivfpqp_rows":$nIdx,"ivfpqp_fit_sec":${r1(wFit)}""" +
       s""","ivfpqp_persist_sec":${r1(wPersist)}""" +
       s""","ivfpqp_append_first_sec":${r1(wFirst)}""" +
@@ -818,7 +946,7 @@ object ScaleRehearsal {
       s""","ivfpqp_psi_micro":${staleRow.getAs[Long]("max_psi_micro")}""" +
       s""","ivfpqp_stale":${staleRow.getAs[Long]("stale")}""" +
       s""","ivfpqp_psi_micro_edge":${edgeRow.getAs[Long]("max_psi_micro")}""" +
-      polJson + retrainJson
+      refineCurveJson + polJson + retrainJson + delJson
   }
 
   /** Data-quality rehearsal at the blowup: constraint-audit RATES are

@@ -52,7 +52,14 @@ object IncrementalAnn {
   def centroidsTableName(indexTable: String): String =
     indexTable + "_centroids"
 
-  /** Drop an index and its sidecar, tables AND storage dirs — the
+  /** The tombstone sidecar's table name — one `id BIGINT` column, the
+    * pending logical deletes ([[deleteIds]]) a [[compact]] or [[rebuild]]
+    * applies physically and then clears.
+    */
+  def tombstonesTableName(indexTable: String): String =
+    indexTable + "_tombstones"
+
+  /** Drop an index and its sidecars, tables AND storage dirs — the
     * idempotence preamble every drop-then-rebuild caller needs (the
     * registered produce rows, the rehearsal leg). One shared helper
     * (review finding r14): the per-caller copies hand-built
@@ -60,7 +67,8 @@ object IncrementalAnn {
     * catalog resolution exists to avoid.
     */
   def dropIndex(spark: SparkSession, indexTable: String): Unit =
-    Seq(indexTable, centroidsTableName(indexTable))
+    Seq(indexTable, centroidsTableName(indexTable),
+        tombstonesTableName(indexTable))
       .foreach(dropTableAndDir(spark, _))
 
   /** Append `batch` to the index, bootstrapping it (k-means fit + both
@@ -140,6 +148,68 @@ object IncrementalAnn {
     centroids
   }
 
+  /** Logical delete ([EXT] — the takedown path: rights issues,
+    * contamination discoveries, right-to-be-forgotten): append the ids to
+    * the tombstone sidecar. Nothing in the bucketed index moves — a
+    * delete costs one distinct + one tiny write, proportional to the
+    * DELETE batch, never the index ([[compact]] is the physical rewrite,
+    * run on maintenance cadence like a real LSM/segment store).
+    *
+    * Semantics: a tombstoned id is suppressed ENTIRELY — [[query]] drops
+    * its rows (including rows appended AFTER the delete) until a
+    * [[compact]] or [[rebuild]] applies the tombstones physically and
+    * clears them. Re-ingesting a previously-deleted id should therefore
+    * follow a compact; the conservative direction (a banned id stays
+    * banned through the window) is the right default for takedowns.
+    *
+    * Idempotent by construction: deletes are declarative (ids, not rows),
+    * re-deleting the same ids or deleting ids the index never held leaves
+    * query results unchanged (anti-join semantics; the distinct keeps the
+    * re-delete from even growing the sidecar within one batch). Crash
+    * window: the append is at-least-once like every writer in the family —
+    * a blind retry writes duplicate tombstone rows, which change nothing.
+    */
+  def deleteIds(
+      ids: DataFrame,
+      idCol: String,
+      indexTable: String): Unit = {
+    val spark = ids.sparkSession
+    recover(spark, indexTable)
+    if (!spark.catalog.tableExists(indexTable))
+      throw new IllegalStateException(
+        s"index table $indexTable does not exist — nothing to delete from " +
+          "(bootstrap with append() first)")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append")
+      .saveAsTable(tombstonesTableName(indexTable))
+  }
+
+  /** The pending-tombstone filter every reader applies: anti-join `df`'s
+    * `id` against the tombstone sidecar when one exists. The sidecar
+    * broadcasts (the index side must never shuffle), so its size is gated
+    * fail-closed — past `maxTombstones` the fix is a [[compact]], which
+    * empties it. Shared by [[query]] and the rebuild sources so the read
+    * and rewrite paths cannot disagree about what is deleted.
+    */
+  private[operators] def notTombstoned(
+      spark: SparkSession,
+      indexTable: String,
+      df: DataFrame,
+      maxTombstones: Long): DataFrame = {
+    val tombTable = tombstonesTableName(indexTable)
+    if (!spark.catalog.tableExists(tombTable)) df
+    else {
+      val tomb = spark.table(tombTable)
+      Similarity.requireBroadcastable(tomb, maxTombstones,
+        s"tombstone sidecar $tombTable (query-time deletes broadcast " +
+          "against the streaming index scan)",
+        "compact() — it applies the tombstones physically and clears them")
+      df.join(broadcast(tomb.select(col("id").as("__del"))),
+        col("id") === col("__del"), "left_anti")
+    }
+  }
+
   /** Top-k neighbors from the index for every query vector: assign each
     * query its `nProbe` nearest cells (narrow kernel pass), join the
     * probes one-sided against the bucketed index scan, verify with the
@@ -200,7 +270,8 @@ object IncrementalAnn {
       maxCellSize: Int = 10000,
       excludeSelf: Boolean = true,
       fitted: Option[Array[Array[Double]]] = None,
-      probeBroadcastBytes: Long = 32L << 20): DataFrame = {
+      probeBroadcastBytes: Long = 32L << 20,
+      maxTombstones: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     val spark = queries.sparkSession
@@ -229,7 +300,16 @@ object IncrementalAnn {
           call_function("graft_ivf_cells", col("q_vec"), lit(centStr)),
           1, nProbe)).as("p"))
       .select(col("q_id"), col("q_vec"), col("p").getField("c").as("cell"))
-    val idx = spark.table(indexTable)
+    // pending tombstones are applied BEFORE the cap gate on purpose: the
+    // gate's distinct-id counts must see the index the parity contract
+    // describes (delete + query ≡ query over survivors — a cell over the
+    // cap only because of deleted rows would otherwise stay wrongly
+    // excluded until compaction). The anti-join broadcasts the (gated)
+    // tombstone set against the streaming scan, so the one-sided property
+    // and the bucketed partitioning both survive — the okCells partial
+    // below stays exchange-free.
+    val idx = notTombstoned(spark, indexTable, spark.table(indexTable),
+      maxTombstones)
     // cap gate: per-cell DISTINCT-id counts — the streaming ingest is
     // at-least-once, so a crash-window re-append can leave duplicate
     // rows; a RAW count would let those duplicates push a near-cap cell
@@ -346,6 +426,15 @@ object IncrementalAnn {
     // commit point: the index swap; then the sidecar swap
     swapIn(spark, indexTable)
     swapIn(spark, centTable)
+    // a rebuild rewrites every row under the caller's authoritative
+    // corpus, so pending tombstones are consumed by it: leaving them
+    // would re-delete ids the new corpus legitimately re-added. Cleared
+    // AFTER the commit point — a crash before the swap keeps the old
+    // index AND its tombstones (still consistent); a crash between the
+    // swaps and this drop leaves tombstones naming ids the caller either
+    // excluded (anti-join no-op) or re-added (suppressed until the next
+    // compact — the conservative direction, same as deleteIds' contract).
+    dropTableAndDir(spark, tombstonesTableName(indexTable))
     centroids
   }
 
@@ -374,9 +463,85 @@ object IncrementalAnn {
     // rebuild()'s own recover() can run. recover is idempotent; the
     // second call inside rebuild() is a handful of catalog probes.
     recover(spark, indexTable)
-    val corpus = spark.table(indexTable)
-      .select(col("id"), col("vec")).dropDuplicates("id")
+    // pending tombstones are honored by the refit source (a takedown must
+    // not survive INTO the rebuilt index via the index's own rows) — the
+    // anti-join is deliberately un-hinted: this op rewrites every row
+    // anyway, so a tombstone set too large to broadcast just shuffles,
+    // which is exactly the degraded mode a huge takedown batch deserves.
+    // rebuild() clears the sidecar after its commit point.
+    val tombTable = tombstonesTableName(indexTable)
+    val corpus0 = spark.table(indexTable).select(col("id"), col("vec"))
+    val corpus = (if (spark.catalog.tableExists(tombTable))
+        corpus0.join(spark.table(tombTable).select(col("id")),
+          Seq("id"), "left_anti")
+      else corpus0).dropDuplicates("id")
     rebuild(corpus, "id", "vec", indexTable, nCells, iters)
+  }
+
+  /** Physical delete + garbage collection ([EXT] — [[deleteIds]]' other
+    * half): rewrite the index WITHOUT tombstoned ids and without the
+    * at-least-once crash window's duplicate (cell, id) rows, under the
+    * UNCHANGED quantizer (the centroid sidecar is read-only here —
+    * re-training stays [[rebuild]]'s job), then clear the tombstone
+    * sidecar. Returns the surviving row count.
+    *
+    * Contract the spec + q_ann_incr_del_md5 oracle pin:
+    *
+    *   compact(delete(ids)) then query ≡ query over the index built from
+    *   the survivors under the same quantizer
+    *
+    * — and [[query]] answers identically BEFORE and AFTER the compact
+    * (the tombstone anti-join and the physical rewrite are the same
+    * decision), so compaction never changes results, only reclaims space
+    * and removes the per-query tombstone filter.
+    *
+    * Scale shape: one bucketed scan → (un-hinted) tombstone anti-join →
+    * per-(cell, id) keeper → bucketed write of the SAME spec. With a
+    * broadcastable tombstone set the whole rewrite is exchange-free: the
+    * bucketed scan's hash-on-cell satisfies the keeper grouping
+    * (cell ⊆ keys) and the write's repartition(cells, cell) is the
+    * identity mapping the planner elides. Duplicate ids share their
+    * vector by the at-least-once contract (the same row re-appended), so
+    * keeping any copy is exact.
+    *
+    * Crash windows (the [[rebuild]] machinery, single table): the
+    * `__rebuild` sibling is fully written before the swap; [[recover]]
+    * rolls a pre-swap crash back (index + tombstones untouched — rerun
+    * compact) and a mid-swap crash to the recoverable copy. The
+    * tombstone drop comes AFTER the swap (commit point): a crash between
+    * them leaves tombstones naming ids that no longer exist — an
+    * anti-join no-op, cleared by the next compact. Offline/single-writer
+    * like rebuild.
+    */
+  def compact(spark: SparkSession, indexTable: String): Long = {
+    recover(spark, indexTable)
+    require(spark.catalog.tableExists(indexTable),
+      s"compact needs an existing index — bootstrap $indexTable with " +
+        "append() first")
+    // bucket count always follows the quantizer in force (the append rule)
+    val cells = loadCentroids(spark, centroidsTableName(indexTable)).length
+    // a previous crashed rebuild/compact may have left a sibling DIR
+    // without a catalog entry (recover() dropped the entry)
+    dropTableAndDir(spark, indexTable + RebuildSuffix)
+    val tombTable = tombstonesTableName(indexTable)
+    val scan = spark.table(indexTable)
+    val live =
+      if (spark.catalog.tableExists(tombTable))
+        scan.join(spark.table(tombTable).select(col("id").as("__del")),
+          col("id") === col("__del"), "left_anti")
+      else scan
+    live
+      .groupBy(col("cell"), col("id"))
+      .agg(first(col("vec")).as("vec"))
+      .repartition(cells, col("cell"))
+      .write.mode("overwrite")
+      .bucketBy(cells, "cell").sortBy("cell")
+      .saveAsTable(indexTable + RebuildSuffix)
+    swapIn(spark, indexTable)
+    dropTableAndDir(spark, tombTable)
+    // column-pruned count over the compacted table (the caller's audit
+    // number — cheap: id column only, bucket files just written)
+    spark.table(indexTable).count()
   }
 
   /** Maintenance decision (verdict r13 #3 — "nothing consumes
@@ -507,14 +672,39 @@ object IncrementalAnn {
     }
   }
 
-  private val RebuildSuffix = "__rebuild"
+  private[operators] val RebuildSuffix = "__rebuild"
   private val OldSuffix = "__old"
+
+  /** Single-table form of [[recover]] for ops that swap ONE table (the
+    * compaction rewrites here and in [[IvfPq.compactPersisted]] — no
+    * coupled sidecar, the quantizer/models are read-only): `__rebuild`
+    * residue means the commit point was not passed → roll back (restore
+    * `__old` if the swap's first rename ran, drop the sibling); stray
+    * `__old` next to a live table → drop it. Idempotent, catalog-only on
+    * a healthy table.
+    */
+  private[operators] def recoverTable(spark: SparkSession,
+      table: String): Unit = {
+    if (spark.catalog.tableExists(table + RebuildSuffix)) {
+      if (!spark.catalog.tableExists(table) &&
+          spark.catalog.tableExists(table + OldSuffix))
+        spark.sql(s"ALTER TABLE ${table + OldSuffix} RENAME TO $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table + RebuildSuffix}")
+    }
+    if (spark.catalog.tableExists(table + OldSuffix)) {
+      if (spark.catalog.tableExists(table))
+        spark.sql(s"DROP TABLE ${table + OldSuffix}")
+      else
+        // not a window swapIn can produce, but the restore is always safe
+        spark.sql(s"ALTER TABLE ${table + OldSuffix} RENAME TO $table")
+    }
+  }
 
   /** `t → t__old`, `t__rebuild → t`, drop `t__old` — at every instant a
     * complete copy exists under a recoverable name (the rename-aside
     * rule; [[recover]] handles every crash window).
     */
-  private def swapIn(spark: SparkSession, table: String): Unit = {
+  private[operators] def swapIn(spark: SparkSession, table: String): Unit = {
     spark.sql(s"ALTER TABLE $table RENAME TO ${table + OldSuffix}")
     spark.sql(s"ALTER TABLE ${table + RebuildSuffix} RENAME TO $table")
     spark.sql(s"DROP TABLE ${table + OldSuffix}")

@@ -222,13 +222,22 @@ object IvfPq {
   /** The models sidecar's table name for a persisted compound index. */
   def modelsTableName(indexTable: String): String = indexTable + "__ivfpq"
 
-  /** Drop a persisted compound index and its models sidecar, tables AND
+  /** The tombstone sidecar's table name — pending logical deletes
+    * ([[deletePersisted]]), applied physically and cleared by
+    * [[compactPersisted]]. Same contract as
+    * [[IncrementalAnn.tombstonesTableName]].
+    */
+  def tombstonesTableName(indexTable: String): String =
+    indexTable + "__tombstones"
+
+  /** Drop a persisted compound index and its sidecars, tables AND
     * storage dirs (the [[IncrementalAnn.dropIndex]] catalog-resolved
     * preamble, shared — not a fourth hand-built-path copy).
     */
   def dropPersisted(spark: org.apache.spark.sql.SparkSession,
       indexTable: String): Unit =
-    Seq(indexTable, modelsTableName(indexTable))
+    Seq(indexTable, modelsTableName(indexTable),
+        tombstonesTableName(indexTable))
       .foreach(IncrementalAnn.dropTableAndDir(spark, _))
 
   /** Persist the compound index: the (id, cell, codes) table bucketed by
@@ -277,6 +286,10 @@ object IvfPq {
       indexTable: String): Unit = {
     val spark = df.sparkSession
     val cells = coarse.length
+    // clear a crashed compactPersisted's __rebuild/__old residue first —
+    // this writer rewrites the index anyway, so rolling the swap back is
+    // always the right repair here
+    IncrementalAnn.recoverTable(spark, indexTable)
     IncrementalAnn.dropTableAndDir(spark, modelsTableName(indexTable))
     // writer self-heal: a crashed prior overwrite can leave the index dir
     // with no catalog entry; clear it so this (managed) create succeeds
@@ -294,6 +307,13 @@ object IvfPq {
         codebooks.map(_.map(_.mkString(",")).mkString(";")).mkString("|")))
       .toDF("coarse", "codebooks")
       .write.mode("overwrite").saveAsTable(modelsTableName(indexTable))
+    // a build/rebuild rewrites every row under the caller's authoritative
+    // corpus, so pending tombstones are consumed by it (the
+    // IncrementalAnn.rebuild rule) — cleared after the sidecar commit
+    // point; a crash in between leaves tombstones naming ids the caller
+    // either excluded (anti-join no-op) or re-added (suppressed until the
+    // next compact, deleteIds' conservative contract)
+    IncrementalAnn.dropTableAndDir(spark, tombstonesTableName(indexTable))
   }
 
   /** ADC top-k against a PERSISTED compound index — the 100 TB read path:
@@ -313,7 +333,8 @@ object IvfPq {
       indexTable: String,
       k: Int,
       nProbe: Int = 2,
-      maxQueryRows: Long = 100000L): DataFrame = {
+      maxQueryRows: Long = 100000L,
+      maxTombstones: Long = 1000000L): DataFrame = {
     val spark = queries.sparkSession
     val (coarse, codebooks) = loadModels(spark, indexTable)
     require(k >= 1, s"k must be positive, got $k")
@@ -333,11 +354,28 @@ object IvfPq {
     // round-robin spread is safe here because the join broadcasts the
     // PROBE side (the scan's bucket distribution is not what keeps the
     // index exchange-free — the broadcast join needs no partitioning)
-    val idx = Similarity.spreadIfNarrow(
-      spark.table(indexTable)
-        .filter(col("cell").isin(probedCells: _*))
-        .select(col(idCol).as("n_id"), col("cell"),
-          col("codes").as("__codes")))
+    // pending tombstones anti-join AFTER the bucket prune (fewer rows to
+    // filter) and BEFORE the ADC join — a deleted id must not occupy a
+    // top-k slot. The gated tombstone set broadcasts against the pruned
+    // scan (the IncrementalAnn.notTombstoned shape), so the no-shuffle
+    // property of the index side survives.
+    val pruned = spark.table(indexTable)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("n_id"), col("cell"),
+        col("codes").as("__codes"))
+    val tombTable = tombstonesTableName(indexTable)
+    val alive =
+      if (spark.catalog.tableExists(tombTable)) {
+        val tomb = spark.table(tombTable)
+        Similarity.requireBroadcastable(tomb, maxTombstones,
+          s"tombstone sidecar $tombTable (query-time deletes broadcast " +
+            "against the pruned index scan)",
+          "compactPersisted() — it applies the tombstones physically " +
+            "and clears them")
+        pruned.join(broadcast(tomb.select(col("id").as("__del"))),
+          col("n_id") === col("__del"), "left_anti")
+      } else pruned
+    val idx = Similarity.spreadIfNarrow(alive)
     adcTopK(probes, idx, codebooks.length, k)
   }
 
@@ -354,10 +392,13 @@ object IvfPq {
     * NEVER shuffles or broadcasts), not for the full probe stream the
     * uncompressed verify pass would read.
     *
-    * `candidates` must be bounded by construction (the ADC top-C of a
-    * gated query set: ≤ queries × C rows — both factors capped upstream,
-    * so no extra gate job is spent here); `queries` passes through the
-    * same broadcast economics as the ADC stage.
+    * `candidates` is bounded by construction for every in-repo caller
+    * (the ADC top-C of a gated query set: ≤ queries × C rows — both
+    * factors capped upstream), but the method is public, so it fails
+    * CLOSED on its own too (ADVICE r15): the pair frame is checkpointed —
+    * one action the broadcast build would have executed anyway — and the
+    * row-count gates run over the materialized blocks, so the fail-fast
+    * costs two block-local counts, never a recompute of the ADC chain.
     */
   def refineExact(
       candidates: DataFrame,
@@ -365,17 +406,29 @@ object IvfPq {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxCandidateRows: Long = 1L << 21,
+      maxQueryRows: Long = 100000L): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     graft.plans.GraftFunctions.register(queries.sparkSession)
+    // materialize the (narrow: two longs per row) pair frame once; the
+    // gate, the broadcast build, and nothing else consume it
+    val cand = candidates.select("q_id", "n_id").localCheckpoint()
+    Similarity.requireBroadcastable(cand, maxCandidateRows,
+      "refineExact candidate pairs (broadcast against the streaming " +
+        "corpus scan for selective rehydration)",
+      "a narrower ADC top-C (smaller c or a gated query batch)")
+    Similarity.requireBroadcastable(queries, maxQueryRows,
+      "refineExact query side (each row rehydrates its full vector " +
+        "into the broadcast)",
+      "batched query slices")
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("__qv"))
     val n = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("__nv"))
     // broadcast the BOUNDED candidate pairs against the streaming corpus
     // scan (the one-sided rule): only matching ids rehydrate
-    val hydrated = n.join(broadcast(candidates.select("q_id", "n_id")),
-        Seq("n_id"))
+    val hydrated = n.join(broadcast(cand), Seq("n_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         round(call_function("graft_cosine", col("__qv"), col("__nv")), 4)
@@ -525,6 +578,93 @@ object IvfPq {
       .bucketBy(coarse.length, "cell").sortBy("cell")
       .saveAsTable(indexTable)
     models
+  }
+
+  /** Logical delete from a persisted compound index ([EXT] — the takedown
+    * path, [[IncrementalAnn.deleteIds]]' sibling for the codes table):
+    * append the ids to the tombstone sidecar. Cost ∝ the delete batch
+    * (one distinct + one tiny write); the bucketed codes table and the
+    * models sidecar never move. [[queryPersisted]] suppresses tombstoned
+    * ids from that moment (including rows appended after the delete —
+    * the id is banned until a [[compactPersisted]]/[[persistIndex]]
+    * clears the sidecar); idempotent and at-least-once for the same
+    * reasons as the uncompressed form.
+    */
+  def deletePersisted(
+      ids: DataFrame,
+      idCol: String,
+      indexTable: String): Unit = {
+    val spark = ids.sparkSession
+    IncrementalAnn.recoverTable(spark, indexTable)
+    if (!spark.catalog.tableExists(indexTable))
+      throw new IllegalStateException(
+        s"index table $indexTable does not exist — nothing to delete " +
+          "from (persistIndex first)")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append")
+      .saveAsTable(tombstonesTableName(indexTable))
+  }
+
+  /** Physical delete + GC for the persisted compound index
+    * ([[IncrementalAnn.compact]]'s sibling): rewrite the codes table
+    * WITHOUT tombstoned ids and without duplicate (cell, id) rows from
+    * the at-least-once append window, under the UNTOUCHED models sidecar
+    * (no re-encode — the codes are already what the frozen quantizers
+    * say; re-training stays [[persistIndex]]'s job), then clear the
+    * tombstone sidecar. Returns the surviving row count.
+    *
+    * Contract (spec + q_ann_ivfpq_del_md5 oracle):
+    * delete + compact + query ≡ query over persistIndex(survivors) under
+    * the same models, and ≡ the pre-compact tombstone-filtered query —
+    * compaction changes no result, only reclaims space and removes the
+    * per-query anti-join.
+    *
+    * Scale shape: one column-pruned bucketed scan (id, cell, codes — a
+    * few bytes per row, never vectors) → un-hinted tombstone anti-join
+    * (broadcasts when the tombstone set is small, shuffles gracefully on
+    * a huge takedown batch) → per-(cell, id) keeper (exchange-free on
+    * the bucketed layout: cell ⊆ the grouping keys) → bucketed write of
+    * the SAME spec, one file per bucket. Crash windows: the single-table
+    * rename-aside swap ([[IncrementalAnn.recoverTable]] rolls back, every
+    * writer entry point runs it); a reader meanwhile sees either the old
+    * complete pair (tombstones still filtering — identical answers) or
+    * the new one. Tombstones drop after the swap; the in-between crash
+    * leaves no-op tombstones the next compact clears.
+    */
+  def compactPersisted(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String): Long = {
+    IncrementalAnn.recoverTable(spark, indexTable)
+    require(spark.catalog.tableExists(indexTable),
+      s"compactPersisted needs an existing index $indexTable — " +
+        "persistIndex first")
+    // bucket count follows the models in force (sidecar read-only here);
+    // loadModels also fails closed on a missing sidecar
+    val (coarse, _) = loadModels(spark, indexTable)
+    val cells = coarse.length
+    val reb = indexTable + IncrementalAnn.RebuildSuffix
+    IncrementalAnn.dropTableAndDir(spark, reb)
+    val tombTable = tombstonesTableName(indexTable)
+    val scan = spark.table(indexTable)
+    // the id column keeps its caller-given name through persist/append
+    // (the codesKeeping schema: id first, then cell, then codes)
+    val idCol = scan.columns.head
+    val live =
+      if (spark.catalog.tableExists(tombTable))
+        scan.join(spark.table(tombTable).select(col("id").as("__del")),
+          col(idCol) === col("__del"), "left_anti")
+      else scan
+    live
+      .groupBy(col("cell"), col(idCol))
+      .agg(first(col("codes")).as("codes"))
+      .select(col(idCol), col("cell"), col("codes"))
+      .repartition(cells, col("cell"))
+      .write.mode("overwrite")
+      .bucketBy(cells, "cell").sortBy("cell")
+      .saveAsTable(reb)
+    IncrementalAnn.swapIn(spark, indexTable)
+    IncrementalAnn.dropTableAndDir(spark, tombTable)
+    spark.table(indexTable).count()
   }
 
   /** Quantization-staleness report for the CODE space (verdict r14 #1's

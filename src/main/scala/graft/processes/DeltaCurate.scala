@@ -512,28 +512,79 @@ object DeltaCurate {
       bands: Int = 4): (Long, Long) = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val spark = corpus.sparkSession
+    val live = liveRows(corpus, idCol, textCol, k, bands)
+    val fpRows = rewriteBucketed(spark, fpIndexTable, buckets, "fp")(
+      keepFp(live))
+    val sigRows = rewriteBucketed(spark, sigIndexTable, buckets, "key")(
+      keepSig(live, idCol))
+    (fpRows, sigRows)
+  }
 
+  /** The KEEP DECISION of [[compact]] over FRAMES — the catalog-free
+    * surface (the [[deltaSurvivors]] pattern): same live-row computation,
+    * same semi-joins (shared builders, so the persisted rewrite and this
+    * dry-run cannot drift), no table writes. `fpIndex`/`sigIndex` are
+    * [[indexFrames]] shapes or narrow selects of the persisted tables;
+    * returns the (fp) and (key, id, sig) frames that survive compaction
+    * against `corpus` — what the q_delta_compact oracle replays, and what
+    * an operator inspects before committing a [[compact]].
+    */
+  def compactFrames(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpIndex: DataFrame,
+      sigIndex: DataFrame,
+      k: Int = 8,
+      bands: Int = 4): (DataFrame, DataFrame) = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val live = liveRows(corpus, idCol, textCol, k, bands)
+    (keepFp(live)(fpIndex), keepSig(live, idCol)(sigIndex))
+  }
+
+  /** One narrow checkpointed pass over the caller's current corpus:
+    * (id, fp, sig, band keys) under the SAME kernels as [[run]] — the
+    * live set both [[compact]] and [[compactFrames]] keep against.
+    * The corpus text is fingerprinted AS GIVEN: run()'s survivors carry
+    * the post-rewrite text (dedupLinesSep/c4 applied before
+    * fingerprinting), so re-applying a rewrite here would double it.
+    */
+  private def liveRows(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val spread =
       if (corpus.rdd.getNumPartitions < par) corpus.repartition(par)
       else corpus
-    val live = Dedup.withMd5Sketch(
+    Dedup.withMd5Sketch(
         spread.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
         textCol, k, bands)
       .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
       .localCheckpoint()
-    val fpRows = rewriteBucketed(spark, fpIndexTable, buckets, "fp") { old =>
-      old.join(live.select(col("__fp").as("fp")).distinct(),
-        Seq("fp"), "left_semi")
-    }
-    val sigRows = rewriteBucketed(spark, sigIndexTable, buckets, "key") { old =>
-      old.join(
-        live.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
-          col("__sig").as("sig")),
-        Seq("key", "id", "sig"), "left_semi")
-    }
-    (fpRows, sigRows)
   }
+
+  /** Keep a fingerprint-index row iff its fp is derivable from the live
+    * corpus — one definition for the rewrite and the frame form.
+    */
+  private def keepFp(live: DataFrame)(old: DataFrame): DataFrame =
+    old.join(live.select(col("__fp").as("fp")).distinct(),
+      Seq("fp"), "left_semi")
+
+  /** Keep a signature-index row iff the FULL (key, id, sig) row matches a
+    * live document's banded signature: a superseded version whose band
+    * key coincidentally equals the current version's still carries the
+    * superseded signature and must go.
+    */
+  private def keepSig(live: DataFrame, idCol: String)(
+      old: DataFrame): DataFrame =
+    old.join(
+      live.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
+        col("__sig").as("sig")),
+      Seq("key", "id", "sig"), "left_semi")
 
   /** Rewrite a bucketed index table through `keep`, preserving the bucket
     * spec (write to a sibling, then a rename-aside swap — saveAsTable

@@ -1260,6 +1260,43 @@ object TextQueries {
         .survivors.select(col("doc_id"))
     }),
 
+    // Index-compaction DECISION row, ORACLED end to end (verdict r15 #1's
+    // text-index leg): month 0 builds the fp/sig index frames; the
+    // current corpus then LOSES its doc_id % 10 ∈ {3, 4} documents (last
+    // month's removals plus a takedown batch — % 10 == 4 deliberately
+    // includes doc 14, gate-passing English at every fixture SF, so the
+    // row discriminates); compactFrames keeps only index rows derivable
+    // from that corpus (dead-fingerprint GC — same semi-joins as the
+    // persisted compact(), shared builders); month 1's delta is then
+    // curated against the COMPACTED frames. The +500000 exact copy of
+    // REMOVED doc 14 now survives — suppression of content no longer in
+    // the corpus is forgotten, exactly the documented post-compaction
+    // guarantee — while copies and cosmetic edits of LIVE docs stay
+    // suppressed (spec-asserted both ways). DuckDB replays the whole
+    // thing: the compacted index is the month-0 keeper set minus the
+    // removed ids (a keeper's fp/sig rows survive iff the keeper itself
+    // is live — fps are distinct per keeper).
+    "q_delta_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val next = deltaNextSnapshot(docs)
+      val cfg = graft.operators.Curation.Config(
+        minTokens = 30, maxStopRatio = 1.0, langs = Seq("en"))
+      val (fpIdx, sigIdx) = graft.processes.DeltaCurate.indexFrames(
+        docs, "doc_id", "text", "lang", cfg)
+      // the caller-maintained curated corpus: month-0 survivors (the
+      // bootstrap dry-run — gate + in-increment keeper) minus the
+      // documents since removed
+      val corpus = graft.processes.DeltaCurate.deltaSurvivors(
+          docs.limit(0), docs, "doc_id", "text", "lang", cfg)
+        .filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 4)
+      val (fpC, sigC) = graft.processes.DeltaCurate.compactFrames(
+        corpus, "doc_id", "text", fpIdx, sigIdx)
+      graft.processes.DeltaCurate.deltaSurvivors(docs, next,
+        "doc_id", "text", "lang", cfg, Some(fpC), Some(sigC))
+        .select(col("doc_id"))
+    }),
+
     // BOOTSTRAP half of the index-produce path, as its own bench row
     // (verdict r12 item 4 — the combined row's 38 jobs span TWO full
     // run() invocations and no committed number isolated either): same
@@ -4017,7 +4054,22 @@ object TextQueries {
     // and near-dup-checked against month-0 survivors' banded md5
     // signatures (k=8, 4 bands, est >= 0.8, cap 1000). Same machinery as
     // the q_incr_neardup oracle.
-    "q_delta_curate" ->
+    "q_delta_curate" -> deltaCurateOracle(""),
+
+    // same replay with the month-0 index narrowed to the LIVE corpus
+    // (doc_id % 10 <> 3 — the removed set's keeper rows are exactly what
+    // compaction GCs; fps are distinct per keeper, so the kept index is
+    // the keeper set minus the removed ids on both the fp and sig side)
+    "q_delta_compact" -> deltaCurateOracle(" WHERE doc_id % 10 NOT IN (3, 4)"),
+  ) ++ staticOraclesTail
+
+  /** The delta-curation survivor replay, parameterized by the month-0
+    * index filter (`""` = the uncompacted index, q_delta_curate; the
+    * compaction row narrows BOTH index CTEs — the exact `NOT IN` and the
+    * signature-shingle source — to the live keepers). One definition so
+    * the two rows' oracles cannot drift.
+    */
+  private def deltaCurateOracle(idxFilter: String): String =
       """WITH d0 AS (SELECT doc_id, text, lang FROM documents),
          nx AS (
            SELECT doc_id,
@@ -4113,8 +4165,10 @@ object TextQueries {
            WHERE CAST(len(list_filter(generate_series(1, 8), i -> bsg[i] = fi.isg[i])) AS DOUBLE)
                / CAST(8 AS DOUBLE) >= CAST(0.8 AS DOUBLE))
          SELECT doc_id FROM ex1
-         WHERE doc_id NOT IN (SELECT bid FROM cand)""",
+         WHERE doc_id NOT IN (SELECT bid FROM cand)"""
+      .replace("FROM idx0)", "FROM idx0" + idxFilter + ")")
 
+  private lazy val staticOraclesTail: Map[String, String] = Map(
     // Snapshot diff: same fingerprint both sides; `||` (not concat —
     // DuckDB's concat swallows NULLs, Spark's propagates) keeps
     // null-text edits null; IS NOT DISTINCT FROM = Spark's <=>.

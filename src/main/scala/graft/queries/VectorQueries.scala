@@ -197,6 +197,56 @@ object VectorQueries {
         fitted = Some(cents))
     }),
 
+    // ORACLED delete lifecycle for the UNCOMPRESSED index (verdict r15
+    // #1 — the takedown path): bootstrap + append as q_ann_incr_md5,
+    // then deleteIds tombstones every vec_id % 10 == 3 (disjoint from
+    // the % 40 == 0 refine/compound query subsets on purpose — deletes
+    // and queries are independent populations), then the probe runs
+    // WITH the tombstone anti-join live (the pre-compaction read path).
+    // The oracle is the same chain SQL over the SURVIVORS only —
+    // delete + query ≡ query over the index built from survivors, the
+    // sequential-composition parity applied to deletes; the okCells cap
+    // counts survivors too (spec-pinned). Index state drops and
+    // rebuilds per invocation.
+    "q_ann_incr_del_md5" -> ((s, dir) => {
+      import graft.operators.IncrementalAnn
+      val e = t(s, dir, "embeddings")
+      IncrementalAnn.dropIndex(s, "ianndel_idx")
+      val cents = IncrementalAnn.append(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", "ianndel_idx",
+        fitted = Some(iannFitted(s, dir)))
+      IncrementalAnn.append(e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", "ianndel_idx", fitted = Some(cents))
+      IncrementalAnn.deleteIds(
+        e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+        "vec_id", "ianndel_idx")
+      IncrementalAnn.query(e, "vec_id", "embedding", "ianndel_idx", k = 3,
+        fitted = Some(cents))
+    }),
+
+    // ORACLED compaction CONTENT (q_ann_incr_bootstrap's content-level
+    // gate applied to the GC deliverable): bootstrap + append + delete +
+    // compact, then return the compacted table's (cell, id) rows — the
+    // oracle replays the assignment of the SURVIVORS under the bootstrap
+    // fit, so the hash gate proves tombstoned rows are physically gone
+    // and every survivor's row is intact, not just that downstream
+    // queries agree.
+    "q_ann_compact" -> ((s, dir) => {
+      import graft.operators.IncrementalAnn
+      val e = t(s, dir, "embeddings")
+      IncrementalAnn.dropIndex(s, "iannc_idx")
+      val cents = IncrementalAnn.append(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", "iannc_idx",
+        fitted = Some(iannFitted(s, dir)))
+      IncrementalAnn.append(e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", "iannc_idx", fitted = Some(cents))
+      IncrementalAnn.deleteIds(
+        e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+        "vec_id", "iannc_idx")
+      IncrementalAnn.compact(s, "iannc_idx")
+      s.table("iannc_idx").select(col("cell"), col("id"))
+    }),
+
     // ORACLED quantizer-drift report (the "when to rebuild" signal for
     // the incremental ANN index): PSI between the bootstrap index's cell
     // distribution and the month-1 batch's assignment under the same
@@ -497,6 +547,32 @@ object VectorQueries {
         "vec_id", "embedding", "ivfpqi_idx", k = 3, nProbe = 2)
     }),
 
+    // ORACLED delete + compaction lifecycle for the COMPRESSED index
+    // (verdict r15 #1's other half): the q_ann_ivfpq_incr_md5 chain plus
+    // deletePersisted (vec_id % 10 == 3 tombstoned) and compactPersisted
+    // (physical rewrite under the untouched models sidecar, tombstones
+    // cleared), then the pruned query. Same oracle chain SQL over the
+    // SURVIVORS: delete + compact + query ≡ query over
+    // persistIndex(survivors) under the same models; the pre-compact
+    // tombstone-filtered query is spec-pinned bit-equal to this row's
+    // result (IvfPqSpec), so one oracle covers both read paths.
+    "q_ann_ivfpq_del_md5" -> ((s, dir) => {
+      import graft.operators.IvfPq
+      val e = t(s, dir, "embeddings")
+      IvfPq.dropPersisted(s, "ivfpqdel_idx")
+      val models = (iannFitted(s, dir), ivfPqIncrFitted(s, dir))
+      IvfPq.persistIndex(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", models._1, models._2, "ivfpqdel_idx")
+      IvfPq.appendPersisted(e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", "ivfpqdel_idx", fitted = Some(models))
+      IvfPq.deletePersisted(
+        e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+        "vec_id", "ivfpqdel_idx")
+      IvfPq.compactPersisted(s, "ivfpqdel_idx")
+      IvfPq.queryPersisted(e.filter(col("vec_id") % 40 === 0),
+        "vec_id", "embedding", "ivfpqdel_idx", k = 3, nProbe = 2)
+    }),
+
     // ORACLED code-space drift report (the when-to-re-train signal for
     // the compressed index — quantizerDrift's sibling over CODES):
     // per-(subspace, code) PSI between the bootstrap slice's code
@@ -756,7 +832,8 @@ object VectorQueries {
     * chain's result by contract).
     */
   private def ivfPqQueryChainSql(coarse: Array[Array[Double]],
-      cents: Array[Array[Array[Double]]], limit: Int = 3): String = {
+      cents: Array[Array[Array[Double]]], limit: Int = 3,
+      indexFilter: String = ""): String = {
       val m = cents.length
       val sub = cents.head.head.length
       val ctes = ivfPqCtes(coarse, cents)
@@ -766,7 +843,8 @@ object VectorQueries {
       val fold = (1 until m).foldLeft("l0")((acc, j) => s"($acc + l$j)")
       s"""$ctes,
            codes AS (
-             SELECT vec_id AS n_id, cell, j, c AS code FROM ranked WHERE r = 1),
+             SELECT vec_id AS n_id, cell, j, c AS code
+             FROM ranked WHERE r = 1$indexFilter),
            q AS (
              SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 40 = 0),
            prb AS (
@@ -884,6 +962,11 @@ object VectorQueries {
       val drift = ivfPqDriftCtes(coarse, cents)
       Map(
         "q_ann_ivfpq_incr_md5" -> ivfPqQueryChainSql(coarse, cents),
+        // the delete row's oracle: the SAME chain over the survivors only
+        // (delete + compact + query ≡ batch build over survivors under
+        // the same frozen models)
+        "q_ann_ivfpq_del_md5" -> ivfPqQueryChainSql(coarse, cents,
+          indexFilter = " AND vec_id % 10 != 3"),
         "q_ivfpq_code_drift" ->
           s"""$drift
            SELECT CAST(jt.j AS BIGINT) AS subspace,
@@ -923,6 +1006,46 @@ object VectorQueries {
     * assignment candidates (filter r = 1).
     */
   private val kmeansCtes: String = kmeansCtesOver("")
+
+  /** The incremental-index probe/verify/top-3 replay: bootstrap-slice fit
+    * (month 0), the corpus assigned under those frozen centroids, the cap
+    * gate, and the q_ann_ivf_md5 probe contract — with the INDEX side
+    * narrowed by `survivorFilter` (an `AND ...` clause on both the
+    * assignment rows and, through it, the cap counts). One definition for
+    * the append row (`""`) and the delete row (the tombstone parity:
+    * delete + query ≡ this chain over survivors).
+    */
+  private def iannChainSql(survivorFilter: String): String =
+    s"""${kmeansCtesOver(" AND vec_id % 4 != 0")},
+         alle AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         fina AS (
+           SELECT vec_id, v, c,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, centroid), 6)
+                 DESC, c) AS r
+           FROM alle CROSS JOIN c2),
+         asg AS (
+           SELECT vec_id AS n_id, v AS n_vec, c AS cell
+           FROM fina WHERE r = 1$survivorFilter),
+         keptc AS (
+           SELECT cell FROM asg GROUP BY cell HAVING count(*) <= 10000),
+         corp AS (SELECT a.* FROM asg a JOIN keptc USING (cell)),
+         prob AS (
+           SELECT vec_id AS q_id, v AS q_vec, c AS cell
+           FROM fina WHERE r <= 2),
+         cand AS (
+           SELECT p.q_id, c.n_id,
+             round(list_cosine_similarity(p.q_vec, c.n_vec), 4) AS sim4
+           FROM prob p JOIN corp c USING (cell)
+           WHERE c.n_id <> p.q_id)
+         SELECT q_id, n_id, sim4, rn FROM (
+           SELECT q_id, n_id, sim4,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim4 DESC, n_id) AS rn
+           FROM cand)
+         WHERE rn <= 3"""
 
   /** The k-means replay CTE chain with the fit SOURCE narrowed by
     * `srcFilter` (an `AND ...` clause on the `e` CTE) — `""` fits the
@@ -1288,37 +1411,31 @@ object VectorQueries {
     // under those frozen centroids (`fina` — exactly what bootstrap-append
     // under a fixed quantizer persists), and probe/verify/top-3 replay the
     // q_ann_ivf_md5 contract against it.
-    "q_ann_incr_md5" ->
+    "q_ann_incr_md5" -> iannChainSql(""),
+
+    // Delete-lifecycle replay: the SAME chain with the INDEX side (and
+    // its cap-gate counts) narrowed to the survivors — delete + query
+    // must equal querying the index built from survivors under the same
+    // bootstrap quantizer; the query side stays the full vector set
+    // (deleted ids remain legitimate external queries).
+    "q_ann_incr_del_md5" -> iannChainSql(" AND vec_id % 10 != 3"),
+
+    // Compaction-content replay: the survivors' (cell, id) assignment
+    // under the bootstrap fit IS the compacted table's content — the GC
+    // is verified at the row level, not just through query agreement.
+    "q_ann_compact" ->
       s"""${kmeansCtesOver(" AND vec_id % 4 != 0")},
          alle AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id % 10 != 3),
          fina AS (
-           SELECT vec_id, v, c,
+           SELECT vec_id, c,
              row_number() OVER (PARTITION BY vec_id
                ORDER BY round(list_cosine_similarity(v, centroid), 6)
                  DESC, c) AS r
-           FROM alle CROSS JOIN c2),
-         asg AS (
-           SELECT vec_id AS n_id, v AS n_vec, c AS cell
-           FROM fina WHERE r = 1),
-         keptc AS (
-           SELECT cell FROM asg GROUP BY cell HAVING count(*) <= 10000),
-         corp AS (SELECT a.* FROM asg a JOIN keptc USING (cell)),
-         prob AS (
-           SELECT vec_id AS q_id, v AS q_vec, c AS cell
-           FROM fina WHERE r <= 2),
-         cand AS (
-           SELECT p.q_id, c.n_id,
-             round(list_cosine_similarity(p.q_vec, c.n_vec), 4) AS sim4
-           FROM prob p JOIN corp c USING (cell)
-           WHERE c.n_id <> p.q_id)
-         SELECT q_id, n_id, sim4, rn FROM (
-           SELECT q_id, n_id, sim4,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY sim4 DESC, n_id) AS rn
-           FROM cand)
-         WHERE rn <= 3""",
+           FROM alle CROSS JOIN c2)
+         SELECT c AS cell, vec_id AS id FROM fina WHERE r = 1""",
 
     // Quantizer-drift replay: bootstrap fit, both slices assigned under
     // it, per-cell counts full-outer joined, then the q_dq_psi

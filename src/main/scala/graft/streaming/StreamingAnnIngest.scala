@@ -140,12 +140,26 @@ object StreamingAnnIngest {
       // cadence on the batch id (monotone across restarts — re-delivered
       // ids land in the `seen` skip above, so a retry cannot double-fire
       // the cadence); non-empty guard AFTER the append so the emptiness
-      // probe's one tiny job is only ever paid on a cadence hit
-      if (policyEvery > 0 && batchId % policyEvery == 0 && !df.isEmpty)
-        onPolicy(IncrementalAnn.maintenancePolicy(
-          IncrementalAnn.quantizerDrift(df, idCol, vecCol, indexTable,
-            fitted = Some(cents)),
-          nCells = cents.length).collect().head)
+      // probe's one tiny job is only ever paid on a cadence hit.
+      // The whole probe is MONITORING (surfaced, never acted on —
+      // ADVICE r15): by this point the append is committed and logged,
+      // so a drift-job or callback failure must not fail the micro-batch
+      // — the streaming query would die/retry, the retry would skip via
+      // the seen-check, and the ingest outage would buy nothing.
+      if (policyEvery > 0 && batchId % policyEvery == 0)
+        try {
+          if (!df.isEmpty)
+            onPolicy(IncrementalAnn.maintenancePolicy(
+              IncrementalAnn.quantizerDrift(df, idCol, vecCol, indexTable,
+                fitted = Some(cents)),
+              nCells = cents.length).collect().head)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft-ingest] WARN policy probe failed on batch " +
+                s"$batchId (ingest already committed; decision lost " +
+                s"for this cadence hit): ${e.getMessage}")
+        }
     }
   }
 }

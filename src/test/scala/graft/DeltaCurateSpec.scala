@@ -191,6 +191,34 @@ class DeltaCurateSpec extends SparkSpec {
       dropTable(t)
   }
 
+  test("compactFrames keeps exactly the rows the persisted compact() " +
+    "keeps (shared decision, catalog-free surface)") {
+    for (t <- Seq("dcf_fp", "dcf_sig")) dropTable(t)
+    val m0 = (1 to 6).map(i => (i.toLong, doc(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    val m1 = Seq((1L, doc(1), "en"), (2L, doc(20), "en"), (3L, doc(3), "en"),
+      (4L, doc(4), "en"), (5L, doc(5), "en")).toDF("doc_id", "text", "lang")
+    DeltaCurate.run(m0.limit(0), m0, "doc_id", "text", "lang", cfg,
+      "dcf_fp", "dcf_sig", buckets = 4)
+    DeltaCurate.run(m0, m1, "doc_id", "text", "lang", cfg,
+      "dcf_fp", "dcf_sig", buckets = 4)
+    // the frame decision over narrow selects of the PRE-compaction tables
+    val (fpKeep, sigKeep) = DeltaCurate.compactFrames(m1, "doc_id", "text",
+      spark.table("dcf_fp"), spark.table("dcf_sig"))
+    val fpFrame = fpKeep.collect().map(_.getString(0)).toSet
+    val sigFrame = sigKeep.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).toSet
+    // the persisted rewrite
+    DeltaCurate.compact(m1, "doc_id", "text", "dcf_fp", "dcf_sig",
+      buckets = 4)
+    assert(spark.table("dcf_fp").collect().map(_.getString(0)).toSet
+      === fpFrame)
+    assert(spark.table("dcf_sig").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).toSet
+      === sigFrame)
+    for (t <- Seq("dcf_fp", "dcf_sig")) dropTable(t)
+  }
+
   test("one increment runs exactly four actions (fusion gate)") {
     cleanTables()
     val m0 = (1 to 6).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")

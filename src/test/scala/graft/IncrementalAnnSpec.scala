@@ -17,6 +17,7 @@ class IncrementalAnnSpec extends SparkSpec {
   private def freshIndex(name: String): Unit = {
     dropTable(name)
     dropTable(IncrementalAnn.centroidsTableName(name))
+    dropTable(IncrementalAnn.tombstonesTableName(name))
   }
 
   /** Deterministic non-degenerate 8-dim float vectors. */
@@ -677,5 +678,118 @@ class IncrementalAnnSpec extends SparkSpec {
         p)
       assert(hashEx.size <= 1, p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("deleteIds + compact: tombstone query ≡ compacted query ≡ the " +
+    "index built from survivors; re-delete and absent ids are no-ops; " +
+    "compact dedups at-least-once duplicates, clears the sidecar, and " +
+    "is idempotent") {
+    Seq("ia_del", "ia_del_ref").foreach(freshIndex)
+    val all = vecs(allIds)
+    val surv = (i: Int) => i % 10 != 3
+    val cents = IncrementalAnn.append(vecs(bootIds), "vec_id", "embedding",
+      "ia_del", nCells = 4)
+    IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding", "ia_del",
+      fitted = Some(cents))
+    // reference: the survivors appended under the SAME quantizer
+    IncrementalAnn.append(vecs(bootIds.filter(surv)), "vec_id", "embedding",
+      "ia_del_ref", fitted = Some(cents))
+    IncrementalAnn.append(vecs(incrIds.filter(surv)), "vec_id", "embedding",
+      "ia_del_ref", fitted = Some(cents))
+    // delete 3/13/23/33 plus an id the index never held (declarative:
+    // deleting the absent is a no-op, not an error)
+    IncrementalAnn.deleteIds(Seq(3L, 13L, 23L, 33L, 999L).toDF("vec_id"),
+      "vec_id", "ia_del")
+    def q(t: String) = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      t, k = 3, fitted = Some(cents)))
+    val viaRef = q("ia_del_ref")
+    assert(q("ia_del") === viaRef,
+      "tombstone-filtered query must equal the survivor-built index's")
+    // re-delete: idempotent (anti-join semantics)
+    IncrementalAnn.deleteIds(Seq(3L, 13L).toDF("vec_id"), "vec_id", "ia_del")
+    assert(q("ia_del") === viaRef)
+    // an at-least-once crash window duplicates a batch; compact must GC
+    // tombstoned rows AND collapse the duplicates in one rewrite
+    IncrementalAnn.append(vecs(incrIds), "vec_id", "embedding", "ia_del",
+      fitted = Some(cents))
+    val n = IncrementalAnn.compact(spark, "ia_del")
+    assert(n === allIds.count(surv).toLong)
+    assert(!spark.catalog.tableExists(
+      IncrementalAnn.tombstonesTableName("ia_del")),
+      "compact must clear the tombstone sidecar")
+    def content(t: String): Set[(Long, Long)] =
+      spark.table(t).select(col("cell"), col("id"))
+        .as[(Long, Long)].collect().toSet
+    assert(content("ia_del") === content("ia_del_ref"),
+      "compacted (cell, id) content must equal the survivor build's")
+    assert(q("ia_del") === viaRef, "compaction changed query results")
+    // idempotent: a second compact rewrites the same survivors
+    assert(IncrementalAnn.compact(spark, "ia_del") === n)
+    assert(q("ia_del") === viaRef)
+    // tombstone set past the broadcast gate fails closed at query time
+    // with the repair instruction
+    IncrementalAnn.deleteIds(Seq(1L, 2L).toDF("vec_id"), "vec_id", "ia_del")
+    val err = intercept[IllegalArgumentException] {
+      IncrementalAnn.query(all, "vec_id", "embedding", "ia_del", k = 3,
+        fitted = Some(cents), maxTombstones = 1L)
+    }
+    assert(err.getMessage.contains("compact()"))
+    // deleting from a nonexistent index is an actionable error
+    val err2 = intercept[IllegalStateException] {
+      IncrementalAnn.deleteIds(Seq(1L).toDF("vec_id"), "vec_id",
+        "ia_del_absent")
+    }
+    assert(err2.getMessage.contains("nothing to delete"))
+    Seq("ia_del", "ia_del_ref").foreach(freshIndex)
+  }
+
+  test("the cap gate counts SURVIVORS: a cell over the cap only because " +
+    "of tombstoned rows probes again after the delete") {
+    Seq("ia_cap", "ia_cap_ref").foreach(freshIndex)
+    val all = vecs(allIds)
+    val cents = IncrementalAnn.append(all, "vec_id", "embedding", "ia_cap",
+      nCells = 4)
+    // the fattest cell and one of its members
+    val (bigCell, bigN) = spark.table("ia_cap").groupBy(col("cell"))
+      .agg(countDistinct(col("id")).as("n"))
+      .orderBy(col("n").desc, col("cell")).as[(Long, Long)].head()
+    val victim = spark.table("ia_cap").filter(col("cell") === bigCell)
+      .agg(max(col("id"))).head().getLong(0)
+    val cap = (bigN - 1).toInt
+    // pre-delete: the fat cell is over the cap and excluded entirely
+    val before = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_cap", k = 3, maxCellSize = cap, fitted = Some(cents)))
+    IncrementalAnn.deleteIds(Seq(victim).toDF("vec_id"), "vec_id", "ia_cap")
+    val after = rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_cap", k = 3, maxCellSize = cap, fitted = Some(cents)))
+    // parity: the reference index holds the survivors, same cap
+    IncrementalAnn.append(all.filter(col("vec_id") =!= victim), "vec_id",
+      "embedding", "ia_cap_ref", fitted = Some(cents))
+    assert(after === rows(IncrementalAnn.query(all, "vec_id", "embedding",
+      "ia_cap_ref", k = 3, maxCellSize = cap, fitted = Some(cents))),
+      "post-delete gate decisions must match the survivor index's")
+    assert(after !== before,
+      "fixture vacuous: the delete was supposed to bring the fat cell " +
+        "back under the cap and change results")
+    Seq("ia_cap", "ia_cap_ref").foreach(freshIndex)
+  }
+
+  test("rebuild and rebuildFromIndex honor pending tombstones and clear " +
+    "the sidecar (no resurrection through the index's own rows)") {
+    freshIndex("ia_rbt")
+    IncrementalAnn.append(vecs(allIds), "vec_id", "embedding", "ia_rbt",
+      nCells = 4)
+    IncrementalAnn.deleteIds(Seq(3L, 13L).toDF("vec_id"), "vec_id",
+      "ia_rbt")
+    IncrementalAnn.rebuildFromIndex(spark, "ia_rbt", nCells = 4)
+    val ids = spark.table("ia_rbt").select(col("id"))
+      .as[Long].collect().toSet
+    assert(!ids.contains(3L) && !ids.contains(13L),
+      "tombstoned ids survived a rebuildFromIndex")
+    assert(ids === allIds.map(_.toLong).toSet -- Set(3L, 13L))
+    assert(!spark.catalog.tableExists(
+      IncrementalAnn.tombstonesTableName("ia_rbt")),
+      "rebuild must consume the tombstones")
+    freshIndex("ia_rbt")
   }
 }

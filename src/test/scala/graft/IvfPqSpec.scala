@@ -353,6 +353,91 @@ class IvfPqSpec extends SparkSpec {
     dropTable(IvfPq.modelsTableName("ivfpq_ref_idx"))
   }
 
+  test("deletePersisted + compactPersisted: tombstone-filtered query ≡ " +
+    "compacted query ≡ batch build over survivors; re-delete idempotent; " +
+    "tombstones cleared; crash residue recovered; gates fail closed") {
+    def fresh(t: String): Unit = {
+      dropTable(t); dropTable(IvfPq.modelsTableName(t))
+      dropTable(IvfPq.tombstonesTableName(t))
+    }
+    Seq("ivfpq_del_idx", "ivfpq_del_ref").foreach(fresh)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    def content(table: String): Set[(Long, Long, Seq[Long])] =
+      spark.table(table).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val queries = e.filter(col("vec_id") % 40 === 0)
+    val delIds = e.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+    // lifecycle index: bootstrap + append, then delete
+    IvfPq.persistIndex(e.filter(col("vec_id") % 4 =!= 0), "vec_id",
+      "embedding", coarse, cents, "ivfpq_del_idx")
+    IvfPq.appendPersisted(e.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", "ivfpq_del_idx", fitted = Some((coarse, cents)))
+    IvfPq.deletePersisted(delIds, "vec_id", "ivfpq_del_idx")
+    // reference: one batch build over the survivors, SAME models
+    IvfPq.persistIndex(e.filter(col("vec_id") % 10 =!= 3), "vec_id",
+      "embedding", coarse, cents, "ivfpq_del_ref")
+    val viaRef = rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_del_ref", k = 3, nProbe = 2))
+    assert(rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_del_idx", k = 3, nProbe = 2)) === viaRef,
+      "tombstone-filtered query must equal the survivor build's")
+    // re-delete: idempotent
+    IvfPq.deletePersisted(delIds, "vec_id", "ivfpq_del_idx")
+    assert(rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_del_idx", k = 3, nProbe = 2)) === viaRef)
+    // compact: physical GC under the untouched models, sidecar cleared
+    val n = IvfPq.compactPersisted(spark, "ivfpq_del_idx")
+    assert(n === e.filter(col("vec_id") % 10 =!= 3
+      && col("embedding").isNotNull).count())
+    assert(!spark.catalog.tableExists(
+      IvfPq.tombstonesTableName("ivfpq_del_idx")),
+      "compactPersisted must clear the tombstone sidecar")
+    assert(content("ivfpq_del_idx") === content("ivfpq_del_ref"),
+      "compacted (id, cell, codes) content must equal the survivor build's")
+    assert(rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_del_idx", k = 3, nProbe = 2)) === viaRef,
+      "compaction changed query results")
+    // crash residue: a dead __rebuild sibling from a crashed compact is
+    // rolled back by the next writer entry and the rewrite still lands
+    spark.range(3).toDF("x").write.mode("overwrite")
+      .saveAsTable("ivfpq_del_idx__rebuild")
+    assert(IvfPq.compactPersisted(spark, "ivfpq_del_idx") === n)
+    assert(rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_del_idx", k = 3, nProbe = 2)) === viaRef)
+    // tombstone set past the broadcast gate fails closed with the repair
+    // instruction
+    IvfPq.deletePersisted(e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id")), "vec_id", "ivfpq_del_idx")
+    val gateErr = intercept[IllegalArgumentException] {
+      IvfPq.queryPersisted(queries, "vec_id", "embedding",
+        "ivfpq_del_idx", k = 3, nProbe = 2, maxTombstones = 1L)
+    }
+    assert(gateErr.getMessage.contains("compactPersisted"))
+    // deleting from a nonexistent index is an actionable error
+    val delErr = intercept[IllegalStateException] {
+      IvfPq.deletePersisted(delIds, "vec_id", "ivfpq_del_absent")
+    }
+    assert(delErr.getMessage.contains("nothing to delete"))
+    Seq("ivfpq_del_idx", "ivfpq_del_ref").foreach(fresh)
+  }
+
+  test("refineExact fails closed on an unbounded direct call (ADVICE " +
+    "r15): candidate pairs and the query side are both gated") {
+    val cand = e.select(col("vec_id").as("q_id"), col("vec_id").as("n_id"))
+    val candErr = intercept[IllegalArgumentException] {
+      IvfPq.refineExact(cand, e.limit(3), e, "vec_id", "embedding", k = 1,
+        maxCandidateRows = 5L)
+    }
+    assert(candErr.getMessage.contains("ADC top-C"))
+    val qErr = intercept[IllegalArgumentException] {
+      IvfPq.refineExact(cand.limit(2), e, e, "vec_id", "embedding", k = 1,
+        maxQueryRows = 5L)
+    }
+    assert(qErr.getMessage.contains("batched query slices"))
+  }
+
   test("codeDrift + stalenessPolicy: a self-distributed batch reads " +
     "exactly zero PSI and stays fresh; a collapsed batch trips stale " +
     "on the worst subspace") {

@@ -59,7 +59,7 @@ class RegistrySpec extends AnyFunSuite {
       "q_bpe_lossless", "q_pack_bpe", "q_pq_codes", "q_ann_pq_md5",
       "q_ivfpq_codes", "q_ann_ivfpq_md5", "q_ann_ivfpq_pers_md5",
       "q_ann_ivfpq_incr_md5", "q_ivfpq_code_drift", "q_ivfpq_policy",
-      "q_ann_ivfpq_refine_md5")
+      "q_ann_ivfpq_refine_md5", "q_ann_ivfpq_del_md5")
     val undeclared = qs.diff(SparkEntry.oracleSql.keySet)
       .diff(SparkEntry.rowsOnly).diff(fittedDynamic)
     assert(undeclared.isEmpty,
