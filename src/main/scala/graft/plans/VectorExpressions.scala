@@ -647,6 +647,13 @@ object GraftFunctions {
     all.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // the optional index-aware top-k rewrite rides the same session
+    // bootstrap (it no-ops in one conf read unless its flag is on, and
+    // its own guard makes double application safe — but don't even
+    // double-install on repeated register() calls)
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.exists(_.isInstanceOf[IndexTopKRule]))
+      spark.experimental.extraOptimizations = rules :+ IndexTopKRule(spark)
   }
 }
 
@@ -658,11 +665,16 @@ object GraftFunctions {
   * via one conf line and one that needs code changes at every call site.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(this.getClass.getName, name),
         builder))
     }
+    // flag-gated (default off) index-aware top-k; this injection point
+    // runs in a FIXED-POINT batch — the rule's already-filtered guard is
+    // what makes that safe
+    ext.injectOptimizerRule(IndexTopKRule)
+  }
 }

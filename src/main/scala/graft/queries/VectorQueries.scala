@@ -247,6 +247,33 @@ object VectorQueries {
       s.table("iannc_idx").select(col("cell"), col("id"))
     }),
 
+    // ORACLED index-aware top-k REWRITE (SURVEY §4's deferred
+    // Rule[LogicalPlan], built round 16): the NAIVE single-query cosine
+    // top-k plan — select + orderBy(sim desc, id) + limit over the index
+    // table, exactly what a user writes without knowing the index
+    // exists — with the session flag on. The optimizer injects the
+    // probe-cell filter (round-6 probe order, nProbe=2) and the bucketed
+    // scan prunes to 2 of 8 buckets (IndexTopKSpec pins the executed
+    // plan); DuckDB replays the PROBED-cell top-5, so the hash gate
+    // covers the rewritten semantics — a silently-unfired rewrite would
+    // return the brute top-5 and hash-mismatch whenever the probe set
+    // clips a true neighbor.
+    "q_index_topk" -> ((s, dir) => {
+      import graft.operators.IncrementalAnn
+      val e = t(s, dir, "embeddings")
+      IncrementalAnn.dropIndex(s, "iannq_idx")
+      IncrementalAnn.append(e, "vec_id", "embedding", "iannq_idx",
+        fitted = Some(iannFitted(s, dir)))
+      s.conf.set(graft.plans.IndexTopK.EnabledKey, "true")
+      s.conf.set(graft.plans.IndexTopK.NProbeKey, "2")
+      s.table("iannq_idx")
+        .select(col("id"),
+          round(call_function("graft_cosine",
+            typedLit(qv0(s, dir)), col("vec")), 4).as("sim4"))
+        .orderBy(col("sim4").desc, col("id"))
+        .limit(5)
+    }),
+
     // ORACLED quantizer-drift report (the "when to rebuild" signal for
     // the incremental ANN index): PSI between the bootstrap index's cell
     // distribution and the month-1 batch's assignment under the same
@@ -645,6 +672,18 @@ object VectorQueries {
     * row's deliverable — not the quantizer training that a real system
     * runs once per index generation.
     */
+  /** The q_index_topk query vector (vec_id 0's embedding as doubles),
+    * memoized per dir — pure fixture data; repeat runs measure the
+    * rewritten scan, not a one-row collect.
+    */
+  private val qv0Cache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[Double]]
+  private def qv0(s: SparkSession, dir: String): Seq[Double] =
+    qv0Cache.getOrElseUpdate(dir,
+      t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")))
+        .head.getSeq[Double](0))
+
   private val iannCache = scala.collection.concurrent.TrieMap
     .empty[String, Array[Array[Double]]]
   private def iannFitted(s: SparkSession, dir: String): Array[Array[Double]] =
@@ -1419,6 +1458,34 @@ object VectorQueries {
     // bootstrap quantizer; the query side stays the full vector set
     // (deleted ids remain legitimate external queries).
     "q_ann_incr_del_md5" -> iannChainSql(" AND vec_id % 10 != 3"),
+
+    // Index-topk-rewrite replay: assign ALL vectors under the bootstrap
+    // fit (the persisted index content), probe vector 0's top-2 cells in
+    // the same round-6 order (fina's own ranking rows for vec_id 0),
+    // and take the round-4 cosine top-5 over the probed cells with the
+    // id tie-break — the rewritten plan's exact semantics.
+    "q_index_topk" ->
+      s"""${kmeansCtesOver(" AND vec_id % 4 != 0")},
+         alle AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         fina AS (
+           SELECT vec_id, v, c,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, centroid), 6)
+                 DESC, c) AS r
+           FROM alle CROSS JOIN c2),
+         q AS (SELECT v AS qv FROM alle WHERE vec_id = 0),
+         pc AS (SELECT c AS cell FROM fina WHERE vec_id = 0 AND r <= 2),
+         cand AS (
+           SELECT f.vec_id AS id,
+             round(list_cosine_similarity(q.qv, f.v), 4) AS sim4
+           FROM fina f JOIN pc ON pc.cell = f.c CROSS JOIN q
+           WHERE f.r = 1)
+         SELECT id, sim4 FROM (
+           SELECT id, sim4,
+             row_number() OVER (ORDER BY sim4 DESC, id) AS rn FROM cand)
+         WHERE rn <= 5""",
 
     // Compaction-content replay: the survivors' (cell, id) assignment
     // under the bootstrap fit IS the compacted table's content — the GC
