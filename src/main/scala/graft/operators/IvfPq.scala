@@ -439,7 +439,11 @@ object IvfPq {
   /** ADC top-C → exact top-k: the refined compound query (in-memory
     * form). `c` is the refinement width — how many ADC candidates per
     * query get their exact cosine computed (c = k degenerates to a pure
-    * re-scoring of the ADC set).
+    * re-scoring of the ADC set). Pick `c` from the measured
+    * recall-vs-wall curve, not folklore: the rehearsal's `ivfpqp` leg
+    * sweeps C ∈ {k, 2k, 8k, 64} at 10× and 100× and commits the curve
+    * (SCALE_REHEARSAL.md §r16 — at 100× recall saturates well below
+    * C=64 while the wall grows with the rehydration width).
     */
   def annIvfPqRefined(
       queries: DataFrame,
