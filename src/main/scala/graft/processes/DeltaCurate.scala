@@ -343,6 +343,31 @@ object DeltaCurate {
       cfg: Curation.Config = Curation.Config(),
       k: Int = 8,
       bands: Int = 4): (DataFrame, DataFrame) = {
+    val (fp, sig, _) =
+      bootstrapFrames(snapshot, idCol, textCol, langCol, cfg, k, bands)
+    (fp, sig)
+  }
+
+  /** [[indexFrames]] plus the month-0 KEEPER rows they derive from, all
+    * three views over ONE checkpointed pass (optimization r16, guide
+    * §1.2: q_delta_compact previously recomputed the identical gate →
+    * fingerprint → sketch pipeline three times — indexFrames, the
+    * bootstrap deltaSurvivors dry-run, then compact's liveRows over those
+    * same survivors). The third frame is (idCol, __fp, __sig, __bk) —
+    * exactly [[liveRows]]' shape for the bootstrap survivor set, i.e. the
+    * live rows a subsequent compaction keeps against, and (by the
+    * bootstrap semantics of [[deltaSurvivors]]: no index ⇒ exactFresh =
+    * in-increment keepers, no near-dup drops) exactly the bootstrap
+    * survivors' sketch rows. DeltaCurateSpec pins the equivalence.
+    */
+  def bootstrapFrames(
+      snapshot: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      cfg: Curation.Config = Curation.Config(),
+      k: Int = 8,
+      bands: Int = 4): (DataFrame, DataFrame, DataFrame) = {
     val spark = snapshot.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val spreadNeeded = snapshot.rdd.getNumPartitions < par
@@ -368,7 +393,8 @@ object DeltaCurate {
       .filter(col(idCol) === col("__keep"))
     (firsts.select(col("__fp").as("fp")),
       firsts.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
-        col("__sig").as("sig")))
+        col("__sig").as("sig")),
+      firsts.select(col(idCol), col("__fp"), col("__sig"), col("__bk")))
   }
 
   /** Dry-run delta curation: the SURVIVOR QUERY of [[run]] against index
@@ -409,11 +435,30 @@ object DeltaCurate {
     val spark = newSnap.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val spreadNeeded = newSnap.rdd.getNumPartitions < par
-    val statuses = SnapshotDiff.diff(prevSnap, newSnap, idCol, textCol)
-    val delta0 = newSnap.join(
-      statuses.filter(col("status").isin("added", "changed"))
-        .select(col(idCol)),
-      Seq(idCol), "left_semi")
+    // Bootstrap fast path (optimization r16, guide §1.2 — mirrors run()'s
+    // round-12 fast path, which this dry-run surface never got): a
+    // STATICALLY-empty previous snapshot (the limit(0) bootstrap idiom)
+    // makes every new row an "added" by definition, so the md5
+    // snapshot-diff — a full digest pass over newSnap plus an exchange,
+    // measured 5.5 task-core-s inside q_delta_compact's bootstrap leg at
+    // sf0.1 — is skipped entirely. Decision-identical: diffing against an
+    // empty side labels every row "added", and added/changed rows are
+    // exactly newSnap. Runtime-empty (but not statically-empty) prev
+    // snapshots still take the diff; only the provable case skips.
+    val bootstrapEmpty = prevSnap.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+    val delta0 =
+      if (bootstrapEmpty) newSnap
+      else {
+        val statuses = SnapshotDiff.diff(prevSnap, newSnap, idCol, textCol)
+        newSnap.join(
+          statuses.filter(col("status").isin("added", "changed"))
+            .select(col(idCol)),
+          Seq(idCol), "left_semi")
+      }
     val delta = cfg.dedupLinesSep match {
       case Some(sep) => delta0.withColumn(textCol,
         TextAnalysis.dedupLines(col(textCol), sep))
@@ -539,8 +584,23 @@ object DeltaCurate {
       bands: Int = 4): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val live = liveRows(corpus, idCol, textCol, k, bands)
-    (keepFp(live)(fpIndex), keepSig(live, idCol)(sigIndex))
+    compactFramesOverLive(live, idCol, fpIndex, sigIndex)
   }
+
+  /** [[compactFrames]] for a caller that ALREADY holds the live sketch
+    * rows ((idCol, __fp, __sig, __bk) — [[bootstrapFrames]]' third frame,
+    * optionally filtered to the still-live ids, or [[liveRows]]' output):
+    * the same keep semi-joins through the same shared builders, without
+    * re-fingerprinting the corpus. Optimization r16 plumbing for
+    * q_delta_compact (guide §1.2); [[compactFrames]] delegates here so
+    * the two surfaces cannot drift.
+    */
+  def compactFramesOverLive(
+      live: DataFrame,
+      idCol: String,
+      fpIndex: DataFrame,
+      sigIndex: DataFrame): (DataFrame, DataFrame) =
+    (keepFp(live)(fpIndex), keepSig(live, idCol)(sigIndex))
 
   /** One narrow checkpointed pass over the caller's current corpus:
     * (id, fp, sig, band keys) under the SAME kernels as [[run]] — the

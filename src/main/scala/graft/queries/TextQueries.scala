@@ -1282,16 +1282,23 @@ object TextQueries {
       val next = deltaNextSnapshot(docs)
       val cfg = graft.operators.Curation.Config(
         minTokens = 30, maxStopRatio = 1.0, langs = Seq("en"))
-      val (fpIdx, sigIdx) = graft.processes.DeltaCurate.indexFrames(
-        docs, "doc_id", "text", "lang", cfg)
-      // the caller-maintained curated corpus: month-0 survivors (the
-      // bootstrap dry-run — gate + in-increment keeper) minus the
-      // documents since removed
-      val corpus = graft.processes.DeltaCurate.deltaSurvivors(
-          docs.limit(0), docs, "doc_id", "text", "lang", cfg)
+      // ONE shared bootstrap pass (optimization r16, guide §1.2): the
+      // month-0 index frames AND the keeper rows come from the same
+      // checkpointed gate → fingerprint → sketch pipeline. The previous
+      // form recomputed that pipeline three times — indexFrames, then a
+      // bootstrap deltaSurvivors dry-run (whose md5 snapshot-diff against
+      // a limit(0) side was pure overhead), then compactFrames' liveRows
+      // re-fingerprinting the survivors it had just computed. The
+      // caller-maintained curated corpus is the same set: bootstrap
+      // survivors ARE the keepers (no index ⇒ no drops; DeltaCurateSpec
+      // pins it), so the post-removal live rows are the keeper sketch
+      // rows filtered by id — decision-identical, hash-oracled unchanged.
+      val (fpIdx, sigIdx, keepers) = graft.processes.DeltaCurate
+        .bootstrapFrames(docs, "doc_id", "text", "lang", cfg)
+      val live = keepers
         .filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 4)
-      val (fpC, sigC) = graft.processes.DeltaCurate.compactFrames(
-        corpus, "doc_id", "text", fpIdx, sigIdx)
+      val (fpC, sigC) = graft.processes.DeltaCurate.compactFramesOverLive(
+        live, "doc_id", fpIdx, sigIdx)
       graft.processes.DeltaCurate.deltaSurvivors(docs, next,
         "doc_id", "text", "lang", cfg, Some(fpC), Some(sigC))
         .select(col("doc_id"))

@@ -219,6 +219,50 @@ class DeltaCurateSpec extends SparkSpec {
     for (t <- Seq("dcf_fp", "dcf_sig")) dropTable(t)
   }
 
+  test("bootstrapFrames + compactFramesOverLive ≡ the three-pass form " +
+    "(indexFrames / bootstrap dry-run / compactFrames), and the " +
+    "statically-empty dry-run fast path ≡ the runtime-empty diff path") {
+    // r16 optimization parity pins (guide §1.2): q_delta_compact's fused
+    // single-pass bootstrap must be decision-identical to the old form.
+    // doc 8 duplicates doc 1 so the keeper set is a strict subset.
+    val m0 = ((1 to 6).map(i => (i.toLong, doc(i), "en")) :+
+      (8L, doc(1), "en")).toDF("doc_id", "text", "lang")
+    // OLD three-pass form
+    val (fpIdx, sigIdx) = DeltaCurate.indexFrames(
+      m0, "doc_id", "text", "lang", cfg)
+    val corpus = DeltaCurate.deltaSurvivors(
+        m0.limit(0), m0, "doc_id", "text", "lang", cfg)
+      .filter(col("doc_id") =!= 2L)
+    val (fpA, sigA) = DeltaCurate.compactFrames(
+      corpus, "doc_id", "text", fpIdx, sigIdx)
+    // NEW fused form
+    val (fp2, sig2, keepers) = DeltaCurate.bootstrapFrames(
+      m0, "doc_id", "text", "lang", cfg)
+    val (fpB, sigB) = DeltaCurate.compactFramesOverLive(
+      keepers.filter(col("doc_id") =!= 2L), "doc_id", fp2, sig2)
+    def fpSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSet
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).toSet
+    assert(fpSet(fp2) === fpSet(fpIdx) && sigSet(sig2) === sigSet(sigIdx))
+    assert(fpSet(fpB) === fpSet(fpA) && sigSet(sigB) === sigSet(sigA))
+    // keeper frame = the bootstrap survivors' sketch rows (ids match; doc
+    // 8's fingerprint collapses onto doc 1's keeper row)
+    assert(keepers.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // fast-path parity: a statically-empty prev (LocalRelation) skips the
+    // diff; a runtime-empty prev (filter(lit(false)) over a scan) cannot
+    // be proven empty and still takes it — both must keep the same rows
+    val fastIds = DeltaCurate.deltaSurvivors(m0.limit(0), m0,
+      "doc_id", "text", "lang", cfg).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val slowIds = DeltaCurate.deltaSurvivors(m0.filter(lit(false)), m0,
+      "doc_id", "text", "lang", cfg).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(fastIds === slowIds)
+    assert(fastIds === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("one increment runs exactly four actions (fusion gate)") {
     cleanTables()
     val m0 = (1 to 6).map(i => (i.toLong, doc(i), "en")).toDF("doc_id", "text", "lang")
