@@ -66,11 +66,30 @@ object PageRank {
     // nodes actually exist.
     val hdr = nodes.join(outdeg, nodes("node") === outdeg("src"), "left")
       .agg(count(lit(1)).as("__n"),
-        count(when(col("src").isNull, 1)).as("__nd")).head()
+        count(when(col("src").isNull, 1)).as("__nd"),
+        coalesce(sum(col("__deg")), lit(0L)).as("__e")).head()
     val n = hdr.getLong(0)
     require(n > 0, "PageRank: empty graph")
     val hasDangling = hdr.getLong(1) > 0
-    val withDeg = e.join(outdeg, "src")
+    val nEdges = hdr.getLong(2)
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // Loop parallelism for the small-graph regime, derived from DATA
+    // SIZE, never from the core count (optimization guide §2: make
+    // partitioning scale-adaptive). A fixture-scale iteration stage pays
+    // a per-task fixed cost (scheduler dispatch, codegen/broadcast
+    // setup) that dwarfs its row work: q_pagerank at sf0.1 measured
+    // 2.17/2.18 s on 32-wide loop stages vs 1.42/1.85 s size-fitted
+    // (r16 interleaved A/B, bench methodology; the loop frames are
+    // ≤ ~32 B × edges). Target ~2 MB of edge rows per task, floor 1, cap at the
+    // session's parallelism — an edge list near the SmallGraphNodes
+    // boundary still fans out to every core, and the large-graph path
+    // (AQE shuffle-iterate) is untouched.
+    val loopPar = math.max(1L, math.min(par.toLong,
+      (nEdges * 32L + (2L << 20) - 1) / (2L << 20))).toInt
+    val smallGraph = n <= SmallGraphNodes
+    val withDeg0 = e.join(outdeg, "src")
+    val withDeg = (if (smallGraph && loopPar < par)
+        withDeg0.coalesce(loopPar) else withDeg0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (1.0 - damping) / n
 
@@ -86,8 +105,14 @@ object PageRank {
 
     // initial ranks stay LAZY (no checkpoint action): round 1's three
     // reads are a cheap withColumn over the already-materialized nodes
-    // blocks, and the round-1 checkpoint truncates the lineage anyway
-    var ranks: DataFrame = nodes
+    // blocks, and the round-1 checkpoint truncates the lineage anyway.
+    // In the small-graph regime the loop reads nodes through the same
+    // size-fitted coalesce as withDeg (see loopPar above): the rank
+    // checkpoints and every per-round stage then run at loopPar tasks —
+    // a narrow re-read of the persisted nodes blocks, no extra job.
+    val loopNodes =
+      if (smallGraph && loopPar < par) nodes.coalesce(loopPar) else nodes
+    var ranks: DataFrame = loopNodes
       .withColumn("rank", round(lit(1.0 / n), 8))
     // Small-graph iteration regime (round 13): with n known (the header
     // agg), a graph whose rank frame broadcasts (≤ SmallGraphNodes ×
@@ -105,7 +130,6 @@ object PageRank {
     // Bench sequential-execution contract) and restored in finally; the
     // RETURNED frame is checkpoint blocks, so callers plan against it
     // under their own conf.
-    val smallGraph = n <= SmallGraphNodes
     val spark = edges.sparkSession
     val adaptiveKey = "spark.sql.adaptive.enabled"
     val prevAdaptive = spark.conf.get(adaptiveKey)
@@ -124,8 +148,8 @@ object PageRank {
         // arithmetic ((__in + dm/n) with dm summed over dangling ranks,
         // identically rounded), half the jobs per round. Both subtrees
         // read the checkpointed `ranks` blocks.
-        val next0 = nodes
-          .join(contribs, nodes("node") === contribs("dst"), "left")
+        val next0 = loopNodes
+          .join(contribs, loopNodes("node") === contribs("dst"), "left")
         val withMass =
           if (!hasDangling) next0.withColumn("__dm", lit(0.0))
           else next0.crossJoin(broadcast(
