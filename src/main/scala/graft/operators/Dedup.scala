@@ -154,7 +154,7 @@ object Dedup {
       .localCheckpoint()
     val batchBands = withSig.select(col(idCol).as("__bid"),
       col("__sig").as("__bsig"), explode(col("__bk")).as("key"))
-    val (dropIds, matchedCache) =
+    val (dropIdsOpt, matchedCache) =
       (if (spark.catalog.tableExists(indexTable)) {
         val idx = spark.table(indexTable)
         // The bucket-cap counts do NOT aggregate the whole index (the
@@ -176,19 +176,32 @@ object Dedup {
         val est = size(filter(
           zip_with(col("__bsig"), col("sig"), (a, b) => a === b),
           m => m)).cast("double") / lit(k.toDouble)
-        (batchBands
+        // Checkpoint the DROP-ID SET, not the survivor rows (optimization
+        // r16, guide §2.3/§5 — shuffle/materialize verdicts, never
+        // payloads): the old form checkpointed every surviving row — the
+        // text column included — a second time, when withSig is ALREADY
+        // checkpoint blocks; only the tiny drop set depends on the index
+        // table, so checkpointing it alone severs the table lineage
+        // identically (the append below cannot invalidate either side of
+        // the survivor anti-join) for a materialization proportional to
+        // the DROPS, not the batch.
+        (Some(batchBands
           .join(matched.join(okKeys, Seq("key")), Seq("key"))
           .filter(est >= lit(threshold))
           .select(col("__bid").as(idCol))
-          .distinct(), Some(matched))
-      } else (batchBands.limit(0).select(col("__bid").as(idCol)), None))
-    // materialize the survivor set ONCE: the index append below and every
-    // caller action read these blocks, and the checkpoint (not the
-    // dropIds subtree) severs the index-table lineage so the returned
-    // frame stays stable across the append
-    val out = withSig.join(dropIds, Seq(idCol), "left_anti").localCheckpoint()
-    // every consumer of the shared matched-index scan has now run
+          .distinct().localCheckpoint()), Some(matched))
+      // bootstrap: nothing indexed, nothing to drop, nothing reads the
+      // table — no checkpoint needed at all
+      } else (None, None))
+    // every consumer of the shared matched-index scan has now run (the
+    // drop-id checkpoint above is eager)
     matchedCache.foreach { m => m.unpersist(); () }
+    // survivors = checkpointed batch blocks minus the checkpointed drop
+    // set: stable across the append, no second wide materialization
+    val out = dropIdsOpt match {
+      case Some(d) => withSig.join(d, Seq(idCol), "left_anti")
+      case None => withSig
+    }
     out.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
         col("__sig").as("sig"))
       // one file per bucket per append (see incrementalExact)

@@ -256,13 +256,22 @@ object DeltaCurate {
     // Job 2: near-dup drops are FLAGGED, not filtered — the fingerprint
     // append needs ALL exact survivors (sequential-composition parity)
     // while the signature append and the returned frame need only the
-    // near-dup survivors, and one checkpoint serves both (severing the
-    // index-table lineage before the appends mutate the tables).
-    val flagged = exactFresh
+    // near-dup survivors. The checkpoint materializes only the VERDICTS
+    // (id, __nd) — optimization r16, guide §2.3/§5: the old form
+    // checkpointed the full flagged rows, re-materializing the text
+    // column that already sits in the `base` checkpoint blocks; only the
+    // exact anti-join and the drop set read the index tables, so a
+    // narrow (id, __nd) checkpoint severs the table lineage identically
+    // before the appends mutate the tables, and every consumer
+    // reconstitutes its rows from `base` via one id join (broadcast at
+    // increment scale — the verdict frame is bytes per keeper).
+    val verdicts = exactFresh.select(col(idCol))
       .join(dropIds.withColumn("__nd", lit(true)), Seq(idCol), "left")
       .localCheckpoint()
     // every consumer of the shared matched-index scan has now run
     matchedCache.foreach { m => m.unpersist(); () }
+    // exactFresh rows, rebuilt from base blocks (ids are snapshot-unique)
+    val flagged = base.join(verdicts, Seq(idCol))
     // Jobs 3+4, CONCURRENT: both bucketed appends read the same flagged
     // checkpoint blocks and write DIFFERENT tables (independent catalog
     // entries, per-table Hadoop commit dirs), so they run on two action
