@@ -1485,12 +1485,20 @@ object TextQueries {
     // other's content). Join volume is bounded by sources-per-
     // fingerprint, never doc pairs.
     "q_source_overlap" -> ((s, dir) => {
+      // localCheckpoint, not persist (optimization r16, guide §3.1 + the
+      // round-8 lesson): a PERSISTED frame as a join input never gets
+      // AQE's runtime broadcast conversion (InMemoryRelation is not a
+      // query stage), so the fp self-join below ran as a sort-merge with
+      // both sides exchanged and sorted (JobProfile: two ~6 core-s
+      // stages over a ~100k-row frame). Checkpoint blocks carry exact
+      // size stats, the winnow pass still runs exactly once, and the
+      // self-join's build side broadcasts.
       val fps = graft.operators.Similarity.spreadIfNarrow(
         t(s, dir, "documents"))
         .select(col("source"), explode(Dedup.winnowFingerprints(toks))
           .as("fp"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val totals = fps.groupBy(col("source")).agg(count(lit(1)).as("__n"))
       fps.select(col("source").as("source_a"), col("fp"))
         .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
