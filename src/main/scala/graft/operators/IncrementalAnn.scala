@@ -513,13 +513,18 @@ object IncrementalAnn {
     * anti-join no-op, cleared by the next compact. Offline/single-writer
     * like rebuild.
     */
-  def compact(spark: SparkSession, indexTable: String): Long = {
+  def compact(spark: SparkSession, indexTable: String,
+      fitted: Option[Array[Array[Double]]] = None): Long = {
     recover(spark, indexTable)
     require(spark.catalog.tableExists(indexTable),
       s"compact needs an existing index — bootstrap $indexTable with " +
         "append() first")
-    // bucket count always follows the quantizer in force (the append rule)
-    val cells = loadCentroids(spark, centroidsTableName(indexTable)).length
+    // bucket count always follows the quantizer in force (the append
+    // rule); `fitted` is the append/query chaining contract (optimization
+    // r16, guide §5 — only the cell count is read, but wrong models here
+    // mean a wrong bucket spec, same severity; when in doubt, omit)
+    val cells = fitted.getOrElse(
+      loadCentroids(spark, centroidsTableName(indexTable))).length
     // a previous crashed rebuild/compact may have left a sibling DIR
     // without a catalog entry (recover() dropped the entry)
     dropTableAndDir(spark, indexTable + RebuildSuffix)
@@ -530,18 +535,23 @@ object IncrementalAnn {
         scan.join(spark.table(tombTable).select(col("id").as("__del")),
           col("id") === col("__del"), "left_anti")
       else scan
+    // the audit count rides the rewrite job as an observe metric
+    // (optimization r16, guide §5 — it used to be a second scan of the
+    // just-written table; the rewrite's own row count IS the compacted
+    // table's count). Never statically empty (the observed subtree is
+    // the full rewrite), so the metric always fulfills.
+    val nObs = org.apache.spark.sql.Observation()
     live
       .groupBy(col("cell"), col("id"))
       .agg(first(col("vec")).as("vec"))
+      .observe(nObs, count(lit(1)).as("n"))
       .repartition(cells, col("cell"))
       .write.mode("overwrite")
       .bucketBy(cells, "cell").sortBy("cell")
       .saveAsTable(indexTable + RebuildSuffix)
     swapIn(spark, indexTable)
     dropTableAndDir(spark, tombTable)
-    // column-pruned count over the compacted table (the caller's audit
-    // number — cheap: id column only, bucket files just written)
-    spark.table(indexTable).count()
+    nObs.get("n").asInstanceOf[Long]
   }
 
   /** Maintenance decision (verdict r13 #3 — "nothing consumes

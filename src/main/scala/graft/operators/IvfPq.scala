@@ -334,9 +334,18 @@ object IvfPq {
       k: Int,
       nProbe: Int = 2,
       maxQueryRows: Long = 100000L,
-      maxTombstones: Long = 1000000L): DataFrame = {
+      maxTombstones: Long = 1000000L,
+      fitted: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+        None): DataFrame = {
+    // `fitted` skips the sidecar read for callers chaining a query after
+    // a persist/append (whose return value IS the sidecar content) — the
+    // appendPersisted/IncrementalAnn.query trust contract (optimization
+    // r16, guide §5: the bounded sidecar collect is two driver jobs a
+    // chained caller otherwise pays per query for models it already
+    // holds; IvfPqSpec pins fitted-path ≡ sidecar-path results). It must
+    // be THIS index's models; when in doubt, omit it and pay the read.
     val spark = queries.sparkSession
-    val (coarse, codebooks) = loadModels(spark, indexTable)
+    val (coarse, codebooks) = fitted.getOrElse(loadModels(spark, indexTable))
     require(k >= 1, s"k must be positive, got $k")
     // materialize the (gated, bounded) probe frame ONCE: both the
     // probed-cell collect below and the returned query plan consume it —
@@ -477,10 +486,12 @@ object IvfPq {
       k: Int,
       c: Int,
       nProbe: Int = 2,
-      maxQueryRows: Long = 100000L): DataFrame = {
+      maxQueryRows: Long = 100000L,
+      fitted: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+        None): DataFrame = {
     require(c >= k, s"refinement width c=$c must be >= k=$k")
     val cand = queryPersisted(queries, idCol, vecCol, indexTable,
-      k = c, nProbe = nProbe, maxQueryRows = maxQueryRows)
+      k = c, nProbe = nProbe, maxQueryRows = maxQueryRows, fitted = fitted)
     refineExact(cand, queries, vectors, idCol, vecCol, k)
   }
 
@@ -637,14 +648,18 @@ object IvfPq {
     * leaves no-op tombstones the next compact clears.
     */
   def compactPersisted(spark: org.apache.spark.sql.SparkSession,
-      indexTable: String): Long = {
+      indexTable: String,
+      fitted: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+        None): Long = {
     IncrementalAnn.recoverTable(spark, indexTable)
     require(spark.catalog.tableExists(indexTable),
       s"compactPersisted needs an existing index $indexTable — " +
         "persistIndex first")
     // bucket count follows the models in force (sidecar read-only here);
-    // loadModels also fails closed on a missing sidecar
-    val (coarse, _) = loadModels(spark, indexTable)
+    // loadModels also fails closed on a missing sidecar. `fitted` is the
+    // queryPersisted chaining contract (the bucket count is all that is
+    // read; wrong models here mean a wrong bucket spec, same severity).
+    val (coarse, _) = fitted.getOrElse(loadModels(spark, indexTable))
     val cells = coarse.length
     val reb = indexTable + IncrementalAnn.RebuildSuffix
     IncrementalAnn.dropTableAndDir(spark, reb)
@@ -658,17 +673,24 @@ object IvfPq {
         scan.join(spark.table(tombTable).select(col("id").as("__del")),
           col(idCol) === col("__del"), "left_anti")
       else scan
+    // the audit count rides the rewrite job as an observe metric
+    // (optimization r16, guide §5 — it used to be a second full scan of
+    // the just-written table; the rewrite's own row count IS the
+    // compacted table's count). Never statically empty (the observed
+    // subtree is the full rewrite), so the metric always fulfills.
+    val nObs = org.apache.spark.sql.Observation()
     live
       .groupBy(col("cell"), col(idCol))
       .agg(first(col("codes")).as("codes"))
       .select(col(idCol), col("cell"), col("codes"))
+      .observe(nObs, count(lit(1)).as("n"))
       .repartition(cells, col("cell"))
       .write.mode("overwrite")
       .bucketBy(cells, "cell").sortBy("cell")
       .saveAsTable(reb)
     IncrementalAnn.swapIn(spark, indexTable)
     IncrementalAnn.dropTableAndDir(spark, tombTable)
-    spark.table(indexTable).count()
+    nObs.get("n").asInstanceOf[Long]
   }
 
   /** Quantization-staleness report for the CODE space (verdict r14 #1's

@@ -243,7 +243,7 @@ object VectorQueries {
       IncrementalAnn.deleteIds(
         e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
         "vec_id", "iannc_idx")
-      IncrementalAnn.compact(s, "iannc_idx")
+      IncrementalAnn.compact(s, "iannc_idx", fitted = Some(cents))
       s.table("iannc_idx").select(col("cell"), col("id"))
     }),
 
@@ -528,10 +528,16 @@ object VectorQueries {
       import graft.operators.IvfPq
       val e = t(s, dir, "embeddings")
       IvfPq.dropPersisted(s, "ivfpq_idx")
-      IvfPq.persistIndex(e, "vec_id", "embedding", kmFitted(s, dir),
-        fittedIvfPq(s, dir), "ivfpq_idx")
+      val models = (kmFitted(s, dir), fittedIvfPq(s, dir))
+      IvfPq.persistIndex(e, "vec_id", "embedding", models._1,
+        models._2, "ivfpq_idx")
+      // models chained through the query (optimization r16 — the r13
+      // uncompressed-family rule applied here: the sidecar ROUND-TRIP
+      // stays spec-pinned in IvfPqSpec; the timed row measures the
+      // persisted probe chain, not two sidecar collect jobs)
       IvfPq.queryPersisted(e.filter(col("vec_id") % 40 === 0),
-        "vec_id", "embedding", "ivfpq_idx", k = 3, nProbe = 2)
+        "vec_id", "embedding", "ivfpq_idx", k = 3, nProbe = 2,
+        fitted = Some(models))
     }),
 
     // ORACLED exact-rerank refinement (the FAISS refine stage, round 15 —
@@ -571,7 +577,8 @@ object VectorQueries {
       IvfPq.appendPersisted(e.filter(col("vec_id") % 4 === 0),
         "vec_id", "embedding", "ivfpqi_idx", fitted = Some(models))
       IvfPq.queryPersisted(e.filter(col("vec_id") % 40 === 0),
-        "vec_id", "embedding", "ivfpqi_idx", k = 3, nProbe = 2)
+        "vec_id", "embedding", "ivfpqi_idx", k = 3, nProbe = 2,
+        fitted = Some(models))
     }),
 
     // ORACLED delete + compaction lifecycle for the COMPRESSED index
@@ -595,9 +602,10 @@ object VectorQueries {
       IvfPq.deletePersisted(
         e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
         "vec_id", "ivfpqdel_idx")
-      IvfPq.compactPersisted(s, "ivfpqdel_idx")
+      IvfPq.compactPersisted(s, "ivfpqdel_idx", fitted = Some(models))
       IvfPq.queryPersisted(e.filter(col("vec_id") % 40 === 0),
-        "vec_id", "embedding", "ivfpqdel_idx", k = 3, nProbe = 2)
+        "vec_id", "embedding", "ivfpqdel_idx", k = 3, nProbe = 2,
+        fitted = Some(models))
     }),
 
     // ORACLED code-space drift report (the when-to-re-train signal for

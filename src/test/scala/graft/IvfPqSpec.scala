@@ -423,6 +423,37 @@ class IvfPqSpec extends SparkSpec {
     Seq("ivfpq_del_idx", "ivfpq_del_ref").foreach(fresh)
   }
 
+  test("queryPersisted/compactPersisted fitted chaining ≡ the sidecar " +
+    "read path (optimization r16 — the r13 chaining contract applied " +
+    "to the compressed family)") {
+    def fresh(t: String): Unit = {
+      dropTable(t); dropTable(IvfPq.modelsTableName(t))
+      dropTable(IvfPq.tombstonesTableName(t))
+    }
+    fresh("ivfpq_fit_idx")
+    IvfPq.persistIndex(e, "vec_id", "embedding", coarse, cents,
+      "ivfpq_fit_idx")
+    val queries = e.filter(col("vec_id") % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaSidecar = rows(IvfPq.queryPersisted(queries, "vec_id",
+      "embedding", "ivfpq_fit_idx", k = 3, nProbe = 2))
+    val viaFitted = rows(IvfPq.queryPersisted(queries, "vec_id",
+      "embedding", "ivfpq_fit_idx", k = 3, nProbe = 2,
+      fitted = Some((coarse, cents))))
+    assert(viaFitted === viaSidecar,
+      "fitted-chained query must reproduce the sidecar-read query")
+    // fitted compact rewrites under the same bucket spec and returns the
+    // same audit count as the sidecar-read compact
+    val n1 = IvfPq.compactPersisted(spark, "ivfpq_fit_idx",
+      fitted = Some((coarse, cents)))
+    assert(n1 === e.filter(col("embedding").isNotNull).count())
+    assert(rows(IvfPq.queryPersisted(queries, "vec_id", "embedding",
+      "ivfpq_fit_idx", k = 3, nProbe = 2)) === viaSidecar)
+    fresh("ivfpq_fit_idx")
+  }
+
   test("refineExact fails closed on an unbounded direct call (ADVICE " +
     "r15): candidate pairs and the query side are both gated") {
     val cand = e.select(col("vec_id").as("q_id"), col("vec_id").as("n_id"))
