@@ -176,32 +176,34 @@ object Dedup {
         val est = size(filter(
           zip_with(col("__bsig"), col("sig"), (a, b) => a === b),
           m => m)).cast("double") / lit(k.toDouble)
-        // Checkpoint the DROP-ID SET, not the survivor rows (optimization
-        // r16, guide §2.3/§5 — shuffle/materialize verdicts, never
-        // payloads): the old form checkpointed every surviving row — the
-        // text column included — a second time, when withSig is ALREADY
-        // checkpoint blocks; only the tiny drop set depends on the index
-        // table, so checkpointing it alone severs the table lineage
-        // identically (the append below cannot invalidate either side of
-        // the survivor anti-join) for a materialization proportional to
-        // the DROPS, not the batch.
         (Some(batchBands
           .join(matched.join(okKeys, Seq("key")), Seq("key"))
           .filter(est >= lit(threshold))
           .select(col("__bid").as(idCol))
-          .distinct().localCheckpoint()), Some(matched))
+          .distinct()), Some(matched))
       // bootstrap: nothing indexed, nothing to drop, nothing reads the
-      // table — no checkpoint needed at all
+      // table — no survivor checkpoint needed at all (optimization r16)
       } else (None, None))
-    // every consumer of the shared matched-index scan has now run (the
-    // drop-id checkpoint above is eager)
-    matchedCache.foreach { m => m.unpersist(); () }
-    // survivors = checkpointed batch blocks minus the checkpointed drop
-    // set: stable across the append, no second wide materialization
+    // ONE wide survivor checkpoint on the non-bootstrap path: the index
+    // append below and every caller action read these blocks, and the
+    // checkpoint (not the dropIds subtree) severs the index-table lineage
+    // so the returned frame stays stable across the append. A narrow
+    // verdict-only checkpoint was tried (optimization r16) and REVERTED on
+    // measurement: reconstituting survivor rows from the sketch blocks via
+    // an id join made every consumer (the append plus each caller action)
+    // re-run a broadcast anti-join — three extra AQE queries whose
+    // replanning/scheduling floor cost ~0.3-0.5 s per registry row at
+    // sf0.1 (interleaved A/B: q_incr_neardup 2.8 vs 2.3 s), against a
+    // materialization bounded by 1x the INCREMENT's bytes (never the
+    // corpus) that is already increment-proportional at 100 TB.
     val out = dropIdsOpt match {
-      case Some(d) => withSig.join(d, Seq(idCol), "left_anti")
+      case Some(d) =>
+        withSig.join(d, Seq(idCol), "left_anti").localCheckpoint()
       case None => withSig
     }
+    // every consumer of the shared matched-index scan has now run (the
+    // survivor checkpoint above is eager; bootstrap never builds one)
+    matchedCache.foreach { m => m.unpersist(); () }
     out.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
         col("__sig").as("sig"))
       // one file per bucket per append (see incrementalExact)

@@ -256,22 +256,19 @@ object DeltaCurate {
     // Job 2: near-dup drops are FLAGGED, not filtered — the fingerprint
     // append needs ALL exact survivors (sequential-composition parity)
     // while the signature append and the returned frame need only the
-    // near-dup survivors. The checkpoint materializes only the VERDICTS
-    // (id, __nd) — optimization r16, guide §2.3/§5: the old form
-    // checkpointed the full flagged rows, re-materializing the text
-    // column that already sits in the `base` checkpoint blocks; only the
-    // exact anti-join and the drop set read the index tables, so a
-    // narrow (id, __nd) checkpoint severs the table lineage identically
-    // before the appends mutate the tables, and every consumer
-    // reconstitutes its rows from `base` via one id join (broadcast at
-    // increment scale — the verdict frame is bytes per keeper).
-    val verdicts = exactFresh.select(col(idCol))
+    // near-dup survivors, and ONE wide checkpoint serves both (severing
+    // the index-table lineage before the appends mutate the tables). A
+    // narrow verdict-only checkpoint with id-join reconstitution from the
+    // base blocks was tried (optimization r16) and REVERTED on
+    // measurement — see the incrementalNearDupMd5 comment: the extra
+    // per-consumer broadcast joins cost more in AQE replanning/scheduling
+    // floors (~0.3-0.5 s per row at sf0.1, interleaved A/B) than the
+    // increment-bounded wide materialization they avoided.
+    val flagged = exactFresh
       .join(dropIds.withColumn("__nd", lit(true)), Seq(idCol), "left")
       .localCheckpoint()
     // every consumer of the shared matched-index scan has now run
     matchedCache.foreach { m => m.unpersist(); () }
-    // exactFresh rows, rebuilt from base blocks (ids are snapshot-unique)
-    val flagged = base.join(verdicts, Seq(idCol))
     // Jobs 3+4, CONCURRENT: both bucketed appends read the same flagged
     // checkpoint blocks and write DIFFERENT tables (independent catalog
     // entries, per-table Hadoop commit dirs), so they run on two action
