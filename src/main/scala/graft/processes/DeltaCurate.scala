@@ -395,12 +395,23 @@ object DeltaCurate {
       .localCheckpoint()
     val keepers = base.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__keep"))
+    // checkpoint the KEEPER rows too (optimization r16, guide §2.4/§5):
+    // the three returned views land up to three times in ONE consumer
+    // plan (q_delta_curate: the fp anti-join once, the sig frame twice —
+    // the un-persisted matched scan's cap agg + candidate join), and
+    // without this cut each occurrence re-runs the keeper agg + join
+    // over the base blocks; a narrow (id, fp, sig, bands) checkpoint
+    // turns all of them into block scans and shrinks the consumer plan
+    // AQE re-canonicalizes per stage. Same width as `base`, strictly
+    // fewer rows — increment-proportional at 100 TB.
     val firsts = base.join(keepers, "__fp")
       .filter(col(idCol) === col("__keep"))
+      .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
+      .localCheckpoint()
     (firsts.select(col("__fp").as("fp")),
       firsts.select(explode(col("__bk")).as("key"), col(idCol).as("id"),
         col("__sig").as("sig")),
-      firsts.select(col(idCol), col("__fp"), col("__sig"), col("__bk")))
+      firsts)
   }
 
   /** Dry-run delta curation: the SURVIVOR QUERY of [[run]] against index
