@@ -63,11 +63,16 @@ object Dedup {
     val spark = df.sparkSession
     val withFp = df.withColumn("__fp",
       TextAnalysis.fingerprint(col(textCol)))
-    // in-increment first occurrence: min-id keeper per fingerprint
-    val keepers = withFp.groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("__keep"))
-    val firsts = withFp.join(keepers, "__fp")
-      .filter(col(idCol) === col("__keep")).drop("__keep")
+    // in-increment first occurrence: min-id keeper per fingerprint — ONE
+    // min_by aggregation (optimization r17, guide §2.4: the old
+    // groupBy(min) + self-join paid a second exchange and a sort-merge
+    // join over the same rows for the identical decision). Ids are
+    // unique per increment, so the min_by winner IS the old min-id row;
+    // column order matches the old join output (__fp first).
+    val others = withFp.columns.filter(_ != "__fp")
+    val firsts = withFp.groupBy(col("__fp"))
+      .agg(min_by(struct(others.map(col): _*), col(idCol)).as("__s"))
+      .select(col("__fp") +: others.map(c => col("__s." + c).as(c)): _*)
     val fresh =
       if (spark.catalog.tableExists(indexTable)) {
         firsts.join(spark.table(indexTable)

@@ -191,11 +191,21 @@ object DeltaCurate {
       "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
     spark.conf.set(aqeExcludeKey,
       (prevExcluded.toSeq :+ emptyRelRule).mkString(","))
+    // spread BY THE FINGERPRINT, not round-robin (optimization r17, guide
+    // §2.4): localCheckpoint preserves outputPartitioning in its
+    // LogicalRDD, so a hash(__fp)-partitioned checkpoint lets the keeper
+    // aggregation below and every fp-keyed frame join over these blocks
+    // without a fresh exchange (md5 fingerprints are uniform — no skew
+    // risk), where the round-robin spread forced each consumer to
+    // re-shuffle. Also skips round-robin's sort-before-repartition pass.
     val base =
       try {
         Dedup.withMd5Sketch(
-            (if (spreadNeeded) gated.repartition(par) else gated)
-              .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+            {
+              val fp = gated.withColumn("__fp",
+                TextAnalysis.fingerprint(col(textCol)))
+              if (spreadNeeded) fp.repartition(par, col("__fp")) else fp
+            },
             textCol, k, bands)
           .localCheckpoint()
       } finally {
@@ -207,11 +217,13 @@ object DeltaCurate {
     // table existence BEFORE either append mutates the catalog
     val fpExists = spark.catalog.tableExists(fpIndexTable)
     val sigExists = spark.catalog.tableExists(sigIndexTable)
-    // in-increment exact keeper: min-id copy per fingerprint
-    val keepers = base.groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("__keep"))
-    val firsts = base.join(keepers, "__fp")
-      .filter(col(idCol) === col("__keep")).drop("__keep")
+    // in-increment exact keeper: min-id copy per fingerprint — ONE min_by
+    // aggregation instead of the old groupBy(min) + self-join
+    // (optimization r17, guide §2.4: the join was a second exchange +
+    // sort over the same rows for the identical decision), exchange-free
+    // over the hash(__fp) checkpoint blocks. Ids are unique per
+    // increment, so the min_by winner is exactly the old min-id row.
+    val firsts = keeperRows(base, idCol)
     // one-sided anti-join: the bucketed index scan satisfies the join's
     // distribution, only the (small) delta side shuffles
     val exactFresh =
@@ -331,6 +343,22 @@ object DeltaCurate {
       survivors = survivors.drop("__fp", "__sig", "__bk", "__nd"))
   }
 
+  /** The in-increment exact keeper — the min-`idCol` row per `__fp` — as
+    * ONE `min_by` aggregation (optimization r17, guide §2.4). The previous
+    * form (groupBy(min) + self-join back to the rows) paid a second
+    * exchange and a sort-merge join for the identical decision; over a
+    * hash(__fp)-partitioned checkpoint this aggregation is exchange-free.
+    * Column order matches the old join output (`__fp` first, then the
+    * input's other columns). Ids are unique per increment (the snapshot
+    * contract), so the winner is exactly the old min-id row.
+    */
+  private def keeperRows(base: DataFrame, idCol: String): DataFrame = {
+    val others = base.columns.filter(_ != "__fp")
+    base.groupBy(col("__fp"))
+      .agg(min_by(struct(others.map(col): _*), col(idCol)).as("__s"))
+      .select(col("__fp") +: others.map(c => col("__s." + c).as(c)): _*)
+  }
+
   /** In-memory index frames equivalent to what a BOOTSTRAP increment of
     * [[run]] persists ((fp) and (key, id, sig)) — for [[deltaSurvivors]]
     * dry-runs and tests that want the month-0 state without a warehouse.
@@ -387,25 +415,32 @@ object DeltaCurate {
       if (cfg.c4) gated0.withColumn(textCol,
         TextAnalysis.c4CleanLines(col(textCol)))
       else gated0
+    // hash(__fp) spread + single min_by keeper (optimization r17) — see
+    // run(); the keeper agg is exchange-free over the checkpoint blocks.
     val base = Dedup.withMd5Sketch(
-        (if (spreadNeeded) gated.repartition(par) else gated)
-          .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        {
+          val fp = gated.withColumn("__fp",
+            TextAnalysis.fingerprint(col(textCol)))
+          if (spreadNeeded) fp.repartition(par, col("__fp")) else fp
+        },
         textCol, k, bands)
       .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
       .localCheckpoint()
-    val keepers = base.groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("__keep"))
     // checkpoint the KEEPER rows too (optimization r16, guide §2.4/§5):
     // the three returned views land up to three times in ONE consumer
     // plan (q_delta_curate: the fp anti-join once, the sig frame twice —
     // the un-persisted matched scan's cap agg + candidate join), and
-    // without this cut each occurrence re-runs the keeper agg + join
-    // over the base blocks; a narrow (id, fp, sig, bands) checkpoint
-    // turns all of them into block scans and shrinks the consumer plan
-    // AQE re-canonicalizes per stage. Same width as `base`, strictly
-    // fewer rows — increment-proportional at 100 TB.
-    val firsts = base.join(keepers, "__fp")
-      .filter(col(idCol) === col("__keep"))
+    // without this cut each occurrence re-runs the keeper agg over the
+    // base blocks; a narrow (id, fp, sig, bands) checkpoint turns all of
+    // them into block scans and shrinks the consumer plan AQE
+    // re-canonicalizes per stage. Same width as `base`, strictly fewer
+    // rows — increment-proportional at 100 TB. Measured r17 (3-leg
+    // interleaved A/B vs the no-checkpoint form, control-normalized):
+    // neutral at bench scale, kept on the consumer-count rationale.
+    // The checkpoint inherits base's hash(__fp) partitioning, so the
+    // compactFramesOverLive keep semi-joins over these blocks are
+    // exchange-free on the fp side too.
+    val firsts = keeperRows(base, idCol)
       .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
       .localCheckpoint()
     (firsts.select(col("__fp").as("fp")),
@@ -486,17 +521,17 @@ object DeltaCurate {
       if (cfg.c4) gated0.withColumn(textCol,
         TextAnalysis.c4CleanLines(col(textCol)))
       else gated0
-    // same single sketch pass + checkpoint as run() (the minhash HOF
-    // tree must never inline into a join filter)
+    // same single sketch pass + hash(__fp) checkpoint + min_by keeper as
+    // run() (the minhash HOF tree must never inline into a join filter)
     val base = Dedup.withMd5Sketch(
-        (if (spreadNeeded) gated.repartition(par) else gated)
-          .withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        {
+          val fp = gated.withColumn("__fp",
+            TextAnalysis.fingerprint(col(textCol)))
+          if (spreadNeeded) fp.repartition(par, col("__fp")) else fp
+        },
         textCol, k, bands)
       .localCheckpoint()
-    val keepers = base.groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("__keep"))
-    val firsts = base.join(keepers, "__fp")
-      .filter(col(idCol) === col("__keep")).drop("__keep")
+    val firsts = keeperRows(base, idCol)
     val exactFresh = fpIndex match {
       case Some(fi) =>
         firsts.join(fi.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
@@ -634,12 +669,15 @@ object DeltaCurate {
       bands: Int): DataFrame = {
     val spark = corpus.sparkSession
     val par = spark.sparkContext.defaultParallelism
+    // hash(__fp) spread (optimization r17): the keepFp semi-join's
+    // distinct and the live side of both keep joins read these blocks —
+    // a fingerprint-partitioned checkpoint keeps them exchange-free.
+    val fp = corpus.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
     val spread =
-      if (corpus.rdd.getNumPartitions < par) corpus.repartition(par)
-      else corpus
-    Dedup.withMd5Sketch(
-        spread.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
-        textCol, k, bands)
+      if (corpus.rdd.getNumPartitions < par) fp.repartition(par, col("__fp"))
+      else fp
+    Dedup.withMd5Sketch(spread, textCol, k, bands)
       .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
       .localCheckpoint()
   }
