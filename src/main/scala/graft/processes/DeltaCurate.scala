@@ -198,25 +198,42 @@ object DeltaCurate {
     // without a fresh exchange (md5 fingerprints are uniform — no skew
     // risk), where the round-robin spread forced each consumer to
     // re-shuffle. Also skips round-robin's sort-before-repartition pass.
-    val base =
+    val sketched = Dedup.withMd5Sketch(
+      {
+        val fp = gated.withColumn("__fp",
+          TextAnalysis.fingerprint(col(textCol)))
+        if (spreadNeeded) fp.repartition(par, col("__fp")) else fp
+      },
+      textCol, k, bands)
+    // table existence BEFORE either append mutates the catalog (and
+    // before the first action, so the bootstrap shape below can fuse)
+    val fpExists = spark.catalog.tableExists(fpIndexTable)
+    val sigExists = spark.catalog.tableExists(sigIndexTable)
+    // BOOTSTRAP CHECKPOINT FUSION (optimization r17, guide §1.2/§5 —
+    // fewer actions): with NO index tables, the sketched base's only
+    // consumer is the keeper aggregation (no fp anti-join, no band-key
+    // semi-join — both index branches are statically absent) and the
+    // near-dup drop set is statically empty, so the base checkpoint and
+    // the flagged checkpoint collapse into ONE keeper materialization:
+    // flagged ≡ keepers + a null __nd column (the empty left join's
+    // exact output, column order included). The observe metrics ride
+    // this single action; the AQE-exclusion window covers it.
+    val bootstrapFused = !fpExists && !sigExists
+    val checkpointed =
       try {
-        Dedup.withMd5Sketch(
-            {
-              val fp = gated.withColumn("__fp",
-                TextAnalysis.fingerprint(col(textCol)))
-              if (spreadNeeded) fp.repartition(par, col("__fp")) else fp
-            },
-            textCol, k, bands)
-          .localCheckpoint()
+        if (bootstrapFused)
+          keeperRows(sketched, idCol)
+            .withColumn("__nd", lit(null).cast("boolean"))
+            .localCheckpoint()
+        else sketched.localCheckpoint()
       } finally {
         prevExcluded match {
           case Some(v) => spark.conf.set(aqeExcludeKey, v)
           case None => spark.conf.unset(aqeExcludeKey)
         }
       }
-    // table existence BEFORE either append mutates the catalog
-    val fpExists = spark.catalog.tableExists(fpIndexTable)
-    val sigExists = spark.catalog.tableExists(sigIndexTable)
+    val flagged = if (bootstrapFused) checkpointed else {
+    val base = checkpointed
     // in-increment exact keeper: min-id copy per fingerprint — ONE min_by
     // aggregation instead of the old groupBy(min) + self-join
     // (optimization r17, guide §2.4: the join was a second exchange +
@@ -225,7 +242,13 @@ object DeltaCurate {
     // increment, so the min_by winner is exactly the old min-id row.
     val firsts = keeperRows(base, idCol)
     // one-sided anti-join: the bucketed index scan satisfies the join's
-    // distribution, only the (small) delta side shuffles
+    // distribution, only the (small) delta side shuffles. exactFresh
+    // lands twice in the flagged-checkpoint action (the flagged left
+    // side + the near-dup candidate probe); a persist was TRIED
+    // (optimization r17) and reverted on measurement — ReuseExchange
+    // already dedups the identical keeper/anti-join subtrees inside the
+    // one AQE plan, so the cache only added its own materialization
+    // stages (34 → 36 jobs on q_delta_index_write).
     val exactFresh =
       if (fpExists)
         firsts.join(spark.table(fpIndexTable)
@@ -246,8 +269,17 @@ object DeltaCurate {
         // shuffle-free (bucketBy(key)) but still touched every row every
         // month. A key's matched rows are ALL of its index rows, so the
         // per-key counts equal the full-index counts exactly.
+        // distinct AT THE BUCKET PARTITIONING (optimization r17, guide
+        // §2.4): repartition(buckets, key) is the same murmur3-pmod
+        // mapping as the index's bucket id, so the distinct aggregates
+        // exchange-free on top of it AND the semi-join below sees both
+        // sides co-partitioned — the old session-parallelism distinct
+        // paid one exchange to dedup and a second to re-align with the
+        // bucketed scan. Parallelism is unchanged: the join already ran
+        // at bucket granularity (the one-sided contract).
         val deltaKeys = base
-          .select(explode(col("__bk")).as("key")).distinct()
+          .select(explode(col("__bk")).as("key"))
+          .repartition(buckets, col("key")).distinct()
         val matched = idx.join(deltaKeys, Seq("key"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val okKeys = matched.groupBy(col("key"))
@@ -276,11 +308,13 @@ object DeltaCurate {
     // per-consumer broadcast joins cost more in AQE replanning/scheduling
     // floors (~0.3-0.5 s per row at sf0.1, interleaved A/B) than the
     // increment-bounded wide materialization they avoided.
-    val flagged = exactFresh
+    val f = exactFresh
       .join(dropIds.withColumn("__nd", lit(true)), Seq(idCol), "left")
       .localCheckpoint()
     // every consumer of the shared matched-index scan has now run
     matchedCache.foreach { m => m.unpersist(); () }
+    f
+    }
     // Jobs 3+4, CONCURRENT: both bucketed appends read the same flagged
     // checkpoint blocks and write DIFFERENT tables (independent catalog
     // entries, per-table Hadoop commit dirs), so they run on two action
@@ -415,32 +449,30 @@ object DeltaCurate {
       if (cfg.c4) gated0.withColumn(textCol,
         TextAnalysis.c4CleanLines(col(textCol)))
       else gated0
-    // hash(__fp) spread + single min_by keeper (optimization r17) — see
-    // run(); the keeper agg is exchange-free over the checkpoint blocks.
-    val base = Dedup.withMd5Sketch(
-        {
-          val fp = gated.withColumn("__fp",
-            TextAnalysis.fingerprint(col(textCol)))
-          if (spreadNeeded) fp.repartition(par, col("__fp")) else fp
-        },
-        textCol, k, bands)
-      .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
-      .localCheckpoint()
-    // checkpoint the KEEPER rows too (optimization r16, guide §2.4/§5):
-    // the three returned views land up to three times in ONE consumer
-    // plan (q_delta_curate: the fp anti-join once, the sig frame twice —
-    // the un-persisted matched scan's cap agg + candidate join), and
-    // without this cut each occurrence re-runs the keeper agg over the
-    // base blocks; a narrow (id, fp, sig, bands) checkpoint turns all of
-    // them into block scans and shrinks the consumer plan AQE
-    // re-canonicalizes per stage. Same width as `base`, strictly fewer
-    // rows — increment-proportional at 100 TB. Measured r17 (3-leg
-    // interleaved A/B vs the no-checkpoint form, control-normalized):
-    // neutral at bench scale, kept on the consumer-count rationale.
-    // The checkpoint inherits base's hash(__fp) partitioning, so the
-    // compactFramesOverLive keep semi-joins over these blocks are
-    // exchange-free on the fp side too.
-    val firsts = keeperRows(base, idCol)
+    // ONE fused checkpoint (optimization r17, guide §1.2/§5 — the run()
+    // bootstrap-fusion shape): the sketched base's only consumer here is
+    // the keeper aggregation, so materializing base separately was a
+    // pure extra action — the hash(__fp) spread's exchange feeds the
+    // min_by keeper agg directly (HashPartitioning(__fp) satisfies the
+    // grouping's ClusteredDistribution: no second exchange) and only the
+    // KEEPER rows ever hit disk. The checkpoint keeps the narrow
+    // (id, fp, sig, bands) width and the hash(__fp) partitioning the
+    // three consumer views rely on (q_delta_curate: the fp anti-join
+    // once, the sig frame twice — the un-persisted matched scan's cap
+    // agg + candidate join; q_delta_compact: the compactFramesOverLive
+    // keep semi-joins are exchange-free on the fp side over these
+    // blocks). Strictly fewer rows than base —
+    // increment-proportional at 100 TB.
+    val firsts = keeperRows(
+        Dedup.withMd5Sketch(
+            {
+              val fp = gated.withColumn("__fp",
+                TextAnalysis.fingerprint(col(textCol)))
+              if (spreadNeeded) fp.repartition(par, col("__fp")) else fp
+            },
+            textCol, k, bands)
+          .select(col(idCol), col("__fp"), col("__sig"), col("__bk")),
+        idCol)
       .select(col(idCol), col("__fp"), col("__sig"), col("__bk"))
       .localCheckpoint()
     (firsts.select(col("__fp").as("fp")),
