@@ -215,11 +215,28 @@ object VectorQueries {
       val cents = IncrementalAnn.append(e.filter(col("vec_id") % 4 =!= 0),
         "vec_id", "embedding", "ianndel_idx",
         fitted = Some(iannFitted(s, dir)))
-      IncrementalAnn.append(e.filter(col("vec_id") % 4 === 0),
-        "vec_id", "embedding", "ianndel_idx", fitted = Some(cents))
-      IncrementalAnn.deleteIds(
-        e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
-        "vec_id", "ianndel_idx")
+      // month-1 append ∥ tombstone delete (optimization r17, guide §2.6
+      // — overlap independent jobs): the append writes the bucketed
+      // index table, the delete writes the tombstone sidecar; neither
+      // reads the other's table (deletes are declarative ids, and only
+      // the query below joins the two), so the two lifecycle steps run
+      // on concurrent action threads instead of paying two sequential
+      // job+commit floors — the DeltaCurate.run append-pair pattern.
+      // State seen by the query is identical: both complete before it.
+      val ec = scala.concurrent.ExecutionContext.global
+      val ap = scala.concurrent.Future {
+        IncrementalAnn.append(e.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", "ianndel_idx", fitted = Some(cents)); ()
+      }(ec)
+      val del = scala.concurrent.Future {
+        IncrementalAnn.deleteIds(
+          e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+          "vec_id", "ianndel_idx")
+      }(ec)
+      scala.concurrent.Await.result(ap,
+        scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(del,
+        scala.concurrent.duration.Duration.Inf)
       IncrementalAnn.query(e, "vec_id", "embedding", "ianndel_idx", k = 3,
         fitted = Some(cents))
     }),
@@ -238,11 +255,23 @@ object VectorQueries {
       val cents = IncrementalAnn.append(e.filter(col("vec_id") % 4 =!= 0),
         "vec_id", "embedding", "iannc_idx",
         fitted = Some(iannFitted(s, dir)))
-      IncrementalAnn.append(e.filter(col("vec_id") % 4 === 0),
-        "vec_id", "embedding", "iannc_idx", fitted = Some(cents))
-      IncrementalAnn.deleteIds(
-        e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
-        "vec_id", "iannc_idx")
+      // month-1 append ∥ tombstone delete — the q_ann_incr_del_md5
+      // overlap (optimization r17, guide §2.6); compact() requires both
+      // complete and sees the identical state.
+      val ec = scala.concurrent.ExecutionContext.global
+      val ap = scala.concurrent.Future {
+        IncrementalAnn.append(e.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", "iannc_idx", fitted = Some(cents)); ()
+      }(ec)
+      val del = scala.concurrent.Future {
+        IncrementalAnn.deleteIds(
+          e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+          "vec_id", "iannc_idx")
+      }(ec)
+      scala.concurrent.Await.result(ap,
+        scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(del,
+        scala.concurrent.duration.Duration.Inf)
       IncrementalAnn.compact(s, "iannc_idx", fitted = Some(cents))
       s.table("iannc_idx").select(col("cell"), col("id"))
     }),
@@ -597,11 +626,24 @@ object VectorQueries {
       val models = (iannFitted(s, dir), ivfPqIncrFitted(s, dir))
       IvfPq.persistIndex(e.filter(col("vec_id") % 4 =!= 0),
         "vec_id", "embedding", models._1, models._2, "ivfpqdel_idx")
-      IvfPq.appendPersisted(e.filter(col("vec_id") % 4 === 0),
-        "vec_id", "embedding", "ivfpqdel_idx", fitted = Some(models))
-      IvfPq.deletePersisted(
-        e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
-        "vec_id", "ivfpqdel_idx")
+      // month-1 append ∥ tombstone delete — the q_ann_incr_del_md5
+      // overlap (optimization r17, guide §2.6): codes table vs tombstone
+      // sidecar, independent writes; compactPersisted requires both
+      // complete and sees the identical state.
+      val ec = scala.concurrent.ExecutionContext.global
+      val ap = scala.concurrent.Future {
+        IvfPq.appendPersisted(e.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", "ivfpqdel_idx", fitted = Some(models)); ()
+      }(ec)
+      val del = scala.concurrent.Future {
+        IvfPq.deletePersisted(
+          e.filter(col("vec_id") % 10 === 3).select(col("vec_id")),
+          "vec_id", "ivfpqdel_idx")
+      }(ec)
+      scala.concurrent.Await.result(ap,
+        scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(del,
+        scala.concurrent.duration.Duration.Inf)
       IvfPq.compactPersisted(s, "ivfpqdel_idx", fitted = Some(models))
       IvfPq.queryPersisted(e.filter(col("vec_id") % 40 === 0),
         "vec_id", "embedding", "ivfpqdel_idx", k = 3, nProbe = 2,
