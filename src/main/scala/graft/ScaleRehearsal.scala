@@ -1354,6 +1354,24 @@ object ScaleRehearsal {
         if (i == compactAfter) {
           compactRows = Some(graft.processes.DeltaCurate.compact(
             acc.get, "doc_id", "text", fp, sig, buckets = buckets))
+          // CRASH-WINDOW RECOVERY exercised at scale (verdict r16 #6):
+          // simulate a JVM death between rewriteBucketed's two renames —
+          // the live fp name missing, the old copy under __old, a
+          // fully-written __compact sibling — then compact AGAIN. The
+          // rewrite's recover-at-start must roll BACK to the aside copy
+          // (never forward: tmp may be half-written in the real window)
+          // and redo the rewrite; the row counts must match the clean
+          // compaction exactly (same live corpus), and the post-recovery
+          // file audit must still hold one file per bucket.
+          spark.sql(s"CREATE TABLE ${fp}__compact AS " +
+            s"SELECT * FROM $fp LIMIT 1")
+          spark.sql(s"ALTER TABLE $fp RENAME TO ${fp}__old")
+          val recompact = graft.processes.DeltaCurate.compact(
+            acc.get, "doc_id", "text", fp, sig, buckets = buckets)
+          require(recompact == compactRows.get,
+            s"crash-window recompaction diverged: $recompact vs " +
+              s"${compactRows.get} — recover-at-start rolled to the " +
+              "wrong copy")
           Seq(fp, sig).foreach { t =>
             val now = bucketFiles(t)
             require(now.nonEmpty,
